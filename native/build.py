@@ -1,0 +1,33 @@
+#!/usr/bin/env python3
+"""Build the native C++ support library (libtrexnative.so).
+
+Contains host-side hot paths that stay off the TPU: the LZO1X codec for
+.pv frame payloads, and (as they land) connected-component labeling and
+pv frame encode/decode fast paths.
+"""
+import pathlib
+import subprocess
+import sys
+
+HERE = pathlib.Path(__file__).parent
+OUT = HERE.parent / "trex_tpu" / "_native"
+SOURCES = sorted(HERE.glob("*.cpp"))
+
+
+def build(force: bool = False) -> pathlib.Path:
+    OUT.mkdir(exist_ok=True)
+    target = OUT / "libtrexnative.so"
+    if not force and target.exists():
+        newest = max(s.stat().st_mtime for s in SOURCES)
+        if target.stat().st_mtime >= newest:
+            return target
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++20", "-shared", "-fPIC",
+        "-fvisibility=default", "-o", str(target),
+    ] + [str(s) for s in SOURCES] + ["-lpthread"]
+    subprocess.run(cmd, check=True)
+    return target
+
+
+if __name__ == "__main__":
+    print(build(force="--force" in sys.argv))
