@@ -1,0 +1,205 @@
+// Connected-component labeling over thresholded background-difference
+// images, emitting RLE horizontal lines + pixel values per blob.
+//
+// Host-side hot path of the conversion pipeline: equivalent role to the
+// reference's commons CPULabeling::run + RawProcessing::generate_binary
+// (usage: reference Application/src/tracker/python/
+// BackgroundSubtraction.cpp:126-347). Design is line-run union-find
+// (8-connectivity): extract foreground runs per row, merge runs that
+// touch/overlap runs of the previous row, then compact into per-blob
+// line/pixel arrays sorted in scan order.
+//
+// C API (ctypes):
+//   ctx = trex_label_image(img, bg, w, h, threshold, absolute)
+//   ...accessors...
+//   trex_label_free(ctx)
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+struct Run {
+    int32_t y, x0, x1;
+    uint32_t label;
+};
+
+struct Result {
+    // per blob: [start, end) index into lines
+    std::vector<uint32_t> blob_line_start;
+    std::vector<uint32_t> blob_pixel_start;
+    std::vector<int32_t> lines;    // 3 ints per line: y, x0, x1
+    std::vector<uint8_t> pixels;   // concatenated per blob, line order
+};
+
+inline uint32_t find_root(std::vector<uint32_t>& parent, uint32_t x) {
+    while (parent[x] != x) {
+        parent[x] = parent[parent[x]];
+        x = parent[x];
+    }
+    return x;
+}
+
+inline void unite(std::vector<uint32_t>& parent, uint32_t a, uint32_t b) {
+    a = find_root(parent, a);
+    b = find_root(parent, b);
+    if (a != b) parent[std::max(a, b)] = std::min(a, b);
+}
+
+}  // namespace
+
+extern "C" {
+
+// mode for the threshold test applied to (img, background):
+//   absolute != 0 : keep where |img - bg| >= threshold
+//   absolute == 0 : keep where (bg - img) >= threshold   (darker-than-bg)
+// threshold <= 0 keeps every pixel (blob = nonzero region of img).
+void* trex_label_image(const uint8_t* img, const uint8_t* bg,
+                       int32_t width, int32_t height,
+                       int32_t threshold, int32_t absolute) {
+    auto* res = new Result();
+    std::vector<Run> prev_runs, cur_runs;
+    std::vector<Run> all_runs;
+    std::vector<uint32_t> parent;
+    all_runs.reserve(1024);
+    parent.reserve(1024);
+
+    for (int32_t y = 0; y < height; y++) {
+        const uint8_t* row = img + (size_t)y * width;
+        const uint8_t* brow = bg ? bg + (size_t)y * width : nullptr;
+        cur_runs.clear();
+        int32_t x = 0;
+        while (x < width) {
+            // find start of a foreground run
+            int32_t start = -1;
+            for (; x < width; x++) {
+                bool fg;
+                if (threshold <= 0) {
+                    fg = row[x] != 0;
+                } else if (!brow) {
+                    fg = row[x] >= threshold;
+                } else if (absolute) {
+                    int d = (int)row[x] - (int)brow[x];
+                    // nonzero test mirrors labeling over the masked image
+                    fg = ((d < 0 ? -d : d) >= threshold) && row[x] != 0;
+                } else {
+                    fg = (((int)brow[x] - (int)row[x]) >= threshold) && row[x] != 0;
+                }
+                if (fg) { start = x; break; }
+            }
+            if (start < 0) break;
+            int32_t end = start;
+            for (x = start + 1; x < width; x++) {
+                bool fg;
+                if (threshold <= 0) {
+                    fg = row[x] != 0;
+                } else if (!brow) {
+                    fg = row[x] >= threshold;
+                } else if (absolute) {
+                    int d = (int)row[x] - (int)brow[x];
+                    // nonzero test mirrors labeling over the masked image
+                    fg = ((d < 0 ? -d : d) >= threshold) && row[x] != 0;
+                } else {
+                    fg = (((int)brow[x] - (int)row[x]) >= threshold) && row[x] != 0;
+                }
+                if (!fg) break;
+                end = x;
+            }
+            x = end + 1;
+            uint32_t label = (uint32_t)all_runs.size();
+            parent.push_back(label);
+            cur_runs.push_back({y, start, end, label});
+            all_runs.push_back(cur_runs.back());
+        }
+        // merge with previous row (8-connectivity: touch or overlap ±1)
+        size_t j = 0;
+        for (auto& r : cur_runs) {
+            while (j < prev_runs.size() && prev_runs[j].x1 + 1 < r.x0) j++;
+            for (size_t k = j; k < prev_runs.size()
+                               && prev_runs[k].x0 <= r.x1 + 1; k++) {
+                unite(parent, prev_runs[k].label, r.label);
+            }
+        }
+        std::swap(prev_runs, cur_runs);
+    }
+
+    // compact: map roots -> blob ids in order of first appearance
+    const size_t n_runs = all_runs.size();
+    std::vector<uint32_t> root_of(n_runs);
+    std::vector<uint32_t> blob_of(n_runs, UINT32_MAX);
+    std::vector<uint32_t> blob_order;  // root per blob, in first-run order
+    for (size_t i = 0; i < n_runs; i++) {
+        uint32_t r = find_root(parent, (uint32_t)i);
+        root_of[i] = r;
+        if (blob_of[r] == UINT32_MAX) {
+            blob_of[r] = (uint32_t)blob_order.size();
+            blob_order.push_back(r);
+        }
+    }
+    const size_t n_blobs = blob_order.size();
+
+    // count lines + pixels per blob
+    std::vector<uint32_t> line_count(n_blobs, 0), pixel_count(n_blobs, 0);
+    for (size_t i = 0; i < n_runs; i++) {
+        uint32_t b = blob_of[root_of[i]];
+        line_count[b]++;
+        pixel_count[b] += (uint32_t)(all_runs[i].x1 - all_runs[i].x0 + 1);
+    }
+    res->blob_line_start.resize(n_blobs + 1);
+    res->blob_pixel_start.resize(n_blobs + 1);
+    res->blob_line_start[0] = 0;
+    res->blob_pixel_start[0] = 0;
+    for (size_t b = 0; b < n_blobs; b++) {
+        res->blob_line_start[b + 1] = res->blob_line_start[b] + line_count[b];
+        res->blob_pixel_start[b + 1] = res->blob_pixel_start[b] + pixel_count[b];
+    }
+    res->lines.resize(3 * n_runs);
+    res->pixels.resize(res->blob_pixel_start[n_blobs]);
+
+    // scatter runs (already in scan order) into their blob slots
+    std::vector<uint32_t> line_cursor(res->blob_line_start.begin(),
+                                      res->blob_line_start.end() - 1);
+    std::vector<uint32_t> pixel_cursor(res->blob_pixel_start.begin(),
+                                       res->blob_pixel_start.end() - 1);
+    for (size_t i = 0; i < n_runs; i++) {
+        const auto& r = all_runs[i];
+        uint32_t b = blob_of[root_of[i]];
+        uint32_t li = line_cursor[b]++;
+        res->lines[3 * li + 0] = r.y;
+        res->lines[3 * li + 1] = r.x0;
+        res->lines[3 * li + 2] = r.x1;
+        uint32_t n = (uint32_t)(r.x1 - r.x0 + 1);
+        std::memcpy(res->pixels.data() + pixel_cursor[b],
+                    img + (size_t)r.y * width + r.x0, n);
+        pixel_cursor[b] += n;
+    }
+    return res;
+}
+
+int64_t trex_label_n_blobs(void* ctx) {
+    return (int64_t)((Result*)ctx)->blob_line_start.size() - 1;
+}
+int64_t trex_label_n_lines(void* ctx) {
+    return (int64_t)((Result*)ctx)->lines.size() / 3;
+}
+int64_t trex_label_n_pixels(void* ctx) {
+    return (int64_t)((Result*)ctx)->pixels.size();
+}
+const uint32_t* trex_label_blob_line_start(void* ctx) {
+    return ((Result*)ctx)->blob_line_start.data();
+}
+const uint32_t* trex_label_blob_pixel_start(void* ctx) {
+    return ((Result*)ctx)->blob_pixel_start.data();
+}
+const int32_t* trex_label_lines(void* ctx) {
+    return ((Result*)ctx)->lines.data();
+}
+const uint8_t* trex_label_pixels(void* ctx) {
+    return ((Result*)ctx)->pixels.data();
+}
+void trex_label_free(void* ctx) { delete (Result*)ctx; }
+
+}  // extern "C"

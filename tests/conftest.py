@@ -3,13 +3,21 @@ TPU is required for CI (mirrors the reference's CPU-runnable test strategy,
 Application/Tests/run_unix.bash)."""
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell environment on this machine pre-sets JAX_PLATFORMS=axon (one
+# real TPU chip) and jax is PRE-IMPORTED by a sitecustomize hook, so env
+# vars alone are too late — force the platform via jax.config before any
+# backend initializes. Tests run on a virtual 8-device CPU mesh; set
+# TREX_TEST_TPU=1 to run the suite against the real chip instead.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+if not os.environ.get("TREX_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,118 @@
+"""Connected-components labeling tests: cross-checked against
+scipy.ndimage.label (8-connectivity) and bg-subtraction semantics."""
+import numpy as np
+import pytest
+from scipy import ndimage
+
+from trex_tpu.ops.labeling import Blob, label_blobs
+
+
+def _assert_matches_scipy(mask: np.ndarray, blobs):
+    structure = np.ones((3, 3), int)  # 8-connectivity
+    labels, n = ndimage.label(mask > 0, structure=structure)
+    assert len(blobs) == n
+    # every blob's pixels must carry one unique scipy label
+    seen = set()
+    total = 0
+    for b in blobs:
+        ids = set()
+        for y, x0, x1 in b.lines:
+            ids.update(labels[y, x0 : x1 + 1].tolist())
+        assert len(ids) == 1, f"blob spans scipy labels {ids}"
+        lbl = ids.pop()
+        assert lbl != 0 and lbl not in seen
+        seen.add(lbl)
+        total += b.num_pixels
+    assert total == int(np.count_nonzero(mask))
+
+
+def test_simple_shapes():
+    img = np.zeros((40, 60), np.uint8)
+    img[5:10, 5:15] = 200          # rectangle
+    img[20:25, 20] = 100           # vertical line
+    img[30, 40:50] = 50            # horizontal line
+    blobs = label_blobs(img)
+    assert len(blobs) == 3
+    _assert_matches_scipy(img, blobs)
+    # pixels are the raw image values in scan order
+    rect = max(blobs, key=lambda b: b.num_pixels)
+    assert rect.num_pixels == 50
+    assert (rect.pixels == 200).all()
+    assert rect.bounds() == (5, 5, 10, 5)
+
+
+def test_diagonal_connectivity():
+    img = np.zeros((10, 10), np.uint8)
+    img[2, 2] = 1
+    img[3, 3] = 1  # touches diagonally => same blob (8-connectivity)
+    blobs = label_blobs(img)
+    assert len(blobs) == 1
+    assert blobs[0].num_pixels == 2
+
+
+def test_u_shape_merge():
+    # two arms joined at the bottom: union-find must merge labels
+    img = np.zeros((10, 10), np.uint8)
+    img[0:8, 1] = 9
+    img[0:8, 5] = 9
+    img[8, 1:6] = 9
+    blobs = label_blobs(img)
+    assert len(blobs) == 1
+    _assert_matches_scipy(img, blobs)
+
+
+def test_random_images_match_scipy():
+    rng = np.random.default_rng(42)
+    for density in (0.1, 0.4, 0.6):
+        img = (rng.random((80, 120)) < density).astype(np.uint8) * 255
+        blobs = label_blobs(img)
+        _assert_matches_scipy(img, blobs)
+
+
+def test_background_absolute_threshold():
+    bg = np.full((20, 20), 100, np.uint8)
+    img = bg.copy()
+    img[5, 5] = 120   # +20
+    img[6, 5] = 85    # -15
+    img[10, 10] = 105  # +5 below threshold
+    blobs = label_blobs(img, bg, threshold=10, absolute=True)
+    # (5,5) and (6,5) vertically adjacent -> one blob; (10,10) filtered
+    assert len(blobs) == 1
+    assert blobs[0].num_pixels == 2
+    assert sorted(blobs[0].pixels.tolist()) == [85, 120]
+
+
+def test_background_signed_threshold():
+    bg = np.full((20, 20), 100, np.uint8)
+    img = bg.copy()
+    img[5, 5] = 120   # brighter: excluded in signed mode
+    img[8, 8] = 80    # darker by 20: included
+    blobs = label_blobs(img, bg, threshold=10, absolute=False)
+    assert len(blobs) == 1
+    assert blobs[0].lines.tolist() == [[8, 8, 8]]
+
+
+def test_empty_image():
+    assert label_blobs(np.zeros((5, 5), np.uint8)) == []
+
+
+def test_blob_center():
+    img = np.zeros((10, 10), np.uint8)
+    img[4:6, 2:8] = 1
+    b = label_blobs(img)[0]
+    cx, cy = b.center()
+    assert cx == pytest.approx(4.5)
+    assert cy == pytest.approx(4.5)
+
+
+def test_jax_bgsub_matches_native():
+    from trex_tpu.ops.bgsub import subtract
+
+    rng = np.random.default_rng(1)
+    bg = rng.integers(0, 255, (32, 48), np.uint8)
+    img = rng.integers(0, 255, (32, 48), np.uint8)
+    out = np.asarray(subtract(img[None], bg, 25, absolute=True))[0]
+    expect = np.where(np.abs(img.astype(int) - bg.astype(int)) >= 25, img, 0)
+    np.testing.assert_array_equal(out, expect)
+    blobs = label_blobs(img, bg, threshold=25, absolute=True)
+    _assert_matches_scipy(out, blobs)

@@ -1,0 +1,179 @@
+"""Video sources: mp4/avi, image sequences (printf/glob patterns), pv re-read.
+
+Re-creates the acquisition layer of the reference
+(core/AbstractVideoSource.h:172-287, VideoVideoSource, PVVideoSource and
+commons VideoSource/AveragingAccumulator): uniform `get(index)` /
+iteration over grayscale-or-color frames plus the background averaging
+accumulator (mean/mode/max/min, grabber default_config.cpp:72-133).
+Decode is host-side (OpenCV/ffmpeg); device transfer happens downstream.
+"""
+from __future__ import annotations
+
+import glob
+import re
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+try:
+    import cv2
+except ImportError:  # pragma: no cover
+    cv2 = None
+
+
+class VideoSource:
+    """Uniform frame access. Accepts:
+    - a video file path (mp4/avi/mov...)
+    - a printf-style image sequence pattern (frame_%03d.jpg)
+    - a glob pattern (frame_*.jpg) or directory
+    - a list of image paths
+    """
+
+    def __init__(self, source, color: bool = False):
+        self.color = color
+        self._cap = None
+        self._files: Optional[list[str]] = None
+        self._cap_pos = 0
+        if isinstance(source, (list, tuple)):
+            self._files = [str(s) for s in source]
+        else:
+            s = str(source)
+            if re.search(r"%\d*d", s):
+                self._files = self._expand_printf(s)
+            elif any(ch in s for ch in "*?["):
+                self._files = sorted(glob.glob(s))
+            elif Path(s).is_dir():
+                exts = (".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif")
+                self._files = sorted(
+                    str(p) for p in Path(s).iterdir() if p.suffix.lower() in exts
+                )
+            else:
+                if cv2 is None:
+                    raise RuntimeError("OpenCV is required for video decode")
+                self._cap = cv2.VideoCapture(s)
+                if not self._cap.isOpened():
+                    raise FileNotFoundError(f"cannot open video source {s!r}")
+        if self._files is not None and not self._files:
+            raise FileNotFoundError(f"no frames found for {source!r}")
+
+    @staticmethod
+    def _expand_printf(pattern: str) -> list[str]:
+        files = []
+        i = 0
+        while True:
+            path = re.sub(r"%(\d*)d", lambda m: ("%" + (m.group(1) or "") + "d") % i, pattern)
+            if not Path(path).exists():
+                if i == 0:
+                    i += 1  # allow 1-based sequences
+                    continue
+                break
+            files.append(path)
+            i += 1
+        return files
+
+    def __len__(self) -> int:
+        if self._files is not None:
+            return len(self._files)
+        return int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+
+    @property
+    def frame_rate(self) -> float:
+        if self._cap is not None:
+            fps = self._cap.get(cv2.CAP_PROP_FPS)
+            return fps if fps and fps > 0 else 25.0
+        return 25.0  # image sequences carry no timing; reference default
+
+    @property
+    def size(self):
+        """(width, height)"""
+        frame = self.get(0)
+        return (frame.shape[1], frame.shape[0])
+
+    def get(self, index: int) -> np.ndarray:
+        """Fetch frame `index` as uint8 (h, w) gray or (h, w, 3) BGR."""
+        if self._files is not None:
+            if not 0 <= index < len(self._files):
+                raise IndexError(index)
+            flag = cv2.IMREAD_COLOR if self.color else cv2.IMREAD_GRAYSCALE
+            img = cv2.imread(self._files[index], flag)
+            if img is None:
+                raise IOError(f"failed to decode {self._files[index]}")
+            return img
+        if index != self._cap_pos:
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+            self._cap_pos = index
+        ok, img = self._cap.read()
+        if not ok:
+            raise IndexError(index)
+        self._cap_pos = index + 1
+        if not self.color and img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return img
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        for i in range(len(self)):
+            yield self.get(i)
+
+    def close(self):
+        if self._cap is not None:
+            self._cap.release()
+            self._cap = None
+
+
+class AveragingAccumulator:
+    """Background-image accumulator (commons video/AveragingAccumulator.h).
+
+    methods: mean (running float mean), mode (per-pixel histogram argmax),
+    max, min.
+    """
+
+    def __init__(self, method: str = "mean"):
+        if method not in ("mean", "mode", "max", "min"):
+            raise ValueError(f"unknown averaging_method {method!r}")
+        self.method = method
+        self._acc = None
+        self._samples: list[np.ndarray] = []
+        self._count = 0
+
+    def add(self, frame: np.ndarray):
+        frame = np.asarray(frame)
+        if frame.ndim == 3 and frame.shape[2] == 1:
+            frame = frame[:, :, 0]
+        self._count += 1
+        if self.method == "mode":
+            # quantized samples kept; per-pixel histogram argmax at finalize
+            self._samples.append(frame.copy())
+            return
+        if self._acc is None:
+            self._acc = frame.astype(np.float64) if self.method == "mean" \
+                else frame.copy()
+        elif self.method == "mean":
+            self._acc += (frame.astype(np.float64) - self._acc) / self._count
+        elif self.method == "max":
+            np.maximum(self._acc, frame, out=self._acc)
+        else:
+            np.minimum(self._acc, frame, out=self._acc)
+
+    def finalize(self) -> np.ndarray:
+        if self._count == 0:
+            raise RuntimeError("no samples accumulated")
+        if self.method == "mean":
+            return np.clip(np.round(self._acc), 0, 255).astype(np.uint8)
+        if self.method in ("max", "min"):
+            return self._acc.astype(np.uint8)
+        # mode: per-pixel most frequent value, chunked to bound memory
+        stack = np.stack(self._samples, axis=0)
+        flat = stack.reshape(stack.shape[0], -1)
+        out = np.empty(flat.shape[1], np.uint8)
+        chunk = 1 << 20
+        cols_template = None
+        for s in range(0, flat.shape[1], chunk):
+            seg = flat[:, s : s + chunk]
+            if cols_template is None or cols_template.size != seg.shape[1]:
+                cols_template = np.arange(seg.shape[1])
+            hist = np.zeros((256, seg.shape[1]), np.int32)
+            for r in range(seg.shape[0]):
+                hist[seg[r], cols_template] += 1
+            out[s : s + chunk] = hist.argmax(axis=0).astype(np.uint8)
+        return out.reshape(stack.shape[1:])

@@ -1,0 +1,138 @@
+"""Connected-component blob extraction (host fast path).
+
+Binds native/labeling.cpp: line-run union-find labeling with
+8-connectivity over thresholded background-difference images, the
+equivalent of the reference's commons `CPULabeling::run` +
+`RawProcessing::generate_binary` combination
+(reference BackgroundSubtraction.cpp:126-347).
+"""
+from __future__ import annotations
+
+import ctypes
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+from ..io.lzo import _load as _load_native
+
+
+@dataclass
+class Blob:
+    """One connected component: RLE lines + raw pixel values."""
+
+    lines: np.ndarray  # (K, 3) int32 [y, x0, x1 inclusive]
+    pixels: np.ndarray  # (num_pixels,) uint8, scan order
+
+    @property
+    def num_pixels(self) -> int:
+        return int(self.pixels.size) if self.pixels is not None else int(
+            np.sum(self.lines[:, 2] - self.lines[:, 1] + 1)
+        )
+
+    def bounds(self):
+        """(x, y, w, h) bounding box."""
+        ys = self.lines[:, 0]
+        return (
+            int(self.lines[:, 1].min()), int(ys.min()),
+            int(self.lines[:, 2].max() - self.lines[:, 1].min() + 1),
+            int(ys.max() - ys.min() + 1),
+        )
+
+    def center(self):
+        """Pixel-count-weighted center of the mask (bbox-free centroid)."""
+        w = (self.lines[:, 2] - self.lines[:, 1] + 1).astype(np.float64)
+        cx = (self.lines[:, 1] + self.lines[:, 2]) * 0.5
+        n = w.sum()
+        return (float((cx * w).sum() / n), float((self.lines[:, 0] * w).sum() / n))
+
+
+_configured = False
+
+
+def _lib():
+    global _configured
+    lib = _load_native()
+    if not _configured:
+        lib.trex_label_image.restype = ctypes.c_void_p
+        lib.trex_label_image.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        for fn in ("n_blobs", "n_lines", "n_pixels"):
+            getattr(lib, f"trex_label_{fn}").restype = ctypes.c_int64
+            getattr(lib, f"trex_label_{fn}").argtypes = [ctypes.c_void_p]
+        lib.trex_label_blob_line_start.restype = ctypes.POINTER(ctypes.c_uint32)
+        lib.trex_label_blob_line_start.argtypes = [ctypes.c_void_p]
+        lib.trex_label_blob_pixel_start.restype = ctypes.POINTER(ctypes.c_uint32)
+        lib.trex_label_blob_pixel_start.argtypes = [ctypes.c_void_p]
+        lib.trex_label_lines.restype = ctypes.POINTER(ctypes.c_int32)
+        lib.trex_label_lines.argtypes = [ctypes.c_void_p]
+        lib.trex_label_pixels.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.trex_label_pixels.argtypes = [ctypes.c_void_p]
+        lib.trex_label_free.restype = None
+        lib.trex_label_free.argtypes = [ctypes.c_void_p]
+        _configured = True
+    return lib
+
+
+def label_blobs(
+    image: np.ndarray,
+    background: Optional[np.ndarray] = None,
+    threshold: int = 0,
+    absolute: bool = True,
+) -> list[Blob]:
+    """Extract connected components from a grayscale image.
+
+    threshold <= 0: components of nonzero pixels of `image`.
+    background given: foreground test is |img-bg| >= threshold (absolute)
+    or (bg-img) >= threshold (signed, darker-than-background).
+    Returned pixel values are the raw `image` values under the mask.
+    """
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 2:
+        raise ValueError("label_blobs expects a single-channel image")
+    h, w = image.shape
+    bg_ptr = None
+    if background is not None:
+        background = np.ascontiguousarray(background, dtype=np.uint8)
+        if background.shape != image.shape:
+            raise ValueError(
+                f"background shape {background.shape} != image {image.shape}"
+            )
+        bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
+    lib = _lib()
+    ctx = lib.trex_label_image(
+        image.ctypes.data_as(ctypes.c_char_p), bg_ptr,
+        w, h, int(threshold), 1 if absolute else 0,
+    )
+    try:
+        n_blobs = lib.trex_label_n_blobs(ctx)
+        n_lines = lib.trex_label_n_lines(ctx)
+        n_pixels = lib.trex_label_n_pixels(ctx)
+        if n_blobs == 0:
+            return []
+        line_start = np.ctypeslib.as_array(
+            lib.trex_label_blob_line_start(ctx), (n_blobs + 1,)
+        ).copy()
+        pixel_start = np.ctypeslib.as_array(
+            lib.trex_label_blob_pixel_start(ctx), (n_blobs + 1,)
+        ).copy()
+        lines = np.ctypeslib.as_array(
+            lib.trex_label_lines(ctx), (n_lines, 3)
+        ).copy() if n_lines else np.zeros((0, 3), np.int32)
+        pixels = np.ctypeslib.as_array(
+            lib.trex_label_pixels(ctx), (n_pixels,)
+        ).copy() if n_pixels else np.zeros((0,), np.uint8)
+    finally:
+        lib.trex_label_free(ctx)
+    blobs = []
+    for b in range(n_blobs):
+        blobs.append(
+            Blob(
+                lines=lines[line_start[b] : line_start[b + 1]],
+                pixels=pixels[pixel_start[b] : pixel_start[b + 1]],
+            )
+        )
+    return blobs
