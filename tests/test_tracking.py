@@ -1,0 +1,243 @@
+"""Tracking-core tests: motion model math, matching algorithms,
+prefilter semantics (reference equations in Individual.cpp:2061-2237,
+PairingGraph.cpp, Tracker.cpp:676-964)."""
+import math
+
+import numpy as np
+import pytest
+
+from trex_tpu.track import (
+    Individual,
+    PairedProbabilities,
+    SizeFilters,
+    TrackBlob,
+    Tracker,
+    match,
+    prefilter,
+)
+
+
+def _settings():
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    s.set("frame_rate", 25)
+    s.set("track_max_speed", 800)
+    s.set("cm_per_pixel", 1.0)
+    s.set("track_threshold", 12)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 500]])
+    s.set("track_max_individuals", 8)
+    return s
+
+
+def _blob_at(x, y, w=6, h=6, value=30):
+    lines = np.array([[y + r, x, x + w - 1] for r in range(h)], np.int32)
+    px = np.full(w * h, value, np.uint8)
+    return TrackBlob(lines, px)
+
+
+# ----------------------------------------------------------------- motion
+def test_time_probability_formula():
+    s = _settings()
+    ind = Individual(0, s)
+    # instant re-sighting, plenty of samples
+    p = ind.time_probability(1 / 25, previous_frame=100,
+                             recent_number_samples=10, start_frame=0)
+    assert p == pytest.approx(1.0)
+    # tdelta at the max reassign time drives p towards the floor 0.25
+    p2 = ind.time_probability(s["track_max_reassign_time"] + 1 / 25,
+                              previous_frame=100,
+                              recent_number_samples=10, start_frame=0)
+    assert p2 == pytest.approx(0.25)
+    # few samples scale p down via (R-1)/F_min + p_min
+    p3 = ind.time_probability(1 / 25, previous_frame=100,
+                              recent_number_samples=1, start_frame=0)
+    assert p3 == pytest.approx((0.0 + s["match_min_probability"]) * 0.75 + 0.25)
+
+
+def test_position_probability_speed_term():
+    s = _settings()
+    ind = Individual(0, s)
+    from trex_tpu.track.individual import IndividualCache
+
+    cache = IndividualCache(estimated_px=(100.0, 100.0),
+                            last_seen_px=(100.0, 100.0),
+                            time_probability=1.0, local_tdelta=1 / 25,
+                            valid_frame=False, individual_empty=False)
+    # at the estimate: S = 1
+    assert ind.position_probability(cache, (100, 100), (100, 100)) == 1.0
+    # moving exactly D_max away in one frame: S = 1/(1+1)^2 = 0.25
+    d = s["track_max_speed"] / 25  # px at cm_per_pixel=1
+    p = ind.position_probability(cache, (100 + d, 100), (100 + d, 100))
+    assert p == pytest.approx(0.25)
+
+
+def test_individual_history_and_estimate():
+    s = _settings()
+    # default track_speed_decay=1.0 disables extrapolation; enable it
+    s.set("track_speed_decay", 0.7)
+    ind = Individual(0, s)
+    times = {}
+    for f in range(10):
+        t = f / 25
+        times[f] = t
+        ind.add(f, t, _blob_at(100 + 10 * f, 50))
+    cache = ind.cache_for_frame(10, 10 / 25, times, start_frame=0)
+    assert not cache.individual_empty
+    assert cache.previous_frame == 9
+    # moving +10px/frame: the estimate extrapolates ahead of the last pos
+    last_x = ind.basic[-1].centroid.x
+    assert cache.estimated_px[0] > last_x
+    assert cache.time_probability > 0.9
+
+
+def test_tracklet_splits_on_gap():
+    s = _settings()
+    ind = Individual(0, s)
+    ind.add(0, 0.0, _blob_at(10, 10))
+    ind.add(1, 1 / 25, _blob_at(12, 10))
+    ind.add(5, 5 / 25, _blob_at(30, 10))  # gap
+    assert len(ind.tracklets) == 2
+    assert ind.tracklets[0] == [0, 1]
+    assert ind.tracklets[1] == [5, 5]
+
+
+# ----------------------------------------------------------------- matching
+def _paired(edges):
+    p = PairedProbabilities()
+    for fish, blob, prob in edges:
+        p.add(fish, blob, prob)
+    return p
+
+
+def test_greedy_matches_best_available():
+    p = _paired([("A", 0, 0.9), ("A", 1, 0.8), ("B", 0, 0.95)])
+    res = match(p, mode="approximate")
+    # blob 0 prefers B (0.95), blob 1 goes to A
+    assert res.pairings == {0: "B", 1: "A"}
+
+
+def test_hungarian_beats_greedy_on_swap_case():
+    # greedy gives blob0->A (0.9), leaving blob1 with B at 0.1 (total 1.0)
+    # optimal swaps: A->blob1 (0.8), B->blob0 (0.85): total 1.65
+    p = _paired([("A", 0, 0.9), ("A", 1, 0.8),
+                 ("B", 0, 0.85), ("B", 1, 0.1)])
+    res_g = match(p, mode="approximate")
+    res_h = match(p, mode="hungarian")
+    res_t = match(p, mode="tree")
+    res_a = match(p, mode="automatic")
+
+    def total(res):
+        lut = {("A", 0): 0.9, ("A", 1): 0.8, ("B", 0): 0.85, ("B", 1): 0.1}
+        return sum(lut[(f, b)] for b, f in res.pairings.items())
+
+    assert total(res_h) == pytest.approx(1.65)
+    assert total(res_t) == pytest.approx(1.65)
+    assert total(res_a) == pytest.approx(1.65)
+    assert total(res_g) == pytest.approx(1.0)
+
+
+def test_matchers_agree_on_random_instances():
+    rng = np.random.default_rng(0)
+    for trial in range(20):
+        nf, nb = rng.integers(1, 8), rng.integers(1, 8)
+        p = PairedProbabilities()
+        for f in range(nf):
+            for b in range(nb):
+                if rng.random() < 0.6:
+                    p.add(f"f{f}", b, float(rng.random()))
+        rh = match(p, mode="hungarian")
+        rt = match(p, mode="tree")
+
+        def total(res):
+            return sum(
+                p.probability(p._fish_index[f], p._blob_index[b])
+                for b, f in res.pairings.items())
+
+        assert total(rh) == pytest.approx(total(rt), abs=1e-9), trial
+
+
+def test_cliques_decomposition():
+    p = _paired([("A", 0, 0.5), ("B", 0, 0.4), ("C", 1, 0.9)])
+    cliques = p.cliques()
+    sizes = sorted((len(f), len(b)) for f, b in cliques)
+    assert sizes == [(1, 1), (2, 1)]
+
+
+# ----------------------------------------------------------------- prefilter
+def test_size_filters():
+    sf = SizeFilters([[10, 100], [200, 300]])
+    assert sf.in_range_of_one(50)
+    assert sf.in_range_of_one(250)
+    assert not sf.in_range_of_one(150)
+    assert sf.max_range == (200.0, 300.0)
+    assert sf.close_to_minimum_of_one(5, 0.5)
+    assert not sf.close_to_minimum_of_one(4, 0.5)
+
+
+def test_prefilter_sorts_by_size(settings):
+    s = _settings()
+    bg = np.full((100, 100), 200, np.uint8)
+    small = _blob_at(5, 5, w=2, h=2, value=150)     # 4 px -> noise
+    good = _blob_at(20, 20, w=6, h=6, value=150)    # 36 px -> filtered
+    big = _blob_at(50, 50, w=30, h=30, value=150)   # 900 px -> big
+    res = prefilter(0, [small, good, big], bg, s)
+    assert len(res.filtered) == 1
+    assert res.filtered[0].num_pixels == 36
+    assert len(res.big_blobs) == 1
+    assert any(r.name == "OutsideRange" for _, r in res.filtered_out)
+
+
+def test_prefilter_threshold_resplit(settings):
+    """A detection blob containing two well-separated dark cores must be
+    re-split by the track threshold."""
+    s = _settings()
+    bg = np.full((60, 60), 200, np.uint8)
+    # one detection blob: two 5x5 cores at value 100, bridged by value 195
+    # (bridge passes detect threshold but fails track threshold 12)
+    lines, px = [], []
+    for r in range(5):
+        lines.append((10 + r, 10, 30))
+        row = np.full(21, 196, np.uint8)
+        row[:5] = 100
+        row[-5:] = 100
+        px.append(row)
+    blob = TrackBlob(np.array(lines, np.int32), np.concatenate(px))
+    res = prefilter(0, [blob], bg, s)
+    assert len(res.filtered) == 2
+    for b in res.filtered:
+        assert b.num_pixels == 25
+        assert b.split
+
+
+# ----------------------------------------------------------------- tracker
+def test_tracker_follows_two_fish():
+    s = _settings()
+    bg = np.full((200, 200), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in range(10):
+        blobs = [_blob_at(10 + 5 * f, 20, value=100),
+                 _blob_at(150 - 5 * f, 120, value=100)]
+        pp = tracker.preprocess_frame(f, blobs, time=f / 25)
+        tracker.add(pp)
+    assert len(tracker.individuals) == 2
+    for ind in tracker.individuals.values():
+        assert len(ind.basic) == 10
+        assert len(ind.tracklets) == 1
+    # identities never swapped: x moves monotonically per fish
+    xs0 = [b.centroid.x for b in tracker.individuals[0].basic]
+    assert all(b > a for a, b in zip(xs0, xs0[1:]))
+
+
+def test_tracker_respects_max_individuals():
+    s = _settings()
+    s.set("track_max_individuals", 2)
+    bg = np.full((200, 200), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    blobs = [_blob_at(10, 10, value=100), _blob_at(50, 50, value=100),
+             _blob_at(100, 100, value=100), _blob_at(150, 150, value=100)]
+    pp = tracker.preprocess_frame(0, blobs, time=0.0)
+    tracker.add(pp)
+    assert len(tracker.individuals) == 2

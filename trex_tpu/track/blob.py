@@ -1,0 +1,224 @@
+"""Tracking-stage blob: RLE lines + pixels + threshold recount.
+
+Equivalent of the reference's commons pv::Blob (processing/PVBlob.h via
+usage: recount/threshold semantics in Tracker.cpp:740-964, blob_id
+everywhere). Pixel counts are cached per threshold like the reference's
+`recount(threshold, background)`.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+
+def blob_id_from_lines(lines: np.ndarray) -> int:
+    """Position/size hash of a blob (pv::bid equivalent).
+
+    The reference's bid is a packed u32 of the blob's first-line
+    coordinates and size (commons misc/bid.h — submodule absent; exact
+    packing reverse-engineered empirically where needed). This packing
+    keeps the same property the pipeline relies on: stable within a
+    frame, near-unique, position-derived.
+    """
+    if len(lines) == 0:
+        return 0
+    y0 = int(lines[0, 0]) & 0xFFF
+    x0 = int(lines[0, 1]) & 0xFFF
+    n = len(lines) & 0xFF
+    return (x0 << 20) | (y0 << 8) | n
+
+
+class TrackBlob:
+    """A candidate object during tracking.
+
+    `lines`/`pixels` come from detection (pv frame); `background` is the
+    session background image used for thresholded recounts.
+    """
+
+    __slots__ = ("lines", "pixels", "parent_id", "split", "flags",
+                 "_bid", "_bounds", "_recount_cache", "_last_recount",
+                 "tags", "prediction")
+
+    def __init__(self, lines: np.ndarray, pixels: Optional[np.ndarray],
+                 flags: int = 0, parent_id: int = -1, split: bool = False):
+        self.lines = np.asarray(lines, dtype=np.int32)
+        self.pixels = pixels if pixels is None else np.asarray(pixels, np.uint8)
+        self.flags = flags
+        self.parent_id = parent_id
+        self.split = split
+        self._bid = None
+        self._bounds = None
+        self._recount_cache: dict = {}
+        self._last_recount: Optional[int] = None
+        self.prediction = None
+
+    # -- identity ------------------------------------------------------
+    @property
+    def blob_id(self) -> int:
+        if self._bid is None:
+            self._bid = blob_id_from_lines(self.lines)
+        return self._bid
+
+    # -- geometry ------------------------------------------------------
+    @property
+    def bounds(self):
+        """(x, y, w, h)"""
+        if self._bounds is None:
+            ls = self.lines
+            x0 = int(ls[:, 1].min())
+            y0 = int(ls[0, 0])
+            x1 = int(ls[:, 2].max())
+            y1 = int(ls[-1, 0])
+            self._bounds = (x0, y0, x1 - x0 + 1, y1 - y0 + 1)
+        return self._bounds
+
+    @property
+    def center(self):
+        """Bounding-box center — the reference's pv::Blob::center()
+        used both for matching positions and the stored centroid."""
+        x, y, w, h = self.bounds
+        return (x + w * 0.5, y + h * 0.5)
+
+    @property
+    def num_pixels(self) -> int:
+        return int(np.sum(self.lines[:, 2] - self.lines[:, 1] + 1))
+
+    @property
+    def orientation(self) -> float:
+        """Principal-axis angle from image moments of the mask."""
+        ys, x0s, x1s = self.lines[:, 0], self.lines[:, 1], self.lines[:, 2]
+        w = (x1s - x0s + 1).astype(np.float64)
+        n = w.sum()
+        cx = float((0.5 * (x0s + x1s) * w).sum() / n)
+        cy = float((ys * w).sum() / n)
+        # second moments using exact sums over runs
+        # sum x^2 over run [a,b] = (b(b+1)(2b+1) - (a-1)a(2a-1)) / 6
+        a = x0s.astype(np.float64)
+        b = x1s.astype(np.float64)
+        sx2 = ((b * (b + 1) * (2 * b + 1) - (a - 1) * a * (2 * a - 1)) / 6.0).sum()
+        sx = (0.5 * (a + b) * w).sum()
+        mu20 = sx2 - 2 * cx * sx + cx * cx * n
+        mu02 = float(((ys - cy) ** 2 * w).sum())
+        mu11 = float((((0.5 * (a + b)) - cx) * (ys - cy) * w).sum())
+        if mu20 == mu02 and mu11 == 0:
+            return 0.0
+        return 0.5 * math.atan2(2 * mu11, mu20 - mu02)
+
+    # -- thresholded recount (pv::Blob::recount) -------------------------
+    def raw_recount(self, threshold: int, background: Optional[np.ndarray],
+                    absolute: bool, use_bgsub: bool) -> int:
+        """Pixel count above `threshold` vs background (count in px)."""
+        if threshold <= 0 or self.pixels is None or background is None \
+                or not use_bgsub:
+            if threshold <= 0 or self.pixels is None:
+                return self.num_pixels
+            # no background: threshold raw pixel values
+            return int(np.count_nonzero(self.pixels >= threshold))
+        diff = self._diff_values(background)
+        if absolute:
+            return int(np.count_nonzero(np.abs(diff) >= threshold))
+        return int(np.count_nonzero(diff >= threshold))
+
+    def _diff_values(self, background: np.ndarray) -> np.ndarray:
+        """(bg - px) per mask pixel, int16, scan order."""
+        out = np.empty(self.num_pixels, np.int16)
+        i = 0
+        px = self.pixels
+        for y, x0, x1 in self.lines:
+            n = x1 - x0 + 1
+            out[i : i + n] = (
+                background[y, x0 : x1 + 1].astype(np.int16)
+                - px[i : i + n].astype(np.int16)
+            )
+            i += n
+        return out
+
+    def recount(self, threshold: int, background=None, settings=None) -> float:
+        """Thresholded size in cm^2 (cached), like pv::Blob::recount."""
+        if threshold == -1:
+            if self._last_recount is None:
+                raise ValueError("no recount cached yet")
+            return self._recount_cache[self._last_recount]
+        if threshold not in self._recount_cache:
+            if settings is not None:
+                absolute = bool(settings["track_threshold_is_absolute"])
+                use_bgsub = bool(settings["track_background_subtraction"])
+                cm = settings["cm_per_pixel"] or 1.0
+            else:
+                absolute, use_bgsub, cm = True, True, 1.0
+            cnt = self.raw_recount(threshold, background, absolute, use_bgsub)
+            self._recount_cache[threshold] = cnt * cm * cm
+        self._last_recount = threshold
+        return self._recount_cache[threshold]
+
+    def force_set_recount(self, threshold: int, value_cm2: Optional[float] = None,
+                          settings=None):
+        cm = (settings["cm_per_pixel"] if settings else 1.0) or 1.0
+        self._recount_cache[threshold] = (
+            value_cm2 * cm * cm if value_cm2 is not None
+            else self.num_pixels * cm * cm
+        )
+        self._last_recount = threshold
+
+    # -- mask/pixel utilities -------------------------------------------
+    def to_dense(self, pad: int = 0):
+        """(mask, gray, (ox, oy)): dense uint8 crops of the blob."""
+        x, y, w, h = self.bounds
+        mask = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
+        gray = np.zeros_like(mask)
+        i = 0
+        for ly, x0, x1 in self.lines:
+            n = x1 - x0 + 1
+            r = ly - y + pad
+            c = x0 - x + pad
+            mask[r, c : c + n] = 1
+            if self.pixels is not None:
+                gray[r, c : c + n] = self.pixels[i : i + n]
+            i += n
+        return mask, gray, (x - pad, y - pad)
+
+    def threshold_pixels(self, threshold: int, background: np.ndarray,
+                         settings) -> "TrackBlob":
+        """New blob keeping only pixels passing the track threshold test
+        (lines re-segmented; pixel::threshold_blob equivalent)."""
+        absolute = bool(settings["track_threshold_is_absolute"])
+        keep = self._threshold_mask(threshold, background, absolute)
+        return self._rebuild_from_mask(keep)
+
+    def _threshold_mask(self, threshold: int, background, absolute) -> np.ndarray:
+        diff = self._diff_values(background)
+        if absolute:
+            return np.abs(diff) >= threshold
+        return diff >= threshold
+
+    def _rebuild_from_mask(self, keep: np.ndarray) -> "TrackBlob":
+        new_lines = []
+        new_pixels = []
+        i = 0
+        for y, x0, x1 in self.lines:
+            n = x1 - x0 + 1
+            seg = keep[i : i + n]
+            px = self.pixels[i : i + n] if self.pixels is not None else None
+            # split kept pixels into runs
+            if seg.any():
+                idx = np.flatnonzero(seg)
+                splits = np.flatnonzero(np.diff(idx) > 1)
+                starts = np.concatenate([[0], splits + 1])
+                ends = np.concatenate([splits, [len(idx) - 1]])
+                for s, e in zip(starts, ends):
+                    a, b = idx[s], idx[e]
+                    new_lines.append((y, x0 + a, x0 + b))
+                    if px is not None:
+                        new_pixels.append(px[a : b + 1])
+            i += n
+        if not new_lines:
+            return TrackBlob(np.zeros((0, 3), np.int32),
+                             np.zeros((0,), np.uint8),
+                             flags=self.flags, parent_id=self.blob_id)
+        lines = np.array(new_lines, np.int32)
+        pixels = (np.concatenate(new_pixels) if new_pixels else None)
+        return TrackBlob(lines, pixels, flags=self.flags,
+                         parent_id=self.blob_id)

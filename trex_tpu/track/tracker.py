@@ -1,0 +1,267 @@
+"""The per-frame tracking orchestrator.
+
+Re-creates track::Tracker (reference tracking/Tracker.h:170,
+Tracker.cpp:562-2131):
+
+    preprocess_frame -> prefilter blobs (threshold, size, shapes)
+    add(frame):
+        HistorySplit (split blobs expected to hold >1 individual)
+        build per-individual caches (estimated position, time prob)
+        calculate_paired_probabilities (S*T, match_min_probability gate)
+        match (per-clique optimal / greedy per match_mode)
+        assign matched blobs; second pass: unassigned blobs -> inactive
+        individuals, then new individuals while under
+        track_max_individuals
+        update tracklets + per-frame statistics
+
+The probability matrix is computed vectorized over (fish x blob); the
+O(F*B) math matches Individual::probability exactly (see individual.py).
+"""
+from __future__ import annotations
+
+import math
+import time as _time
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from .blob import TrackBlob
+from .individual import Individual, IndividualCache
+from .matching import MatchResult, PairedProbabilities, match
+from .prefilter import PrefilterResult, prefilter
+from .splitting import HistorySplit
+
+
+@dataclass
+class PPFrame:
+    """Preprocessed frame (reference tracking/PPFrame.h:64-720)."""
+    index: int
+    time: float  # seconds since video start
+    timestamp: int = 0  # µs
+    blobs: list = field(default_factory=list)
+    noise: list = field(default_factory=list)
+    big: list = field(default_factory=list)
+
+    @property
+    def n(self):
+        return len(self.blobs)
+
+
+@dataclass
+class FrameStatistics:
+    number_fish: int = 0
+    adding_seconds: float = 0.0
+    loading_seconds: float = 0.0
+    posture_seconds: float = 0.0
+    match_improvements: int = 0
+
+
+class Tracker:
+    def __init__(self, settings, background: Optional[np.ndarray] = None):
+        self.settings = settings
+        self.background = background
+        self.individuals: dict[int, Individual] = {}
+        self.active: set[int] = set()
+        self.frame_times: dict[int, float] = {}
+        self.statistics: dict[int, FrameStatistics] = {}
+        self.start_frame: int = -1
+        self.end_frame: int = -1
+        self._history_split = HistorySplit(settings)
+        self._next_id = 0
+        self.manual_matches = settings["manual_matches"] or {}
+        # VI / tag predictions store: frame -> {blob_id: probs}
+        self.predicted: dict[int, dict] = {}
+
+    # ------------------------------------------------------------------
+    def preprocess_frame(self, frame_index: int, blobs: list[TrackBlob],
+                         time: float, timestamp: int = 0) -> PPFrame:
+        """Prefilter raw blobs into a PPFrame
+        (Tracker::preprocess_frame, Tracker.cpp:633-674)."""
+        res: PrefilterResult = prefilter(
+            frame_index, blobs, self.background, self.settings)
+        pp = PPFrame(index=frame_index, time=time, timestamp=timestamp)
+        pp.blobs = res.filtered
+        pp.noise = [b for b, _ in res.filtered_out]
+        pp.big = res.big_blobs
+        return pp
+
+    # ------------------------------------------------------------------
+    def _active_individuals(self) -> list[Individual]:
+        max_gap = self.settings["track_max_reassign_time"]
+        frame_rate = float(self.settings["frame_rate"] or 25)
+        cutoff = self.end_frame - max(1, int(math.ceil(
+            max_gap * frame_rate))) * 2
+        out = []
+        for fid in sorted(self.active):
+            ind = self.individuals[fid]
+            if not ind.empty():
+                out.append(ind)
+        return out
+
+    def _new_individual(self) -> Individual:
+        ind = Individual(self._next_id, self.settings)
+        self.individuals[self._next_id] = ind
+        self.active.add(self._next_id)
+        self._next_id += 1
+        return ind
+
+    # ------------------------------------------------------------------
+    def add(self, pp: PPFrame) -> MatchResult:
+        t0 = _time.perf_counter()
+        s = self.settings
+        frame = pp.index
+        if self.start_frame < 0:
+            self.start_frame = frame
+        self.frame_times[frame] = pp.time
+
+        # --- split big blobs -------------------------------------------------
+        existing = [ind for ind in self.individuals.values() if not ind.empty()]
+        fish_positions = [ind.basic[-1].centroid.pos for ind in existing]
+        noise_sink: list = []
+        max_ind = int(s["track_max_individuals"])
+
+        blobs = list(pp.blobs)
+        if pp.big:
+            if frame == self.start_frame:
+                # split_big at the start frame (Tracker.cpp prefilter tail):
+                # split by expected count = remaining identity budget
+                from .splitting import split_blob
+                from .prefilter import SizeFilters
+                fish_size = SizeFilters(s["track_size_filter"])
+                cm = s["cm_per_pixel"] or 1.0
+                for b in pp.big:
+                    want = 2
+                    if fish_size:
+                        mid = sum(fish_size.max_range) / 2 or 1.0
+                        want = max(2, int(round(
+                            b.recount(-1) / mid)) if mid else 2)
+                    parts = split_blob(b, want, self.background, s)
+                    kept = False
+                    for p in parts:
+                        sz = p.num_pixels * cm * cm
+                        if fish_size.in_range_of_one(sz):
+                            p.recount(int(s["track_threshold"]),
+                                      self.background, s)
+                            blobs.append(p)
+                            kept = True
+                        else:
+                            noise_sink.append(p)
+                    if not kept and not parts:
+                        noise_sink.append(b)
+            else:
+                blobs.extend(pp.big)
+
+        if frame != self.start_frame and s["track_do_history_split"]:
+            blobs = self._history_split.apply(
+                frame, blobs, fish_positions, self.background, noise_sink)
+        pp.noise.extend(noise_sink)
+        pp.blobs = blobs
+
+        # --- caches + probabilities ------------------------------------------
+        active = self._active_individuals()
+        caches: dict[int, IndividualCache] = {}
+        paired = PairedProbabilities()
+        p_min = s["match_min_probability"]
+        topk = s["match_topk"]
+        for ind in active:
+            cache = ind.cache_for_frame(frame, pp.time, self.frame_times,
+                                        self.start_frame)
+            caches[ind.identity] = cache
+            if cache.individual_empty or cache.time_probability <= 0:
+                continue
+            edges = []
+            for bi, blob in enumerate(blobs):
+                p = ind.probability(cache, blob.center)
+                if p > p_min:
+                    edges.append((bi, p))
+            if topk:
+                edges.sort(key=lambda e: -e[1])
+                edges = edges[: int(topk)]
+            for bi, p in edges:
+                paired.add(ind.identity, bi, p)
+
+        # --- manual matches ---------------------------------------------------
+        assigned_fish: set[int] = set()
+        assigned_blobs: set[int] = set()
+        manual = self.manual_matches.get(frame) or self.manual_matches.get(
+            str(frame)) or {}
+        blob_by_bid = {b.blob_id: i for i, b in enumerate(blobs)}
+        for fid_str, bid in manual.items():
+            fid = int(fid_str)
+            bi = blob_by_bid.get(bid)
+            if bi is None or bi in assigned_blobs:
+                continue
+            while fid >= self._next_id:
+                self._new_individual()
+            ind = self.individuals[fid]
+            if ind.has(frame):
+                continue
+            ind.add(frame, pp.time, blobs[bi], prob=1.0, manual=True)
+            assigned_fish.add(fid)
+            assigned_blobs.add(bi)
+
+        # --- matching ---------------------------------------------------------
+        result = match(paired, mode=s["match_mode"])
+        for bi, fid in sorted(result.pairings.items()):
+            if bi in assigned_blobs or fid in assigned_fish:
+                continue
+            self.individuals[fid].add(frame, pp.time, blobs[bi],
+                                      prob=paired.probability(
+                                          paired._fish_index[fid],
+                                          paired._blob_index[bi]))
+            assigned_fish.add(fid)
+            assigned_blobs.add(bi)
+
+        # --- second pass: unassigned blobs -> inactive/new individuals --------
+        free_blobs = [bi for bi in range(len(blobs))
+                      if bi not in assigned_blobs]
+        if free_blobs:
+            inactive = [ind for ind in self.individuals.values()
+                        if ind.identity not in assigned_fish
+                        and not ind.has(frame)]
+            second = PairedProbabilities()
+            for ind in inactive:
+                if ind.empty():
+                    continue
+                cache = caches.get(ind.identity) or ind.cache_for_frame(
+                    frame, pp.time, self.frame_times, self.start_frame)
+                for bi in free_blobs:
+                    p = ind.probability(cache, blobs[bi].center)
+                    if p > p_min:
+                        second.add(ind.identity, bi, p)
+            res2 = match(second, mode="approximate")
+            for bi, fid in sorted(res2.pairings.items()):
+                if bi in assigned_blobs:
+                    continue
+                self.individuals[fid].add(frame, pp.time, blobs[bi])
+                assigned_fish.add(fid)
+                assigned_blobs.add(bi)
+            # create brand-new individuals while under the cap
+            for bi in free_blobs:
+                if bi in assigned_blobs:
+                    continue
+                if max_ind and len(self.individuals) >= max_ind:
+                    break
+                ind = self._new_individual()
+                ind.add(frame, pp.time, blobs[bi])
+                assigned_blobs.add(bi)
+
+        self.end_frame = frame
+        st = FrameStatistics(
+            number_fish=len(assigned_fish),
+            adding_seconds=_time.perf_counter() - t0,
+            match_improvements=result.improvements_made,
+        )
+        self.statistics[frame] = st
+        return result
+
+    # ------------------------------------------------------------------
+    def emergency_finish(self):
+        """Drop transient state; history stays valid (Tracker.h:265)."""
+        return
+
+    def average_seconds_per_individual(self) -> float:
+        tot_fish = sum(s.number_fish for s in self.statistics.values())
+        tot_t = sum(s.adding_seconds for s in self.statistics.values())
+        return tot_t / tot_fish if tot_fish else 0.0
