@@ -1,0 +1,133 @@
+"""End-to-end tests on the reference fixture (golden-data strategy of
+Tests/run_unix.bash): convert a subset of the 8-guppy frames, check pv
+output + CSV schema + parity of stable individuals against golden CSVs."""
+import csv
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+GOLDEN = Path("/root/reference/videos/compare_data_automatic")
+
+
+def _convert_range(out_dir, n_frames=40):
+    """Run the Segmenter directly over the first n frames."""
+    from trex_tpu.config import load_settings_file, reset_global_settings
+    from trex_tpu.export.export import export_data
+    from trex_tpu.pipeline import Segmenter
+
+    s = reset_global_settings()
+    load_settings_file(s, "/root/reference/videos/test.settings")
+    seg = Segmenter(
+        s, "/root/reference/videos/test_frames/frame_%3d.jpg",
+        Path(out_dir) / "test.pv", track=True)
+    tracker = seg.run(frame_range=(0, n_frames - 1))
+    export_data(tracker, s, Path(out_dir) / "data", "test")
+    return tracker, s
+
+
+def test_convert_subset_matches_golden(tmp_path):
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    tracker, s = _convert_range(tmp_path, 40)
+    assert len(tracker.individuals) == 8
+
+    # pv file round-trips
+    from trex_tpu.io.pv import PVFile
+
+    with PVFile.open(tmp_path / "test.pv") as f:
+        assert len(f) == 40
+        fr = f.read_frame(0)
+        assert fr.n >= 7
+
+    # CSV schema parity
+    files = sorted((tmp_path / "data").glob("test_fish*.csv"))
+    assert len(files) == 8
+    with open(files[0]) as f:
+        header = next(csv.reader(f))
+    assert header == ["frame", "SPEED#wcentroid (cm/s)",
+                      "X#wcentroid (cm)", "blobid", "midline_length",
+                      "num_pixels"]
+
+    # golden parity on the stable (non-overlapping) individuals:
+    # at least half the fish should match golden X exactly on >90% of
+    # the subset frames
+    def load(p):
+        with open(p) as f:
+            rows = list(csv.reader(f))
+        arr = np.array([[float(x) for x in r] for r in rows[1:]])
+        return {h: arr[:, i] for i, h in enumerate(rows[0])}
+
+    gold = [load(GOLDEN / f"test_fish{i}.csv") for i in range(8)]
+    ours = [load(p) for p in files]
+    X = "X#wcentroid (cm)"
+    n = 40
+    good = 0
+    for o in ours:
+        best = 0.0
+        for g in gold:
+            a, b = o[X][:n], g[X][:n]
+            m = np.isfinite(a) & np.isfinite(b)
+            if m.sum() > 20:
+                best = max(best, float((a[m] == b[m]).mean()))
+        if best > 0.9:
+            good += 1
+    assert good >= 4, f"only {good} individuals track close to golden"
+
+
+def test_pvinfo_cli(tmp_path, capsys):
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    _convert_range(tmp_path, 5)
+    from trex_tpu.cli.pvinfo import main
+
+    rc = main([str(tmp_path / "test")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "frames: 5" in out
+    assert "2304x2304" in out
+
+    rc = main([str(tmp_path / "test.pv"), "-print_parameters",
+               "[video_length,cm_per_pixel]", "-quiet"])
+    assert rc == 0
+
+
+def test_track_task_reuses_pv(tmp_path):
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    _convert_range(tmp_path, 10)
+    from trex_tpu.config import load_settings_file, reset_global_settings
+    from trex_tpu.pipeline import TrackingState
+
+    s = reset_global_settings()
+    load_settings_file(s, "/root/reference/videos/test.settings")
+    state = TrackingState(s, tmp_path / "test.pv")
+    tracker = state.run()
+    assert tracker.end_frame == 9
+    assert len(tracker.individuals) == 8
+
+
+def test_results_roundtrip(tmp_path):
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    tracker, s = _convert_range(tmp_path, 8)
+    from trex_tpu.export.results import load_results, save_results
+    from trex_tpu.track import Tracker
+
+    path = save_results(tracker, s, tmp_path / "test.results")
+    restored = Tracker(s, background=tracker.background)
+    load_results(restored, path)
+    assert set(restored.individuals) == set(tracker.individuals)
+    for fid, ind in tracker.individuals.items():
+        r = restored.individuals[fid]
+        assert len(r.basic) == len(ind.basic)
+        assert r.tracklets == ind.tracklets
+        for a, b in zip(r.basic, ind.basic):
+            assert a.frame == b.frame
+            assert a.centroid.x == pytest.approx(b.centroid.x)

@@ -1,0 +1,83 @@
+"""`pvinfo` CLI: inspect .pv files.
+
+Re-creates the reference tracker/pvinfo.cpp surface used by its test
+harness (Tests/run_unix.bash:173-224): print header info, frame counts,
+selected parameters from metadata; -quiet/-plain_text modes.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from ..io.pv import PVFile
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    path = None
+    quiet = "-quiet" in argv
+    plain = "-plain_text" in argv
+    print_params = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-i" and i + 1 < len(argv):
+            path = argv[i + 1]
+            i += 2
+        elif a == "-print_parameters" and i + 1 < len(argv):
+            v = argv[i + 1].strip("[]")
+            print_params = [x.strip().strip('"') for x in v.split(",") if x]
+            i += 2
+        elif not a.startswith("-") and path is None:
+            path = a
+            i += 1
+        else:
+            i += 1
+    if not path:
+        print("usage: pvinfo [-i] <file.pv> [-print_parameters [a,b,...]] "
+              "[-quiet] [-plain_text]", file=sys.stderr)
+        return 1
+    p = Path(path)
+    if not p.suffix:
+        p = p.with_suffix(".pv")
+    f = PVFile.open(p)
+    h = f.header
+    if print_params:
+        meta = h.metadata_dict()
+        from ..config import global_settings
+
+        s = global_settings()
+        for name in print_params:
+            if name == "video_length":
+                value = h.num_frames
+            elif name in meta:
+                value = meta[name]
+            elif name in s:
+                value = s[name]
+            else:
+                value = "<not found>"
+            print(value if plain or quiet else f"{name} = {value}")
+        return 0
+    if quiet:
+        print(h.num_frames)
+        return 0
+    mb = p.stat().st_size / 1e6
+    print(f"PV file: {p}")
+    print(f"version: V_{h.version} encoding: {h.encoding}")
+    print(f"resolution: {h.width}x{h.height} offsets: {h.offsets}")
+    print(f"frames: {h.num_frames} size: {mb:.2f} MB")
+    print(f"timestamp: {h.timestamp} average_tdelta: {h.average_tdelta}")
+    print(f"project: {h.name!r} source: {h.source!r}")
+    if h.conversion_start is not None:
+        print(f"conversion range: [{h.conversion_start}, "
+              f"{h.conversion_end}]")
+    meta = h.metadata_dict()
+    if meta and not plain:
+        print("metadata:")
+        for k in sorted(meta):
+            print(f"  {k} = {meta[k]}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,179 @@
+"""The `trex` CLI: convert and track tasks, headless.
+
+Re-creates the reference tracker/main.cpp surface (:760-815 flag mapping,
+:108-169 task inference, :522-690 start_tracking/start_converting):
+
+    trex -i <input> -o <name> -d <dir> [-s file.settings] [-p prefix]
+         [-task convert|track] [-nowindow] [-auto_quit] [-load]
+         [-<any_setting> <value> ...]
+
+Shorthand flags map onto settings; every other `-name value` pair sets
+the setting of that name. Task inference: .pv input (or extensionless
+path resolving to a .pv) -> track, otherwise convert.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from ..config import (
+    AccessLevel,
+    global_settings,
+    load_settings_file,
+    parse_value,
+)
+
+SHORTHAND = {
+    "i": "source",
+    "o": "filename",
+    "d": "output_dir",
+    "p": "output_prefix",
+    "s": "settings_file",
+    "m": "mask_path",
+    "load": "load",
+    "task": "task",
+    "nowindow": "nowindow",
+    "auto_quit": "auto_quit",
+    "auto_train": "auto_train",
+    "dim": "meta_video_scale",
+}
+
+FLAG_ONLY = {"nowindow", "auto_quit", "auto_train", "load", "auto_apply",
+             "auto_no_results", "quiet"}
+
+
+def parse_args(argv: list[str]) -> dict:
+    out: dict[str, object] = {}
+    i = 0
+    while i < len(argv):
+        arg = argv[i]
+        if not arg.startswith("-"):
+            i += 1
+            continue
+        name = arg.lstrip("-")
+        key = SHORTHAND.get(name, name)
+        if key in FLAG_ONLY or i + 1 >= len(argv) or argv[i + 1].startswith("-") \
+                and not _is_number(argv[i + 1]):
+            out[key] = True
+            i += 1
+        else:
+            out[key] = argv[i + 1]
+            i += 2
+    return out
+
+
+def _is_number(s: str) -> bool:
+    try:
+        float(s)
+        return True
+    except ValueError:
+        return False
+
+
+def determine_task(source: str, explicit: str | None) -> str:
+    """main.cpp:108-169: explicit -task wins; .pv inputs track,
+    everything else converts."""
+    if explicit in ("convert", "track", "annotate", "rst"):
+        return explicit
+    if source and (source.endswith(".pv")
+                   or Path(str(source) + ".pv").exists()):
+        return "track"
+    return "convert"
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    args = parse_args(argv)
+    s = global_settings()
+
+    output_dir = Path(str(args.pop("output_dir", ".")).strip('"'))
+    prefix = str(args.pop("output_prefix", "") or "").strip('"')
+    source = str(args.pop("source", "") or "").strip('"')
+    name = str(args.pop("filename", "") or "").strip('"')
+    settings_file = args.pop("settings_file", None)
+    task = determine_task(source, args.pop("task", None))
+    auto_quit = bool(args.pop("auto_quit", False))
+    args.pop("nowindow", None)  # always headless
+    load = bool(args.pop("load", False))
+    args.pop("history_matching_log", None)  # accepted; log not yet written
+
+    if settings_file:
+        load_settings_file(s, str(settings_file).strip('"'))
+
+    # remaining args map to settings (cmdline layer wins)
+    for k, v in args.items():
+        try:
+            s.set(k, parse_value(str(v)) if isinstance(v, str) else v,
+                  source="cmdline", max_access=AccessLevel.SYSTEM)
+        except Exception as e:  # unknown/invalid: warn, continue
+            print(f"[warn] cannot set {k!r}: {e}", file=sys.stderr)
+
+    out_base = output_dir / prefix if prefix else output_dir
+    data_dir = out_base / "data"
+
+    def progress(done, total):
+        if done % 50 == 0 or done == total:
+            print(f"\r[{task}] {done}/{total}", end="", flush=True)
+
+    if task == "convert":
+        if not source:
+            print("no input (-i) given", file=sys.stderr)
+            return 1
+        if not name:
+            name = Path(source.replace("%", "_")).stem or "output"
+        from ..pipeline import Segmenter
+
+        pv_path = out_base / f"{name}.pv"
+        out_base.mkdir(parents=True, exist_ok=True)
+        seg = Segmenter(s, source, pv_path, track=True, progress=progress)
+        tracker = seg.run()
+        print(f"\n[convert] wrote {pv_path} "
+              f"({seg.fps_stat:.1f} fps)")
+        if auto_quit:
+            _export(tracker, s, data_dir, name)
+        return 0
+
+    if task == "track":
+        pv_path = Path(source)
+        if not pv_path.suffix:
+            pv_path = pv_path.with_suffix(".pv")
+        if not pv_path.exists():
+            print(f"pv file not found: {pv_path}", file=sys.stderr)
+            return 1
+        if not name:
+            name = pv_path.stem
+        from ..pipeline import TrackingState
+
+        state = TrackingState(s, pv_path, progress=progress)
+        if load:
+            from ..export.results import load_results
+
+            results_path = pv_path.with_suffix(".results")
+            if results_path.exists():
+                load_results(state.tracker, results_path)
+        tracker = state.run()
+        print(f"\n[track] tracked {len(state.pv)} frames, "
+              f"{len(tracker.individuals)} individuals")
+        if auto_quit:
+            _export(tracker, s, data_dir, name)
+            if not s["auto_no_results"]:
+                from ..export.results import save_results
+
+                save_results(tracker, s, pv_path.with_suffix(".results"))
+        return 0
+
+    print(f"unsupported task {task!r}", file=sys.stderr)
+    return 1
+
+
+def _export(tracker, s, data_dir, name):
+    from ..export.export import export_data, export_posture
+
+    paths = export_data(tracker, s, data_dir, name)
+    if s["output_posture_data"]:
+        paths += export_posture(tracker, s, data_dir, name)
+    print(f"[export] wrote {len(paths)} files to {data_dir}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,243 @@
+"""Output field library — named per-frame functions over individuals.
+
+Re-creates Output::Library (reference tracking/OutputLibrary.{h,cpp},
+field table docs/formats.rst:18-78): ~40 named functions, each evaluated
+per (individual, frame) with a source modifier:
+
+    #wcentroid  — weighted centroid (the stored centroid record)
+    #centroid   — same record in the current reference
+    #pcentroid  — posture centroid
+    #head       — posture head point
+    RAW/SMOOTH  — raw or smoothed series
+
+Positions/speeds are exported in cm via cm_per_pixel; angles in radians.
+Invalid values render as infinity (golden CSVs use "inf").
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import numpy as np
+
+INVALID = float("inf")
+
+# fields that ignore the source modifier entirely
+CENTROID_ONLY = {
+    "blobid", "frame", "time", "timestamp", "missing", "num_pixels",
+    "midline_length", "midline_x", "midline_y", "midline_segment_length",
+    "normalized_midline", "MIDLINE_OFFSET", "visual_identification_p",
+    "qr_id", "tracklet_id",
+}
+
+
+class EvalContext:
+    def __init__(self, tracker, settings):
+        self.tracker = tracker
+        self.settings = settings
+        self.cm = settings["cm_per_pixel"] or 1.0
+
+
+def _record(ind, frame: int, source: str):
+    source = (source or "wcentroid").lower()
+    if source in ("wcentroid", "centroid"):
+        b = ind.basic_stuff(frame)
+        return b.centroid if b else None
+    post = ind.posture_stuff(frame)
+    if post is None:
+        return None
+    if source == "head":
+        return post.head
+    if source == "pcentroid":
+        return post.centroid_posture
+    return None
+
+
+def _smooth_window(ind, frame, source, attr, ctx, half: int = 2):
+    vals = []
+    for f in range(frame - half, frame + half + 1):
+        r = _record(ind, f, source)
+        if r is not None:
+            vals.append(getattr(r, attr))
+    return float(np.mean(vals)) if vals else None
+
+
+def _pos_attr(attr):
+    def fn(ind, frame, source, smooth, ctx):
+        r = _record(ind, frame, source)
+        if r is None:
+            return INVALID
+        if smooth:
+            v = _smooth_window(ind, frame, source, attr, ctx)
+            return v * ctx.cm if v is not None else INVALID
+        return getattr(r, attr) * ctx.cm
+    return fn
+
+
+def _speed(ind, frame, source, smooth, ctx):
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    if smooth:
+        vx = _smooth_window(ind, frame, source, "vx", ctx)
+        vy = _smooth_window(ind, frame, source, "vy", ctx)
+        if vx is None:
+            return INVALID
+        return math.hypot(vx, vy) * ctx.cm
+    return r.speed(ctx.cm)
+
+
+def _acceleration(ind, frame, source, smooth, ctx):
+    r = _record(ind, frame, source)
+    return r.acceleration(ctx.cm) if r else INVALID
+
+
+def _angle(ind, frame, source, smooth, ctx):
+    r = _record(ind, frame, source)
+    return r.angle if r else INVALID
+
+
+def _num_pixels(ind, frame, source, smooth, ctx):
+    b = ind.basic_stuff(frame)
+    return b.blob.num_pixels if b else INVALID
+
+
+def _blobid(ind, frame, source, smooth, ctx):
+    b = ind.basic_stuff(frame)
+    return b.blob.blob_id if b else INVALID
+
+
+def _midline_length(ind, frame, source, smooth, ctx):
+    p = ind.posture_stuff(frame)
+    if p and not math.isnan(p.midline_length):
+        return p.midline_length
+    return INVALID
+
+
+def _midline_xy(axis):
+    def fn(ind, frame, source, smooth, ctx):
+        p = ind.posture_stuff(frame)
+        if p and p.midline is not None and len(p.midline.segments):
+            return float(p.midline.segments[-1][axis]) * ctx.cm
+        return INVALID
+    return fn
+
+
+def _border_distance(ind, frame, source, smooth, ctx):
+    r = _record(ind, frame, source or "pcentroid")
+    if r is None:
+        return INVALID
+    bg = ctx.tracker.background
+    if bg is None:
+        return INVALID
+    h, w = bg.shape[:2]
+    d = min(r.x, r.y, w - r.x, h - r.y)
+    return d * ctx.cm
+
+
+def _neighbor_distance(ind, frame, source, smooth, ctx):
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    ds = []
+    for other in ctx.tracker.individuals.values():
+        if other is ind:
+            continue
+        ro = _record(other, frame, source)
+        if ro is not None:
+            ds.append(math.hypot(r.x - ro.x, r.y - ro.y))
+    return float(np.mean(ds)) * ctx.cm if ds else INVALID
+
+
+def _missing(ind, frame, source, smooth, ctx):
+    return 0.0 if ind.has(frame) else 1.0
+
+
+def _time(ind, frame, source, smooth, ctx):
+    return ctx.tracker.frame_times.get(frame, INVALID)
+
+
+def _timestamp(ind, frame, source, smooth, ctx):
+    t = ctx.tracker.frame_times.get(frame)
+    return t * 1e6 if t is not None else INVALID
+
+
+def _vi_p(ind, frame, source, smooth, ctx):
+    b = ind.basic_stuff(frame)
+    if not b:
+        return INVALID
+    preds = ctx.tracker.predicted.get(frame, {})
+    probs = preds.get(b.blob.blob_id)
+    if probs is None:
+        return INVALID
+    return float(np.max(probs))
+
+
+FUNCTIONS: dict[str, Callable] = {
+    "X": _pos_attr("x"),
+    "Y": _pos_attr("y"),
+    "VX": _pos_attr("vx"),
+    "VY": _pos_attr("vy"),
+    "AX": _pos_attr("ax"),
+    "AY": _pos_attr("ay"),
+    "SPEED": _speed,
+    "ACCELERATION": _acceleration,
+    "ANGLE": _angle,
+    "ANGULAR_V": lambda ind, frame, source, smooth, ctx: (
+        r.angular_velocity if (r := _record(ind, frame, source)) else INVALID),
+    "ANGULAR_A": lambda ind, frame, source, smooth, ctx: (
+        r.angular_acceleration if (r := _record(ind, frame, source)) else INVALID),
+    "num_pixels": _num_pixels,
+    "blobid": _blobid,
+    "midline_length": _midline_length,
+    "midline_x": _midline_xy(0),
+    "midline_y": _midline_xy(1),
+    "BORDER_DISTANCE": _border_distance,
+    "NEIGHBOR_DISTANCE": _neighbor_distance,
+    "missing": _missing,
+    "time": _time,
+    "timestamp": _timestamp,
+    "frame": lambda ind, frame, source, smooth, ctx: float(frame),
+    "visual_identification_p": _vi_p,
+    "MIDLINE_OFFSET": lambda ind, frame, source, smooth, ctx: INVALID,
+    "normalized_midline": lambda ind, frame, source, smooth, ctx: (
+        p.midline_angle if (p := ind.posture_stuff(frame)) else INVALID),
+    "midline_segment_length": lambda ind, frame, source, smooth, ctx: (
+        (p.midline_length / max(1, ctx.settings["midline_resolution"] - 1))
+        if (p := ind.posture_stuff(frame))
+        and not math.isnan(p.midline_length) else INVALID),
+}
+
+# units for header annotation (output_annotations defaults)
+def column_title(field: str, modifiers: list[str], annotations: dict) -> str:
+    sources = [m for m in modifiers
+               if m.lower() in ("wcentroid", "centroid", "pcentroid", "head")]
+    name = field
+    if sources and field not in CENTROID_ONLY:
+        name += "#" + sources[0].lower()
+    unit = annotations.get(field)
+    if unit:
+        name += f" ({unit})"
+    return name
+
+
+def evaluate(ctx: EvalContext, ind, frame: int, field: str,
+             modifiers: list[str]) -> float:
+    fn = FUNCTIONS.get(field)
+    if fn is None:
+        return INVALID
+    source = None
+    smooth = False
+    for m in modifiers:
+        lm = m.lower()
+        if lm in ("wcentroid", "centroid", "pcentroid", "head"):
+            source = lm
+        elif lm == "smooth":
+            smooth = True
+    try:
+        v = fn(ind, frame, source, smooth, ctx)
+    except Exception:
+        return INVALID
+    if v is None:
+        return INVALID
+    return float(v)

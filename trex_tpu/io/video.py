@@ -62,7 +62,13 @@ class VideoSource:
         files = []
         i = 0
         while True:
-            path = re.sub(r"%(\d*)d", lambda m: ("%" + (m.group(1) or "") + "d") % i, pattern)
+            # TRex-style %3d means zero-padded 3 digits (commons PathArray)
+            path = re.sub(
+                r"%0?(\d*)d",
+                lambda m: ("%0" + (m.group(1) or "") + "d") % i
+                if m.group(1) else str(i),
+                pattern,
+            )
             if not Path(path).exists():
                 if i == 0:
                     i += 1  # allow 1-based sequences

@@ -1,0 +1,291 @@
+"""Conversion + tracking pipelines.
+
+Re-creates the reference's two engines:
+
+- Segmenter (ui/Segmenter.{h,cpp}): convert task — video frames ->
+  detection -> pv file + live tracking. The reference runs three
+  ManagedThread stages (generate / serialize / track) with a capacity-10
+  queue; here the same stages run as a decode+detect worker pool feeding
+  an in-order serializer+tracker (host side is IO/CC-bound; the device
+  path batches inside the detector).
+- TrackingState (ui/TrackingState.cpp): track task — read pv frames,
+  preprocess (threshold+prefilter) in a pool, serialized Tracker::add.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import time as _time
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from .config import Settings
+from .io.pv import PVFile, PVFrame, PVHeader
+from .io.video import AveragingAccumulator, VideoSource
+from .ops.labeling import label_blobs
+from .track import TrackBlob, Tracker
+from .track.posture import calculate_posture
+from .track.individual import PostureStuff
+
+
+def generate_average(source: VideoSource, settings: Settings) -> np.ndarray:
+    """Background average over `average_samples` evenly spaced frames
+    using `averaging_method` (Segmenter::trigger_average_generator +
+    commons AveragingAccumulator)."""
+    n = min(int(settings["average_samples"]), len(source))
+    acc = AveragingAccumulator(settings["averaging_method"])
+    for i in np.linspace(0, len(source) - 1, max(1, n)).astype(int):
+        acc.add(source.get(int(i)))
+    return acc.finalize()
+
+
+def detect_frame(image: np.ndarray, background: np.ndarray,
+                 settings: Settings) -> list[TrackBlob]:
+    """background_subtraction detection for one frame
+    (BackgroundSubtraction.cpp:126-347): threshold vs background,
+    connected components, detect_size_filter in cm^2."""
+    threshold = int(settings["detect_threshold"])
+    absolute = bool(settings["detect_threshold_is_absolute"])
+    blobs = label_blobs(image, background, threshold=threshold,
+                        absolute=absolute)
+    cm = settings["cm_per_pixel"] or 1.0
+    sq = cm * cm
+    ranges = settings["detect_size_filter"] or []
+    out = []
+    for b in blobs:
+        size = b.num_pixels * sq
+        if ranges and not any(lo <= size <= hi for lo, hi in ranges):
+            continue
+        out.append(TrackBlob(b.lines, b.pixels))
+    return out
+
+
+class Segmenter:
+    """Convert task: video -> detection -> .pv (+ tracking)."""
+
+    def __init__(self, settings: Settings, source, output_path,
+                 track: bool = True,
+                 progress: Optional[Callable[[int, int], None]] = None,
+                 workers: int = 4):
+        self.settings = settings
+        self.source = source if isinstance(source, VideoSource) \
+            else VideoSource(source)
+        self.output_path = Path(output_path)
+        self.track = track
+        self.progress = progress
+        self.workers = workers
+        self.background: Optional[np.ndarray] = None
+        self.tracker: Optional[Tracker] = None
+        self.pv_file: Optional[PVFile] = None
+        self.fps_stat = 0.0
+
+    def _metadata(self) -> dict:
+        s = self.settings
+        keys = s["meta_write_these"] or []
+        out = {}
+        for k in keys:
+            if k in s:
+                try:
+                    out[k] = s.format(k)
+                except Exception:
+                    pass
+        return out
+
+    def run(self, frame_range=None):
+        s = self.settings
+        src = self.source
+        if not s["frame_rate"]:
+            s.set("frame_rate", int(round(src.frame_rate)), source="video")
+        if not s["meta_real_width"] and not s["cm_per_pixel"]:
+            s.set("cm_per_pixel", 1.0, source="fallback")
+        self.background = generate_average(src, s)
+        w, h = src.size
+        header = PVHeader(
+            encoding=s["meta_encoding"] if s["meta_encoding"] != "rgb8"
+            else "gray",  # rgb8 conversion lands in a later stage
+            width=w, height=h,
+            average=self.background,
+            name=self.output_path.stem,
+        )
+        if frame_range is None:
+            frame_range = (0, len(src) - 1)
+        header.conversion_start, header.conversion_end = frame_range
+
+        self.tracker = Tracker(s, background=self.background) if self.track \
+            else None
+        frame_rate = float(s["frame_rate"] or 25)
+        start_t = _time.perf_counter()
+        n_frames = frame_range[1] - frame_range[0] + 1
+
+        posture_pool = cf.ThreadPoolExecutor(max_workers=self.workers) \
+            if self.track and s["calculate_posture"] else None
+
+        with PVFile.create(self.output_path, header) as pv:
+            self.pv_file = pv
+            pv.set_metadata(self._metadata())
+
+            def produce(idx):
+                img = src.get(idx)
+                if img.ndim == 3:
+                    import cv2
+
+                    img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+                return idx, img, detect_frame(img, self.background, s)
+
+            with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+                pending = {}
+                next_submit = frame_range[0]
+                next_write = frame_range[0]
+                window = self.workers * 2 + 2  # backpressure cap
+                futures = {}
+                while next_write <= frame_range[1]:
+                    while (next_submit <= frame_range[1]
+                           and len(futures) < window):
+                        futures[next_submit] = pool.submit(produce, next_submit)
+                        next_submit += 1
+                    idx, img, blobs = futures.pop(next_write).result()
+                    virtual = idx - frame_range[0]
+                    fr = PVFrame(
+                        timestamp=int(round((virtual + 1) * 1e6 / frame_rate)),
+                        source_index=idx, index=virtual)
+                    for b in blobs:
+                        fr.add_object(b.lines, b.pixels)
+                    pv.add_frame(fr)
+                    if self.tracker is not None:
+                        self._track_frame(virtual, blobs,
+                                          virtual / frame_rate, posture_pool)
+                    if self.progress:
+                        self.progress(virtual + 1, n_frames)
+                    next_write += 1
+        if posture_pool:
+            posture_pool.shutdown(wait=True)
+        elapsed = _time.perf_counter() - start_t
+        self.fps_stat = n_frames / elapsed if elapsed > 0 else 0.0
+        return self.tracker
+
+    def _track_frame(self, index: int, blobs, time: float, posture_pool):
+        tracker = self.tracker
+        pp = tracker.preprocess_frame(index, blobs, time=time)
+        tracker.add(pp)
+        if posture_pool is not None:
+            run_postures(tracker, index, self.settings, posture_pool)
+
+
+def run_postures(tracker: Tracker, frame: int, settings: Settings,
+                 pool: Optional[cf.ThreadPoolExecutor] = None):
+    """Posture per new assignment (TrackingHelper::process_postures)."""
+    jobs = []
+    for ind in tracker.individuals.values():
+        basic = ind.basic_stuff(frame)
+        if basic is None or ind.posture_stuff(frame) is not None:
+            continue
+        prev = ind.posture[-1] if ind.posture else None
+        direction = None
+        if prev is not None and prev.midline is not None:
+            d = prev.midline.midline_direction(
+                settings["midline_stiff_percentage"])
+            direction = -d  # head-pointing
+        jobs.append((ind, basic, direction))
+
+    def work(job):
+        ind, basic, direction = job
+        res = calculate_posture(basic.blob, settings, tracker.background,
+                                movement_direction=direction)
+        return ind, basic, res
+
+    results = pool.map(work, jobs) if pool else map(work, jobs)
+    cm = settings["cm_per_pixel"] or 1.0
+    for ind, basic, res in results:
+        if res is None:
+            continue
+        stuff = PostureStuff(frame=basic.frame)
+        ox, oy = res.offset
+        bx, by = basic.blob.bounds[:2]
+        if res.outline is not None and len(res.outline):
+            stuff.outline = res.outline + np.array([bx + ox, by + oy],
+                                                   np.float32)
+            stuff.outline_size = len(res.outline)
+        if res.midline is not None:
+            stuff.midline = res.midline
+            stuff.midline_length = res.midline.len * cm
+            stuff.midline_angle = res.midline.angle
+            from .track.motion import MotionRecord
+
+            segs = res.midline.segments
+            head_pt = segs[-1] + np.array([bx + ox, by + oy])
+            cen_pt = segs.mean(axis=0) + np.array([bx + ox, by + oy])
+            prev_post = ind.posture[-1] if ind.posture else None
+            stuff.head = MotionRecord.create(
+                prev_post.head if prev_post else None,
+                basic.centroid.time, float(head_pt[0]), float(head_pt[1]),
+                res.midline.angle)
+            stuff.centroid_posture = MotionRecord.create(
+                prev_post.centroid_posture if prev_post else None,
+                basic.centroid.time, float(cen_pt[0]), float(cen_pt[1]),
+                res.midline.angle)
+        ind.add_posture(stuff)
+
+
+class TrackingState:
+    """Track task: re-track an existing .pv file
+    (ui/TrackingState.cpp:176-264)."""
+
+    def __init__(self, settings: Settings, pv_path,
+                 progress: Optional[Callable[[int, int], None]] = None,
+                 workers: int = 4):
+        self.settings = settings
+        self.pv = PVFile.open(pv_path)
+        self.progress = progress
+        self.workers = workers
+        bg = self.pv.header.average
+        self.background = bg[:, :, 0] if bg is not None and bg.ndim == 3 \
+            else bg
+        # apply pv metadata below explicit settings layers
+        from .config import apply_dict
+
+        meta = self.pv.header.metadata_dict()
+        meta = {k: v for k, v in meta.items()
+                if settings.source_of(k) in ("default", "pv-metadata")}
+        apply_dict(settings, meta, source="pv-metadata")
+        self.tracker = Tracker(settings, background=self.background)
+
+    def run(self, frame_range=None):
+        s = self.settings
+        n = len(self.pv)
+        if frame_range is None:
+            frame_range = (0, n - 1)
+        frame_rate = float(s["frame_rate"] or 25)
+        posture_pool = cf.ThreadPoolExecutor(max_workers=self.workers) \
+            if s["calculate_posture"] else None
+
+        def load(idx):
+            fr = self.pv.read_frame(idx)
+            blobs = [TrackBlob(fr.masks[i], fr.pixels[i], flags=fr.flags[i])
+                     for i in range(fr.n)]
+            t = fr.timestamp / 1e6
+            pp = self.tracker.preprocess_frame(idx, blobs, time=t,
+                                               timestamp=fr.timestamp)
+            return pp
+
+        with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
+            futures = {}
+            next_submit = frame_range[0]
+            next_track = frame_range[0]
+            window = self.workers * 2 + 2
+            while next_track <= frame_range[1]:
+                while (next_submit <= frame_range[1]
+                       and len(futures) < window):
+                    futures[next_submit] = pool.submit(load, next_submit)
+                    next_submit += 1
+                pp = futures.pop(next_track).result()
+                self.tracker.add(pp)
+                if posture_pool is not None:
+                    run_postures(self.tracker, next_track, s, posture_pool)
+                if self.progress:
+                    self.progress(next_track - frame_range[0] + 1,
+                                  frame_range[1] - frame_range[0] + 1)
+                next_track += 1
+        if posture_pool:
+            posture_pool.shutdown(wait=True)
+        return self.tracker

@@ -76,11 +76,23 @@ class TrackBlob:
         return self._bounds
 
     @property
-    def center(self):
-        """Bounding-box center — the reference's pv::Blob::center()
-        used both for matching positions and the stored centroid."""
+    def bbox_center(self):
+        """Bounding-box center — used by the matching probability
+        (Individual.cpp:2186-2194 uses bounds.pos()+size*0.5)."""
         x, y, w, h = self.bounds
         return (x + w * 0.5, y + h * 0.5)
+
+    @property
+    def center(self):
+        """Mask centroid (image moments) — pv::Blob::center() after
+        calculate_moments(); this is what the stored centroid MotionRecord
+        and the X/Y#wcentroid outputs use (golden CSVs confirm)."""
+        ys, x0s, x1s = self.lines[:, 0], self.lines[:, 1], self.lines[:, 2]
+        w = (x1s - x0s + 1).astype(np.float64)
+        n = w.sum()
+        cx = float((0.5 * (x0s + x1s) * w).sum() / n)
+        cy = float((ys * w).sum() / n)
+        return (cx, cy)
 
     @property
     def num_pixels(self) -> int:

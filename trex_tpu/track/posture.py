@@ -1,0 +1,472 @@
+"""Posture estimation: outline extraction -> EFT smoothing -> curvature
+peaks -> midline walk.
+
+Re-creates the reference pipeline (tracking/Posture.cpp:305-410,
+tracking/Outline.cpp):
+
+1. threshold the blob at track_posture_threshold, keep the biggest
+   component (commons pixel::threshold_get_biggest_blob)
+2. trace the outer boundary (commons pixel::find_outer_points) — here a
+   Moore boundary trace over the dense mask
+3. resample to `outline_resample` spacing (Outline::resample,
+   Outline.cpp:724-767: walk the closed polygon emitting points every
+   `distance` pixels)
+4. smooth with triangular weights over `outline_smooth_samples` steps of
+   `outline_smooth_step` (Outline.cpp:380-436)
+5. if outline_approximate > 0: replace the outline by its elliptic
+   Fourier reconstruction with that many harmonics (Outline.cpp:499-513)
+6. curvature over a window of outline_curvature_range_ratio * N points;
+   tail = strongest curvature peak (peak_mode=pointy), head = the peak
+   circularly farthest from the tail (Outline.cpp:515-700)
+7. midline walk: pair left/right outline points from the tail, midline
+   point = segment middle (Outline.cpp:768-866)
+8. post-process: stiff-percentage straightening of the front part +
+   optional inversion toward the previous movement direction
+   (Outline.cpp:890-1010); midline length = sum of segment distances.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..ops.labeling import label_blobs
+from .blob import TrackBlob
+
+
+# ---------------------------------------------------------------------------
+# outline extraction
+# ---------------------------------------------------------------------------
+
+_MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Moore boundary trace (8-connectivity, clockwise) over a binary
+    mask; returns (N,2) float [x, y] pixel-center points."""
+    h, w = mask.shape
+    padded = np.zeros((h + 2, w + 2), np.uint8)
+    padded[1:-1, 1:-1] = mask > 0
+    ys, xs = np.nonzero(padded)
+    if len(ys) == 0:
+        return np.zeros((0, 2), np.float32)
+    # start: topmost-leftmost pixel
+    start = (ys[0], xs[0])
+    boundary = [start]
+    # previous direction: entered from the left
+    prev_dir = 6  # pointing left->right scan: backtrack cell is to the left
+    cur = start
+    # Moore neighbor order clockwise starting from backtrack
+    order = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
+    # direction index of the cell we came FROM relative to current
+    back = 0
+    for _ in range(8 * len(ys) + 8):
+        found = False
+        for k in range(8):
+            d = (back + 1 + k) % 8
+            ny, nx = cur[0] + order[d][0], cur[1] + order[d][1]
+            if padded[ny, nx]:
+                boundary.append((ny, nx))
+                # new backtrack: direction pointing from new cell to cur
+                back = (d + 4) % 8
+                # rotate so scanning starts just after the backtrack
+                cur = (ny, nx)
+                found = True
+                break
+        if not found:
+            break  # isolated pixel
+        if cur == start and len(boundary) > 2:
+            break
+    pts = np.array([(x - 1, y - 1) for (y, x) in boundary[:-1]], np.float32)
+    return pts
+
+
+def biggest_component(blob: TrackBlob, threshold: int,
+                      background: Optional[np.ndarray], settings,
+                      closing_steps: int = 0, closing_size: int = 2):
+    """threshold_get_biggest_blob: mask of the largest component of the
+    blob's pixels after the posture threshold."""
+    mask, gray, (ox, oy) = blob.to_dense(pad=1)
+    if background is not None and threshold > 0:
+        bg = np.zeros_like(gray)
+        bh, bw = background.shape[:2]
+        ys0, ys1 = max(0, oy), min(bh, oy + gray.shape[0])
+        xs0, xs1 = max(0, ox), min(bw, ox + gray.shape[1])
+        bg[ys0 - oy : ys1 - oy, xs0 - ox : xs1 - ox] = background[ys0:ys1, xs0:xs1]
+        absolute = bool(settings["track_threshold_is_absolute"])
+        if absolute:
+            keep = (np.abs(gray.astype(np.int16) - bg.astype(np.int16))
+                    >= threshold) & (mask > 0)
+        else:
+            keep = ((bg.astype(np.int16) - gray.astype(np.int16))
+                    >= threshold) & (mask > 0)
+    else:
+        keep = mask > 0
+    m = keep.astype(np.uint8)
+    if closing_steps > 0:
+        import cv2
+
+        kernel = np.ones((closing_size, closing_size), np.uint8)
+        for _ in range(closing_steps):
+            m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, kernel)
+    comps = label_blobs(m * 255)
+    if not comps:
+        return None, (ox, oy)
+    big = max(comps, key=lambda c: c.num_pixels)
+    dense = np.zeros_like(m)
+    for y, x0, x1 in big.lines:
+        dense[y, x0 : x1 + 1] = 1
+    return dense, (ox, oy)
+
+
+# ---------------------------------------------------------------------------
+# outline processing
+# ---------------------------------------------------------------------------
+
+def resample(points: np.ndarray, distance: float) -> np.ndarray:
+    """Reference Outline::resample: walk the closed polygon, emitting a
+    point every `distance` pixels along it."""
+    if distance <= 0 or len(points) <= 1:
+        return points
+    out = []
+    walked = 0.0
+    L = len(points)
+    for i in range(L):
+        p0 = points[i]
+        p1 = points[(i + 1) % L]
+        line = p1 - p0
+        seg = float(np.hypot(line[0], line[1]))
+        walked += seg
+        percent = seg / distance
+        walked_percent = walked / distance
+        offset = 0
+        while walked_percent >= 1.0:
+            t = (offset * 1.0 / percent) if percent > 0 else 0.0
+            out.append(p0 + line * t)
+            offset += 1
+            walked -= distance
+            walked_percent -= 1.0
+    return np.asarray(out, np.float32) if out else points
+
+
+def smooth_points(points: np.ndarray, samples: float, step: int) -> np.ndarray:
+    """Triangular-weighted periodic smoothing (Outline.cpp:380-436)."""
+    L = len(points)
+    if L <= samples or samples <= 0:
+        return points
+    step_row = int(samples * step)
+    offs = np.arange(-step_row, step_row + 1, step)
+    weights = (step_row - np.abs(offs)) / step_row
+    weights = weights / weights.sum()
+    idx = (np.arange(L)[:, None] + offs[None, :]) % L
+    return (points[idx] * weights[None, :, None]).sum(axis=1).astype(np.float32)
+
+
+def eft(points: np.ndarray, harmonics: int) -> tuple:
+    """Elliptic Fourier coefficients (Kuhl & Giardina) of a closed contour."""
+    d = np.diff(np.vstack([points, points[:1]]), axis=0)
+    dt = np.hypot(d[:, 0], d[:, 1])
+    dt = np.where(dt == 0, 1e-12, dt)
+    t = np.concatenate([[0.0], np.cumsum(dt)])
+    T = t[-1]
+    n = np.arange(1, harmonics + 1)[:, None]
+    phi = 2 * np.pi * n * t[None, :] / T  # (H, N+1)
+    dcos = np.cos(phi[:, 1:]) - np.cos(phi[:, :-1])
+    dsin = np.sin(phi[:, 1:]) - np.sin(phi[:, :-1])
+    c = T / (2 * (n[:, 0] ** 2) * np.pi ** 2)
+    a = c * np.sum(d[:, 0] / dt * dcos, axis=1)
+    b = c * np.sum(d[:, 0] / dt * dsin, axis=1)
+    cc = c * np.sum(d[:, 1] / dt * dcos, axis=1)
+    dd = c * np.sum(d[:, 1] / dt * dsin, axis=1)
+    return a, b, cc, dd, T
+
+
+def ieft(coeffs, n_points: int, center: np.ndarray) -> np.ndarray:
+    """Reconstruct `n_points` uniformly-spaced points from EFT coeffs."""
+    a, b, c, d, T = coeffs
+    t = np.linspace(0, T, n_points, endpoint=False)
+    n = np.arange(1, len(a) + 1)[:, None]
+    phi = 2 * np.pi * n * t[None, :] / T
+    x = center[0] + (a[:, None] * np.cos(phi) + b[:, None] * np.sin(phi)).sum(0)
+    y = center[1] + (c[:, None] * np.cos(phi) + d[:, None] * np.sin(phi)).sum(0)
+    return np.stack([x, y], axis=1).astype(np.float32)
+
+
+def signed_area(points: np.ndarray) -> float:
+    x, y = points[:, 0], points[:, 1]
+    return 0.5 * float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+
+
+def periodic_curvature(points: np.ndarray, rng: int) -> np.ndarray:
+    """Discrete curvature over a periodic point array with offset `rng`:
+    2*cross(p2-p1, p3-p2) / sqrt(|p1p2||p2p3||p1p3|) — the circumcircle
+    (Menger) form used by the reference's commons periodic::curvature."""
+    p1 = np.roll(points, rng, axis=0)
+    p2 = points
+    p3 = np.roll(points, -rng, axis=0)
+    a = p2 - p1
+    b = p3 - p2
+    cross = a[:, 0] * b[:, 1] - a[:, 1] * b[:, 0]
+    d12 = np.hypot(*(p2 - p1).T)
+    d23 = np.hypot(*(p3 - p2).T)
+    d13 = np.hypot(*(p3 - p1).T)
+    denom = np.sqrt(np.maximum(d12 * d23 * d13, 1e-12))
+    return 2.0 * cross / denom
+
+
+def find_peak_indices(curv: np.ndarray) -> list[int]:
+    """Local maxima of a periodic series."""
+    left = np.roll(curv, 1)
+    right = np.roll(curv, -1)
+    peaks = np.flatnonzero((curv >= left) & (curv > right))
+    return peaks.tolist()
+
+
+@dataclass
+class Midline:
+    segments: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
+    heights: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tail_index: int = 0
+    head_index: int = -1
+    len: float = 0.0
+    angle: float = 0.0
+    inverted_because_previous: bool = False
+    offset: tuple = (0.0, 0.0)
+
+    @property
+    def empty(self):
+        return len(self.segments) == 0
+
+    def midline_direction(self, stiff_percentage: float) -> np.ndarray:
+        n = max(1, int(len(self.segments) * stiff_percentage))
+        d = np.zeros(2)
+        cnt = 0
+        for i in range(n):
+            if i + 1 >= len(self.segments):
+                break
+            d += self.segments[i + 1] - self.segments[i]
+            cnt += 1
+        if cnt:
+            d /= cnt
+            norm = np.hypot(*d)
+            if norm > 0:
+                d /= norm
+        return d
+
+    def normalize_points(self, resolution: int) -> np.ndarray:
+        """Resample to `resolution` points evenly spaced along the
+        midline (Midline::normalize, Outline.cpp:1270-1330)."""
+        segs = self.segments
+        if len(segs) < 2:
+            return segs
+        d = np.hypot(*np.diff(segs, axis=0).T)
+        total = float(d.sum())
+        if total == 0:
+            return segs
+        t = np.concatenate([[0], np.cumsum(d)])
+        want = np.linspace(0, total, resolution)
+        x = np.interp(want, t, segs[:, 0])
+        y = np.interp(want, t, segs[:, 1])
+        return np.stack([x, y], axis=1)
+
+
+@dataclass
+class PostureResult:
+    outline: np.ndarray  # (N, 2) in blob-local coordinates
+    midline: Optional[Midline]
+    offset: tuple  # blob-local -> image coordinates
+
+
+def calculate_midline_from_outline(points: np.ndarray, settings,
+                                   movement_direction=None) -> Optional[Midline]:
+    s = settings
+    L0 = len(points)
+    if L0 < 3:
+        return None
+    # smoothing
+    smooth_samples = s["outline_smooth_samples"]
+    if smooth_samples > 0:
+        points = smooth_points(points, smooth_samples,
+                               max(1, int(s["outline_smooth_step"])))
+    # make clockwise (positive signed area in image coords)
+    if signed_area(points) < 0:
+        points = points[::-1].copy()
+    # EFT approximation
+    n_approx = int(s["outline_approximate"])
+    if n_approx > 0 and len(points) > 2:
+        center = points.mean(axis=0)
+        points = ieft(eft(points - center, n_approx), len(points),
+                      center)
+    L = len(points)
+    if L < 3:
+        return None
+    rng = max(1, int(s["outline_curvature_range_ratio"] * L))
+    curv = periodic_curvature(points, rng)
+
+    peaks = find_peak_indices(curv)
+    if not peaks:
+        return None
+    # pointy mode: tail = highest-curvature peak
+    tail = max(peaks, key=lambda i: curv[i])
+    # head = peak circularly farthest from the tail
+    head = -1
+    max_d = -1
+    for p in peaks:
+        d = abs(p - tail)
+        d = min(d, L - d)
+        if d > max_d:
+            max_d = d
+            head = p
+    # rotate so tail is index 0
+    points = np.roll(points, -tail, axis=0)
+    head_index = (head - tail) % L if head >= 0 else -1
+    tail_index = 0
+    if s["midline_invert"]:
+        tail_index, head_index = head_index, tail_index
+
+    # midline walk (Outline.cpp:768-866)
+    max_offset = max(3, int(s["midline_walk_offset"] * L))
+    segments = []
+    heights = []
+    idx_r, idx_l = 1, -1
+    guard = 0
+    while idx_r < L + idx_l and guard < 4 * L:
+        guard += 1
+        pt_l = points[(L + idx_l) % L]
+        # find best right point
+        min_d, min_idx = np.inf, -1
+        for i in range(max_offset):
+            if idx_r + i >= L:
+                break
+            pt = points[idx_r + i]
+            dd = float(np.hypot(*(pt - pt_l)))
+            if dd < min_d:
+                min_d, min_idx = dd, idx_r + i
+        if min_idx != -1:
+            idx_r = min_idx
+        pt_r = points[idx_r]
+        # find best left point
+        min_d, min_idx = np.inf, 1
+        for i in range(max_offset):
+            if idx_l - i <= -L:
+                break
+            pt = points[(L + idx_l - i) % L]
+            dd = float(np.hypot(*(pt_r - pt)))
+            if dd < min_d:
+                min_d, min_idx = dd, idx_l - i
+        if min_idx != 1:
+            idx_l = min_idx
+        pt_l = points[(L + idx_l) % L]
+        m = (pt_l + pt_r) * 0.5
+        segments.append(m)
+        heights.append(float(np.hypot(*(pt_r - pt_l))))
+        idx_r += 1
+        idx_l -= 1
+
+    if len(segments) <= 2:
+        return None
+    mid = Midline(segments=np.asarray(segments, np.float64),
+                  heights=np.asarray(heights),
+                  tail_index=tail_index, head_index=head_index)
+    _post_process(mid, settings, movement_direction)
+    d = np.hypot(*np.diff(mid.segments, axis=0).T)
+    mid.len = float(d.sum())
+    direction = mid.midline_direction(s["midline_stiff_percentage"])
+    mid.angle = math.atan2(direction[1], direction[0])
+    return mid
+
+
+def _post_process(mid: Midline, settings, movement_direction=None):
+    """Midline::post_process (Outline.cpp:890-1010): orientation fix
+    toward previous movement + stiff-part straightening."""
+    s = settings
+    if len(mid.segments) <= 2:
+        return
+    needs_invert = not s["midline_invert"]
+    direction = mid.midline_direction(s["midline_stiff_percentage"])
+    d = direction if needs_invert else -direction
+    if movement_direction is not None and np.any(np.asarray(movement_direction) != 0):
+        mv = np.asarray(movement_direction, float)
+        nv = np.hypot(*mv)
+        if nv > 0:
+            mv = mv / nv
+            if math.acos(np.clip((-d) @ mv, -1, 1)) < math.acos(np.clip(d @ mv, -1, 1)):
+                needs_invert = not needs_invert
+                mid.inverted_because_previous = True
+                mid.tail_index, mid.head_index = mid.head_index, mid.tail_index
+    start_with_head = bool(s["midline_start_with_head"])
+    if needs_invert:
+        if not start_with_head:
+            mid.segments = mid.segments[::-1].copy()
+            mid.heights = mid.heights[::-1].copy()
+    elif start_with_head:
+        mid.segments = mid.segments[::-1].copy()
+        mid.heights = mid.heights[::-1].copy()
+
+    stiff = s["midline_stiff_percentage"]
+    if stiff > 0:
+        segs = mid.segments
+        n = len(segs)
+        center = int(min(n - 1, round(n * stiff) + 1))
+        center_point = segs[center].copy()
+        axis = np.zeros(2)
+        count = 0
+        extra = int(min(n, center + max(0.0, n * 0.1)))
+        for i in range(center, extra):
+            if i + 1 >= n:
+                break
+            v = segs[i] - segs[i + 1]
+            nv = np.hypot(*v)
+            if nv > 0:
+                axis += v / nv
+            count += 1
+        if count > 0:
+            axis /= count
+        copy = segs.copy()
+        for i in range(center, 0, -1):
+            p1 = segs[i]
+            seg_len = float(np.hypot(*(copy[i] - copy[i - 1])))
+            dtc = segs[i - 1] - center_point
+            nv = np.hypot(*dtc)
+            if nv > 0:
+                dtc = dtc / nv
+            test = (dtc + axis) * 0.5
+            nv = np.hypot(*test)
+            if nv > 0:
+                test = test / nv
+            segs[i - 1] = p1 + seg_len * test
+
+
+def calculate_posture(blob: TrackBlob, settings,
+                      background: Optional[np.ndarray] = None,
+                      movement_direction=None) -> Optional[PostureResult]:
+    """Full posture path with threshold escalation
+    (Posture.cpp:305-410)."""
+    s = settings
+    base = int(s["track_posture_threshold"])
+    threshold = base
+    minimum_pixels = max(1, blob.num_pixels // 10)
+    first_outline = None
+    offset = (0, 0)
+    while True:
+        dense, offset = biggest_component(
+            blob, threshold, background, s,
+            int(s["posture_closing_steps"]), int(s["posture_closing_size"]))
+        if dense is None or dense.sum() < 1:
+            break
+        pts = trace_boundary(dense)
+        if len(pts) >= 3:
+            pts = resample(pts, float(s["outline_resample"]))
+            mid = calculate_midline_from_outline(pts, s, movement_direction)
+            if mid is not None:
+                return PostureResult(outline=pts, midline=mid, offset=offset)
+            if first_outline is None and len(pts):
+                first_outline = pts
+        threshold += 2
+        if dense.sum() < minimum_pixels or threshold >= base + 100:
+            break
+    if first_outline is not None:
+        return PostureResult(outline=first_outline, midline=None, offset=offset)
+    return None

@@ -172,7 +172,7 @@ class Tracker:
                 continue
             edges = []
             for bi, blob in enumerate(blobs):
-                p = ind.probability(cache, blob.center)
+                p = ind.probability(cache, blob.bbox_center)
                 if p > p_min:
                     edges.append((bi, p))
             if topk:
@@ -227,7 +227,7 @@ class Tracker:
                 cache = caches.get(ind.identity) or ind.cache_for_frame(
                     frame, pp.time, self.frame_times, self.start_frame)
                 for bi in free_blobs:
-                    p = ind.probability(cache, blobs[bi].center)
+                    p = ind.probability(cache, blobs[bi].bbox_center)
                     if p > p_min:
                         second.add(ind.identity, bi, p)
             res2 = match(second, mode="approximate")
