@@ -40,7 +40,7 @@ class TrackBlob:
 
     __slots__ = ("lines", "pixels", "parent_id", "split", "flags",
                  "_bid", "_bounds", "_recount_cache", "_last_recount",
-                 "tags", "prediction")
+                 "_diff_cached", "tags", "prediction")
 
     def __init__(self, lines: np.ndarray, pixels: Optional[np.ndarray],
                  flags: int = 0, parent_id: int = -1, split: bool = False):
@@ -53,6 +53,7 @@ class TrackBlob:
         self._bounds = None
         self._recount_cache: dict = {}
         self._last_recount: Optional[int] = None
+        self._diff_cached = None
         self.prediction = None
 
     # -- identity ------------------------------------------------------
@@ -135,17 +136,22 @@ class TrackBlob:
         return int(np.count_nonzero(diff >= threshold))
 
     def _diff_values(self, background: np.ndarray) -> np.ndarray:
-        """(bg - px) per mask pixel, int16, scan order."""
-        out = np.empty(self.num_pixels, np.int16)
-        i = 0
-        px = self.pixels
-        for y, x0, x1 in self.lines:
-            n = x1 - x0 + 1
-            out[i : i + n] = (
-                background[y, x0 : x1 + 1].astype(np.int16)
-                - px[i : i + n].astype(np.int16)
-            )
-            i += n
+        """(bg - px) per mask pixel, int16, scan order (cached)."""
+        if self._diff_cached is not None:
+            return self._diff_cached
+        ls = self.lines
+        widths = ls[:, 2] - ls[:, 1] + 1
+        # flat background gather: for each line, bg row offset + x range
+        w = background.shape[1]
+        starts = ls[:, 0].astype(np.int64) * w + ls[:, 1]
+        total = int(widths.sum())
+        # per-pixel flat indices: start + arange(width) per line
+        offs = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(widths[:-1])]), widths)
+        flat = np.repeat(starts, widths) + offs
+        bg_vals = background.reshape(-1)[flat].astype(np.int16)
+        out = bg_vals - self.pixels.astype(np.int16)
+        self._diff_cached = out
         return out
 
     def recount(self, threshold: int, background=None, settings=None) -> float:

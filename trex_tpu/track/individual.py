@@ -198,72 +198,82 @@ class Individual:
         max_px_sq = max_speed_px * max_speed_px
 
         # average velocity / acceleration over last <= 6 frames
+        # (scalar math: this runs per fish per frame in the hot loop)
         lo = max(self.start_frame, prev_frame - 6)
-        raw = np.zeros(2)
-        raw_acc = np.zeros(2)
+        raw_x = raw_y = 0.0
+        acc_x = acc_y = 0.0
         speeds_sq: list[float] = []
         used_frames = 0
-        prev_v = np.zeros(2)
-        prev_p = None
+        prev_vx = prev_vy = 0.0
+        prev_px = prev_py = None
         prev_t = 0.0
         last_frame_manual = False
-        for f in range(lo, prev_frame + 1):
-            stuff = self.basic_stuff(f)
-            if stuff is None:
-                continue
-            if f in self.manual_frames:
+        idx_hi = self._frames[prev_frame]
+        idx_lo = idx_hi
+        while idx_lo > 0 and self.basic[idx_lo - 1].frame >= lo:
+            idx_lo -= 1
+        for i in range(idx_lo, idx_hi + 1):
+            stuff = self.basic[i]
+            f = stuff.frame
+            if self.manual_frames and f in self.manual_frames:
                 last_frame_manual = True
                 continue
-            c_time = frame_times.get(f, stuff.centroid.time)
-            if prev_p is None:
-                prev_p = np.asarray(stuff.centroid.pos)
-                prev_t = c_time
+            c = stuff.centroid
+            c_time = frame_times.get(f, c.time)
+            if prev_px is None:
+                prev_px, prev_py, prev_t = c.x, c.y, c_time
                 continue
             p_time = frame_times.get(f - 1)
-            if p_time is None:
-                prev_p = np.asarray(stuff.centroid.pos)
-                prev_t = c_time
-                continue
-            step = c_time - p_time
-            if step > 1.0:
-                prev_p = np.asarray(stuff.centroid.pos)
-                prev_t = c_time
+            if p_time is None or c_time - p_time > 1.0:
+                prev_px, prev_py, prev_t = c.x, c.y, c_time
                 continue
             dt = c_time - prev_t
             if dt <= 0:
                 continue
-            v = (np.asarray(stuff.centroid.pos) - prev_p) / dt
-            l_sq = float(v @ v)
+            vx = (c.x - prev_px) / dt
+            vy = (c.y - prev_py) / dt
+            l_sq = vx * vx + vy * vy
             if max_px_sq > 0 and l_sq >= max_px_sq:
-                v = v * (max_speed_px / math.sqrt(l_sq))
+                k = max_speed_px / math.sqrt(l_sq)
+                vx *= k
+                vy *= k
                 l_sq = max_px_sq
-            raw += v
+            raw_x += vx
+            raw_y += vy
             speeds_sq.append(l_sq)
-            if step > 0 and (prev_v[0] != 0 or prev_v[1] != 0):
-                raw_acc += (v - prev_v) / step
-            prev_v = v
-            prev_p = np.asarray(stuff.centroid.pos)
-            prev_t = c_time
+            step = c_time - p_time
+            if step > 0 and (prev_vx != 0 or prev_vy != 0):
+                acc_x += (vx - prev_vx) / step
+                acc_y += (vy - prev_vy) / step
+            prev_vx, prev_vy = vx, vy
+            prev_px, prev_py, prev_t = c.x, c.y, c_time
             used_frames += 1
             if used_frames > 5:
                 break
 
         if used_frames:
-            raw /= used_frames
-            raw_acc /= used_frames
+            raw_x /= used_frames
+            raw_y /= used_frames
+            acc_x /= used_frames
+            acc_y /= used_frames
 
-        speed = max(0.6, math.sqrt(float(np.median(speeds_sq)) if speeds_sq else 0.0))
+        if speeds_sq:
+            speeds_sq.sort()
+            m = len(speeds_sq)
+            med = speeds_sq[m // 2] if m % 2 else \
+                0.5 * (speeds_sq[m // 2 - 1] + speeds_sq[m // 2])
+        else:
+            med = 0.0
+        speed = max(0.6, math.sqrt(med))
         decay = min(1.0, max(0.0, s["track_speed_decay"]))
         lam = decay ** 4
 
-        def _norm(v):
-            n = math.hypot(v[0], v[1])
-            return v / n if n > 0 else np.zeros(2)
+        n = math.hypot(raw_x, raw_y)
+        dir_x, dir_y = (raw_x / n, raw_y / n) if n > 0 else (0.0, 0.0)
+        n = math.hypot(acc_x, acc_y)
+        accd_x, accd_y = (acc_x / n, acc_y / n) if n > 0 else (0.0, 0.0)
 
-        direction = _norm(raw)
-        acc_dir = _norm(raw_acc)
-
-        est = np.zeros(2)
+        est_x = est_y = 0.0
         if used_frames > 0 and lam < 1:
             last_used = frame_times.get(prev_frame - 1, ptime)
             for f in range(prev_frame, frame):
@@ -273,9 +283,11 @@ class Individual:
                 step = t_f - last_used
                 last_used = t_f
                 weight = (1 + lam) / (1 + lam * max(1, f - prev_frame + 1))
-                est += weight * step * (speed * (direction + step * acc_dir))
-        est += np.asarray(prev_stuff.centroid.pos)
-        cache.estimated_px = (float(est[0]), float(est[1]))
+                k = weight * step * speed
+                est_x += k * (dir_x + step * accd_x)
+                est_y += k * (dir_y + step * accd_y)
+        cache.estimated_px = (est_x + prev_stuff.centroid.x,
+                              est_y + prev_stuff.centroid.y)
 
         # time probability
         if not s["track_time_probability_enabled"] or last_frame_manual:

@@ -238,9 +238,15 @@ def match(paired: PairedProbabilities, mode: str = "automatic",
                 if t is not None and t != h:
                     result.improvements_made += 1  # disagreement counter
                 sub = h
-            else:  # automatic: optimal per clique, greedy on timeout
-                sub = _tree_on(paired, fish_idx, blob_idx, time_budget)
-                if sub is None:
+            else:  # automatic: optimal per clique (small cliques via the
+                # reference's tree search, larger ones via the equivalent
+                # Hungarian optimum — Tracker.cpp:1805-1812 semantics)
+                if len(fish_idx) <= 8:
+                    sub = _tree_on(paired, fish_idx, blob_idx,
+                                   min(time_budget, 0.05))
+                    if sub is None:
+                        sub = _hungarian_on(paired, fish_idx, blob_idx)
+                else:
                     sub = _hungarian_on(paired, fish_idx, blob_idx)
             raw.update(sub)
     else:

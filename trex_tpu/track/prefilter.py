@@ -78,6 +78,17 @@ def threshold_components(blob: TrackBlob, threshold: int,
                          background: np.ndarray, settings) -> list[TrackBlob]:
     """pixel::threshold_blob: apply the track threshold to the blob's own
     pixels and split the survivors into connected components."""
+    # fast path: if every mask pixel passes the threshold, the component
+    # set is exactly the original (connected) blob
+    if blob.pixels is not None:
+        diff = blob._diff_values(background)
+        absolute_ = bool(settings["track_threshold_is_absolute"])
+        passed = np.abs(diff) >= threshold if absolute_ else diff >= threshold
+        if passed.all():
+            return [TrackBlob(blob.lines, blob.pixels, flags=blob.flags,
+                              parent_id=blob.blob_id, split=True)]
+        if not passed.any():
+            return []
     mask, gray, (ox, oy) = blob.to_dense(pad=1)
     x, y, w, h = blob.bounds
     bg_crop = np.zeros_like(gray)

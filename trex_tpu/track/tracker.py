@@ -159,27 +159,50 @@ class Tracker:
         pp.blobs = blobs
 
         # --- caches + probabilities ------------------------------------------
+        # vectorized S*T probability matrix over (fish x blob) — the
+        # reference's calculate_paired_probabilities (Tracker.cpp:1083-1360)
+        # computed per-edge; the math is identical (see
+        # Individual.position_probability), evaluated as one (F,B) array op.
         active = self._active_individuals()
         caches: dict[int, IndividualCache] = {}
         paired = PairedProbabilities()
         p_min = s["match_min_probability"]
         topk = s["match_topk"]
+        cm_per_pixel = s["cm_per_pixel"] or 1.0
+        max_speed = s["track_max_speed"]
+        usable = []
         for ind in active:
             cache = ind.cache_for_frame(frame, pp.time, self.frame_times,
                                         self.start_frame)
             caches[ind.identity] = cache
-            if cache.individual_empty or cache.time_probability <= 0:
-                continue
-            edges = []
-            for bi, blob in enumerate(blobs):
-                p = ind.probability(cache, blob.bbox_center)
-                if p > p_min:
-                    edges.append((bi, p))
+            if not cache.individual_empty and cache.time_probability > 0:
+                usable.append((ind, cache))
+        if usable and blobs:
+            centers = np.array([b.bbox_center for b in blobs], np.float64)
+            est = np.array([c.estimated_px for _, c in usable], np.float64)
+            tdelta = np.array([c.local_tdelta for _, c in usable])
+            tprob = np.array([c.time_probability for _, c in usable])
+            d = np.hypot(centers[None, :, 0] - est[:, None, 0],
+                         centers[None, :, 1] - est[:, None, 1])
+            speed = d / tdelta[:, None] * (cm_per_pixel / max_speed)
+            P = tprob[:, None] / (1.0 + speed) ** 2
+            # rare manual/no-history fish use the scalar path (angle term)
+            for fi, (ind, cache) in enumerate(usable):
+                if cache.valid_frame:
+                    for bi, blob in enumerate(blobs):
+                        P[fi, bi] = ind.probability(cache, blob.bbox_center)
+            fi_idx, bi_idx = np.nonzero(P > p_min)
             if topk:
-                edges.sort(key=lambda e: -e[1])
-                edges = edges[: int(topk)]
-            for bi, p in edges:
-                paired.add(ind.identity, bi, p)
+                k = int(topk)
+                for fi in np.unique(fi_idx):
+                    sel = bi_idx[fi_idx == fi]
+                    if len(sel) > k:
+                        order = np.argsort(-P[fi, sel])
+                        drop = sel[order[k:]]
+                        P[fi, drop] = 0.0
+                fi_idx, bi_idx = np.nonzero(P > p_min)
+            for fi, bi in zip(fi_idx.tolist(), bi_idx.tolist()):
+                paired.add(usable[fi][0].identity, bi, float(P[fi, bi]))
 
         # --- manual matches ---------------------------------------------------
         assigned_fish: set[int] = set()
