@@ -1,0 +1,91 @@
+"""Visual-field kernel tests (reference VisualField semantics:
+512 bins, 130-deg symmetric FOV, 2 layers, fov falloff (1-d/max_d)^2)."""
+import numpy as np
+import pytest
+
+from trex_tpu.ops.raycast import FIELD_RESOLUTION, visual_field
+from trex_tpu.track.visual_field import tesselate_outline
+
+
+def _square(cx, cy, r=5.0, n=40):
+    t = np.linspace(0, 2 * np.pi, n, endpoint=False)
+    return np.stack([cx + r * np.cos(t), cy + r * np.sin(t)], 1).astype(np.float32)
+
+
+def test_single_object_straight_ahead():
+    # one eye at origin looking +x; a target circle at (100, 0)
+    target = _square(100, 0, r=5)
+    pts = target
+    ids = np.full(len(pts), 7, np.int32)
+    valid = np.ones(len(pts), bool)
+    eye_pos = np.zeros((1, 2, 2), np.float32)
+    eye_angle = np.zeros((1, 2), np.float32)
+    out = visual_field(pts, ids, valid, eye_pos, eye_angle,
+                       np.float32(1000.0))
+    d0 = np.asarray(out["depth0"])[0, 0]
+    i0 = np.asarray(out["id0"])[0, 0]
+    mid = FIELD_RESOLUTION // 2
+    # nearest point of the circle is at distance 95 straight ahead
+    assert d0[mid] == pytest.approx(95.0, abs=1.0)
+    assert i0[mid] == 7
+    # bins far outside the target's angular extent are empty
+    assert i0[5] == -1 and i0[-5] == -1
+    fov0 = np.asarray(out["fov0"])[0, 0]
+    expect = (1 - 95.0 / 1000.0) ** 2 * 255
+    assert abs(int(fov0[mid]) - int(expect)) <= 3
+
+
+def test_occlusion_two_layers():
+    near = _square(50, 0, r=5)
+    far = _square(120, 0, r=5)
+    pts = np.concatenate([near, far])
+    ids = np.concatenate([np.full(len(near), 1), np.full(len(far), 2)]) \
+        .astype(np.int32)
+    valid = np.ones(len(pts), bool)
+    eye_pos = np.zeros((1, 2, 2), np.float32)
+    eye_angle = np.zeros((1, 2), np.float32)
+    out = visual_field(pts, ids, valid, eye_pos, eye_angle, np.float32(1000.0))
+    mid = FIELD_RESOLUTION // 2
+    assert np.asarray(out["id0"])[0, 0, mid] == 1  # near wins layer 0
+    assert np.asarray(out["id1"])[0, 0, mid] == 2  # far shows in layer 1
+    assert np.asarray(out["depth1"])[0, 0, mid] > \
+        np.asarray(out["depth0"])[0, 0, mid]
+
+
+def test_fov_limits():
+    # object behind the eye is invisible
+    behind = _square(-100, 0, r=5)
+    ids = np.zeros(len(behind), np.int32)
+    valid = np.ones(len(behind), bool)
+    eye_pos = np.zeros((1, 2, 2), np.float32)
+    eye_angle = np.zeros((1, 2), np.float32)
+    out = visual_field(behind, ids, valid, eye_pos, eye_angle,
+                       np.float32(1000.0))
+    assert (np.asarray(out["id0"])[0] == -1).all()
+
+
+def test_tesselate_outline_spacing():
+    sq = np.array([[0, 0], [20, 0], [20, 20], [0, 20]], np.float32)
+    t = tesselate_outline(sq, 5.0)
+    d = np.hypot(*np.diff(np.vstack([t, t[:1]]), axis=0).T)
+    assert d.max() <= 5.0 + 1e-5
+    assert len(t) >= 16
+
+
+def test_e2e_visual_fields_on_fixture(tmp_path):
+    from pathlib import Path
+
+    if not Path("/root/reference/videos/test_frames").exists():
+        pytest.skip("fixture not available")
+    from tests.test_e2e import _convert_range
+    from trex_tpu.track.visual_field import compute_visual_fields
+
+    tracker, s = _convert_range(tmp_path, 5)
+    res = compute_visual_fields(tracker, 2, s)
+    assert res is not None
+    ids, fields = res
+    assert len(ids) >= 6
+    assert fields["depth0"].shape == (len(ids), 2, FIELD_RESOLUTION)
+    # each fish should see at least one other fish somewhere
+    seen = (fields["id0"] >= 0).any(axis=(1, 2))
+    assert seen.mean() > 0.5
