@@ -1,0 +1,139 @@
+"""YOLO backend tests: model shapes, decode math, mask processing,
+blob conversion (reference trex_yolo.py / YOLO.cpp semantics)."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from trex_tpu.detect.yolo import (
+    Detections,
+    boxes_to_blobs,
+    masks_to_blobs,
+    process_mask,
+    scale_boxes_back,
+)
+from trex_tpu.models.yolo import (
+    YOLOv8,
+    decode_predictions,
+    dfl_decode,
+    dist2bbox,
+    make_anchors,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = YOLOv8(num_classes=3, scale="n", task="detect")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return model, variables
+
+
+def test_model_output_shapes(tiny_model):
+    model, variables = tiny_model
+    out = model.apply(variables, jnp.zeros((2, 64, 64, 3)), train=False)
+    assert out["shapes"] == ((8, 8), (4, 4), (2, 2))
+    assert out["boxes"][0].shape == (2, 8, 8, 64)  # 4*reg_max
+    assert out["classes"][0].shape == (2, 8, 8, 3)
+    dec = decode_predictions(out, 3)
+    n = 8 * 8 + 4 * 4 + 2 * 2
+    assert dec["boxes"].shape == (2, n, 4)
+    assert dec["conf"].shape == (2, n)
+
+
+def test_segment_head_shapes():
+    model = YOLOv8(num_classes=2, scale="n", task="segment")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    assert out["proto"].shape == (1, 16, 16, 32)
+    dec = decode_predictions(out, 2)
+    assert dec["mask_coeffs"].shape[-1] == 32
+
+
+def test_pose_head_shapes():
+    model = YOLOv8(num_classes=1, scale="n", task="pose", num_keypoints=5)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    dec = decode_predictions(out, 1)
+    assert dec["keypoints"].shape[2:] == (5, 3)
+
+
+def test_dfl_decode_expectation():
+    # one-hot logits at bin 7 -> distance 7
+    logits = np.full((1, 4 * 16), -1e9, np.float32)
+    for d in range(4):
+        logits[0, d * 16 + 7] = 1e9
+    out = np.asarray(dfl_decode(jnp.asarray(logits)))
+    np.testing.assert_allclose(out[0], [7, 7, 7, 7], atol=1e-4)
+
+
+def test_anchors_and_dist2bbox():
+    anchors, strides = make_anchors([(2, 2)], strides=(8,))
+    assert anchors.shape == (4, 2)
+    np.testing.assert_allclose(np.asarray(anchors[0]), [0.5, 0.5])
+    ltrb = jnp.asarray([[1.0, 1.0, 2.0, 2.0]] * 4)
+    boxes = np.asarray(dist2bbox(ltrb, anchors, strides))
+    # first anchor (0.5, 0.5) stride 8: box = (-4, -4, 20, 20)
+    np.testing.assert_allclose(boxes[0], [-4, -4, 20, 20])
+
+
+def test_scale_boxes_back_letterbox():
+    # 100x200 image letterboxed into 640x640: gain 3.2, pad y = 160
+    boxes = np.array([[0.0, 160.0, 640.0, 480.0]])
+    out = scale_boxes_back(boxes, (640, 640), (100, 200))
+    np.testing.assert_allclose(out[0], [0, 0, 200, 100], atol=1.0)
+
+
+def test_process_mask_crops_to_box():
+    mh = mw = 8
+    proto = np.zeros((mh, mw, 2), np.float32)
+    proto[:, :, 0] = 10.0  # coefficient 1 on channel 0 -> all sigmoid(10)
+    coeffs = np.array([[1.0, 0.0]])
+    boxes = np.array([[8.0, 8.0, 24.0, 24.0]])  # in 32x32 input coords
+    masks = process_mask(proto, coeffs, boxes, (32, 32))
+    assert masks.shape == (1, 8, 8)
+    assert masks[0, 3, 3]  # inside box
+    assert not masks[0, 0, 0]  # cropped away
+
+
+def test_boxes_to_blobs(settings):
+    img = np.full((50, 60), 100, np.uint8)
+    det = Detections(boxes=np.array([[10.0, 10.0, 20.0, 18.0]]),
+                     conf=np.array([0.9]), clid=np.array([2]))
+    blobs = boxes_to_blobs(det, img, settings)
+    assert len(blobs) == 1
+    b = blobs[0]
+    assert b.bounds == (10, 10, 11, 8)
+    assert b.prediction["clid"] == 2
+    assert (b.pixels == 100).all()
+
+
+def test_masks_to_blobs(settings):
+    img = np.full((20, 20), 50, np.uint8)
+    mask = np.zeros((20, 20), bool)
+    mask[5:10, 5:15] = True
+    det = Detections(boxes=np.array([[5.0, 5.0, 15.0, 10.0]]),
+                     conf=np.array([0.8]), clid=np.array([0]))
+    blobs = masks_to_blobs(det, img, mask[None], settings)
+    assert len(blobs) == 1
+    assert blobs[0].num_pixels == 50
+    assert blobs[0].flags & 0x4  # instance segmentation flag
+
+
+def test_detection_registry(settings):
+    from trex_tpu.detect.base import create_detection
+
+    settings.set("detect_type", "none")
+    backend = create_detection(settings)
+    img = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    blobs = backend.apply(0, img)
+    assert len(blobs) == 1
+    assert blobs[0].num_pixels == 12
+
+    settings.set("detect_type", "background_subtraction")
+    backend = create_detection(settings, background=np.full((3, 4), 10,
+                                                            np.uint8))
+    assert backend.apply(0, img) is not None

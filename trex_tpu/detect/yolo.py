@@ -1,0 +1,302 @@
+"""YOLO detection backend: tiling -> JAX model -> merge -> blobs.
+
+Re-creates the reference's YOLO path (python/YOLO.cpp + trex_yolo.py):
+- letterbox / SAHI tiles feed the flax YOLOv8 model (models/yolo.py)
+- boxes scaled back to video coordinates (scale_boxes semantics,
+  trex_yolo.py:26-69)
+- tile merge: GreedyNMM IOS groups or per-class NMS (detect/tiling.py)
+- results convert to blobs: boxes become full-rectangle masks with image
+  pixels (YOLO.cpp process_boxes_only :980), instance masks become RLE
+  lines (process_instance_segmentation :1090, process_mask
+  trex_yolo.py:71-101), keypoints attach as poses.
+"""
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..ops.labeling import label_blobs
+from ..track.blob import TrackBlob
+from .tiling import (
+    compute_tile_bounds,
+    compute_tile_merge_groups,
+    compute_tile_nms_indices,
+)
+
+
+@dataclass
+class Detections:
+    """Flat per-frame detection rows in video coordinates."""
+    boxes: np.ndarray  # (N, 4) xyxy
+    conf: np.ndarray  # (N,)
+    clid: np.ndarray  # (N,) int
+    keypoints: Optional[np.ndarray] = None  # (N, K, 3)
+    masks: Optional[np.ndarray] = None  # (N, h, w) bool, video coords
+    angles: Optional[np.ndarray] = None  # (N,) rad for OBB
+
+    def __len__(self):
+        return len(self.boxes)
+
+
+def letterbox_params(src_hw, dst_hw):
+    """gain + (pad_x, pad_y) as in scale_boxes (trex_yolo.py:46-52)."""
+    gain = min(dst_hw[0] / src_hw[0], dst_hw[1] / src_hw[1])
+    pad = (round((dst_hw[1] - src_hw[1] * gain) / 2 - 0.1),
+           round((dst_hw[0] - src_hw[0] * gain) / 2 - 0.1))
+    return gain, pad
+
+
+def scale_boxes_back(boxes: np.ndarray, src_hw, dst_hw) -> np.ndarray:
+    """Undo letterboxing: model-input xyxy -> original-image xyxy."""
+    gain, pad = letterbox_params(dst_hw, src_hw)
+    out = boxes.astype(np.float64).copy()
+    out[:, [0, 2]] -= pad[0]
+    out[:, [1, 3]] -= pad[1]
+    out /= gain
+    out[:, [0, 2]] = np.clip(out[:, [0, 2]], 0, dst_hw[1])
+    out[:, [1, 3]] = np.clip(out[:, [1, 3]], 0, dst_hw[0])
+    return out
+
+
+def process_mask(proto: np.ndarray, coeffs: np.ndarray,
+                 boxes: np.ndarray, input_hw) -> np.ndarray:
+    """(n, mh, mw) binary masks cropped to their boxes
+    (trex_yolo.py:71-101)."""
+    mh, mw, c = proto.shape
+    masks = coeffs.astype(np.float32) @ proto.reshape(mh * mw, c).T
+    masks = 1.0 / (1.0 + np.exp(-masks))
+    masks = masks.reshape(-1, mh, mw)
+    ih, iw = input_hw
+    sx, sy = mw / iw, mh / ih
+    for i, (x0, y0, x1, y1) in enumerate(boxes):
+        bx0, by0 = int(max(0, x0 * sx)), int(max(0, y0 * sy))
+        bx1 = int(min(mw, math.ceil(x1 * sx)))
+        by1 = int(min(mh, math.ceil(y1 * sy)))
+        crop = np.zeros((mh, mw), np.float32)
+        crop[by0:by1, bx0:bx1] = masks[i, by0:by1, bx0:bx1]
+        masks[i] = crop
+    return masks > 0.5
+
+
+class YOLODetector:
+    """Runs the flax YOLOv8 model over letterboxed frames or SAHI tiles."""
+
+    def __init__(self, settings, params=None, batch_stats=None,
+                 scale: str = "n", task: str = "detect",
+                 num_classes: int = 80, input_size: int = 640,
+                 num_keypoints: int = 17):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.yolo import YOLOv8, decode_predictions
+
+        self.settings = settings
+        self.task = task
+        self.num_classes = num_classes
+        self.input_size = input_size
+        self.model = YOLOv8(num_classes=num_classes, scale=scale, task=task,
+                            num_keypoints=num_keypoints)
+        if params is None:
+            variables = self.model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, input_size, input_size, 3), jnp.float32))
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats")
+        self.params = params
+        self.batch_stats = batch_stats
+
+        conf_t = settings["detect_conf_threshold"]
+
+        @jax.jit
+        def infer(images):
+            variables = {"params": self.params}
+            if self.batch_stats is not None:
+                variables["batch_stats"] = self.batch_stats
+            out = self.model.apply(variables, images, train=False)
+            return decode_predictions(out, num_classes)
+
+        self._infer = infer
+        self._conf_threshold = float(conf_t if conf_t else 0.1)
+
+    # ------------------------------------------------------------------
+    def _prepare(self, image: np.ndarray, size: int):
+        import cv2
+
+        h, w = image.shape[:2]
+        gain = min(size / h, size / w)
+        nw, nh = int(round(w * gain)), int(round(h * gain))
+        resized = cv2.resize(image, (nw, nh))
+        canvas = np.full((size, size, 3), 114, np.uint8)
+        px = (size - nw) // 2
+        py = (size - nh) // 2
+        if resized.ndim == 2:
+            resized = cv2.cvtColor(resized, cv2.COLOR_GRAY2BGR)
+        canvas[py : py + nh, px : px + nw] = resized
+        return canvas
+
+    def detect(self, image: np.ndarray) -> Detections:
+        """Full-frame (letterboxed) or tiled detection in video coords."""
+        s = self.settings
+        h, w = image.shape[:2]
+        tiles = compute_tile_bounds(
+            (w, h), (self.input_size, self.input_size),
+            int(s["detect_tile_target_width"] or 0),
+            int(s["detect_tile_image"] or 0),
+            float(s["detect_tile_overlap"] or 0.0))
+        if not tiles:
+            return self._detect_single(image)
+        all_boxes, all_conf, all_clid, all_kp = [], [], [], []
+        for (tx, ty, tw, th) in tiles:
+            crop = image[int(ty) : int(ty + th), int(tx) : int(tx + tw)]
+            det = self._detect_single(crop)
+            det.boxes[:, [0, 2]] += tx
+            det.boxes[:, [1, 3]] += ty
+            if det.keypoints is not None:
+                det.keypoints[..., 0] += tx
+                det.keypoints[..., 1] += ty
+                all_kp.append(det.keypoints)
+            all_boxes.append(det.boxes)
+            all_conf.append(det.conf)
+            all_clid.append(det.clid)
+        boxes = np.concatenate(all_boxes) if all_boxes else np.zeros((0, 4))
+        conf = np.concatenate(all_conf) if all_conf else np.zeros(0)
+        clid = np.concatenate(all_clid) if all_clid else np.zeros(0, int)
+        kp = np.concatenate(all_kp) if all_kp else None
+        det = Detections(boxes, conf, clid, keypoints=kp)
+        return merge_tile_detections(det, self.settings)
+
+    def _detect_single(self, image: np.ndarray) -> Detections:
+        import numpy as np
+
+        h, w = image.shape[:2]
+        canvas = self._prepare(image, self.input_size)
+        out = self._infer(canvas[None].astype(np.float32))
+        boxes = np.asarray(out["boxes"][0])
+        conf = np.asarray(out["conf"][0])
+        clid = np.asarray(out["clid"][0])
+        keep = conf >= self._conf_threshold
+        boxes, conf, clid = boxes[keep], conf[keep], clid[keep]
+        # intra-frame NMS (ultralytics default iou 0.7)
+        iou = self.settings["detect_iou_threshold"]
+        sel = compute_tile_nms_indices(boxes, conf, clid,
+                                       float(iou) if iou else 0.7)
+        boxes, conf, clid = boxes[sel], conf[sel], clid[sel]
+        boxes = scale_boxes_back(boxes, (self.input_size, self.input_size),
+                                 (h, w))
+        kp = None
+        if "keypoints" in out:
+            kp = np.asarray(out["keypoints"][0])[keep][sel]
+            gain, pad = letterbox_params((h, w),
+                                         (self.input_size, self.input_size))
+            kp[..., 0] = (kp[..., 0] - pad[0]) / gain
+            kp[..., 1] = (kp[..., 1] - pad[1]) / gain
+        masks = None
+        if "mask_coeffs" in out:
+            coeffs = np.asarray(out["mask_coeffs"][0])[keep][sel]
+            proto = np.asarray(out["proto"][0])
+            # boxes are in video coords; map back to model-input coords
+            gain, pad = letterbox_params((h, w),
+                                         (self.input_size, self.input_size))
+            input_boxes = boxes * gain
+            input_boxes[:, [0, 2]] += pad[0]
+            input_boxes[:, [1, 3]] += pad[1]
+            masks = process_mask(proto, coeffs, input_boxes,
+                                 (self.input_size, self.input_size))
+        return Detections(boxes, conf, clid, keypoints=kp, masks=masks)
+
+
+def merge_tile_detections(det: Detections, settings) -> Detections:
+    """SAHI postprocess across tiles (YOLO.cpp tile merge path)."""
+    if len(det) == 0:
+        return det
+    method = settings["detect_tile_merge_method"] \
+        if "detect_tile_merge_method" in settings else "nmm"
+    if method in ("nmm", "greedy_nmm", None, True):
+        groups = compute_tile_merge_groups(
+            det.boxes, det.conf, det.clid,
+            float(settings["detect_tile_merge_containment"] or 0.5))
+        boxes, conf, clid, kps = [], [], [], []
+        for g in groups:
+            src = det.boxes[g.source_indices]
+            boxes.append([src[:, 0].min(), src[:, 1].min(),
+                          src[:, 2].max(), src[:, 3].max()])
+            conf.append(det.conf[g.representative_index])
+            clid.append(det.clid[g.representative_index])
+            if det.keypoints is not None:
+                kps.append(det.keypoints[g.representative_index])
+        return Detections(np.asarray(boxes, np.float64),
+                          np.asarray(conf), np.asarray(clid, int),
+                          keypoints=np.asarray(kps) if kps else None)
+    sel = compute_tile_nms_indices(
+        det.boxes, det.conf, det.clid,
+        float(settings["detect_tile_merge_iou"] or 0.55))
+    return Detections(det.boxes[sel], det.conf[sel], det.clid[sel],
+                      keypoints=det.keypoints[sel]
+                      if det.keypoints is not None else None)
+
+
+# ---------------------------------------------------------------------------
+# detections -> blobs (pv objects)
+# ---------------------------------------------------------------------------
+
+def boxes_to_blobs(det: Detections, image: np.ndarray,
+                   settings) -> list[TrackBlob]:
+    """process_boxes_only (YOLO.cpp:980-1090): each box becomes a blob of
+    full horizontal lines carrying the image pixels + class prediction."""
+    h, w = image.shape[:2]
+    out = []
+    only = settings["detect_only_classes"]
+    for i in range(len(det)):
+        if only and int(det.clid[i]) not in _allowed(only):
+            continue
+        x0, y0, x1, y1 = det.boxes[i]
+        x0 = int(max(0, min(w - 1, x0)))
+        x1 = int(max(0, min(w - 1, x1)))
+        y0 = int(max(0, min(h - 1, y0)))
+        y1 = int(max(0, min(h, y1)))
+        if x1 <= x0 or y1 <= y0:
+            continue
+        lines = np.array([[y, x0, x1] for y in range(y0, y1)], np.int32)
+        px = image[y0:y1, x0 : x1 + 1].reshape(-1)
+        blob = TrackBlob(lines, px)
+        blob.prediction = {"clid": int(det.clid[i]),
+                           "p": float(det.conf[i]),
+                           "keypoints": None if det.keypoints is None
+                           else det.keypoints[i]}
+        out.append(blob)
+    return out
+
+
+def masks_to_blobs(det: Detections, image: np.ndarray, masks: np.ndarray,
+                   settings) -> list[TrackBlob]:
+    """process_instance_segmentation: binary masks -> RLE-line blobs."""
+    import cv2
+
+    h, w = image.shape[:2]
+    out = []
+    for i in range(len(det)):
+        m = masks[i]
+        if m.shape != (h, w):
+            m = cv2.resize(m.astype(np.uint8), (w, h),
+                           interpolation=cv2.INTER_NEAREST)
+        comps = label_blobs((m > 0).astype(np.uint8) * 255)
+        if not comps:
+            continue
+        big = max(comps, key=lambda c: c.num_pixels)
+        px = np.concatenate([image[y, a : b + 1]
+                             for y, a, b in big.lines])
+        blob = TrackBlob(big.lines, px,
+                         flags=0x4)  # is_instance_segmentation
+        blob.prediction = {"clid": int(det.clid[i]),
+                           "p": float(det.conf[i]), "keypoints": None}
+        out.append(blob)
+    return out
+
+
+def _allowed(only_classes) -> set:
+    if isinstance(only_classes, (list, tuple, set)):
+        return {int(x) for x in only_classes}
+    return set()

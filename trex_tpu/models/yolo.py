@@ -1,0 +1,329 @@
+"""YOLOv8-family detection models in flax (NHWC, bfloat16 compute).
+
+Replaces the reference's embedded-ultralytics path (python/trex_yolo.py,
+python/bbx_saved_model.py): same architecture family so ultralytics
+`.pt` weights convert 1:1 (see yolo_convert.py):
+
+  backbone: Conv stem -> C2f stages -> SPPF
+  neck:     PAN-FPN over P3/P4/P5
+  heads:    Detect (DFL reg_max=16 + cls), Segment (+32 proto masks),
+            Pose (keypoints), OBB (+angle)
+
+Decoding (dist2bbox over per-level anchors, DFL expectation, sigmoid
+class scores) matches ultralytics' inference path so downstream SAHI
+merge + blob conversion behave like the reference (YOLO.cpp:754-1190).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+SCALES = {
+    # depth, width, max_channels — ultralytics yolov8 scales
+    "n": (1 / 3, 0.25, 1024),
+    "s": (1 / 3, 0.50, 1024),
+    "m": (2 / 3, 0.75, 768),
+    "l": (1.0, 1.00, 512),
+    "x": (1.0, 1.25, 512),
+}
+
+
+def _make_divisible(x: float, divisor: int = 8) -> int:
+    return max(divisor, int(round(x / divisor) * divisor))
+
+
+class ConvBNSiLU(nn.Module):
+    features: int
+    kernel: int = 1
+    stride: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pad = self.kernel // 2
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((pad, pad), (pad, pad)), use_bias=False,
+                    dtype=self.dtype, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.97,
+                         epsilon=1e-3, dtype=jnp.float32, name="bn")(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBNSiLU(self.features, 3, dtype=self.dtype, name="cv1")(x, train)
+        y = ConvBNSiLU(self.features, 3, dtype=self.dtype, name="cv2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    features: int
+    n: int = 1
+    shortcut: bool = False
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        y = ConvBNSiLU(2 * c, 1, dtype=self.dtype, name="cv1")(x, train)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(Bottleneck(c, self.shortcut, dtype=self.dtype,
+                                    name=f"m{i}")(parts[-1], train))
+        return ConvBNSiLU(self.features, 1, dtype=self.dtype,
+                          name="cv2")(jnp.concatenate(parts, -1), train)
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.features // 2
+        x = ConvBNSiLU(c, 1, dtype=self.dtype, name="cv1")(x, train)
+        pools = [x]
+        for _ in range(3):
+            pools.append(nn.max_pool(pools[-1], (5, 5), strides=(1, 1),
+                                     padding=((2, 2), (2, 2))))
+        return ConvBNSiLU(self.features, 1, dtype=self.dtype,
+                          name="cv2")(jnp.concatenate(pools, -1), train)
+
+
+class Backbone(nn.Module):
+    depth: float
+    width: float
+    max_channels: int
+    dtype: Any = jnp.bfloat16
+
+    def ch(self, c):
+        return _make_divisible(min(c, self.max_channels) * self.width)
+
+    def nd(self, n):
+        return max(1, round(n * self.depth))
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        x = ConvBNSiLU(self.ch(64), 3, 2, dtype=d, name="stem")(x, train)
+        x = ConvBNSiLU(self.ch(128), 3, 2, dtype=d, name="down1")(x, train)
+        x = C2f(self.ch(128), self.nd(3), True, dtype=d, name="c2f1")(x, train)
+        x = ConvBNSiLU(self.ch(256), 3, 2, dtype=d, name="down2")(x, train)
+        p3 = C2f(self.ch(256), self.nd(6), True, dtype=d, name="c2f2")(x, train)
+        x = ConvBNSiLU(self.ch(512), 3, 2, dtype=d, name="down3")(p3, train)
+        p4 = C2f(self.ch(512), self.nd(6), True, dtype=d, name="c2f3")(x, train)
+        x = ConvBNSiLU(self.ch(1024), 3, 2, dtype=d, name="down4")(p4, train)
+        x = C2f(self.ch(1024), self.nd(3), True, dtype=d, name="c2f4")(x, train)
+        p5 = SPPF(self.ch(1024), dtype=d, name="sppf")(x, train)
+        return p3, p4, p5
+
+
+class PANNeck(nn.Module):
+    depth: float
+    width: float
+    max_channels: int
+    dtype: Any = jnp.bfloat16
+
+    def ch(self, c):
+        return _make_divisible(min(c, self.max_channels) * self.width)
+
+    def nd(self, n):
+        return max(1, round(n * self.depth))
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        p3, p4, p5 = feats
+        d = self.dtype
+
+        def up(x):
+            b, h, w, c = x.shape
+            return jax.image.resize(x, (b, h * 2, w * 2, c), "nearest")
+
+        x = jnp.concatenate([up(p5), p4], -1)
+        n4 = C2f(self.ch(512), self.nd(3), False, dtype=d, name="up_c2f1")(x, train)
+        x = jnp.concatenate([up(n4), p3], -1)
+        n3 = C2f(self.ch(256), self.nd(3), False, dtype=d, name="up_c2f2")(x, train)
+        x = ConvBNSiLU(self.ch(256), 3, 2, dtype=d, name="down_conv1")(n3, train)
+        x = jnp.concatenate([x, n4], -1)
+        n4b = C2f(self.ch(512), self.nd(3), False, dtype=d, name="down_c2f1")(x, train)
+        x = ConvBNSiLU(self.ch(512), 3, 2, dtype=d, name="down_conv2")(n4b, train)
+        x = jnp.concatenate([x, p5], -1)
+        n5 = C2f(self.ch(1024), self.nd(3), False, dtype=d, name="down_c2f2")(x, train)
+        return n3, n4b, n5
+
+
+class DetectHead(nn.Module):
+    """Per-level box-regression (DFL) + classification branches."""
+    num_classes: int
+    reg_max: int = 16
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, feats, train: bool = False):
+        box_out, cls_out = [], []
+        c2 = max(16, feats[0].shape[-1] // 4, self.reg_max * 4)
+        c3 = max(feats[0].shape[-1], min(self.num_classes, 100))
+        for i, f in enumerate(feats):
+            b = ConvBNSiLU(c2, 3, dtype=self.dtype, name=f"box{i}_0")(f, train)
+            b = ConvBNSiLU(c2, 3, dtype=self.dtype, name=f"box{i}_1")(b, train)
+            b = nn.Conv(4 * self.reg_max, (1, 1), dtype=jnp.float32,
+                        name=f"box{i}_2")(b)
+            c = ConvBNSiLU(c3, 3, dtype=self.dtype, name=f"cls{i}_0")(f, train)
+            c = ConvBNSiLU(c3, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
+            c = nn.Conv(self.num_classes, (1, 1), dtype=jnp.float32,
+                        name=f"cls{i}_2")(c)
+            box_out.append(b)
+            cls_out.append(c)
+        return box_out, cls_out
+
+
+def make_anchors(shapes: Sequence[tuple], strides=(8, 16, 32),
+                 offset: float = 0.5):
+    """Anchor centers (N,2) + per-anchor stride (N,) for the given
+    per-level (h, w) shapes."""
+    pts, strs = [], []
+    for (h, w), s in zip(shapes, strides):
+        xs = (jnp.arange(w, dtype=jnp.float32) + offset)
+        ys = (jnp.arange(h, dtype=jnp.float32) + offset)
+        gx, gy = jnp.meshgrid(xs, ys)
+        pts.append(jnp.stack([gx.reshape(-1), gy.reshape(-1)], -1))
+        strs.append(jnp.full((h * w,), s, jnp.float32))
+    return jnp.concatenate(pts), jnp.concatenate(strs)
+
+
+def dfl_decode(box_logits: jax.Array, reg_max: int = 16) -> jax.Array:
+    """Distribution-focal decoding: softmax expectation over reg_max bins.
+    box_logits: (..., 4*reg_max) -> (..., 4) ltrb distances."""
+    shape = box_logits.shape[:-1]
+    x = box_logits.reshape(*shape, 4, reg_max)
+    p = jax.nn.softmax(x, axis=-1)
+    bins = jnp.arange(reg_max, dtype=jnp.float32)
+    return (p * bins).sum(-1)
+
+
+def dist2bbox(ltrb: jax.Array, anchors: jax.Array,
+              strides: jax.Array) -> jax.Array:
+    """ltrb distances (anchor units) -> xyxy boxes in input pixels."""
+    x0 = (anchors[:, 0] - ltrb[..., 0]) * strides
+    y0 = (anchors[:, 1] - ltrb[..., 1]) * strides
+    x1 = (anchors[:, 0] + ltrb[..., 2]) * strides
+    y1 = (anchors[:, 1] + ltrb[..., 3]) * strides
+    return jnp.stack([x0, y0, x1, y1], -1)
+
+
+class YOLOv8(nn.Module):
+    """Full model; task in {detect, segment, pose, obb}."""
+    num_classes: int = 80
+    scale: str = "n"
+    task: str = "detect"
+    reg_max: int = 16
+    num_keypoints: int = 17
+    kpt_dims: int = 3
+    num_masks: int = 32
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        depth, width, maxc = SCALES[self.scale]
+        x = x.astype(self.dtype) / 255.0
+        feats = Backbone(depth, width, maxc, dtype=self.dtype,
+                         name="backbone")(x, train)
+        feats = PANNeck(depth, width, maxc, dtype=self.dtype,
+                        name="neck")(feats, train)
+        box_out, cls_out = DetectHead(self.num_classes, self.reg_max,
+                                      dtype=self.dtype,
+                                      name="detect")(feats, train)
+        out = {"boxes": box_out, "classes": cls_out,
+               "shapes": tuple(f.shape[1:3] for f in feats)}
+        if self.task == "segment":
+            mc = []
+            proto_in = feats[0]
+            for i, f in enumerate(feats):
+                m = ConvBNSiLU(max(self.num_masks, f.shape[-1] // 4), 3,
+                               dtype=self.dtype, name=f"mask{i}_0")(f, train)
+                m = nn.Conv(self.num_masks, (1, 1), dtype=jnp.float32,
+                            name=f"mask{i}_1")(m)
+                mc.append(m)
+            p = ConvBNSiLU(proto_in.shape[-1], 3, dtype=self.dtype,
+                           name="proto_cv1")(proto_in, train)
+            b, h, w, c = p.shape
+            p = jax.image.resize(p, (b, h * 2, w * 2, c), "nearest")
+            p = ConvBNSiLU(proto_in.shape[-1], 3, dtype=self.dtype,
+                           name="proto_cv2")(p, train)
+            p = nn.Conv(self.num_masks, (1, 1), dtype=jnp.float32,
+                        name="proto_out")(p)
+            out["mask_coeffs"] = mc
+            out["proto"] = p
+        elif self.task == "pose":
+            kp = []
+            nk = self.num_keypoints * self.kpt_dims
+            for i, f in enumerate(feats):
+                k = ConvBNSiLU(max(nk, f.shape[-1] // 4), 3,
+                               dtype=self.dtype, name=f"kpt{i}_0")(f, train)
+                k = nn.Conv(nk, (1, 1), dtype=jnp.float32,
+                            name=f"kpt{i}_1")(k)
+                kp.append(k)
+            out["keypoints"] = kp
+        elif self.task == "obb":
+            ao = []
+            for i, f in enumerate(feats):
+                a = ConvBNSiLU(max(16, f.shape[-1] // 4), 3,
+                               dtype=self.dtype, name=f"ang{i}_0")(f, train)
+                a = nn.Conv(1, (1, 1), dtype=jnp.float32,
+                            name=f"ang{i}_1")(a)
+                ao.append(a)
+            out["angles"] = ao
+        return out
+
+
+def decode_predictions(out: dict, num_classes: int, reg_max: int = 16,
+                       conf_threshold: float = 0.1,
+                       strides=(8, 16, 32)) -> dict:
+    """Flatten per-level outputs into (B, N, ...) decoded predictions."""
+    shapes = out["shapes"]
+    anchors, strd = make_anchors(shapes, strides)
+    B = out["boxes"][0].shape[0]
+    box_flat = jnp.concatenate(
+        [b.reshape(B, -1, 4 * reg_max) for b in out["boxes"]], 1)
+    cls_flat = jnp.concatenate(
+        [c.reshape(B, -1, num_classes) for c in out["classes"]], 1)
+    ltrb = dfl_decode(box_flat, reg_max)
+    boxes = dist2bbox(ltrb, anchors, strd)
+    scores = jax.nn.sigmoid(cls_flat)
+    conf = scores.max(-1)
+    clid = scores.argmax(-1)
+    decoded = {"boxes": boxes, "conf": conf, "clid": clid,
+               "scores": scores}
+    if "keypoints" in out:
+        kp_flat = jnp.concatenate(
+            [k.reshape(B, k.shape[1] * k.shape[2], -1)
+             for k in out["keypoints"]], 1)
+        nk = kp_flat.shape[-1] // 3
+        kp = kp_flat.reshape(B, -1, nk, 3)
+        kx = (kp[..., 0] * 2.0 + (anchors[None, :, None, 0] - 0.5)) \
+            * strd[None, :, None]
+        ky = (kp[..., 1] * 2.0 + (anchors[None, :, None, 1] - 0.5)) \
+            * strd[None, :, None]
+        kconf = jax.nn.sigmoid(kp[..., 2])
+        decoded["keypoints"] = jnp.stack([kx, ky, kconf], -1)
+    if "mask_coeffs" in out:
+        decoded["mask_coeffs"] = jnp.concatenate(
+            [m.reshape(B, -1, m.shape[-1]) for m in out["mask_coeffs"]], 1)
+        decoded["proto"] = out["proto"]
+    if "angles" in out:
+        ang = jnp.concatenate(
+            [a.reshape(B, -1) for a in out["angles"]], 1)
+        decoded["angles"] = (jax.nn.sigmoid(ang) - 0.25) * jnp.pi
+    return decoded
