@@ -1,0 +1,105 @@
+"""Auxiliary subsystem tests: events, border, FOI, timing, memory."""
+import math
+
+import numpy as np
+import pytest
+
+from trex_tpu.track.border import Border
+from trex_tpu.track.events import crosses_abs_height, detect_events
+from trex_tpu.track.foi import FOIStore
+from trex_tpu.utils import Timing, TimingStatsCollector, memory_stats
+
+
+def test_crosses_abs_height():
+    assert crosses_abs_height(0.05, 0.12, 0.09) == 1
+    assert crosses_abs_height(-0.05, -0.2, 0.09) == -1
+    assert crosses_abs_height(0.01, 0.05, 0.09) == 0
+    assert crosses_abs_height(float("nan"), 0.5, 0.09) == 0
+
+
+def test_detect_events_from_synthetic_midlines():
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track import Individual
+    from trex_tpu.track.individual import PostureStuff
+    from trex_tpu.track.posture import Midline
+    from tests.test_tracking import _blob_at
+
+    s = reset_global_settings()
+    s.set("frame_rate", 25)
+    ind = Individual(0, s)
+    # sinusoidal tail offset: two strong beats over 50 frames
+    for f in range(50):
+        ind.add(f, f / 25, _blob_at(10 + f, 10))
+        o = 0.3 * math.sin(f / 4.0) if 10 <= f <= 40 else 0.0
+        # midline along +x with tail deflection o (radians)
+        segs = np.stack([np.linspace(0, 20, 10),
+                         np.linspace(0, 20 * math.tan(o), 10)], 1)
+        mid = Midline(segments=segs, heights=np.ones(10), len=20.0,
+                      angle=0.0)
+        ind.add_posture(PostureStuff(frame=f, midline=mid,
+                                     midline_length=20.0,
+                                     midline_angle=0.0))
+    events = detect_events(ind, s)
+    assert events, "no tailbeat events detected"
+    total = sum(e.length for e in events)
+    assert 10 <= total <= 40
+    assert all(e.energy > 0 for e in events)
+
+
+def test_border_none_and_distance():
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    bg = np.full((100, 200), 255, np.uint8)
+    b = Border(s, bg)
+    assert b.in_recognition_bounds(50, 50)
+    assert b.distance(10, 50) == 10
+    assert b.distance(195, 50) == 5
+
+    s.set("recognition_border", "shapes")
+    s.set("recognition_shapes", [[[10, 10], [90, 90]]])
+    b = Border(s, bg)
+    assert b.in_recognition_bounds(50, 50)
+    assert not b.in_recognition_bounds(95, 95)
+
+
+def test_foi_store():
+    store = FOIStore()
+    seen = []
+    store.on_add(seen.append)
+    store.add("split_up", 5, fdx=[1, 2])
+    store.add("split_up", 6, fdx=[1, 2])  # contiguous, same ids -> merged
+    store.add("split_up", 20, fdx=[3])
+    fois = store.foi("split_up")
+    assert len(fois) == 2
+    assert fois[0].start == 5 and fois[0].end == 6
+    assert store.between("split_up", 0, 10)[0].fdx == frozenset({1, 2})
+    assert "split_up" in store.names()
+    assert seen
+
+
+def test_timing_collector():
+    t = Timing("unit_test", print_every=0)
+    with t:
+        pass
+    assert t.samples == 1
+    c = TimingStatsCollector()
+    with c.measure("PVLoad", frame=3):
+        pass
+    s = c.summary()
+    assert "PVLoad" in s and s["PVLoad"]["n"] == 1
+
+
+def test_memory_stats():
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.track import Tracker
+
+    s = _settings()
+    bg = np.full((50, 50), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    pp = tracker.preprocess_frame(0, [_blob_at(10, 10, value=100)], 0.0)
+    tracker.add(pp)
+    stats = memory_stats(tracker)
+    assert stats["total"] > 0
+    assert stats["background"] == 2500
+    assert 0 in stats["per_individual"]
