@@ -140,9 +140,18 @@ class HistorySplit:
             if want <= 1:
                 out.append(b)
                 continue
-            parts = split_blob(b, want, background, self.settings)
+            parts = []
+            while want >= 2 and not parts:
+                parts = split_blob(b, want, background, self.settings)
+                want -= 1
+            want += 1
             if not parts:
-                out.append(b)
+                if too_big and noise_sink is not None:
+                    # oversized blobs never become match candidates
+                    # unless split succeeds (FilterReason::SplitFailed)
+                    noise_sink.append(b)
+                else:
+                    out.append(b)
                 continue
             for i, p in enumerate(parts):
                 sized = fish_size.in_range_of_one(p.num_pixels * cm_sqr)

@@ -136,7 +136,12 @@ class Tracker:
                         mid = sum(fish_size.max_range) / 2 or 1.0
                         want = max(2, int(round(
                             b.recount(-1) / mid)) if mid else 2)
-                    parts = split_blob(b, want, self.background, s)
+                    # the size heuristic over-estimates for touching fish;
+                    # retry with fewer expected parts until a split works
+                    parts = []
+                    while want >= 2 and not parts:
+                        parts = split_blob(b, want, self.background, s)
+                        want -= 1
                     kept = False
                     for p in parts:
                         sz = p.num_pixels * cm * cm
