@@ -145,6 +145,8 @@ def main(argv=None) -> int:
         from ..pipeline import TrackingState
 
         state = TrackingState(s, pv_path, progress=progress)
+        auto_train = bool(s["auto_train"])
+        auto_apply = bool(s["auto_apply"])
         if load:
             from ..export.results import load_results
 
@@ -154,6 +156,9 @@ def main(argv=None) -> int:
         tracker = state.run()
         print(f"\n[track] tracked {len(state.pv)} frames, "
               f"{len(tracker.individuals)} individuals")
+        if auto_train or auto_apply:
+            _auto_train_apply(tracker, state, s, pv_path,
+                              train=auto_train)
         if auto_quit:
             _export(tracker, s, data_dir, name)
             if not s["auto_no_results"]:
@@ -164,6 +169,53 @@ def main(argv=None) -> int:
 
     print(f"unsupported task {task!r}", file=sys.stderr)
     return 1
+
+
+def _auto_train_apply(tracker, state, s, pv_path, train: bool):
+    """auto_train/auto_apply path (main.cpp:908-931): run the
+    accumulation curriculum (or load weights), then auto-correct
+    identities and re-track with the corrections."""
+    from ..ml import Accumulation, check_tracklets_identities
+
+    acc = Accumulation(tracker, s)
+    weights = pv_path.with_name(pv_path.stem + "_weights.npz")
+    if train:
+        print("[auto_train] running accumulation...")
+        result = acc.start()
+        print(f"[auto_train] uniqueness={result.final_uniqueness:.3f} "
+              f"steps={len(result.steps)} success={result.success}")
+        acc.trainer.save_weights(weights)
+    elif weights.exists():
+        acc.trainer.load_weights(weights)
+    else:
+        print(f"[auto_apply] no weights at {weights}", file=sys.stderr)
+        return
+
+    class _Net:
+        num_classes = acc.num_individuals
+
+        def probabilities(self, images):
+            return acc.trainer.predict(images)
+
+    matches, corrections = check_tracklets_identities(tracker, s, _Net())
+    print(f"[auto_correct] reassigned={corrections.reassigned} "
+          f"skipped={corrections.skipped} "
+          f"identities={len(corrections.ranges)}")
+    if corrections.reassigned:
+        existing = s["manual_matches"] or {}
+        merged = dict(existing)
+        for f, m in matches.items():
+            merged.setdefault(f, {}).update(
+                {str(k): v for k, v in m.items()})
+        s.set("manual_matches", merged, source="auto_correct")
+        print("[auto_correct] re-tracking with corrections...")
+        tracker.individuals.clear()
+        tracker.active.clear()
+        tracker._next_id = 0
+        tracker.start_frame = -1
+        tracker.manual_matches = merged
+        state.tracker = tracker
+        state.run()
 
 
 def _export(tracker, s, data_dir, name):
