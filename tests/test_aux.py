@@ -103,3 +103,69 @@ def test_memory_stats():
     assert stats["total"] > 0
     assert stats["background"] == 2500
     assert 0 in stats["per_individual"]
+
+
+def test_pv_fix_and_merge(tmp_path):
+    import numpy as np
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader, fix_file, merge_files
+
+    def make(path, n, ts0=0):
+        h = PVHeader(encoding="gray", width=16, height=16,
+                     average=np.full((16, 16), 99, np.uint8))
+        with PVFile.create(path, h) as f:
+            for i in range(n):
+                fr = PVFrame(timestamp=ts0 + 100 * (i + 1), source_index=i)
+                lines = np.array([[2, 3, 6]], np.int32)
+                fr.add_object(lines, np.full(4, 50, np.uint8))
+                f.add_frame(fr)
+
+    a, b = tmp_path / "a.pv", tmp_path / "b.pv"
+    make(a, 3)
+    make(b, 2)
+    out = tmp_path / "m.pv"
+    n = merge_files(out, [a, b])
+    assert n == 5
+    with PVFile.open(out) as f:
+        assert len(f) == 5
+        ts = [f.read_frame(i).timestamp for i in range(5)]
+        assert ts == sorted(ts)
+
+    # corrupt the middle of a.pv's data section and fix in place
+    data = bytearray(a.read_bytes())
+    with PVFile.open(a) as f:
+        off = f.header.index_table[1]
+    data[off + 2 : off + 6] = b"\xff\xff\xff\xff"
+    a.write_bytes(bytes(data))
+    kept, dropped = fix_file(a)
+    assert kept >= 2 and kept + dropped == 3
+    with PVFile.open(a) as f:
+        assert len(f) == kept
+
+
+def test_closed_loop(tmp_path):
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.closed_loop import ClosedLoop
+    from trex_tpu.track import Tracker
+
+    s = _settings()
+    bg = np.full((100, 100), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in range(3):
+        pp = tracker.preprocess_frame(
+            f, [_blob_at(10 + f, 10, value=100)], f / 25)
+        tracker.add(pp)
+    seen = []
+    loop = ClosedLoop(tracker, s, callback=seen.append,
+                      features=["position", "midline"])
+    module = tmp_path / "user_loop.py"
+    module.write_text(
+        "calls = []\n"
+        "def request_features():\n"
+        "    return 'position'\n"
+        "def update_tracking(data):\n"
+        "    calls.append((data.frame, len(data.ids)))\n")
+    loop.load_module(module)
+    data = loop.update(2)
+    assert seen and seen[0].frame == 2
+    assert len(data.ids) == 1
+    assert loop._module.calls == [(2, 1)]

@@ -17,7 +17,10 @@ def main(argv=None) -> int:
     path = None
     quiet = "-quiet" in argv
     plain = "-plain_text" in argv
+    fix = "-fix" in argv
     print_params = []
+    merge_out = None
+    merge_in = []
     i = 0
     while i < len(argv):
         a = argv[i]
@@ -28,11 +31,22 @@ def main(argv=None) -> int:
             v = argv[i + 1].strip("[]")
             print_params = [x.strip().strip('"') for x in v.split(",") if x]
             i += 2
+        elif a == "-merge":
+            merge_out = argv[i + 1] if i + 1 < len(argv) else None
+            merge_in = [x for x in argv[i + 2 :] if not x.startswith("-")]
+            break
         elif not a.startswith("-") and path is None:
             path = a
             i += 1
         else:
             i += 1
+
+    if merge_out:
+        from ..io.pv import merge_files
+
+        n = merge_files(merge_out, merge_in)
+        print(f"merged {len(merge_in)} files into {merge_out} ({n} frames)")
+        return 0
     if not path:
         print("usage: pvinfo [-i] <file.pv> [-print_parameters [a,b,...]] "
               "[-quiet] [-plain_text]", file=sys.stderr)
@@ -40,6 +54,12 @@ def main(argv=None) -> int:
     p = Path(path)
     if not p.suffix:
         p = p.with_suffix(".pv")
+    if fix:
+        from ..io.pv import fix_file
+
+        kept, dropped = fix_file(p)
+        print(f"fixed {p}: kept {kept} frames, dropped {dropped}")
+        return 0
     f = PVFile.open(p)
     h = f.header
     if print_params:

@@ -578,3 +578,83 @@ class PVFile:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def fix_file(path, output=None) -> tuple:
+    """Repair a .pv file by dropping unreadable frames and rebuilding the
+    index table (pv::File::fix_file, reference pv.h:553-555).
+
+    Returns (n_kept, n_dropped). Writes to `output` (default: in place
+    via a temp file)."""
+    import tempfile
+
+    path = Path(path)
+    src = PVFile.open(path)
+    h = src.header
+    new_header = PVHeader(
+        encoding=h.encoding, width=h.width, height=h.height,
+        offsets=h.offsets, conversion_start=h.conversion_start,
+        conversion_end=h.conversion_end, source=h.source,
+        timestamp=h.timestamp, name=h.name,
+        average=h.average, mask=h.mask, metadata=h.metadata)
+    out_path = Path(output) if output else None
+    tmp = None
+    if out_path is None:
+        tmp = tempfile.NamedTemporaryFile(
+            dir=path.parent, suffix=".pv.tmp", delete=False)
+        tmp.close()
+        out_path = Path(tmp.name)
+    kept = dropped = 0
+    last_ts = -1
+    with PVFile.create(out_path, new_header) as dst:
+        if h.metadata is not None:
+            dst.header.metadata = h.metadata
+        for i in range(h.num_frames):
+            try:
+                fr = src.read_frame(i)
+            except Exception:
+                dropped += 1
+                continue
+            if fr.timestamp <= last_ts:
+                fr.timestamp = last_ts + 1
+            last_ts = fr.timestamp
+            dst.add_frame(fr)
+            kept += 1
+    src.close()
+    if tmp is not None:
+        out_path.replace(path)
+    return kept, dropped
+
+
+def merge_files(output, inputs: list) -> int:
+    """Merge several .pv files into one (pvinfo_merge role): frames are
+    concatenated in time order; all inputs must share resolution and
+    encoding. Returns the number of frames written."""
+    sources = [PVFile.open(p) for p in inputs]
+    h0 = sources[0].header
+    for s in sources[1:]:
+        if (s.header.width, s.header.height) != (h0.width, h0.height):
+            raise ValueError("merge requires equal resolutions")
+        if s.header.encoding != h0.encoding:
+            raise ValueError("merge requires equal encodings")
+    header = PVHeader(encoding=h0.encoding, width=h0.width,
+                      height=h0.height, average=h0.average,
+                      name=Path(str(output)).stem,
+                      timestamp=min(s.header.timestamp for s in sources))
+    n = 0
+    with PVFile.create(output, header) as dst:
+        dst.header.metadata = h0.metadata
+        offset_ts = 0
+        for s in sources:
+            last = 0
+            for i in range(s.header.num_frames):
+                fr = s.read_frame(i)
+                fr.timestamp += offset_ts
+                fr.source_index = n
+                dst.add_frame(fr)
+                last = fr.timestamp
+                n += 1
+            offset_ts = last + 1
+    for s in sources:
+        s.close()
+    return n

@@ -35,11 +35,20 @@ class VideoSource:
         self._cap = None
         self._files: Optional[list[str]] = None
         self._cap_pos = 0
+        self._live = False
         if isinstance(source, (list, tuple)):
             self._files = [str(s) for s in source]
         else:
             s = str(source)
-            if re.search(r"%\d*d", s):
+            if s == "webcam":
+                # commons PathArray "webcam" sentinel -> live capture
+                if cv2 is None:
+                    raise RuntimeError("OpenCV is required for webcam")
+                self._cap = cv2.VideoCapture(0)
+                self._live = True
+                if not self._cap.isOpened():
+                    raise RuntimeError("cannot open webcam device 0")
+            elif re.search(r"%\d*d", s):
                 self._files = self._expand_printf(s)
             elif any(ch in s for ch in "*?["):
                 self._files = sorted(glob.glob(s))
@@ -81,6 +90,8 @@ class VideoSource:
     def __len__(self) -> int:
         if self._files is not None:
             return len(self._files)
+        if self._live:
+            return 1 << 30  # unbounded live stream
         return int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
 
     @property
@@ -106,7 +117,7 @@ class VideoSource:
             if img is None:
                 raise IOError(f"failed to decode {self._files[index]}")
             return img
-        if index != self._cap_pos:
+        if not self._live and index != self._cap_pos:
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, index)
             self._cap_pos = index
         ok, img = self._cap.read()
