@@ -65,18 +65,31 @@ def bench_tracking():
 
     bg, frames = synth_frames(N_FRAMES)
     tracker = Tracker(s, background=bg)
-    # warmup frame (imports, jit, pools)
-    blobs = [TrackBlob(b.lines, b.pixels)
-             for b in label_blobs(frames[0], bg, 20, absolute=False)]
-    pp = tracker.preprocess_frame(0, blobs, time=0.0)
-    tracker.add(pp)
 
+    from trex_tpu.pipeline import detect_frame
+    import concurrent.futures as cf
+
+    def preprocess(i):
+        blobs = detect_frame(frames[i], bg, s)
+        return tracker.preprocess_frame(i, blobs, time=i / VIDEO_FPS)
+
+    # warmup frame (imports, jit, pools)
+    tracker.add(preprocess(0))
+
+    # pipelined like the Segmenter/TrackingState engines: detection +
+    # prefilter in a worker pool, Tracker.add serialized in order
+    workers = 6
     t0 = time.perf_counter()
-    for i, img in enumerate(frames[1:], start=1):
-        blobs = [TrackBlob(b.lines, b.pixels)
-                 for b in label_blobs(img, bg, 20, absolute=False)]
-        pp = tracker.preprocess_frame(i, blobs, time=i / VIDEO_FPS)
-        tracker.add(pp)
+    with cf.ThreadPoolExecutor(max_workers=workers) as pool:
+        futures = {}
+        next_submit = next_track = 1
+        while next_track < len(frames):
+            while next_submit < len(frames) \
+                    and len(futures) < workers * 2:
+                futures[next_submit] = pool.submit(preprocess, next_submit)
+                next_submit += 1
+            tracker.add(futures.pop(next_track).result())
+            next_track += 1
     dt = time.perf_counter() - t0
     fps = (len(frames) - 1) / dt
     n_tracked = np.mean([st.number_fish

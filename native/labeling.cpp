@@ -33,6 +33,9 @@ struct Result {
     std::vector<uint32_t> blob_pixel_start;
     std::vector<int32_t> lines;    // 3 ints per line: y, x0, x1
     std::vector<uint8_t> pixels;   // concatenated per blob, line order
+    // per blob, 8 doubles: n_px, track_count, sum_x, sum_y,
+    //                      sum_xx, sum_yy, sum_xy, reserved
+    std::vector<double> stats;
 };
 
 inline uint32_t find_root(std::vector<uint32_t>& parent, uint32_t x) {
@@ -57,9 +60,13 @@ extern "C" {
 //   absolute != 0 : keep where |img - bg| >= threshold
 //   absolute == 0 : keep where (bg - img) >= threshold   (darker-than-bg)
 // threshold <= 0 keeps every pixel (blob = nonzero region of img).
-void* trex_label_image(const uint8_t* img, const uint8_t* bg,
-                       int32_t width, int32_t height,
-                       int32_t threshold, int32_t absolute) {
+// track_threshold > 0 additionally counts, per blob, the pixels that
+// also pass the tracking-stage test (absolute: |img-bg| >= t,
+// signed: bg-img >= t) — the pv::Blob::recount fused into this pass.
+void* trex_label_image2(const uint8_t* img, const uint8_t* bg,
+                        int32_t width, int32_t height,
+                        int32_t threshold, int32_t absolute,
+                        int32_t track_threshold, int32_t track_absolute) {
     auto* res = new Result();
     std::vector<Run> prev_runs, cur_runs;
     std::vector<Run> all_runs;
@@ -158,8 +165,10 @@ void* trex_label_image(const uint8_t* img, const uint8_t* bg,
     }
     res->lines.resize(3 * n_runs);
     res->pixels.resize(res->blob_pixel_start[n_blobs]);
+    res->stats.assign(8 * n_blobs, 0.0);
 
-    // scatter runs (already in scan order) into their blob slots
+    // scatter runs (already in scan order) into their blob slots and
+    // accumulate per-blob statistics (moments + track recount)
     std::vector<uint32_t> line_cursor(res->blob_line_start.begin(),
                                       res->blob_line_start.end() - 1);
     std::vector<uint32_t> pixel_cursor(res->blob_pixel_start.begin(),
@@ -175,8 +184,45 @@ void* trex_label_image(const uint8_t* img, const uint8_t* bg,
         std::memcpy(res->pixels.data() + pixel_cursor[b],
                     img + (size_t)r.y * width + r.x0, n);
         pixel_cursor[b] += n;
+
+        double* st = res->stats.data() + 8 * b;
+        const double a = r.x0, e = r.x1, nn = n, y = r.y;
+        st[0] += nn;
+        st[2] += 0.5 * (a + e) * nn;                       // sum x
+        st[3] += y * nn;                                   // sum y
+        st[4] += (e * (e + 1) * (2 * e + 1)
+                  - (a - 1) * a * (2 * a - 1)) / 6.0;      // sum x^2
+        st[5] += y * y * nn;                               // sum y^2
+        st[6] += y * 0.5 * (a + e) * nn;                   // sum x*y
+        if (track_threshold > 0 && bg) {
+            const uint8_t* row = img + (size_t)r.y * width;
+            const uint8_t* brow = bg + (size_t)r.y * width;
+            uint32_t cnt = 0;
+            if (track_absolute) {
+                for (int32_t x = r.x0; x <= r.x1; x++) {
+                    int d = (int)row[x] - (int)brow[x];
+                    cnt += ((d < 0 ? -d : d) >= track_threshold);
+                }
+            } else {
+                for (int32_t x = r.x0; x <= r.x1; x++) {
+                    cnt += (((int)brow[x] - (int)row[x]) >= track_threshold);
+                }
+            }
+            st[1] += cnt;
+        }
     }
     return res;
+}
+
+void* trex_label_image(const uint8_t* img, const uint8_t* bg,
+                       int32_t width, int32_t height,
+                       int32_t threshold, int32_t absolute) {
+    return trex_label_image2(img, bg, width, height, threshold, absolute,
+                             0, 0);
+}
+
+const double* trex_label_stats(void* ctx) {
+    return ((Result*)ctx)->stats.data();
 }
 
 int64_t trex_label_n_blobs(void* ctx) {

@@ -23,6 +23,7 @@ class Blob:
 
     lines: np.ndarray  # (K, 3) int32 [y, x0, x1 inclusive]
     pixels: np.ndarray  # (num_pixels,) uint8, scan order
+    stats: Optional[np.ndarray] = None  # (8,) n_px, track_count, moments
 
     @property
     def num_pixels(self) -> int:
@@ -60,6 +61,15 @@ def _lib():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
         ]
+        lib.trex_label_image2.restype = ctypes.c_void_p
+        lib.trex_label_image2.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.trex_label_stats.restype = ctypes.POINTER(ctypes.c_double)
+        lib.trex_label_stats.argtypes = [ctypes.c_void_p]
         for fn in ("n_blobs", "n_lines", "n_pixels"):
             getattr(lib, f"trex_label_{fn}").restype = ctypes.c_int64
             getattr(lib, f"trex_label_{fn}").argtypes = [ctypes.c_void_p]
@@ -82,6 +92,8 @@ def label_blobs(
     background: Optional[np.ndarray] = None,
     threshold: int = 0,
     absolute: bool = True,
+    track_threshold: int = 0,
+    track_absolute: bool = True,
 ) -> list[Blob]:
     """Extract connected components from a grayscale image.
 
@@ -103,9 +115,10 @@ def label_blobs(
             )
         bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
     lib = _lib()
-    ctx = lib.trex_label_image(
+    ctx = lib.trex_label_image2(
         image.ctypes.data_as(ctypes.c_char_p), bg_ptr,
         w, h, int(threshold), 1 if absolute else 0,
+        int(track_threshold), 1 if track_absolute else 0,
     )
     try:
         n_blobs = lib.trex_label_n_blobs(ctx)
@@ -125,6 +138,9 @@ def label_blobs(
         pixels = np.ctypeslib.as_array(
             lib.trex_label_pixels(ctx), (n_pixels,)
         ).copy() if n_pixels else np.zeros((0,), np.uint8)
+        stats = np.ctypeslib.as_array(
+            lib.trex_label_stats(ctx), (n_blobs, 8)
+        ).copy()
     finally:
         lib.trex_label_free(ctx)
     blobs = []
@@ -133,6 +149,7 @@ def label_blobs(
             Blob(
                 lines=lines[line_start[b] : line_start[b + 1]],
                 pixels=pixels[pixel_start[b] : pixel_start[b + 1]],
+                stats=stats[b],
             )
         )
     return blobs

@@ -47,8 +47,14 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
     connected components, detect_size_filter in cm^2."""
     threshold = int(settings["detect_threshold"])
     absolute = bool(settings["detect_threshold_is_absolute"])
+    # fuse the tracking-stage recount into the native labeling pass
+    track_thr = int(settings["track_threshold"])
+    track_abs = bool(settings["track_threshold_is_absolute"])
+    use_bgsub = bool(settings["track_background_subtraction"])
     blobs = label_blobs(image, background, threshold=threshold,
-                        absolute=absolute)
+                        absolute=absolute,
+                        track_threshold=track_thr if use_bgsub else 0,
+                        track_absolute=track_abs)
     cm = settings["cm_per_pixel"] or 1.0
     sq = cm * cm
     ranges = settings["detect_size_filter"] or []
@@ -57,7 +63,10 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
         size = b.num_pixels * sq
         if ranges and not any(lo <= size <= hi for lo, hi in ranges):
             continue
-        out.append(TrackBlob(b.lines, b.pixels))
+        tb = TrackBlob(b.lines, b.pixels, stats=b.stats)
+        if b.stats is not None and track_thr > 0 and use_bgsub:
+            tb._recount_cache[track_thr] = float(b.stats[1]) * sq
+        out.append(tb)
     return out
 
 

@@ -40,10 +40,11 @@ class TrackBlob:
 
     __slots__ = ("lines", "pixels", "parent_id", "split", "flags",
                  "_bid", "_bounds", "_recount_cache", "_last_recount",
-                 "_diff_cached", "tags", "prediction")
+                 "_diff_cached", "stats", "tags", "prediction")
 
     def __init__(self, lines: np.ndarray, pixels: Optional[np.ndarray],
-                 flags: int = 0, parent_id: int = -1, split: bool = False):
+                 flags: int = 0, parent_id: int = -1, split: bool = False,
+                 stats: Optional[np.ndarray] = None):
         self.lines = np.asarray(lines, dtype=np.int32)
         self.pixels = pixels if pixels is None else np.asarray(pixels, np.uint8)
         self.flags = flags
@@ -54,6 +55,9 @@ class TrackBlob:
         self._recount_cache: dict = {}
         self._last_recount: Optional[int] = None
         self._diff_cached = None
+        # optional per-blob summary from the native labeler
+        # (8 doubles: n_px, track_count, sum_x, sum_y, sxx, syy, sxy, _)
+        self.stats = stats
         self.prediction = None
 
     # -- identity ------------------------------------------------------
@@ -88,6 +92,9 @@ class TrackBlob:
         """Mask centroid (image moments) — pv::Blob::center() after
         calculate_moments(); this is what the stored centroid MotionRecord
         and the X/Y#wcentroid outputs use (golden CSVs confirm)."""
+        if self.stats is not None:
+            n = self.stats[0]
+            return (float(self.stats[2] / n), float(self.stats[3] / n))
         ys, x0s, x1s = self.lines[:, 0], self.lines[:, 1], self.lines[:, 2]
         w = (x1s - x0s + 1).astype(np.float64)
         n = w.sum()
@@ -97,11 +104,22 @@ class TrackBlob:
 
     @property
     def num_pixels(self) -> int:
+        if self.stats is not None:
+            return int(self.stats[0])
         return int(np.sum(self.lines[:, 2] - self.lines[:, 1] + 1))
 
     @property
     def orientation(self) -> float:
         """Principal-axis angle from image moments of the mask."""
+        if self.stats is not None:
+            n, _, sx, sy, sx2, sy2, sxy = self.stats[:7]
+            cx, cy = sx / n, sy / n
+            mu20 = sx2 - cx * sx
+            mu02 = sy2 - cy * sy
+            mu11 = sxy - cx * sy
+            if mu20 == mu02 and mu11 == 0:
+                return 0.0
+            return 0.5 * math.atan2(2 * mu11, mu20 - mu02)
         ys, x0s, x1s = self.lines[:, 0], self.lines[:, 1], self.lines[:, 2]
         w = (x1s - x0s + 1).astype(np.float64)
         n = w.sum()

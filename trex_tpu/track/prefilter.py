@@ -81,13 +81,34 @@ def threshold_components(blob: TrackBlob, threshold: int,
     # fast path: if every mask pixel passes the threshold, the component
     # set is exactly the original (connected) blob
     if blob.pixels is not None:
-        diff = blob._diff_values(background)
-        absolute_ = bool(settings["track_threshold_is_absolute"])
-        passed = np.abs(diff) >= threshold if absolute_ else diff >= threshold
-        if passed.all():
-            return [TrackBlob(blob.lines, blob.pixels, flags=blob.flags,
-                              parent_id=blob.blob_id, split=True)]
-        if not passed.any():
+        cached = blob._recount_cache.get(threshold)
+        passed = None
+        if cached is not None:
+            # counts fused into the native labeling pass (in cm^2)
+            cm = settings["cm_per_pixel"] or 1.0
+            cnt = cached / (cm * cm)
+            if round(cnt) >= blob.num_pixels:
+                passed_all, passed_any = True, True
+            elif cnt <= 0:
+                passed_all, passed_any = False, False
+            else:
+                passed_all = passed_any = None
+        else:
+            passed_all = passed_any = None
+        if passed_all is None:
+            diff = blob._diff_values(background)
+            absolute_ = bool(settings["track_threshold_is_absolute"])
+            passed = np.abs(diff) >= threshold if absolute_ \
+                else diff >= threshold
+            passed_all = bool(passed.all())
+            passed_any = bool(passed.any())
+        if passed_all:
+            out = TrackBlob(blob.lines, blob.pixels, flags=blob.flags,
+                            parent_id=blob.blob_id, split=True,
+                            stats=blob.stats)
+            out._recount_cache.update(blob._recount_cache)
+            return [out]
+        if not passed_any:
             return []
     mask, gray, (ox, oy) = blob.to_dense(pad=1)
     x, y, w, h = blob.bounds
@@ -101,14 +122,31 @@ def threshold_components(blob: TrackBlob, threshold: int,
     absolute = bool(settings["track_threshold_is_absolute"])
     img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
     comps = label_blobs(img, bg_crop, threshold=threshold, absolute=absolute)
+    cm = settings["cm_per_pixel"] or 1.0
     out = []
     for c in comps:
         lines = c.lines.copy()
         lines[:, 0] += oy
         lines[:, 1] += ox
         lines[:, 2] += ox
-        out.append(TrackBlob(lines, c.pixels, flags=blob.flags,
-                             parent_id=blob.blob_id, split=True))
+        stats = None
+        if c.stats is not None:
+            # translate the moment sums by the crop offset
+            n, tc, sx, sy, sxx, syy, sxy = c.stats[:7]
+            stats = np.array([
+                n, tc,
+                sx + n * ox, sy + n * oy,
+                sxx + 2 * ox * sx + n * ox * ox,
+                syy + 2 * oy * sy + n * oy * oy,
+                sxy + ox * sy + oy * sx + n * ox * oy,
+                0.0,
+            ])
+        tb = TrackBlob(lines, c.pixels, flags=blob.flags,
+                       parent_id=blob.blob_id, split=True, stats=stats)
+        # every pixel of a component passed `threshold` by construction
+        tb._recount_cache[threshold] = (float(stats[0]) if stats is not None
+                                        else tb.num_pixels) * cm * cm
+        out.append(tb)
     return out
 
 
