@@ -456,7 +456,10 @@ def calculate_posture(blob: TrackBlob, settings,
             int(s["posture_closing_steps"]), int(s["posture_closing_size"]))
         if dense is None or dense.sum() < 1:
             break
-        pts = trace_boundary(dense)
+        # 4x-supersampled trace approximates the reference's pixel-edge
+        # ("crack") outline; pixel-center tracing biases midline_length
+        # about -1px (validated against the golden fixture CSVs)
+        pts = trace_boundary(np.kron(dense, np.ones((4, 4), np.uint8))) / 4.0
         if len(pts) >= 3:
             pts = resample(pts, float(s["outline_resample"]))
             mid = calculate_midline_from_outline(pts, s, movement_direction)

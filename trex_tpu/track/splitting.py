@@ -25,59 +25,105 @@ from .prefilter import SizeFilters, threshold_components
 MAX_THRESHOLD = 255
 
 
+def _evaluate_split(expected: int, first_size: float, comps: list,
+                    settings, cm_sqr: float, fish_size: SizeFilters) -> str:
+    """SplitBlob::evaluate_result_multiple (SplitBlob.cpp:190-245).
+    Returns 'abort' (shrunk too far -> stop raising), 'remove' (pieces
+    still too big -> raise further), 'too_few', or 'keep'.
+    Mutates `comps`: drops pieces below the global shrink limit."""
+    total = sum(c.num_pixels for c in comps) * cm_sqr
+    if total < settings["blob_split_max_shrink"] * first_size:
+        return "abort"
+    if fish_size:
+        min_thresh = fish_size.max_range[0] * \
+            settings["blob_split_global_shrink_limit"]
+    else:
+        min_thresh = total * settings["blob_split_max_shrink"]
+    comps[:] = [c for c in comps if c.num_pixels * cm_sqr >= min_thresh]
+    valid = 0
+    min_size = None
+    for c in comps[:expected]:
+        s = c.num_pixels
+        if min_size is None or s < min_size:
+            min_size = s
+        if not fish_size or fish_size.in_range_of_one(s * cm_sqr):
+            valid += 1
+    if fish_size and min_size is not None \
+            and min_size * cm_sqr > fish_size.max_range[1]:
+        return "remove"
+    if valid < expected:
+        return "too_few"
+    return "keep"
+
+
 def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
                settings) -> list[TrackBlob]:
     """Split `blob` into >= `expected` components by raising the threshold.
 
-    Returns the components sorted by size (largest first; up to
-    `expected` fish-sized ones followed by leftovers as noise candidates),
-    or [] if no acceptable split exists.
+    Reference semantics (SplitBlob.cpp:406-640): starting from
+    initial = max(track_threshold, track_posture_threshold)+1, find the
+    SMALLEST threshold whose components pass evaluate_result_multiple
+    (top-`expected` pieces fish-sized, total shrink bounded). Returns the
+    components sorted largest-first (the `expected` keepers first), or []
+    when no acceptable split exists.
     """
     if expected <= 1:
         return [blob]
-    base_threshold = max(1, int(settings["track_threshold"]))
-    cm = settings["cm_per_pixel"] or 1.0
+    s = settings
+    if s["blob_split_algorithm"] == "none":
+        return []
+    track_thr = int(s["track_threshold"])
+    if s["calculate_posture"]:
+        initial = max(track_thr, int(s["track_posture_threshold"])) + 1
+    else:
+        initial = track_thr + 1
+    initial = max(1, initial)
+    cm = s["cm_per_pixel"] or 1.0
     cm_sqr = cm * cm
-    fish_size = SizeFilters(settings["track_size_filter"])
-    original = blob.recount(base_threshold, background, settings)
-    if original <= 0:
-        original = blob.num_pixels * cm_sqr
+    fish_size = SizeFilters(s["track_size_filter"])
 
-    min_range_start = min((lo for lo, hi in fish_size.ranges), default=0.0)
-    global_limit = settings["blob_split_global_shrink_limit"] * min_range_start
-    shrink_limit = settings["blob_split_max_shrink"] * original
-    min_component = max(global_limit, 1 * cm_sqr)
+    def components_at(thr: int) -> list[TrackBlob]:
+        comps = threshold_components(blob, thr, background, s)
+        comps.sort(key=lambda c: -c.num_pixels)
+        return comps
 
-    best: Optional[list[TrackBlob]] = None
-    first_viable: Optional[list[TrackBlob]] = None
+    first = components_at(initial)
+    first_size = (first[0].num_pixels * cm_sqr) if first else 0.0
 
-    threshold = base_threshold
-    while threshold < MAX_THRESHOLD:
-        threshold += max(1, threshold // 4)
-        comps = threshold_components(blob, threshold, background, settings)
-        if not comps:
+    def evaluate(thr: int):
+        comps = first if thr == initial else components_at(thr)
+        comps = list(comps)
+        action = _evaluate_split(expected, first_size, comps, s,
+                                 cm_sqr, fish_size)
+        return action, comps
+
+    best_thr = None
+    best_comps: Optional[list] = None
+    # coarse scan (step 4) then refine the bracket by step 1: the goal
+    # is the smallest KEEP threshold, like the reference's segmented
+    # sampling search
+    thr = initial
+    while thr <= MAX_THRESHOLD:
+        action, comps = evaluate(thr)
+        if action == "keep":
+            best_thr, best_comps = thr, comps
             break
-        sizes = [c.num_pixels * cm_sqr for c in comps]
-        total = sum(sizes)
-        if total < shrink_limit:
-            break  # shrunk too far; no point escalating further
-        sized = [c for c, s in zip(comps, sizes) if s >= min_component]
-        if len(sized) >= expected:
-            sized.sort(key=lambda c: -c.num_pixels)
-            leftovers = [c for c in comps if c not in sized[:expected]]
-            result = sized[:expected] + leftovers
-            if first_viable is None:
-                first_viable = result
-            # prefer a split whose top-k components are fish-sized
-            if all(fish_size.in_range_of_one(c.num_pixels * cm_sqr)
-                   for c in sized[:expected]) or not fish_size:
-                best = result
+        if action == "abort":
+            break  # raising further only shrinks more
+        thr += 4
+    if best_thr is not None and best_thr > initial:
+        for t in range(max(initial, best_thr - 3), best_thr):
+            action, comps = evaluate(t)
+            if action == "keep":
+                best_thr, best_comps = t, comps
                 break
-    out = best or first_viable or []
-    for c in out:
+    if best_comps is None:
+        return []
+    for c in best_comps:
         c.split = True
         c.parent_id = blob.blob_id
-    return out
+        c.recount(track_thr, background, s)
+    return best_comps
 
 
 class HistorySplit:
