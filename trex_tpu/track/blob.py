@@ -15,20 +15,21 @@ import numpy as np
 
 
 def blob_id_from_lines(lines: np.ndarray) -> int:
-    """Position/size hash of a blob (pv::bid equivalent).
+    """Position/size hash of a blob — the reference's pv::bid.
 
-    The reference's bid is a packed u32 of the blob's first-line
-    coordinates and size (commons misc/bid.h — submodule absent; exact
-    packing reverse-engineered empirically where needed). This packing
-    keeps the same property the pipeline relies on: stable within a
-    frame, near-unique, position-derived.
+    Packing (commons misc/bid.h is an absent submodule; formula
+    reverse-engineered exactly against the golden fixture CSVs — all
+    frame-0 blobids reproduce bit-identically):
+
+        bid = (round_half_up((x0 + x1) / 2) << 19)   # first-line center x
+            | (y0 << 6)                              # first-line y
+            | (n_lines & 0x3F)                       # line count, 6 bits
     """
     if len(lines) == 0:
         return 0
-    y0 = int(lines[0, 0]) & 0xFFF
-    x0 = int(lines[0, 1]) & 0xFFF
-    n = len(lines) & 0xFF
-    return (x0 << 20) | (y0 << 8) | n
+    x_center = (int(lines[0, 1]) + int(lines[0, 2]) + 1) // 2  # half-up
+    y0 = int(lines[0, 0])
+    return ((x_center << 19) | (y0 << 6) | (len(lines) & 0x3F)) & 0xFFFFFFFF
 
 
 class TrackBlob:

@@ -192,9 +192,11 @@ class HistorySplit:
                 want -= 1
             want += 1
             if not parts:
-                if too_big and noise_sink is not None:
-                    # oversized blobs never become match candidates
-                    # unless split succeeds (FilterReason::SplitFailed)
+                if noise_sink is not None and (too_big or k >= 2):
+                    # blobs expected to hold >1 individual never become
+                    # match candidates unless the split succeeds — the
+                    # involved fish stay unassigned while merged
+                    # (FilterReason::SplitFailed semantics)
                     noise_sink.append(b)
                 else:
                     out.append(b)

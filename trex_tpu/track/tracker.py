@@ -245,20 +245,37 @@ class Tracker:
         free_blobs = [bi for bi in range(len(blobs))
                       if bi not in assigned_blobs]
         if free_blobs:
+            # reactivation probability (Tracker.cpp:1900-1930): NOT the
+            # motion model — p = p_min + (1/sqdist/tdelta)*(1-p_min), so
+            # every inactive fish can claim any leftover blob, nearest
+            # (and most recently seen) first; empty fish bid p_min.
             inactive = [ind for ind in self.individuals.values()
                         if ind.identity not in assigned_fish
                         and not ind.has(frame)]
             second = PairedProbabilities()
             for ind in inactive:
                 if ind.empty():
+                    for bi in free_blobs:
+                        second.add(ind.identity, bi, p_min)
                     continue
                 cache = caches.get(ind.identity) or ind.cache_for_frame(
                     frame, pp.time, self.frame_times, self.start_frame)
+                lx, ly = cache.last_seen_px
+                tdelta = cache.local_tdelta
                 for bi in free_blobs:
-                    p = ind.probability(cache, blobs[bi].bbox_center)
-                    if p > p_min:
-                        second.add(ind.identity, bi, p)
-            res2 = match(second, mode="approximate")
+                    cx, cy = blobs[bi].center
+                    sqdist = (cx - lx) ** 2 + (cy - ly) ** 2
+                    if tdelta <= 0:
+                        p = 1.0
+                    elif sqdist > 0:
+                        p = 1.0 / sqdist / tdelta
+                    else:
+                        p = 1.0 / tdelta
+                    second.add(ind.identity, bi,
+                               p_min + p * (1.0 - p_min))
+            mode2 = "approximate" if s["match_mode"] == "automatic" \
+                else s["match_mode"]
+            res2 = match(second, mode=mode2)
             for bi, fid in sorted(res2.pairings.items()):
                 if bi in assigned_blobs:
                     continue
