@@ -169,3 +169,64 @@ def test_closed_loop(tmp_path):
     assert seen and seen[0].frame == 2
     assert len(data.ids) == 1
     assert loop._module.calls == [(2, 1)]
+
+
+def test_prediction_roundtrip():
+    import numpy as np
+    from trex_tpu.io.predictions import Prediction, pack_prediction, unpack_prediction
+
+    p = Prediction(clid=3, p=0.75,
+                   pose=np.array([[1.5, 2.5], [3.0, 4.0]], np.float32),
+                   outlines=[np.array([[0, 0], [5, 5]], np.float32)])
+    data = pack_prediction(p)
+    q, pos = unpack_prediction(data, 0, 15)
+    assert pos == len(data)
+    assert q.clid == 3
+    assert abs(q.p - 0.75) < 1 / 255
+    np.testing.assert_array_equal(q.pose, p.pose)
+    np.testing.assert_array_equal(q.outlines[0], p.outlines[0])
+
+
+def test_pv_frame_with_predictions(tmp_path):
+    import numpy as np
+    from trex_tpu.io.predictions import Prediction
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader
+
+    h = PVHeader(encoding="gray", width=32, height=32)
+    with PVFile.create(tmp_path / "p.pv", h) as f:
+        fr = PVFrame(timestamp=1)
+        lines = np.array([[3, 4, 8]], np.int32)
+        fr.add_object(lines, np.full(5, 9, np.uint8))
+        fr.predictions.append(Prediction(clid=2, p=0.5))
+        f.add_frame(fr)
+    with PVFile.open(tmp_path / "p.pv") as f:
+        fr = f.read_frame(0)
+        assert len(fr.predictions) == 1
+        assert fr.predictions[0].clid == 2
+
+
+def test_r3g3b2_roundtrip():
+    import numpy as np
+    from trex_tpu.io.encoding import bgr_to_r3g3b2, r3g3b2_to_bgr
+
+    rng = np.random.default_rng(0)
+    bgr = rng.integers(0, 256, (10, 10, 3), np.uint8)
+    packed = bgr_to_r3g3b2(bgr)
+    assert packed.shape == (10, 10)
+    back = r3g3b2_to_bgr(packed)
+    # quantized to 3/3/2 bits: max error bounded by quantization step
+    assert np.abs(back[..., 2].astype(int) - bgr[..., 2].astype(int)).max() <= 36
+    assert np.abs(back[..., 0].astype(int) - bgr[..., 0].astype(int)).max() <= 85
+
+
+def test_tracklet_punish_speeding():
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.track import Individual
+
+    s = _settings()
+    s.set("track_max_speed", 100)
+    ind = Individual(0, s)
+    ind.add(0, 0.0, _blob_at(10, 10))
+    ind.add(1, 1 / 25, _blob_at(12, 10))   # slow, continues
+    ind.add(2, 2 / 25, _blob_at(80, 10))   # jump: 68px in 40ms >> max
+    assert len(ind.tracklets) == 2

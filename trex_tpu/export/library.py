@@ -199,7 +199,8 @@ FUNCTIONS: dict[str, Callable] = {
     "timestamp": _timestamp,
     "frame": lambda ind, frame, source, smooth, ctx: float(frame),
     "visual_identification_p": _vi_p,
-    "MIDLINE_OFFSET": lambda ind, frame, source, smooth, ctx: INVALID,
+    "MIDLINE_OFFSET": lambda ind, frame, source, smooth, ctx: (
+        _midline_offset_field(ind, frame)),
     "normalized_midline": lambda ind, frame, source, smooth, ctx: (
         p.midline_angle if (p := ind.posture_stuff(frame)) else INVALID),
     "midline_segment_length": lambda ind, frame, source, smooth, ctx: (
@@ -221,9 +222,40 @@ def column_title(field: str, modifiers: list[str], annotations: dict) -> str:
     return name
 
 
+def _midline_offset_field(ind, frame):
+    from ..track.events import midline_offset
+
+    v = midline_offset(ind, frame)
+    return v if not math.isnan(v) else INVALID
+
+
+def _pose_field(field: str):
+    """poseX<i>/poseY<i>: keypoint coordinates from the blob prediction
+    (find_user_defined_pose_fields, default_config.cpp:360-420)."""
+    axis = 0 if field.startswith("poseX") else 1
+    idx = int(field[5:])
+
+    def fn(ind, frame, source, smooth, ctx):
+        b = ind.basic_stuff(frame)
+        pred = b.blob.prediction if b else None
+        kp = None
+        if isinstance(pred, dict):
+            kp = pred.get("keypoints")
+        elif pred is not None:
+            kp = getattr(pred, "pose", None)
+        if kp is None or idx >= len(kp):
+            return INVALID
+        return float(kp[idx][axis]) * ctx.cm
+
+    return fn
+
+
 def evaluate(ctx: EvalContext, ind, frame: int, field: str,
              modifiers: list[str]) -> float:
     fn = FUNCTIONS.get(field)
+    if fn is None and len(field) > 5 and field[:5] in ("poseX", "poseY") \
+            and field[5:].isdigit():
+        fn = _pose_field(field)
     if fn is None:
         return INVALID
     source = None

@@ -1,0 +1,72 @@
+"""Pixel encodings for .pv storage (commons processing/encoding.h role).
+
+meta_encoding values (docs/parameters_trex.rst:1885-1893, enum order
+gray/r3g3b2/rgb8/binary): r3g3b2 packs color into one byte
+(3 bits red, 3 green, 2 blue — see the rgb8 doc text in the reference);
+helpers convert between BGR, gray, and r3g3b2 both on host (numpy) and
+device (jax-compatible pure functions).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def bgr_to_r3g3b2(bgr: np.ndarray) -> np.ndarray:
+    """(H, W, 3) BGR uint8 -> (H, W) r3g3b2 uint8."""
+    b = bgr[..., 0] >> 6
+    g = bgr[..., 1] >> 5
+    r = bgr[..., 2] >> 5
+    return ((b.astype(np.uint8) << 6) | (g.astype(np.uint8) << 3)
+            | r.astype(np.uint8))
+
+
+def r3g3b2_to_bgr(packed: np.ndarray) -> np.ndarray:
+    """(H, W) r3g3b2 -> (H, W, 3) BGR uint8 (expanded to full range)."""
+    packed = packed.astype(np.uint16)
+    b = ((packed >> 6) & 0x3) * 85
+    g = ((packed >> 3) & 0x7) * 36
+    r = (packed & 0x7) * 36
+    return np.stack([b, g, r], axis=-1).astype(np.uint8)
+
+
+def r3g3b2_to_gray(packed: np.ndarray) -> np.ndarray:
+    bgr = r3g3b2_to_bgr(packed)
+    return (0.114 * bgr[..., 0] + 0.587 * bgr[..., 1]
+            + 0.299 * bgr[..., 2]).astype(np.uint8)
+
+
+def convert_to_storage(image: np.ndarray, encoding: str,
+                       color_channel=None) -> np.ndarray:
+    """Convert a decoded frame (gray or BGR) into the pv storage encoding
+    (BackgroundSubtraction.cpp:151-188 conversion table)."""
+    if encoding in ("gray", "binary"):
+        if image.ndim == 3:
+            if color_channel is not None and 0 <= int(color_channel) < 3:
+                return image[..., int(color_channel)].copy()
+            import cv2
+
+            return cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
+        return image
+    if encoding == "r3g3b2":
+        if image.ndim == 2:
+            image = np.repeat(image[..., None], 3, axis=-1)
+        return bgr_to_r3g3b2(image)
+    if encoding == "rgb8":
+        if image.ndim == 2:
+            return np.repeat(image[..., None], 3, axis=-1)
+        return image
+    raise ValueError(f"unknown encoding {encoding!r}")
+
+
+def storage_to_gray(pixels: np.ndarray, encoding: str) -> np.ndarray:
+    """Per-pixel storage values -> grayscale (for tracking thresholds)."""
+    if encoding in ("gray", "binary"):
+        return pixels
+    if encoding == "r3g3b2":
+        return r3g3b2_to_gray(pixels)
+    if encoding == "rgb8":
+        flat = pixels.reshape(-1, 3)
+        return (0.114 * flat[:, 0] + 0.587 * flat[:, 1]
+                + 0.299 * flat[:, 2]).astype(np.uint8).reshape(
+            pixels.shape[:-1])
+    raise ValueError(f"unknown encoding {encoding!r}")

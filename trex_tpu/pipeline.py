@@ -236,6 +236,32 @@ def run_postures(tracker: Tracker, frame: int, settings: Settings,
         ind.add_posture(stuff)
 
 
+def batch_convert(settings, sources: list, output_dir, names=None,
+                  track: bool = True, workers_per_video: int = 2):
+    """Multi-video batch ingest: convert several videos in one call
+    (BASELINE config 5). Videos run sequentially on the host (decode/CC
+    are CPU-bound here); detection/inference batches share the device.
+    Returns [(pv_path, tracker)]."""
+    from pathlib import Path
+
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    results = []
+    for i, src in enumerate(sources):
+        name = (names[i] if names and i < len(names)
+                else Path(str(src).replace("%", "_")).stem or f"video{i}")
+        pv_path = output_dir / f"{name}.pv"
+        snap = settings.snapshot()
+        try:
+            seg = Segmenter(settings, src, pv_path, track=track,
+                            workers=workers_per_video)
+            tracker = seg.run()
+            results.append((pv_path, tracker))
+        finally:
+            settings.restore(snap)
+    return results
+
+
 class TrackingState:
     """Track task: re-track an existing .pv file
     (ui/TrackingState.cpp:176-264)."""

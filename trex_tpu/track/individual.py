@@ -120,14 +120,30 @@ class Individual:
         return stuff
 
     def _update_tracklets(self, frame: int, time: float):
-        fr = float(self.settings["frame_rate"] or 25)
-        max_gap = self.settings["track_max_reassign_time"]
+        """Tracklet continuation rules (TrackletInformation + the
+        tracklet_* settings): break on gaps, huge time deltas
+        (tracklet_punish_timedelta), suspicious speeds
+        (tracklet_punish_speeding) and tracklet_max_length."""
+        s = self.settings
+        max_gap = s["track_max_reassign_time"]
         if self.tracklets and self.basic and len(self.basic) >= 2:
-            prev_frame = self.basic[-2].frame
-            prev_time = self.basic[-2].centroid.time
-            consecutive = frame == prev_frame + 1
-            tdelta_ok = (time - prev_time) < max_gap
-            if consecutive and tdelta_ok:
+            prev = self.basic[-2]
+            cur = self.basic[-1]
+            consecutive = frame == prev.frame + 1
+            ok = consecutive
+            if ok and s["tracklet_punish_timedelta"] \
+                    and (time - prev.centroid.time) >= max_gap:
+                ok = False
+            if ok and s["tracklet_punish_speeding"]:
+                cm = s["cm_per_pixel"] or 1.0
+                if cur.centroid.speed(cm) >= s["track_max_speed"] * 0.99:
+                    ok = False
+            if ok and s["tracklet_max_length"] > 0:
+                t0 = self.basic_stuff(self.tracklets[-1][0])
+                if t0 is not None and \
+                        time - t0.centroid.time >= s["tracklet_max_length"]:
+                    ok = False
+            if ok:
                 self.tracklets[-1][1] = frame
                 return
         self.tracklets.append([frame, frame])
