@@ -230,3 +230,91 @@ def test_tracklet_punish_speeding():
     ind.add(1, 1 / 25, _blob_at(12, 10))   # slow, continues
     ind.add(2, 2 / 25, _blob_at(80, 10))   # jump: 68px in 40ms >> max
     assert len(ind.tracklets) == 2
+
+
+def test_tags_detection_and_matching():
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.track import Tracker
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.tags import detect_tags, match_tags_to_fish, save_tags
+
+    s = _settings()
+    bg = np.full((100, 100), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    pp = tracker.preprocess_frame(0, [_blob_at(20, 20, value=100)], 0.0)
+    tracker.add(pp)
+    # a sharp checkerboard "tag" near the fish vs a flat noise blob
+    lines = np.array([[40 + r, 30, 37] for r in range(8)], np.int32)
+    tag_px = (np.indices((8, 8)).sum(0) % 2 * 255).astype(np.uint8).reshape(-1)
+    flat_px = np.full(64, 120, np.uint8)
+    tag_blob = TrackBlob(lines, tag_px)
+    flat_blob = TrackBlob(lines + 30, flat_px)
+    tags = detect_tags([tag_blob, flat_blob], bg, frame=0,
+                       min_variance=500.0)
+    assert len(tags) == 1
+    matched = match_tags_to_fish(tags, tracker, 0, max_distance=100)
+    assert 0 in matched
+
+
+def test_heatmap_export(tmp_path):
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.track import Tracker
+    from trex_tpu.track.heatmap import export_heatmaps
+
+    s = _settings()
+    s.set("heatmap_resolution", 32)
+    bg = np.full((96, 96), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in range(4):
+        pp = tracker.preprocess_frame(f, [_blob_at(10, 10, value=100)],
+                                      f / 25)
+        tracker.add(pp)
+    path = export_heatmaps(tracker, s, tmp_path, "vid")
+    assert path.name == "vid_heatmap_p0_32_3x3.npz"
+    with np.load(path) as d:
+        assert d["heatmap"].shape == (4, 2, 3, 3)
+        assert d["heatmap"][0, 0].max() > 0
+        assert len(d["meta"]) == 4
+
+
+def test_pv_video_source(tmp_path):
+    import numpy as np
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader
+    from trex_tpu.io.video import PVVideoSource
+
+    h = PVHeader(encoding="gray", width=16, height=16,
+                 average=np.full((16, 16), 50, np.uint8))
+    with PVFile.create(tmp_path / "s.pv", h) as f:
+        fr = PVFrame(timestamp=100)
+        fr.add_object(np.array([[4, 4, 7]], np.int32),
+                      np.array([200, 201, 202, 203], np.uint8))
+        f.add_frame(fr)
+    src = PVVideoSource(tmp_path / "s.pv")
+    assert len(src) == 1
+    img = src.get(0)
+    assert img[4, 4] == 200 and img[4, 7] == 203
+    assert img[0, 0] == 50  # background elsewhere
+
+
+def test_interpolate_positions(tmp_path):
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.export.export import export_data
+    from trex_tpu.track import Tracker
+
+    s = _settings()
+    s.set("output_interpolate_positions", True)
+    s.set("output_fields", [["X", ["wcentroid"]]])
+    bg = np.full((100, 100), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in (0, 1, 4):  # gap at 2,3
+        pp = tracker.preprocess_frame(f, [_blob_at(10 + 10 * f, 10,
+                                                   value=100)], f / 25)
+        tracker.add(pp)
+    paths = export_data(tracker, s, tmp_path, "vid")
+    import csv
+
+    with open(paths[0]) as fobj:
+        rows = list(csv.reader(fobj))
+    x = [float(r[1]) for r in rows[1:]]
+    assert np.isfinite(x[2]) and np.isfinite(x[3])
+    assert x[0] < x[2] < x[3] < x[4]

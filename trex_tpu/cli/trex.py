@@ -95,7 +95,7 @@ def main(argv=None) -> int:
     auto_quit = bool(args.pop("auto_quit", False))
     args.pop("nowindow", None)  # always headless
     load = bool(args.pop("load", False))
-    args.pop("history_matching_log", None)  # accepted; log not yet written
+    matching_log = args.pop("history_matching_log", None)
 
     if settings_file:
         load_settings_file(s, str(settings_file).strip('"'))
@@ -115,6 +115,22 @@ def main(argv=None) -> int:
         if done % 50 == 0 or done == total:
             print(f"\r[{task}] {done}/{total}", end="", flush=True)
 
+    if task == "rst":
+        # `-task rst`: dump the parameter documentation (main.cpp:92-106)
+        import importlib.util as _ilu
+        from pathlib import Path as _P
+
+        spec = _ilu.spec_from_file_location(
+            "settings_docs",
+            _P(__file__).resolve().parents[2] / "tools" / "settings_docs.py")
+        mod = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        out = out_base / "parameters_trex.rst"
+        out_base.mkdir(parents=True, exist_ok=True)
+        out.write_text(mod.generate_rst())
+        print(f"[rst] wrote {out}")
+        return 0
+
     if task == "convert":
         if not source:
             print("no input (-i) given", file=sys.stderr)
@@ -129,6 +145,8 @@ def main(argv=None) -> int:
         tracker = seg.run()
         print(f"\n[convert] wrote {pv_path} "
               f"({seg.fps_stat:.1f} fps)")
+        if matching_log and tracker is not None:
+            _write_matching_log(tracker, out_base / str(matching_log))
         if auto_quit:
             _export(tracker, s, data_dir, name)
         return 0
@@ -156,6 +174,8 @@ def main(argv=None) -> int:
         tracker = state.run()
         print(f"\n[track] tracked {len(state.pv)} frames, "
               f"{len(tracker.individuals)} individuals")
+        if matching_log:
+            _write_matching_log(tracker, out_base / str(matching_log))
         if auto_train or auto_apply:
             _auto_train_apply(tracker, state, s, pv_path,
                               train=auto_train)
@@ -169,6 +189,32 @@ def main(argv=None) -> int:
 
     print(f"unsupported task {task!r}", file=sys.stderr)
     return 1
+
+
+def _write_matching_log(tracker, path):
+    """history_matching_log: per-frame assignment table as HTML
+    (reference -history_matching_log, used by its test harness)."""
+    from pathlib import Path
+
+    rows = []
+    for f in range(max(0, tracker.start_frame),
+                   tracker.end_frame + 1):
+        cells = []
+        for fid, ind in sorted(tracker.individuals.items()):
+            b = ind.basic_stuff(f)
+            cells.append(f"<td>{b.blob.blob_id if b else ''}</td>")
+        st = tracker.statistics.get(f)
+        rows.append(f"<tr><td>{f}</td>"
+                    f"<td>{st.number_fish if st else ''}</td>"
+                    + "".join(cells) + "</tr>")
+    head = "".join(f"<th>fish{fid}</th>"
+                   for fid in sorted(tracker.individuals.keys()))
+    html = ("<html><body><table border=1>"
+            f"<tr><th>frame</th><th>assigned</th>{head}</tr>"
+            + "\n".join(rows) + "</table></body></html>")
+    p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
+    p.write_text(html)
 
 
 def _auto_train_apply(tracker, state, s, pv_path, train: bool):

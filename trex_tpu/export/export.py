@@ -29,6 +29,22 @@ def _fmt(value: float, decimals: int) -> str:
     return f"{value:.{decimals}f}"
 
 
+def _interpolate_positions(rows: np.ndarray, titles: list[str]):
+    """output_interpolate_positions: linearly fill missing X/Y columns
+    between tracked frames (other fields stay inf)."""
+    for c, t in enumerate(titles):
+        if not (t.startswith("X") or t.startswith("Y")):
+            continue
+        col = rows[:, c]
+        good = np.isfinite(col)
+        if good.sum() < 2:
+            continue
+        idx = np.arange(len(col))
+        inner = (idx >= idx[good][0]) & (idx <= idx[good][-1])
+        fill = inner & ~good
+        col[fill] = np.interp(idx[fill], idx[good], col[good])
+
+
 def export_data(tracker, settings, output_dir, video_name: str,
                 frame_range=None, write_npz: bool = None,
                 write_csv: bool = None) -> list[Path]:
@@ -74,6 +90,8 @@ def export_data(tracker, settings, output_dir, video_name: str,
                 else:
                     rows[i, col] = evaluate(ctx, ind, frame, field, mods)
                 col += 1
+        if settings["output_interpolate_positions"]:
+            _interpolate_positions(rows, titles)
         name = f"{video_name}_{prefix}{fid}"
         if write_csv:
             path = output_dir / f"{name}.csv"

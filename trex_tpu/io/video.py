@@ -138,6 +138,55 @@ class VideoSource:
             self._cap = None
 
 
+class PVVideoSource:
+    """Re-read a .pv file as a frame source (core/PVVideoSource.h):
+    reconstructs each frame by stamping stored blob pixels onto the
+    background average."""
+
+    def __init__(self, path):
+        from .pv import PVFile
+
+        self._file = PVFile.open(path)
+        h = self._file.header
+        avg = h.average
+        self._bg = avg[:, :, 0] if avg is not None and avg.ndim == 3 else avg
+
+    def __len__(self):
+        return self._file.header.num_frames
+
+    @property
+    def frame_rate(self) -> float:
+        td = self._file.header.average_tdelta
+        return 1e6 / td if td else 25.0
+
+    @property
+    def size(self):
+        h = self._file.header
+        return (h.width, h.height)
+
+    def get(self, index: int) -> np.ndarray:
+        fr = self._file.read_frame(index)
+        img = self._bg.copy() if self._bg is not None else np.zeros(
+            (self._file.header.height, self._file.header.width), np.uint8)
+        for i in range(fr.n):
+            px = fr.pixels[i]
+            if px is None:
+                continue
+            off = 0
+            for y, x0, x1 in fr.masks[i]:
+                n = x1 - x0 + 1
+                img[y, x0 : x1 + 1] = px[off : off + n]
+                off += n
+        return img
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self.get(i)
+
+    def close(self):
+        self._file.close()
+
+
 class AveragingAccumulator:
     """Background-image accumulator (commons video/AveragingAccumulator.h).
 

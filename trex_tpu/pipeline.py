@@ -88,6 +88,7 @@ class Segmenter:
         self.tracker: Optional[Tracker] = None
         self.pv_file: Optional[PVFile] = None
         self.fps_stat = 0.0
+        self._raw_writer = None  # save_raw_movie (core/tomp4 role)
 
     def _metadata(self) -> dict:
         s = self.settings
@@ -161,6 +162,8 @@ class Segmenter:
                     for b in blobs:
                         fr.add_object(b.lines, b.pixels)
                     pv.add_frame(fr)
+                    if s["save_raw_movie"]:
+                        self._write_raw(img, frame_rate)
                     if self.tracker is not None:
                         self._track_frame(virtual, blobs,
                                           virtual / frame_rate, posture_pool)
@@ -169,9 +172,25 @@ class Segmenter:
                     next_write += 1
         if posture_pool:
             posture_pool.shutdown(wait=True)
+        if self._raw_writer is not None:
+            self._raw_writer.release()
+            self._raw_writer = None
         elapsed = _time.perf_counter() - start_t
         self.fps_stat = n_frames / elapsed if elapsed > 0 else 0.0
         return self.tracker
+
+    def _write_raw(self, img: np.ndarray, frame_rate: float):
+        """save_raw_movie: record the raw stream alongside conversion
+        (role of core/tomp4.cpp / FFMPEGQueue, via cv2.VideoWriter)."""
+        import cv2
+
+        if self._raw_writer is None:
+            path = str(self.output_path.with_suffix(".mov.mp4"))
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            self._raw_writer = cv2.VideoWriter(
+                path, fourcc, frame_rate,
+                (img.shape[1], img.shape[0]), img.ndim == 3)
+        self._raw_writer.write(img)
 
     def _track_frame(self, index: int, blobs, time: float, posture_pool):
         tracker = self.tracker

