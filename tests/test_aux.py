@@ -304,6 +304,7 @@ def test_interpolate_positions(tmp_path):
     s = _settings()
     s.set("output_interpolate_positions", True)
     s.set("output_fields", [["X", ["wcentroid"]]])
+    s.set("output_format", "csv")
     bg = np.full((100, 100), 200, np.uint8)
     tracker = Tracker(s, background=bg)
     for f in (0, 1, 4):  # gap at 2,3
