@@ -122,3 +122,35 @@ def test_pose_tile_rect():
     assert rect[0] == (3.0, 4.0) and rect[1] == (1.0, 1.0)
     # all-NaN
     assert compute_pose_tile_rect(np.full((3, 2), np.nan)) is None
+
+
+def test_region_proposal_two_stage(settings):
+    from trex_tpu.detect.region import region_proposal_detect
+    from trex_tpu.detect.yolo import Detections
+
+    img = np.zeros((600, 800), np.uint8)
+
+    def region_fn(image):
+        # coarse region around (400, 300) and one around (100, 100)
+        return Detections(np.array([[380.0, 280.0, 420.0, 320.0],
+                                    [90.0, 90.0, 110.0, 110.0],
+                                    [395.0, 290.0, 430.0, 330.0]]),
+                          np.array([0.9, 0.8, 0.7]),
+                          np.array([0, 0, 0]))
+
+    crops = []
+
+    def detect_fn(crop):
+        crops.append(crop.shape)
+        # one detection at crop-local (10, 10)
+        return Detections(np.array([[10.0, 10.0, 30.0, 30.0]]),
+                          np.array([0.95]), np.array([0]))
+
+    det = region_proposal_detect(img, region_fn, detect_fn, settings,
+                                 crop_size=200)
+    # the two overlapping regions merged -> 2 crops, 2 detections
+    assert len(crops) == 2
+    assert all(s[0] >= 200 for s in crops)
+    assert len(det) == 2
+    # boxes are in full-frame coordinates (offset by crop origin)
+    assert det.boxes[:, 0].max() > 100

@@ -1,0 +1,193 @@
+"""SAM3 text/box-prompted segmentation backend: prompt state + session.
+
+Re-creates the reference's SAM3 layer structure (python/SAM3.{h,cpp},
+SAM3PromptState.{h,cpp}, SAM3InteractiveSession.cpp,
+trex_sam3_interface.py): frame-indexed prompt lists (text / boxes /
+points, positive + negative), prompt-state materialization for a frame
+(latest seed at or before the frame wins, per object id), and an
+interactive session state machine (idle -> prompted -> propagating ->
+ready). The heavy segmentation model itself is pluggable via
+`segment_fn(image, prompts) -> masks`; without a model the backend
+raises a clear error at apply time (no SAM weights ship with either
+framework — the reference downloads them at runtime).
+"""
+from __future__ import annotations
+
+import enum
+import json
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+
+@dataclass
+class Sam3Prompt:
+    """One prompt: free text, a box (x0,y0,x1,y1), or a point."""
+    text: Optional[str] = None
+    box: Optional[tuple] = None
+    point: Optional[tuple] = None
+    positive: bool = True
+
+    def to_json(self) -> dict:
+        out: dict = {"positive": self.positive}
+        if self.text is not None:
+            out["text"] = self.text
+        if self.box is not None:
+            out["box"] = list(self.box)
+        if self.point is not None:
+            out["point"] = list(self.point)
+        return out
+
+    @classmethod
+    def from_json(cls, d: dict) -> "Sam3Prompt":
+        return cls(text=d.get("text"),
+                   box=tuple(d["box"]) if d.get("box") else None,
+                   point=tuple(d["point"]) if d.get("point") else None,
+                   positive=bool(d.get("positive", True)))
+
+
+@dataclass
+class Sam3PromptObject:
+    """A tracked prompt object seeded at a frame (Sam3PromptObjectRef)."""
+    id: int
+    seed_frame: int
+    seed_box: Optional[tuple] = None
+    positive_prompts: list = field(default_factory=list)
+    negative_prompts: list = field(default_factory=list)
+
+
+class Sam3Prompts:
+    """Frame-indexed prompt map (detect_sam3_prompt setting)."""
+
+    def __init__(self):
+        self.by_frame: dict[int, list[Sam3PromptObject]] = {}
+        self._next_id = 1
+
+    def add(self, frame: int, prompt: Sam3Prompt,
+            box: Optional[tuple] = None) -> Sam3PromptObject:
+        obj = Sam3PromptObject(id=self._next_id, seed_frame=frame,
+                               seed_box=box)
+        (obj.positive_prompts if prompt.positive
+         else obj.negative_prompts).append(prompt)
+        self._next_id += 1
+        self.by_frame.setdefault(frame, []).append(obj)
+        return obj
+
+    def erase_object(self, object_id: int) -> bool:
+        """erase_sam3_prompt_object."""
+        for frame, objs in list(self.by_frame.items()):
+            kept = [o for o in objs if o.id != object_id]
+            if len(kept) != len(objs):
+                if kept:
+                    self.by_frame[frame] = kept
+                else:
+                    del self.by_frame[frame]
+                return True
+        return False
+
+    def materialize(self, frame: int) -> list[Sam3PromptObject]:
+        """materialize_sam3_prompt_state: the prompt objects active at
+        `frame` — per object id, the newest seed at or before `frame`."""
+        active: dict[int, Sam3PromptObject] = {}
+        for f in sorted(self.by_frame):
+            if f > frame:
+                break
+            for obj in self.by_frame[f]:
+                active[obj.id] = obj
+        return list(active.values())
+
+    def flatten(self, frame: int) -> list[Sam3Prompt]:
+        """flatten_sam3_prompt_state."""
+        out = []
+        for obj in self.materialize(frame):
+            out.extend(obj.positive_prompts)
+            out.extend(obj.negative_prompts)
+        return out
+
+    # -- (de)serialization to the settings JSON format -----------------
+    def to_json(self) -> str:
+        return json.dumps({
+            str(f): [
+                {
+                    "id": o.id,
+                    "seed_box": list(o.seed_box) if o.seed_box else None,
+                    "positive": [p.to_json() for p in o.positive_prompts],
+                    "negative": [p.to_json() for p in o.negative_prompts],
+                }
+                for o in objs
+            ]
+            for f, objs in self.by_frame.items()
+        })
+
+    @classmethod
+    def from_json(cls, text) -> "Sam3Prompts":
+        data = json.loads(text) if isinstance(text, str) else text
+        self = cls()
+        for f, objs in data.items():
+            for o in objs:
+                obj = Sam3PromptObject(
+                    id=int(o["id"]), seed_frame=int(f),
+                    seed_box=tuple(o["seed_box"]) if o.get("seed_box")
+                    else None,
+                    positive_prompts=[Sam3Prompt.from_json(p)
+                                      for p in o.get("positive", [])],
+                    negative_prompts=[Sam3Prompt.from_json(p)
+                                      for p in o.get("negative", [])])
+                self.by_frame.setdefault(int(f), []).append(obj)
+                self._next_id = max(self._next_id, obj.id + 1)
+        return self
+
+
+class SessionState(enum.Enum):
+    Idle = "idle"
+    Prompted = "prompted"
+    Propagating = "propagating"
+    Ready = "ready"
+    Error = "error"
+
+
+class Sam3InteractiveSession:
+    """Interactive prompting state machine
+    (SAM3InteractiveSession.cpp)."""
+
+    def __init__(self, prompts: Optional[Sam3Prompts] = None,
+                 segment_fn: Optional[Callable] = None):
+        self.prompts = prompts or Sam3Prompts()
+        self.segment_fn = segment_fn
+        self.state = SessionState.Idle
+        self.masks: dict[int, np.ndarray] = {}
+        self.error: Optional[str] = None
+
+    def add_prompt(self, frame: int, prompt: Sam3Prompt,
+                   box: Optional[tuple] = None) -> Sam3PromptObject:
+        obj = self.prompts.add(frame, prompt, box)
+        self.state = SessionState.Prompted
+        return obj
+
+    def propagate(self, frames, images_fn: Callable[[int], np.ndarray]):
+        """Run segmentation over `frames` with the active prompts."""
+        if self.state not in (SessionState.Prompted, SessionState.Ready):
+            raise RuntimeError(f"cannot propagate from {self.state}")
+        if self.segment_fn is None:
+            self.state = SessionState.Error
+            self.error = ("no SAM3 model attached — provide segment_fn "
+                          "(model weights are downloaded at runtime in "
+                          "the reference; none are bundled)")
+            raise RuntimeError(self.error)
+        self.state = SessionState.Propagating
+        try:
+            for f in frames:
+                prompts = self.prompts.materialize(f)
+                if prompts:
+                    self.masks[f] = self.segment_fn(images_fn(f), prompts)
+            self.state = SessionState.Ready
+        except Exception as e:
+            self.state = SessionState.Error
+            self.error = str(e)
+            raise
+
+    def reset(self):
+        self.state = SessionState.Idle
+        self.masks.clear()
+        self.error = None
