@@ -142,70 +142,167 @@ class HistorySplit:
     def expected_per_blob(self, blobs: list[TrackBlob],
                           fish_positions: list[tuple],
                           max_distance_px: float) -> list[int]:
+        """Reference semantics (PPFrame::init_cache :214, :379-419):
+        each fish maps to EVERY blob whose extent lies within
+        max_d = track_max_speed * tdelta / cm_per_pixel * 0.5 of the
+        fish's estimated position; a blob's expectation is the number
+        of distinct fish mapped to it."""
         if not fish_positions or not blobs:
             return [0] * len(blobs)
         pos = np.asarray(fish_positions, np.float64)  # (F, 2)
         counts = [0] * len(blobs)
-        assigned_best = np.full(len(pos), -1)
-        best_d = np.full(len(pos), np.inf)
-        for bi, b in enumerate(blobs):
-            x, y, w, h = b.bounds
-            cx, cy = b.center
-            d = np.hypot(pos[:, 0] - cx, pos[:, 1] - cy)
-            # a fish "projects onto" the blob if it is the nearest blob
-            # within reach
-            closer = d < best_d
-            assigned_best[closer] = bi
-            best_d[closer] = d[closer]
-        for fi, bi in enumerate(assigned_best):
-            if bi >= 0 and best_d[fi] <= max_distance_px:
+        bounds = np.array([b.bounds for b in blobs], np.float64)  # x,y,w,h
+        x0 = bounds[:, 0]
+        y0 = bounds[:, 1]
+        x1 = bounds[:, 0] + bounds[:, 2] - 1
+        y1 = bounds[:, 1] + bounds[:, 3] - 1
+        for fx, fy in pos:
+            # distance from the estimate to each blob's bounding box
+            dx = np.maximum(0, np.maximum(x0 - fx, fx - x1))
+            dy = np.maximum(0, np.maximum(y0 - fy, fy - y1))
+            d = np.hypot(dx, dy)
+            for bi in np.flatnonzero(d <= max_distance_px):
                 counts[bi] += 1
         return counts
+
+    def split_expectation(self, blobs: list[TrackBlob],
+                          fish_positions: list[tuple],
+                          max_distance_px: float) -> dict[int, int]:
+        """The reference's expectation algorithm (HistorySplit.cpp:
+        170-320): per connected clique of fish<->blob proximity edges
+        with more fish than blobs, resolve conflicts greedily closest-
+        first; every fish left without an alternative raises the split
+        expectation of its best blob (plus one for the current owner).
+
+        Returns {blob_index: expected_count}; blobs absent need no split.
+        """
+        if not fish_positions or not blobs:
+            return {}
+        bounds = np.array([b.bounds for b in blobs], np.float64)
+        x0 = bounds[:, 0]
+        y0 = bounds[:, 1]
+        x1 = bounds[:, 0] + bounds[:, 2] - 1
+        y1 = bounds[:, 1] + bounds[:, 3] - 1
+        edges: dict[int, list] = {}
+        for fi, (fx, fy) in enumerate(fish_positions):
+            dx = np.maximum(0, np.maximum(x0 - fx, fx - x1))
+            dy = np.maximum(0, np.maximum(y0 - fy, fy - y1))
+            d = np.hypot(dx, dy)
+            near = np.flatnonzero(d <= max_distance_px)
+            if len(near):
+                edges[fi] = sorted((float(d[bi]), int(bi)) for bi in near)
+
+        # connected cliques over shared blobs
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+
+        for fi, es in edges.items():
+            for _, bi in es:
+                union(("f", fi), ("b", bi))
+        cliques: dict = {}
+        for fi in edges:
+            cliques.setdefault(find(("f", fi)), ([], set()))[0].append(fi)
+        for fi, es in edges.items():
+            root = find(("f", fi))
+            for _, bi in es:
+                cliques[root][1].add(bi)
+
+        expect: dict[int, int] = {}
+        for fish_list, blob_set in cliques.values():
+            if len(fish_list) <= len(blob_set):
+                continue
+            combos = {fi: list(edges[fi]) for fi in fish_list}
+            assign_fish = {fi: combos[fi][0] for fi in fish_list}
+            assign_blob: dict[int, tuple] = {}
+            queue = list(fish_list)
+            while queue:
+                fi = queue.pop(0)
+                combo = combos[fi]
+                if not combo:
+                    continue
+                d, b = combo[0]
+                if b not in assign_blob:
+                    assign_blob[b] = (fi, d)
+                    continue
+                owner, od = assign_blob[b]
+                if owner != fi:
+                    if od <= d:
+                        combo.pop(0)
+                        queue.append(fi)
+                    else:
+                        assign_blob[b] = (fi, d)
+                        queue.append(owner)
+                        # owner must look for alternatives again
+            for fi in fish_list:
+                if combos[fi]:
+                    continue  # still has alternatives
+                d, b = assign_fish[fi]
+                if b in assign_blob:
+                    expect[b] = expect.get(b, 0) + 1  # current owner
+                    del assign_blob[b]
+                expect[b] = expect.get(b, 0) + 1
+        return expect
 
     def apply(self, frame_index: int, blobs: list[TrackBlob],
               fish_positions: list[tuple], background: np.ndarray,
               noise_sink: Optional[list] = None) -> list[TrackBlob]:
-        """Return the blob list with over-subscribed blobs split."""
+        """Return the blob list with over-subscribed blobs split
+        (HistorySplit tail: split_big + final size filter)."""
         s = self.settings
+        fish_size = SizeFilters(s["track_size_filter"])
+        cm = s["cm_per_pixel"] or 1.0
+        cm_sqr = cm * cm
         if not s["track_do_history_split"]:
             return blobs
-        cm = s["cm_per_pixel"] or 1.0
+        # max_d = track_max_speed * tdelta / cm_per_pixel * 0.5
+        # (PPFrame.cpp:214, tdelta = one frame)
         max_d = (s["track_max_speed"] / cm) / max(
-            1.0, float(s["frame_rate"] or 25)) * 2.0
-        expected = self.expected_per_blob(blobs, fish_positions, max_d)
-        fish_size = SizeFilters(s["track_size_filter"])
-        cm_sqr = cm * cm
+            1.0, float(s["frame_rate"] or 25)) * 0.5
+        expect = self.split_expectation(blobs, fish_positions, max_d)
+        # manual splits always force a 2-way split
+        manual = (s["manual_splits"] or {})
+        manual_bids = set(manual.get(frame_index, [])
+                          or manual.get(str(frame_index), []))
         out = []
-        for b, k in zip(blobs, expected):
-            # also split blobs that are simply too large for one fish
-            too_big = fish_size and not fish_size.in_range_of_one(
-                b.recount(-1) if b._last_recount is not None
-                else b.num_pixels * cm_sqr
-            ) and b.num_pixels * cm_sqr > fish_size.max_range[1]
-            want = max(k, 2 if too_big else 1)
-            if want <= 1:
+        for bi, b in enumerate(blobs):
+            want = expect.get(bi, 0)
+            if b.blob_id in manual_bids:
+                want = max(want, 2)
+            if want < 2:
                 out.append(b)
                 continue
             parts = []
-            while want >= 2 and not parts:
-                parts = split_blob(b, want, background, self.settings)
-                want -= 1
-            want += 1
+            w = want
+            while w >= 2 and not parts:
+                parts = split_blob(b, w, background, self.settings)
+                w -= 1
             if not parts:
-                if noise_sink is not None and (too_big or k >= 2):
-                    # blobs expected to hold >1 individual never become
-                    # match candidates unless the split succeeds — the
-                    # involved fish stay unassigned while merged
-                    # (FilterReason::SplitFailed semantics)
+                # split failed: the blob leaves the match candidates
+                # (FilterReason::History) — involved fish stay missing
+                if noise_sink is not None:
                     noise_sink.append(b)
-                else:
-                    out.append(b)
                 continue
-            for i, p in enumerate(parts):
-                sized = fish_size.in_range_of_one(p.num_pixels * cm_sqr)
-                if i < want and (sized or not fish_size):
-                    p.recount(int(s["track_threshold"]), background, s)
-                    out.append(p)
-                elif noise_sink is not None:
-                    noise_sink.append(p)
-        return out
+            for p in parts:
+                p.recount(int(s["track_threshold"]), background, s)
+                out.append(p)
+        # final size filter (HistorySplit.cpp:364-373): everything out of
+        # track_size_filter becomes noise
+        final = []
+        for b in out:
+            rec = b.recount(-1) if b._last_recount is not None \
+                else b.num_pixels * cm_sqr
+            if not fish_size or fish_size.in_range_of_one(rec):
+                final.append(b)
+            elif noise_sink is not None:
+                noise_sink.append(b)
+        return final

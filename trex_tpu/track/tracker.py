@@ -115,9 +115,21 @@ class Tracker:
             self.start_frame = frame
         self.frame_times[frame] = pp.time
 
-        # --- split big blobs -------------------------------------------------
-        existing = [ind for ind in self.individuals.values() if not ind.empty()]
-        fish_positions = [ind.basic[-1].centroid.pos for ind in existing]
+        # --- caches first (PPFrame::init_cache order): the history split
+        # maps fish ESTIMATED positions onto blobs
+        active = self._active_individuals()
+        caches: dict[int, IndividualCache] = {}
+        for ind in active:
+            caches[ind.identity] = ind.cache_for_frame(
+                frame, pp.time, self.frame_times, self.start_frame)
+
+        frame_rate = float(s["frame_rate"] or 25)
+        recent_limit = frame - frame_rate * s["track_max_reassign_time"]
+        fish_positions = [
+            caches[ind.identity].estimated_px for ind in active
+            if not caches[ind.identity].individual_empty
+            and ind.end_frame >= recent_limit
+        ]
         noise_sink: list = []
         max_ind = int(s["track_max_individuals"])
 
@@ -168,8 +180,6 @@ class Tracker:
         # reference's calculate_paired_probabilities (Tracker.cpp:1083-1360)
         # computed per-edge; the math is identical (see
         # Individual.position_probability), evaluated as one (F,B) array op.
-        active = self._active_individuals()
-        caches: dict[int, IndividualCache] = {}
         paired = PairedProbabilities()
         p_min = s["match_min_probability"]
         topk = s["match_topk"]
@@ -177,9 +187,7 @@ class Tracker:
         max_speed = s["track_max_speed"]
         usable = []
         for ind in active:
-            cache = ind.cache_for_frame(frame, pp.time, self.frame_times,
-                                        self.start_frame)
-            caches[ind.identity] = cache
+            cache = caches[ind.identity]
             if not cache.individual_empty and cache.time_probability > 0:
                 usable.append((ind, cache))
         if usable and blobs:
