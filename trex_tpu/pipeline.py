@@ -29,24 +29,86 @@ from .track.posture import calculate_posture
 from .track.individual import PostureStuff
 
 
-def generate_average(source: VideoSource, settings: Settings) -> np.ndarray:
+def generate_average(source: VideoSource, settings: Settings,
+                     undistort_maps=None) -> np.ndarray:
     """Background average over `average_samples` evenly spaced frames
     using `averaging_method` (Segmenter::trigger_average_generator +
-    commons AveragingAccumulator)."""
+    commons AveragingAccumulator). Frames get the same acquisition
+    preprocessing as the conversion path."""
     n = min(int(settings["average_samples"]), len(source))
     acc = AveragingAccumulator(settings["averaging_method"])
     for i in np.linspace(0, len(source) - 1, max(1, n)).astype(int):
-        acc.add(source.get(int(i)))
+        img = source.get(int(i))
+        if img.ndim == 3:
+            import cv2
+
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        acc.add(preprocess_video_frame(img, settings, undistort_maps))
     return acc.finalize()
+
+
+def preprocess_video_frame(image: np.ndarray, settings: Settings,
+                           undistort_maps=None) -> np.ndarray:
+    """Acquisition-side preprocessing (AbstractBaseVideoSource::next(),
+    core/AbstractVideoSource.h:172-287): undistortion from
+    cam_matrix/cam_undistort_vector, meta_video_scale resize,
+    crop_offsets, image_invert/image_adjust and equalize_histogram."""
+    import cv2
+
+    s = settings
+    if undistort_maps is not None:
+        image = cv2.remap(image, undistort_maps[0], undistort_maps[1],
+                          cv2.INTER_LINEAR)
+    scale = float(s["meta_video_scale"] or 0) \
+        if "meta_video_scale" in s else 0.0
+    if scale and scale > 0 and scale != 1.0:
+        image = cv2.resize(image, None, fx=scale, fy=scale,
+                           interpolation=cv2.INTER_AREA)
+    crop = s["crop_offsets"]
+    if crop and any(crop):
+        h, w = image.shape[:2]
+        l, t, r, b = [float(x) for x in crop]
+        # fractions of the frame (commons CropOffsets)
+        image = image[int(t * h) : h - int(b * h),
+                      int(l * w) : w - int(r * w)]
+    if s["image_invert"]:
+        image = 255 - image
+    if s["image_adjust"]:
+        img = image.astype(np.float32) * float(s["image_contrast_increase"]) \
+            + float(s["image_brightness_increase"])
+        image = np.clip(img, 0, 255).astype(np.uint8)
+    if s["equalize_histogram"]:
+        image = cv2.equalizeHist(image)
+    return image
+
+
+def build_undistort_maps(settings: Settings, size):
+    """Precompute remap tables from cam_matrix/cam_undistort_vector."""
+    import cv2
+
+    s = settings
+    mat = s["cam_matrix"]
+    dist = s["cam_undistort_vector"]
+    if not s["cam_undistort"] or not mat or not dist \
+            or list(mat) == [1, 0, 0, 0, 1, 0, 0, 0, 1]:
+        return None
+    w, h = size
+    K = np.asarray(mat, np.float64).reshape(3, 3)
+    D = np.asarray(dist, np.float64)
+    return cv2.initUndistortRectifyMap(K, D, None, K, (w, h), cv2.CV_32FC1)
 
 
 def detect_frame(image: np.ndarray, background: np.ndarray,
                  settings: Settings) -> list[TrackBlob]:
     """background_subtraction detection for one frame
-    (BackgroundSubtraction.cpp:126-347): threshold vs background,
-    connected components, detect_size_filter in cm^2."""
+    (BackgroundSubtraction.cpp:126-347 + commons RawProcessing options):
+    threshold vs background (with optional luminance correction and
+    morphological closing/dilation), connected components,
+    detect_size_filter in cm^2."""
     threshold = int(settings["detect_threshold"])
     absolute = bool(settings["detect_threshold_is_absolute"])
+    if settings["use_closing"] or settings["dilation_size"]:
+        return _detect_frame_morph(image, background, settings)
     # fuse the tracking-stage recount into the native labeling pass
     track_thr = int(settings["track_threshold"])
     track_abs = bool(settings["track_threshold_is_absolute"])
@@ -68,6 +130,79 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
             tb._recount_cache[track_thr] = float(b.stats[1]) * sq
         out.append(tb)
     return out
+
+
+def _detect_frame_morph(image: np.ndarray, background: np.ndarray,
+                        settings: Settings) -> list[TrackBlob]:
+    """Closing/dilation path (RawProcessing use_closing/dilation_size):
+    build the binary mask, apply morphology, then label the (possibly
+    merged/inflated) shapes with pixels from the original image."""
+    import cv2
+
+    s = settings
+    threshold = int(s["detect_threshold"])
+    absolute = bool(s["detect_threshold_is_absolute"])
+    fi = image.astype(np.int16)
+    bi = background.astype(np.int16)
+    diff = np.abs(fi - bi) if absolute else bi - fi
+    mask = ((diff >= threshold) & (image > 0)).astype(np.uint8)
+    if s["use_closing"]:
+        k = int(s["closing_size"])
+        kernel = np.ones((k, k), np.uint8)
+        mask = cv2.morphologyEx(mask, cv2.MORPH_CLOSE, kernel)
+    d = int(s["dilation_size"])
+    if d > 0:
+        mask = cv2.dilate(mask, np.ones((d, d), np.uint8))
+    elif d < 0:
+        mask = cv2.erode(mask, np.ones((-d, -d), np.uint8))
+    masked = np.where(mask > 0, np.maximum(image, 1), 0).astype(np.uint8)
+    track_thr = int(s["track_threshold"])
+    use_bgsub = bool(s["track_background_subtraction"])
+    blobs = label_blobs(masked, background, threshold=0,
+                        track_threshold=track_thr if use_bgsub else 0,
+                        track_absolute=bool(s["track_threshold_is_absolute"]))
+    cm = s["cm_per_pixel"] or 1.0
+    sq = cm * cm
+    ranges = s["detect_size_filter"] or []
+    out = []
+    for b in blobs:
+        size = b.num_pixels * sq
+        if ranges and not any(lo <= size <= hi for lo, hi in ranges):
+            continue
+        tb = TrackBlob(b.lines, b.pixels, stats=b.stats)
+        if b.stats is not None and track_thr > 0 and use_bgsub:
+            tb._recount_cache[track_thr] = float(b.stats[1]) * sq
+        out.append(tb)
+    return out
+
+
+class LuminanceGrid:
+    """Per-cell luminance correction (commons processing/LuminanceGrid):
+    divides the arena into cells and normalizes each cell's brightness
+    toward the global mean before thresholding (correct_luminance)."""
+
+    def __init__(self, background: np.ndarray, cells: int = 32):
+        h, w = background.shape[:2]
+        self.cells = cells
+        ch = max(1, h // cells)
+        cw = max(1, w // cells)
+        grid = np.zeros((cells, cells), np.float32)
+        for gy in range(cells):
+            for gx in range(cells):
+                region = background[gy * ch : (gy + 1) * ch,
+                                    gx * cw : (gx + 1) * cw]
+                grid[gy, gx] = region.mean() if region.size else 0.0
+        target = float(background.mean())
+        with np.errstate(divide="ignore", invalid="ignore"):
+            factors = np.where(grid > 0, target / grid, 1.0)
+        import cv2
+
+        self.factor_map = cv2.resize(factors, (w, h),
+                                     interpolation=cv2.INTER_LINEAR)
+
+    def correct(self, image: np.ndarray) -> np.ndarray:
+        return np.clip(image.astype(np.float32) * self.factor_map,
+                       0, 255).astype(np.uint8)
 
 
 class Segmenter:
@@ -109,7 +244,8 @@ class Segmenter:
             s.set("frame_rate", int(round(src.frame_rate)), source="video")
         if not s["meta_real_width"] and not s["cm_per_pixel"]:
             s.set("cm_per_pixel", 1.0, source="fallback")
-        self.background = generate_average(src, s)
+        undistort_maps = build_undistort_maps(s, src.size)
+        self.background = generate_average(src, s, undistort_maps)
         w, h = src.size
         header = PVHeader(
             encoding=s["meta_encoding"] if s["meta_encoding"] != "rgb8"
@@ -135,12 +271,19 @@ class Segmenter:
             self.pv_file = pv
             pv.set_metadata(self._metadata())
 
+            undistort = undistort_maps
+            # NOTE: the reference constructs a LuminanceGrid but its
+            # correction call is disabled in the bg-subtraction path
+            # (BackgroundSubtraction.cpp:200-205, commented out) — we
+            # keep the component available but do not auto-apply it.
+
             def produce(idx):
                 img = src.get(idx)
                 if img.ndim == 3:
                     import cv2
 
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+                img = preprocess_video_frame(img, s, undistort)
                 return idx, img, detect_frame(img, self.background, s)
 
             with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
