@@ -203,6 +203,17 @@ FUNCTIONS: dict[str, Callable] = {
         _midline_offset_field(ind, frame)),
     "normalized_midline": lambda ind, frame, source, smooth, ctx: (
         p.midline_angle if (p := ind.posture_stuff(frame)) else INVALID),
+    "outline_size": lambda ind, frame, source, smooth, ctx: (
+        float(p.outline_size) if (p := ind.posture_stuff(frame))
+        else INVALID),
+    "tracklet_id": lambda ind, frame, source, smooth, ctx: next(
+        (float(i) for i, (t0, t1) in enumerate(ind.tracklets)
+         if t0 <= frame <= t1), INVALID),
+    "consecutive": lambda ind, frame, source, smooth, ctx: next(
+        (float(t1 - t0 + 1) for (t0, t1) in ind.tracklets
+         if t0 <= frame <= t1), INVALID),
+    "ORIENTATION": _angle,
+    "SPEED_OLD": _speed,
     "midline_segment_length": lambda ind, frame, source, smooth, ctx: (
         (p.midline_length / max(1, ctx.settings["midline_resolution"] - 1))
         if (p := ind.posture_stuff(frame))
@@ -248,6 +259,108 @@ def _pose_field(field: str):
         return float(kp[idx][axis]) * ctx.cm
 
     return fn
+
+
+def _neighbor_vector_t(ind, frame, source, smooth, ctx):
+    """NEIGHBOR_VECTOR_T: signed distance to the nearest neighbor along
+    the body-transverse axis (OutputLibrary neighbor vector family)."""
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    best = None
+    for other in ctx.tracker.individuals.values():
+        if other is ind:
+            continue
+        ro = _record(other, frame, source)
+        if ro is None:
+            continue
+        d = math.hypot(r.x - ro.x, r.y - ro.y)
+        if best is None or d < best[0]:
+            best = (d, ro)
+    if best is None:
+        return INVALID
+    _, ro = best
+    # project neighbor offset onto the perpendicular of the heading
+    nx, ny = -math.sin(r.angle), math.cos(r.angle)
+    return ((ro.x - r.x) * nx + (ro.y - r.y) * ny) * ctx.cm
+
+
+def _dot_v(ind, frame, source, smooth, ctx):
+    """DOT_V: dot product of own and nearest neighbor's velocity
+    direction (alignment measure)."""
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    best = None
+    for other in ctx.tracker.individuals.values():
+        if other is ind:
+            continue
+        ro = _record(other, frame, source)
+        if ro is None:
+            continue
+        d = math.hypot(r.x - ro.x, r.y - ro.y)
+        if best is None or d < best[0]:
+            best = (d, ro)
+    if best is None:
+        return INVALID
+    ro = best[1]
+    n1 = math.hypot(r.vx, r.vy)
+    n2 = math.hypot(ro.vx, ro.vy)
+    if n1 == 0 or n2 == 0:
+        return INVALID
+    return (r.vx * ro.vx + r.vy * ro.vy) / (n1 * n2)
+
+
+def _events_field(attr):
+    def fn(ind, frame, source, smooth, ctx):
+        from ..track.events import detect_events, midline_offset
+
+        if attr == "threshold_reached":
+            o = midline_offset(ind, frame)
+            if math.isnan(o):
+                return INVALID
+            return 1.0 if abs(o) >= ctx.settings["limit"] else 0.0
+        events = ctx.__dict__.setdefault("_events_cache", {})
+        if ind.identity not in events:
+            events[ind.identity] = detect_events(ind, ctx.settings)
+        for ev in events[ind.identity]:
+            if ev.begin <= frame <= ev.end:
+                return float(getattr(ev, attr))
+        return INVALID
+    return fn
+
+
+FUNCTIONS.update({
+    "NEIGHBOR_VECTOR_T": _neighbor_vector_t,
+    "DOT_V": _dot_v,
+    "L_V": lambda ind, frame, source, smooth, ctx: (
+        r.speed(ctx.cm) if (r := _record(ind, frame, source)) else INVALID),
+    "v_direction": lambda ind, frame, source, smooth, ctx: (
+        math.atan2(r.vy, r.vx) if (r := _record(ind, frame, source))
+        and (r.vx or r.vy) else INVALID),
+    "event_energy": _events_field("energy"),
+    "event_acceleration": _events_field("acceleration"),
+    "event_direction_change": _events_field("direction_change"),
+    "tailbeat_threshold": _events_field("threshold_reached"),
+    "tailbeat_peak": _events_field("energy"),
+    "threshold_reached": _events_field("threshold_reached"),
+    "amplitude": lambda ind, frame, source, smooth, ctx: (
+        abs(v) if not math.isinf(
+            v := _midline_offset_field(ind, frame)) else INVALID),
+    "average_category": lambda ind, frame, source, smooth, ctx: INVALID,
+    "category": lambda ind, frame, source, smooth, ctx: INVALID,
+    "qr_id": lambda ind, frame, source, smooth, ctx: INVALID,
+})
+
+
+def set_category_lookup(ctx: EvalContext, store):
+    """Attach a categorize.DataStore so category fields resolve."""
+    def category(ind, frame, source, smooth, _ctx):
+        lid = store.ranged_label(frame, ind.identity)
+        return float(lid) if lid is not None else INVALID
+
+    FUNCTIONS["category"] = category
+    FUNCTIONS["average_category"] = category
 
 
 def evaluate(ctx: EvalContext, ind, frame: int, field: str,
