@@ -183,14 +183,26 @@ class HistorySplit:
         y0 = bounds[:, 1]
         x1 = bounds[:, 0] + bounds[:, 2] - 1
         y1 = bounds[:, 1] + bounds[:, 3] - 1
+        pos = np.asarray(fish_positions, np.float64)
+        fx = pos[:, 0][:, None]
+        fy = pos[:, 1][:, None]
+        dx = np.maximum(0, np.maximum(x0[None, :] - fx, fx - x1[None, :]))
+        dy = np.maximum(0, np.maximum(y0[None, :] - fy, fy - y1[None, :]))
+        dmat = np.hypot(dx, dy)
+        near = dmat <= max_distance_px
+        # early exit: only fish touching a contested blob (>= 2 mapped
+        # fish) can raise expectations — typical frames have none
+        contested = near.sum(axis=0) >= 2
+        if not contested.any():
+            return {}
+        involved = near[:, contested].any(axis=1)
+        fi_idx, bi_idx = np.nonzero(near[involved])
+        fish_ids = np.flatnonzero(involved)
         edges: dict[int, list] = {}
-        for fi, (fx, fy) in enumerate(fish_positions):
-            dx = np.maximum(0, np.maximum(x0 - fx, fx - x1))
-            dy = np.maximum(0, np.maximum(y0 - fy, fy - y1))
-            d = np.hypot(dx, dy)
-            near = np.flatnonzero(d <= max_distance_px)
-            if len(near):
-                edges[fi] = sorted((float(d[bi]), int(bi)) for bi in near)
+        for fi, bi in zip(fish_ids[fi_idx].tolist(), bi_idx.tolist()):
+            edges.setdefault(fi, []).append((float(dmat[fi, bi]), bi))
+        for es in edges.values():
+            es.sort()
 
         # connected cliques over shared blobs
         parent: dict = {}
