@@ -264,7 +264,8 @@ class Tracker:
             for ind in inactive:
                 if ind.empty():
                     for bi in free_blobs:
-                        second.add(ind.identity, bi, p_min)
+                        second.add(ind.identity,
+                                   (blobs[bi].blob_id, bi), p_min)
                     continue
                 cache = caches.get(ind.identity) or ind.cache_for_frame(
                     frame, pp.time, self.frame_times, self.start_frame)
@@ -279,12 +280,15 @@ class Tracker:
                         p = 1.0 / sqdist / tdelta
                     else:
                         p = 1.0 / tdelta
-                    second.add(ind.identity, bi,
+                    # key blobs by bid so the greedy matcher iterates in
+                    # the reference's pv::bid order
+                    second.add(ind.identity,
+                               (blobs[bi].blob_id, bi),
                                p_min + p * (1.0 - p_min))
             mode2 = "approximate" if s["match_mode"] == "automatic" \
                 else s["match_mode"]
             res2 = match(second, mode=mode2)
-            for bi, fid in sorted(res2.pairings.items()):
+            for (bid_key, bi), fid in sorted(res2.pairings.items()):
                 if bi in assigned_blobs:
                     continue
                 self.individuals[fid].add(frame, pp.time, blobs[bi])
