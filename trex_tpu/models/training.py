@@ -146,15 +146,25 @@ class VITrainer:
             val_images, val_labels = images[val_idx], labels[val_idx]
             images, labels = images[train_idx], labels[train_idx]
             n = len(images)
-        batch_size = min(batch_size, n)
+        # keep the batch shape FIXED so the jitted train step compiles
+        # exactly once across all accumulation steps (small datasets are
+        # upsampled to a full batch instead of shrinking the shape)
         result = TrainResult()
         rng = np.random.default_rng(seed + 1)
         steps_done = 0
+        steps_per_epoch = max(1, n // batch_size)
         for epoch in range(max_epochs):
             order = rng.permutation(n)
+            if n < batch_size:
+                order = np.concatenate(
+                    [order, rng.integers(0, n, batch_size - n)])
             losses, accs = [], []
-            for s in range(0, n - batch_size + 1, batch_size):
-                idx = order[s : s + batch_size]
+            for step_i in range(steps_per_epoch):
+                sidx = (step_i * batch_size) % max(1, n)
+                idx = order[sidx : sidx + batch_size]
+                if len(idx) < batch_size:
+                    idx = np.concatenate(
+                        [idx, order[: batch_size - len(idx)]])
                 self.state, loss_v, acc = self._train_step(
                     self.state, jnp.asarray(images[idx]),
                     jnp.asarray(labels[idx]))
