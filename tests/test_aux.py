@@ -379,3 +379,24 @@ def test_luminance_grid():
     # top half brightened toward the mean, bottom half dimmed
     assert corrected[:16].mean() > 55
     assert abs(corrected.mean() - 75) < 12
+
+
+def test_annotations_roundtrip():
+    from trex_tpu.track.annotations import (Annotation, AnnotationMap,
+                                            AnnotationType)
+
+    m = AnnotationMap()
+    a = m.add(5, Annotation(clid=2, type=AnnotationType.BOX,
+                            points=np.array([[1.0, 2.0], [11.0, 22.0]])))
+    m.add(5, Annotation(clid=1, type=AnnotationType.POSE,
+                        points=np.array([[3.0, 4.0]])))
+    s = a.to_str()
+    b = Annotation.from_str(s)
+    assert b.clid == 2 and b.type == AnnotationType.BOX
+    np.testing.assert_array_equal(b.points, a.points)
+    restored = AnnotationMap.from_dict(m.to_dict())
+    assert len(restored.at(5)) == 2
+    rows = list(restored.training_rows())
+    assert rows[0] == (5, 2, 1.0, 2.0, 11.0, 22.0)
+    assert m.remove(5, a.uid)
+    assert len(m.at(5)) == 1
