@@ -1,0 +1,197 @@
+"""Vectorized per-frame cache computation for all individuals at once.
+
+Semantically identical to Individual.cache_for_frame (the reference's
+cache_for_frame, Individual.cpp:1940-2055) — that method remains the
+per-fish reference implementation and the equivalence is covered by
+tests. This version assembles an (F, W) window of recent positions and
+evaluates the velocity averaging / median speed / decay-weighted
+extrapolation / time probability as numpy array math; fish with manual
+matches or frame gaps in the extrapolation window fall back to the
+scalar path.
+"""
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from .individual import IndividualCache
+
+WINDOW = 7  # frames [prev-6 .. prev]
+
+
+def compute_caches(individuals: list, frame: int, time: float,
+                   frame_times: dict, start_frame: int,
+                   settings) -> dict[int, IndividualCache]:
+    s = settings
+    out: dict[int, IndividualCache] = {}
+    todo = []
+    for ind in individuals:
+        if ind.empty():
+            out[ind.identity] = IndividualCache()
+        elif ind.manual_frames:
+            out[ind.identity] = ind.cache_for_frame(
+                frame, time, frame_times, start_frame)
+        else:
+            todo.append(ind)
+    if not todo:
+        return out
+
+    F = len(todo)
+    pos = np.full((F, WINDOW, 2), np.nan)
+    times = np.full((F, WINDOW), np.nan)
+    frames = np.full((F, WINDOW), -10 ** 9, np.int64)
+    prev_frames = np.empty(F, np.int64)
+    prev_times = np.empty(F)
+    last_x = np.empty(F)
+    last_y = np.empty(F)
+
+    for i, ind in enumerate(todo):
+        basic = ind.basic
+        prev = basic[-1]
+        prev_frames[i] = prev.frame
+        lo = max(ind.start_frame, prev.frame - 6)
+        # walk back over entries with frame >= lo (they are sorted)
+        j = len(basic) - 1
+        entries = []
+        while j >= 0 and basic[j].frame >= lo:
+            entries.append(basic[j])
+            j -= 1
+        entries.reverse()
+        n = min(len(entries), WINDOW)
+        for k, b in enumerate(entries[-WINDOW:]):
+            c = b.centroid
+            pos[i, k, 0] = c.x
+            pos[i, k, 1] = c.y
+            times[i, k] = frame_times.get(b.frame, c.time)
+            frames[i, k] = b.frame
+        prev_times[i] = times[i, n - 1]
+        last_x[i] = pos[i, n - 1, 0]
+        last_y[i] = pos[i, n - 1, 1]
+
+    cm = s["cm_per_pixel"] or 1.0
+    max_speed = s["track_max_speed"]
+    max_speed_px = max_speed / cm if cm else 0.0
+    max_px_sq = max_speed_px * max_speed_px
+    t_max = s["track_max_reassign_time"]
+    frame_rate = int(s["frame_rate"] or 25)
+    decay = min(1.0, max(0.0, s["track_speed_decay"]))
+    lam = decay ** 4
+    p_min = s["match_min_probability"]
+    time_prob_enabled = bool(s["track_time_probability_enabled"])
+
+    # pairwise velocities between consecutive window entries
+    dt = times[:, 1:] - times[:, :-1]
+    # skip pairs when the global step t(f)-t(f-1) exceeds 1s
+    prev_global = np.full((F, WINDOW), np.nan)
+    for i in range(F):
+        for k in range(WINDOW):
+            f = frames[i, k]
+            if f > -10 ** 8:
+                pt = frame_times.get(int(f) - 1)
+                prev_global[i, k] = np.nan if pt is None else pt
+    step_global = times - prev_global  # t(f) - t(f-1)
+    valid_pair = (
+        np.isfinite(dt) & (dt > 0)
+        & np.isfinite(step_global[:, 1:])
+        & (step_global[:, 1:] <= 1.0)
+    )
+    vx = np.where(valid_pair, (pos[:, 1:, 0] - pos[:, :-1, 0]) / dt, np.nan)
+    vy = np.where(valid_pair, (pos[:, 1:, 1] - pos[:, :-1, 1]) / dt, np.nan)
+    l_sq = vx * vx + vy * vy
+    if max_px_sq > 0:
+        over = l_sq >= max_px_sq
+        with np.errstate(invalid="ignore"):
+            scale = np.where(over, max_speed_px / np.sqrt(
+                np.where(l_sq > 0, l_sq, 1.0)), 1.0)
+        vx = vx * scale
+        vy = vy * scale
+        l_sq = np.where(over, max_px_sq, l_sq)
+
+    # NOTE: the scalar path breaks chains at invalid pairs (it resets
+    # prev sample); with dense tracking every pair is valid, which is
+    # the case this batch path handles — others fell back above. To be
+    # safe, fish with any invalid interior pair fall back too.
+    counts = np.isfinite(vx).sum(axis=1)
+    # used_frames cap: reference stops after 6 samples
+    with np.errstate(invalid="ignore"):
+        raw_x = np.nansum(vx, axis=1)
+        raw_y = np.nansum(vy, axis=1)
+        # the scalar path divides by the GLOBAL one-frame step at the
+        # newer sample (c_time - p_time), not the inter-sample dt, and
+        # skips terms whose previous velocity is exactly zero
+        # (Individual.cpp: `previous_v.x != 0 || previous_v.y != 0`)
+        acc_step = step_global[:, 2:]
+        prev_nonzero = (vx[:, :-1] != 0) | (vy[:, :-1] != 0)
+        acc_div = np.where((acc_step > 0) & prev_nonzero, acc_step, np.nan)
+        acc_x = np.nansum(np.diff(vx, axis=1) / acc_div, axis=1)
+        acc_y = np.nansum(np.diff(vy, axis=1) / acc_div, axis=1)
+    used = np.maximum(counts, 1)
+    raw_x /= used
+    raw_y /= used
+    acc_x /= used
+    acc_y /= used
+    med = np.nanmedian(np.where(np.isfinite(l_sq), l_sq, np.nan), axis=1)
+    med = np.where(np.isfinite(med), med, 0.0)
+    speed = np.maximum(0.6, np.sqrt(med))
+
+    nrm = np.hypot(raw_x, raw_y)
+    dir_x = np.where(nrm > 0, raw_x / nrm, 0.0)
+    dir_y = np.where(nrm > 0, raw_y / nrm, 0.0)
+    nrm = np.hypot(acc_x, acc_y)
+    accd_x = np.where(nrm > 0, acc_x / nrm, 0.0)
+    accd_y = np.where(nrm > 0, acc_y / nrm, 0.0)
+
+    tdelta = np.maximum(time - prev_times, 1e-6)
+
+    est_x = last_x.copy()
+    est_y = last_y.copy()
+    simple = prev_frames == frame - 1
+    if lam < 1:
+        # common case: prev == frame-1 -> single extrapolation step with
+        # weight (1+lam)/(1+lam) == 1
+        step = np.empty(F)
+        for i in range(F):
+            lu = frame_times.get(int(prev_frames[i]) - 1)
+            step[i] = times[i, 0] if lu is None else \
+                frame_times[int(prev_frames[i])] - lu
+        ok = simple & (counts > 0) & np.isfinite(step)
+        est_x = np.where(ok, est_x + step * speed
+                         * (dir_x + step * accd_x), est_x)
+        est_y = np.where(ok, est_y + step * speed
+                         * (dir_y + step * accd_y), est_y)
+
+    # time probability
+    t_delta_frame = 1.0 / frame_rate
+    minimum_frames = min(frame_rate, 5)
+    p = 1.0 - np.minimum(1.0, np.maximum(
+        0.0, (tdelta - t_delta_frame) / t_max))
+
+    for i, ind in enumerate(todo):
+        cache = IndividualCache()
+        cache.individual_empty = False
+        cache.previous_frame = int(prev_frames[i])
+        cache.local_tdelta = float(tdelta[i])
+        cache.last_seen_px = (float(last_x[i]), float(last_y[i]))
+        # fish needing the gap-aware scalar path
+        chain_broken = (not simple[i] and counts[i] > 0 and lam < 1)
+        window_has_invalid = bool(
+            (~np.isfinite(vx[i]) & (frames[i, 1:] > -10 ** 8)).any())
+        if chain_broken or window_has_invalid:
+            out[ind.identity] = ind.cache_for_frame(
+                frame, time, frame_times, start_frame)
+            continue
+        cache.estimated_px = (float(est_x[i]), float(est_y[i]))
+        if not time_prob_enabled:
+            cache.time_probability = 1.0
+        elif tdelta[i] > t_max:
+            cache.time_probability = 0.0
+        else:
+            pp = float(p[i])
+            if prev_frames[i] >= start_frame + minimum_frames:
+                r = ind.recent_number_samples(int(prev_frames[i]))
+                pp *= min(1.0, (r - 1) / minimum_frames + p_min)
+            cache.time_probability = pp * 0.75 + 0.25
+        cache.valid_frame = False
+        out[ind.identity] = cache
+    return out

@@ -116,12 +116,14 @@ class Tracker:
         self.frame_times[frame] = pp.time
 
         # --- caches first (PPFrame::init_cache order): the history split
-        # maps fish ESTIMATED positions onto blobs
+        # maps fish ESTIMATED positions onto blobs. Computed vectorized
+        # over all individuals (track/cache_batch.py).
+        from .cache_batch import compute_caches
+
         active = self._active_individuals()
-        caches: dict[int, IndividualCache] = {}
-        for ind in active:
-            caches[ind.identity] = ind.cache_for_frame(
-                frame, pp.time, self.frame_times, self.start_frame)
+        caches: dict[int, IndividualCache] = compute_caches(
+            active, frame, pp.time, self.frame_times, self.start_frame,
+            s)
 
         frame_rate = float(s["frame_rate"] or 25)
         recent_limit = frame - frame_rate * s["track_max_reassign_time"]
