@@ -81,6 +81,7 @@ def compute_caches(individuals: list, frame: int, time: float,
     time_prob_enabled = bool(s["track_time_probability_enabled"])
 
     # pairwise velocities between consecutive window entries
+    np_err = np.seterr(invalid="ignore", divide="ignore")
     dt = times[:, 1:] - times[:, :-1]
     # skip pairs when the global step t(f)-t(f-1) exceeds 1s
     prev_global = np.full((F, WINDOW), np.nan)
@@ -142,6 +143,7 @@ def compute_caches(individuals: list, frame: int, time: float,
     accd_x = np.where(nrm > 0, acc_x / nrm, 0.0)
     accd_y = np.where(nrm > 0, acc_y / nrm, 0.0)
 
+    np.seterr(**np_err)
     tdelta = np.maximum(time - prev_times, 1e-6)
 
     est_x = last_x.copy()
