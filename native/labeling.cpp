@@ -248,4 +248,68 @@ const uint8_t* trex_label_pixels(void* ctx) {
 }
 void trex_label_free(void* ctx) { delete (Result*)ctx; }
 
+// Moore boundary trace (8-connectivity, clockwise) over a binary mask.
+// Writes up to max_points (x, y) float pairs into out; returns the
+// number of points written (0 when the mask is empty). Matches the
+// Python reference tracer in trex_tpu/track/posture.py.
+int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
+                            int32_t height, float* out,
+                            int64_t max_points) {
+    const int32_t W = width + 2, H = height + 2;
+    std::vector<uint8_t> padded((size_t)W * H, 0);
+    int32_t sy = -1, sx = -1;
+    for (int32_t y = 0; y < height; y++) {
+        for (int32_t x = 0; x < width; x++) {
+            if (mask[(size_t)y * width + x]) {
+                padded[(size_t)(y + 1) * W + (x + 1)] = 1;
+                if (sy < 0) { sy = y + 1; sx = x + 1; }
+            }
+        }
+    }
+    // find the topmost-leftmost pixel in scan order
+    sy = -1;
+    for (int32_t y = 1; y < H - 1 && sy < 0; y++) {
+        for (int32_t x = 1; x < W - 1; x++) {
+            if (padded[(size_t)y * W + x]) { sy = y; sx = x; break; }
+        }
+    }
+    if (sy < 0) return 0;
+    static const int32_t order[8][2] = {
+        {0, -1}, {-1, -1}, {-1, 0}, {-1, 1},
+        {0, 1}, {1, 1}, {1, 0}, {1, -1}};
+    int32_t cy = sy, cx = sx;
+    int32_t back = 0;
+    int64_t n = 0;
+    if (n < max_points) {
+        out[2 * n] = (float)(sx - 1);
+        out[2 * n + 1] = (float)(sy - 1);
+        n++;
+    }
+    const int64_t limit = (int64_t)8 * width * height + 8;
+    for (int64_t iter = 0; iter < limit; iter++) {
+        bool found = false;
+        for (int k = 0; k < 8; k++) {
+            int d = (back + 1 + k) % 8;
+            int32_t ny = cy + order[d][0];
+            int32_t nx = cx + order[d][1];
+            if (padded[(size_t)ny * W + nx]) {
+                cy = ny; cx = nx;
+                back = (d + 4) % 8;
+                found = true;
+                break;
+            }
+        }
+        if (!found) break;  // isolated pixel
+        if (cy == sy && cx == sx && n > 1) break;
+        if (n < max_points) {
+            out[2 * n] = (float)(cx - 1);
+            out[2 * n + 1] = (float)(cy - 1);
+            n++;
+        } else {
+            break;
+        }
+    }
+    return n;
+}
+
 }  // extern "C"

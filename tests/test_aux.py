@@ -400,3 +400,27 @@ def test_annotations_roundtrip():
     assert rows[0] == (5, 2, 1.0, 2.0, 11.0, 22.0)
     assert m.remove(5, a.uid)
     assert len(m.at(5)) == 1
+
+
+def test_native_boundary_trace_matches_python():
+    from trex_tpu.track.posture import _trace_boundary_py, trace_boundary
+
+    rng = np.random.default_rng(5)
+    shapes = []
+    m = np.zeros((20, 30), np.uint8)
+    m[5:15, 8:25] = 1
+    m[8:12, 12:20] = 0  # hole (outer boundary only)
+    shapes.append(m)
+    blob = np.zeros((40, 40), np.uint8)
+    yy, xx = np.mgrid[:40, :40]
+    blob[((yy - 20) ** 2 / 100 + (xx - 20) ** 2 / 300) <= 1] = 1
+    shapes.append(blob)
+    shapes.append((rng.random((25, 25)) < 0.6).astype(np.uint8))
+    single = np.zeros((5, 5), np.uint8)
+    single[2, 2] = 1
+    shapes.append(single)
+    for i, m in enumerate(shapes):
+        a = trace_boundary(m)
+        b = _trace_boundary_py(m)
+        assert len(a) == len(b), f"shape {i}: {len(a)} != {len(b)}"
+        np.testing.assert_array_equal(a, b, err_msg=f"shape {i}")

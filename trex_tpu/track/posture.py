@@ -42,10 +42,53 @@ from .blob import TrackBlob
 
 _MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
+_native_trace = None
+
+
+def _get_native_trace():
+    global _native_trace
+    if _native_trace is None:
+        import ctypes
+
+        from ..io.lzo import _load as _load_native
+
+        lib = _load_native()
+        lib.trex_trace_boundary.restype = ctypes.c_int64
+        lib.trex_trace_boundary.argtypes = [
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ]
+        _native_trace = lib.trex_trace_boundary
+    return _native_trace
+
 
 def trace_boundary(mask: np.ndarray) -> np.ndarray:
     """Moore boundary trace (8-connectivity, clockwise) over a binary
-    mask; returns (N,2) float [x, y] pixel-center points."""
+    mask; returns (N,2) float [x, y] pixel-center points. Runs in
+    native C++ (native/labeling.cpp trex_trace_boundary); the Python
+    implementation below is the tested fallback/reference."""
+    import ctypes
+
+    try:
+        fn = _get_native_trace()
+    except (OSError, AttributeError):
+        return _trace_boundary_py(mask)
+    mask = np.ascontiguousarray((mask > 0).astype(np.uint8))
+    h, w = mask.shape
+    cap = 8 * (h + w) + 64
+    out = np.empty((cap, 2), np.float32)
+    n = fn(mask.ctypes.data_as(ctypes.c_char_p), w, h,
+           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+    if n >= cap:  # extremely convoluted boundary: retry with full cap
+        cap = 8 * h * w + 8
+        out = np.empty((cap, 2), np.float32)
+        n = fn(mask.ctypes.data_as(ctypes.c_char_p), w, h,
+               out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), cap)
+    return out[:n].copy()
+
+
+def _trace_boundary_py(mask: np.ndarray) -> np.ndarray:
+    """Pure-Python Moore trace (reference implementation)."""
     h, w = mask.shape
     padded = np.zeros((h + 2, w + 2), np.uint8)
     padded[1:-1, 1:-1] = mask > 0
@@ -62,6 +105,7 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
     order = [(0, -1), (-1, -1), (-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1)]
     # direction index of the cell we came FROM relative to current
     back = 0
+    closed = False
     for _ in range(8 * len(ys) + 8):
         found = False
         for k in range(8):
@@ -78,8 +122,11 @@ def trace_boundary(mask: np.ndarray) -> np.ndarray:
         if not found:
             break  # isolated pixel
         if cur == start and len(boundary) > 2:
+            closed = True
             break
-    pts = np.array([(x - 1, y - 1) for (y, x) in boundary[:-1]], np.float32)
+    if closed:
+        boundary = boundary[:-1]  # drop the duplicated start point
+    pts = np.array([(x - 1, y - 1) for (y, x) in boundary], np.float32)
     return pts
 
 
