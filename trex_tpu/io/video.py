@@ -212,10 +212,12 @@ class AveragingAccumulator:
             self._samples.append(frame.copy())
             return
         if self._acc is None:
-            self._acc = frame.astype(np.float64) if self.method == "mean" \
+            # mean: exact integer sum (uint8 * count fits in uint32 for
+            # <= 16M samples), divided once at finalize
+            self._acc = frame.astype(np.uint32) if self.method == "mean" \
                 else frame.copy()
         elif self.method == "mean":
-            self._acc += (frame.astype(np.float64) - self._acc) / self._count
+            self._acc += frame
         elif self.method == "max":
             np.maximum(self._acc, frame, out=self._acc)
         else:
@@ -225,7 +227,8 @@ class AveragingAccumulator:
         if self._count == 0:
             raise RuntimeError("no samples accumulated")
         if self.method == "mean":
-            return np.clip(np.round(self._acc), 0, 255).astype(np.uint8)
+            mean = self._acc.astype(np.float64) / self._count
+            return np.clip(np.round(mean), 0, 255).astype(np.uint8)
         if self.method in ("max", "min"):
             return self._acc.astype(np.uint8)
         # mode: per-pixel most frequent value, chunked to bound memory

@@ -379,32 +379,23 @@ def calculate_midline_from_outline(points: np.ndarray, settings,
     heights = []
     idx_r, idx_l = 1, -1
     guard = 0
+    px = points[:, 0]
+    py = points[:, 1]
     while idx_r < L + idx_l and guard < 4 * L:
         guard += 1
         pt_l = points[(L + idx_l) % L]
-        # find best right point
-        min_d, min_idx = np.inf, -1
-        for i in range(max_offset):
-            if idx_r + i >= L:
-                break
-            pt = points[idx_r + i]
-            dd = float(np.hypot(*(pt - pt_l)))
-            if dd < min_d:
-                min_d, min_idx = dd, idx_r + i
-        if min_idx != -1:
-            idx_r = min_idx
+        # find best right point (vectorized candidate window)
+        hi = min(L, idx_r + max_offset)
+        if hi > idx_r:
+            dd = np.hypot(px[idx_r:hi] - pt_l[0], py[idx_r:hi] - pt_l[1])
+            idx_r = idx_r + int(np.argmin(dd))
         pt_r = points[idx_r]
         # find best left point
-        min_d, min_idx = np.inf, 1
-        for i in range(max_offset):
-            if idx_l - i <= -L:
-                break
-            pt = points[(L + idx_l - i) % L]
-            dd = float(np.hypot(*(pt_r - pt)))
-            if dd < min_d:
-                min_d, min_idx = dd, idx_l - i
-        if min_idx != 1:
-            idx_l = min_idx
+        lo = max(-L + 1, idx_l - max_offset + 1)
+        cand = np.arange(idx_l, lo - 1, -1) % L
+        if len(cand):
+            dd = np.hypot(px[cand] - pt_r[0], py[cand] - pt_r[1])
+            idx_l = idx_l - int(np.argmin(dd))
         pt_l = points[(L + idx_l) % L]
         m = (pt_l + pt_r) * 0.5
         segments.append(m)
