@@ -118,9 +118,37 @@ def bench_vi_crops():
     return batch * iters / dt
 
 
+def bench_visual_fields():
+    """Device visual-field throughput: 256 fish x 2 eyes x 512 bins."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.raycast import visual_field
+
+    rng = np.random.default_rng(0)
+    F, P = 256, 128
+    pts = rng.uniform(0, SIZE, (F * P, 2)).astype(np.float32)
+    ids = np.repeat(np.arange(F, dtype=np.int32), P)
+    valid = np.ones(F * P, bool)
+    eye_pos = rng.uniform(0, SIZE, (F, 2, 2)).astype(np.float32)
+    eye_angle = rng.uniform(-3, 3, (F, 2)).astype(np.float32)
+    args = (jnp.asarray(pts), jnp.asarray(ids), jnp.asarray(valid),
+            jnp.asarray(eye_pos), jnp.asarray(eye_angle),
+            jnp.float32(SIZE * 1.5))
+    out = visual_field(*args)
+    out["depth0"].block_until_ready()
+    t0 = time.perf_counter()
+    iters = 10
+    for _ in range(iters):
+        out = visual_field(*args)
+    out["depth0"].block_until_ready()
+    dt = time.perf_counter() - t0
+    return iters / dt  # full 256-fish field sets per second
+
+
 def main():
     track_fps, n_tracked = bench_tracking()
     crops_per_sec = bench_vi_crops()
+    vf_per_sec = bench_visual_fields()
     realtime_factor = track_fps / VIDEO_FPS
     print(json.dumps({
         "metric": "frames/sec/chip at 256-individual bg-subtract tracking",
@@ -131,6 +159,7 @@ def main():
             "realtime_factor_at_25fps": round(realtime_factor, 3),
             "mean_individuals_tracked": round(float(n_tracked), 1),
             "vi_crops_per_sec_v118_3_b1024": round(crops_per_sec, 1),
+            "visual_field_256fish_sets_per_sec": round(vf_per_sec, 1),
             "synthetic_video": f"{SIZE}x{SIZE}@{int(VIDEO_FPS)}fps "
                                f"{N_FISH} individuals",
         },
