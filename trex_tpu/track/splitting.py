@@ -229,11 +229,26 @@ class HistorySplit:
             for _, bi in es:
                 cliques[root][1].add(bi)
 
+        def mask_distance(fx, fy, blob) -> float:
+            """Exact distance to the blob's RLE mask (the reference's
+            proximity grid holds sampled mask pixels, PPFrame.cpp:
+            891-930 — bbox distances degenerate to 0 inside boxes and
+            make conflict resolution arbitrary)."""
+            ls = blob.lines
+            ddy = np.abs(ls[:, 0] - fy)
+            ddx = np.maximum(0, np.maximum(ls[:, 1] - fx, fx - ls[:, 2]))
+            return float(np.min(np.hypot(ddx, ddy)))
+
         expect: dict[int, int] = {}
         for fish_list, blob_set in cliques.values():
             if len(fish_list) <= len(blob_set):
                 continue
-            combos = {fi: list(edges[fi]) for fi in fish_list}
+            combos = {}
+            for fi in fish_list:
+                fx, fy = fish_positions[fi]
+                combos[fi] = sorted(
+                    (mask_distance(fx, fy, blobs[bi]), bi)
+                    for _, bi in edges[fi])
             assign_fish = {fi: combos[fi][0] for fi in fish_list}
             assign_blob: dict[int, tuple] = {}
             queue = list(fish_list)
