@@ -57,7 +57,8 @@ def _evaluate_split(expected: int, first_size: float, comps: list,
 
 
 def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
-               settings) -> list[TrackBlob]:
+               settings, component_cache: Optional[dict] = None
+               ) -> list[TrackBlob]:
     """Split `blob` into >= `expected` components by raising the threshold.
 
     Reference semantics (SplitBlob.cpp:406-640): starting from
@@ -83,8 +84,12 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
     fish_size = SizeFilters(s["track_size_filter"])
 
     def components_at(thr: int) -> list[TrackBlob]:
+        if component_cache is not None and thr in component_cache:
+            return component_cache[thr]
         comps = threshold_components(blob, thr, background, s)
         comps.sort(key=lambda c: -c.num_pixels)
+        if component_cache is not None:
+            component_cache[thr] = comps
         return comps
 
     first = components_at(initial)
@@ -92,7 +97,7 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
 
     def evaluate(thr: int):
         comps = first if thr == initial else components_at(thr)
-        comps = list(comps)
+        comps = list(comps)  # _evaluate_split filters in place
         action = _evaluate_split(expected, first_size, comps, s,
                                  cm_sqr, fish_size)
         return action, comps
@@ -248,7 +253,7 @@ class HistorySplit:
                 fx, fy = fish_positions[fi]
                 combos[fi] = sorted(
                     (mask_distance(fx, fy, blobs[bi]), bi)
-                    for _, bi in edges[fi])
+                    for d, bi in edges[fi])
             assign_fish = {fi: combos[fi][0] for fi in fish_list}
             assign_blob: dict[int, tuple] = {}
             queue = list(fish_list)
@@ -310,8 +315,10 @@ class HistorySplit:
                 continue
             parts = []
             w = want
+            cache: dict = {}  # share threshold components across retries
             while w >= 2 and not parts:
-                parts = split_blob(b, w, background, self.settings)
+                parts = split_blob(b, w, background, self.settings,
+                                   component_cache=cache)
                 w -= 1
             if not parts:
                 # split failed: the blob leaves the match candidates
