@@ -16,6 +16,7 @@
 
 #include <algorithm>
 #include <cstdint>
+#include <functional>
 #include <cstdlib>
 #include <cstring>
 #include <vector>
@@ -247,6 +248,95 @@ const uint8_t* trex_label_pixels(void* ctx) {
     return ((Result*)ctx)->pixels.data();
 }
 void trex_label_free(void* ctx) { delete (Result*)ctx; }
+
+// Threshold-escalation size scan (SplitBlob support): for each of the
+// n_thr thresholds, run the same line-run union-find labeling over the
+// (img, bg) difference and emit ONLY the component sizes —
+// out[t * (2 + K) + 0] = number of components,
+// out[t * (2 + K) + 1] = total foreground pixels,
+// out[t * (2 + K) + 2 ..] = top-K component sizes, descending, 0-padded.
+// The binarization matches trex_label_image2 exactly (including the
+// img != 0 guard), so the sizes equal what a full labeling would yield.
+void trex_split_sizes(const uint8_t* img, const uint8_t* bg,
+                      int32_t width, int32_t height,
+                      const int32_t* thresholds, int32_t n_thr,
+                      int32_t absolute, int32_t K, int64_t* out) {
+    // per-pixel difference value, 0 where img is 0 (outside the mask)
+    std::vector<uint8_t> diff((size_t)width * height);
+    const size_t npx = (size_t)width * height;
+    if (bg) {
+        if (absolute) {
+            for (size_t i = 0; i < npx; i++) {
+                int d = (int)img[i] - (int)bg[i];
+                diff[i] = (img[i] != 0) ? (uint8_t)(d < 0 ? -d : d) : 0;
+            }
+        } else {
+            for (size_t i = 0; i < npx; i++) {
+                int d = (int)bg[i] - (int)img[i];
+                diff[i] = (img[i] != 0 && d > 0) ? (uint8_t)d : 0;
+            }
+        }
+    } else {
+        std::memcpy(diff.data(), img, npx);
+    }
+
+    struct SRun { int32_t x0, x1; uint32_t label; };
+    std::vector<SRun> prev_runs, cur_runs;
+    std::vector<uint32_t> parent;
+    std::vector<int64_t> run_size;
+
+    for (int32_t t = 0; t < n_thr; t++) {
+        const int32_t thr = thresholds[t];
+        parent.clear();
+        run_size.clear();
+        prev_runs.clear();
+        int64_t total = 0;
+        for (int32_t y = 0; y < height; y++) {
+            const uint8_t* row = diff.data() + (size_t)y * width;
+            cur_runs.clear();
+            int32_t x = 0;
+            while (x < width) {
+                while (x < width && row[x] < thr) x++;
+                if (x >= width) break;
+                const int32_t start = x;
+                while (x < width && row[x] >= thr) x++;
+                const int32_t end = x - 1;
+                uint32_t label = (uint32_t)parent.size();
+                parent.push_back(label);
+                run_size.push_back(end - start + 1);
+                total += end - start + 1;
+                cur_runs.push_back({start, end, label});
+            }
+            size_t j = 0;
+            for (auto& r : cur_runs) {
+                while (j < prev_runs.size() && prev_runs[j].x1 + 1 < r.x0) j++;
+                for (size_t k = j; k < prev_runs.size()
+                                   && prev_runs[k].x0 <= r.x1 + 1; k++) {
+                    unite(parent, prev_runs[k].label, r.label);
+                }
+            }
+            std::swap(prev_runs, cur_runs);
+        }
+        // accumulate per-root sizes
+        std::vector<int64_t> comp_size;
+        std::vector<uint32_t> comp_of(parent.size(), UINT32_MAX);
+        for (size_t i = 0; i < parent.size(); i++) {
+            uint32_t r = find_root(parent, (uint32_t)i);
+            if (comp_of[r] == UINT32_MAX) {
+                comp_of[r] = (uint32_t)comp_size.size();
+                comp_size.push_back(0);
+            }
+            comp_size[comp_of[r]] += run_size[i];
+        }
+        std::sort(comp_size.begin(), comp_size.end(),
+                  std::greater<int64_t>());
+        int64_t* row_out = out + (size_t)t * (2 + K);
+        row_out[0] = (int64_t)comp_size.size();
+        row_out[1] = total;
+        for (int32_t k = 0; k < K; k++)
+            row_out[2 + k] = (size_t)k < comp_size.size() ? comp_size[k] : 0;
+    }
+}
 
 // Moore boundary trace (8-connectivity, clockwise) over a binary mask.
 // Writes up to max_points (x, y) float pairs into out; returns the

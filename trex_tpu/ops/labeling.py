@@ -83,8 +83,42 @@ def _lib():
         lib.trex_label_pixels.argtypes = [ctypes.c_void_p]
         lib.trex_label_free.restype = None
         lib.trex_label_free.argtypes = [ctypes.c_void_p]
+        lib.trex_split_sizes.restype = None
+        lib.trex_split_sizes.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _configured = True
     return lib
+
+
+def split_sizes(image: np.ndarray, background: Optional[np.ndarray],
+                thresholds, absolute: bool = True,
+                top_k: int = 16) -> np.ndarray:
+    """Component-size scan over several thresholds (SplitBlob support).
+
+    Returns int64 (n_thr, 2 + top_k): per threshold [n_components,
+    total_fg_pixels, top_k sizes descending (0-padded)]. Sizes equal the
+    per-component num_pixels a full `label_blobs` call would produce for
+    the same (image, background, threshold, absolute) inputs.
+    """
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w = image.shape
+    bg_ptr = None
+    if background is not None:
+        background = np.ascontiguousarray(background, dtype=np.uint8)
+        bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
+    thr = np.ascontiguousarray(thresholds, dtype=np.int32)
+    out = np.zeros((thr.size, 2 + top_k), np.int64)
+    _lib().trex_split_sizes(
+        image.ctypes.data_as(ctypes.c_char_p), bg_ptr, w, h,
+        thr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), thr.size,
+        1 if absolute else 0, top_k,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return out
 
 
 def label_blobs(

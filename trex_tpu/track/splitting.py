@@ -20,6 +20,7 @@ from typing import Optional
 import numpy as np
 
 from .blob import TrackBlob
+from ..ops.labeling import split_sizes
 from .prefilter import SizeFilters, threshold_components
 
 MAX_THRESHOLD = 255
@@ -83,52 +84,105 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
     cm_sqr = cm * cm
     fish_size = SizeFilters(s["track_size_filter"])
 
-    def components_at(thr: int) -> list[TrackBlob]:
-        if component_cache is not None and thr in component_cache:
-            return component_cache[thr]
-        comps = threshold_components(blob, thr, background, s)
-        comps.sort(key=lambda c: -c.num_pixels)
-        if component_cache is not None:
-            component_cache[thr] = comps
-        return comps
+    # The escalation only needs component SIZES until the final
+    # threshold is chosen: build the dense crop once and scan thresholds
+    # with the native size-only labeler (ops.labeling.split_sizes),
+    # then materialize actual components with one threshold_components
+    # call. Size-identical to evaluating threshold_components at every
+    # step (verified byte-identical fixture output).
+    mask, gray, (ox, oy) = blob.to_dense(pad=1)
+    bg_crop = np.zeros_like(gray)
+    bh, bw = background.shape[:2]
+    ys0, ys1 = max(0, oy), min(bh, oy + gray.shape[0])
+    xs0, xs1 = max(0, ox), min(bw, ox + gray.shape[1])
+    bg_crop[ys0 - oy: ys1 - oy, xs0 - ox: xs1 - ox] = \
+        background[ys0:ys1, xs0:xs1]
+    absolute = bool(s["track_threshold_is_absolute"])
+    img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
+    top_k = max(16, expected)
 
-    first = components_at(initial)
-    first_size = (first[0].num_pixels * cm_sqr) if first else 0.0
+    def sizes_mat(thrs) -> np.ndarray:
+        cache = component_cache if component_cache is not None else {}
+        missing = [t for t in thrs if t not in cache]
+        if missing:
+            for t, row in zip(missing, split_sizes(img, bg_crop, missing,
+                                                   absolute, top_k)):
+                cache[t] = row
+        return np.stack([cache[t] for t in thrs])
 
-    def evaluate(thr: int):
-        comps = first if thr == initial else components_at(thr)
-        comps = list(comps)  # _evaluate_split filters in place
-        action = _evaluate_split(expected, first_size, comps, s,
-                                 cm_sqr, fish_size)
-        return action, comps
+    max_shrink = float(s["blob_split_max_shrink"])
+    shrink_lim = float(s["blob_split_global_shrink_limit"])
 
-    best_thr = None
-    best_comps: Optional[list] = None
+    def evaluate_rows(mat: np.ndarray, first_size: float):
+        """Vectorized _evaluate_split over a (n, 2+K) size matrix.
+        Sizes are sorted desc per row, so the shrink filter removes a
+        suffix and top-`expected` of the filtered list is a row prefix.
+        Returns (abort, keep) bool vectors."""
+        n_comps = mat[:, 0]
+        total = mat[:, 1].astype(np.float64) * cm_sqr
+        abort = total < max_shrink * first_size
+        if fish_size:
+            min_thresh = np.full_like(total,
+                                      fish_size.max_range[0] * shrink_lim)
+        else:
+            min_thresh = total * max_shrink
+        sizes = mat[:, 2:].astype(np.float64) * cm_sqr  # (n, K) desc
+        within = np.arange(sizes.shape[1])[None, :] \
+            < np.minimum(n_comps, top_k)[:, None]
+        kept = within & (sizes >= min_thresh[:, None])  # prefix per row
+        take = np.minimum(kept.sum(axis=1), expected)
+        if fish_size:
+            in_rng = np.zeros(sizes.shape, bool)
+            for lo, hi in fish_size.ranges:
+                in_rng |= (sizes >= lo) & (sizes <= hi)
+        else:
+            in_rng = np.ones(sizes.shape, bool)
+        prefix = np.arange(sizes.shape[1])[None, :] < take[:, None]
+        valid = (in_rng & prefix).sum(axis=1)
+        # min of the prefix = its last element (sizes descending)
+        min_size = sizes[np.arange(len(take)), np.maximum(take, 1) - 1]
+        remove = (take > 0) & (min_size > fish_size.max_range[1]) \
+            if fish_size else np.zeros(len(take), bool)
+        keep = ~abort & ~remove & (valid >= expected)
+        return abort, keep
+
     # coarse scan (step 4) then refine the bracket by step 1: the goal
     # is the smallest KEEP threshold, like the reference's segmented
-    # sampling search
-    thr = initial
-    while thr <= MAX_THRESHOLD:
-        action, comps = evaluate(thr)
-        if action == "keep":
-            best_thr, best_comps = thr, comps
-            break
-        if action == "abort":
-            break  # raising further only shrinks more
-        thr += 4
+    # sampling search. Chunked: most blobs abort within a few steps.
+    coarse = np.arange(initial, MAX_THRESHOLD + 1, 4)
+    best_thr = None
+    first_size = 0.0
+    CHUNK = 8
+    for c0 in range(0, len(coarse), CHUNK):
+        chunk = coarse[c0:c0 + CHUNK]
+        mat = sizes_mat(chunk)
+        if c0 == 0:
+            first_size = (float(mat[0, 2]) * cm_sqr) if mat[0, 0] > 0 \
+                else 0.0
+        abort_f, keep_f = evaluate_rows(mat, first_size)
+        stop = keep_f | abort_f
+        if stop.any():
+            i = int(np.argmax(stop))
+            if keep_f[i]:
+                best_thr = int(chunk[i])
+            break  # abort: raising further only shrinks more
     if best_thr is not None and best_thr > initial:
-        for t in range(max(initial, best_thr - 3), best_thr):
-            action, comps = evaluate(t)
-            if action == "keep":
-                best_thr, best_comps = t, comps
-                break
-    if best_comps is None:
+        refine = np.arange(max(initial, best_thr - 3), best_thr)
+        _, keep_f = evaluate_rows(sizes_mat(refine), first_size)
+        if keep_f.any():
+            best_thr = int(refine[np.argmax(keep_f)])
+    if best_thr is None:
         return []
-    for c in best_comps:
+    comps = threshold_components(blob, best_thr, background, s)
+    comps.sort(key=lambda c: -c.num_pixels)
+    if _evaluate_split(expected, first_size, comps, s,
+                       cm_sqr, fish_size) != "keep":
+        return []  # size scan and materialization disagree: be safe
+    for c in comps:
         c.split = True
         c.parent_id = blob.blob_id
         c.recount(track_thr, background, s)
-    return best_comps
+    return comps
 
 
 class HistorySplit:
