@@ -424,3 +424,40 @@ def test_native_boundary_trace_matches_python():
         b = _trace_boundary_py(m)
         assert len(a) == len(b), f"shape {i}: {len(a)} != {len(b)}"
         np.testing.assert_array_equal(a, b, err_msg=f"shape {i}")
+
+
+def test_basler_source_gated():
+    """source=basler requires the optional pypylon SDK (reference
+    BaslerRuntimeLoader probes Pylon at startup the same way)."""
+    import pytest
+
+    from trex_tpu.io.video import BaslerVideoSource
+
+    try:
+        import pypylon  # noqa: F401
+        pytest.skip("pypylon present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="pypylon"):
+        BaslerVideoSource()
+
+
+def test_split_sizes_matches_label_blobs():
+    """Native size scan must agree with full labeling at every threshold."""
+    import numpy as np
+
+    from trex_tpu.ops.labeling import label_blobs, split_sizes
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (60, 45), np.uint8)
+    img[img < 60] = 0
+    bg = np.full(img.shape, 190, np.uint8)
+    for absolute in (True, False):
+        thrs = [1, 3, 10, 40, 90, 160, 250]
+        rows = split_sizes(img, bg, thrs, absolute, top_k=8)
+        for t, row in zip(thrs, rows):
+            comps = label_blobs(img, bg, threshold=t, absolute=absolute)
+            sizes = sorted((c.num_pixels for c in comps), reverse=True)
+            assert row[0] == len(sizes)
+            assert row[1] == sum(sizes)
+            assert list(row[2:2 + min(8, len(sizes))]) == sizes[:8]

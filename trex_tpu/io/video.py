@@ -138,6 +138,76 @@ class VideoSource:
             self._cap = None
 
 
+class BaslerVideoSource:
+    """Basler/Pylon industrial camera source.
+
+    The reference runtime-loads the Pylon SDK (grabber
+    BaslerVideoSource + BaslerRuntimeLoader: the SDK is optional and
+    probed at startup); here the equivalent optional dependency is
+    `pypylon`, probed at construction. Exposes the same uniform
+    get/iterate surface as VideoSource so `source = "basler"` flows
+    through the conversion pipeline unchanged.
+    """
+
+    def __init__(self, index: int = 0, color: bool = False):
+        try:
+            from pypylon import pylon  # type: ignore
+        except ImportError as e:  # pragma: no cover - SDK not in image
+            raise RuntimeError(
+                "Basler support requires the optional pypylon package "
+                "(Pylon SDK); install it or use source=webcam/video"
+            ) from e
+        self.color = color
+        factory = pylon.TlFactory.GetInstance()
+        devices = factory.EnumerateDevices()
+        if not devices:
+            raise RuntimeError("no Basler camera found")
+        self._cam = pylon.InstantCamera(
+            factory.CreateDevice(devices[min(index, len(devices) - 1)]))
+        self._cam.Open()
+        self._cam.StartGrabbing(pylon.GrabStrategy_LatestImageOnly)
+        self._pylon = pylon
+        self._live = True
+
+    def __len__(self):
+        return 1 << 30  # unbounded live stream
+
+    @property
+    def frame_rate(self) -> float:
+        try:
+            return float(self._cam.ResultingFrameRate.GetValue())
+        except Exception:
+            return 25.0
+
+    @property
+    def size(self):
+        return (int(self._cam.Width.GetValue()),
+                int(self._cam.Height.GetValue()))
+
+    def get(self, index: int = 0) -> np.ndarray:
+        res = self._cam.RetrieveResult(
+            5000, self._pylon.TimeoutHandling_ThrowException)
+        try:
+            if not res.GrabSucceeded():
+                raise IOError(f"grab failed: {res.ErrorDescription}")
+            img = np.asarray(res.Array)
+        finally:
+            res.Release()
+        if not self.color and img.ndim == 3:
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+        return img
+
+    def __iter__(self):
+        while True:
+            yield self.get()
+
+    def close(self):
+        if self._cam is not None:
+            self._cam.StopGrabbing()
+            self._cam.Close()
+            self._cam = None
+
+
 class PVVideoSource:
     """Re-read a .pv file as a frame source (core/PVVideoSource.h):
     reconstructs each frame by stamping stored blob pixels onto the

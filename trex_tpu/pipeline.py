@@ -213,8 +213,15 @@ class Segmenter:
                  progress: Optional[Callable[[int, int], None]] = None,
                  workers: int = 4):
         self.settings = settings
-        self.source = source if isinstance(source, VideoSource) \
-            else VideoSource(source)
+        if isinstance(source, str) and source == "basler":
+            # reference `source = basler` keyword (grabber default_config)
+            from .io.video import BaslerVideoSource
+            self.source = BaslerVideoSource(
+                int(settings.get("basler_index", 0) or 0))
+        elif isinstance(source, VideoSource):
+            self.source = source
+        else:
+            self.source = VideoSource(source)
         self.output_path = Path(output_path)
         self.track = track
         self.progress = progress
