@@ -83,14 +83,25 @@ def compute_caches(individuals: list, frame: int, time: float,
     # pairwise velocities between consecutive window entries
     np_err = np.seterr(invalid="ignore", divide="ignore")
     dt = times[:, 1:] - times[:, :-1]
+    # window frames span only ~WINDOW+1 distinct values across all fish
+    # (dense tracking), so frame_times collapses to one small table
+    # instead of F*W dict lookups per frame
+    real = frames > -10 ** 8
+    fmin = int(frames[real].min()) - 1 if real.any() else 0
+    fmax = int(frames.max()) if real.any() else 0
+    tbl = np.full(max(fmax - fmin + 1, 1), np.nan)
+    for f in range(fmin, fmax + 1):
+        t = frame_times.get(f)
+        if t is not None:
+            tbl[f - fmin] = t
+
+    def lookup_time(farr: np.ndarray) -> np.ndarray:
+        idx = farr - fmin
+        ok = (farr > -10 ** 8) & (idx >= 0) & (idx < tbl.size)
+        return np.where(ok, tbl[np.clip(idx, 0, tbl.size - 1)], np.nan)
+
     # skip pairs when the global step t(f)-t(f-1) exceeds 1s
-    prev_global = np.full((F, WINDOW), np.nan)
-    for i in range(F):
-        for k in range(WINDOW):
-            f = frames[i, k]
-            if f > -10 ** 8:
-                pt = frame_times.get(int(f) - 1)
-                prev_global[i, k] = np.nan if pt is None else pt
+    prev_global = lookup_time(frames - 1)
     step_global = times - prev_global  # t(f) - t(f-1)
     valid_pair = (
         np.isfinite(dt) & (dt > 0)
@@ -152,11 +163,9 @@ def compute_caches(individuals: list, frame: int, time: float,
     if lam < 1:
         # common case: prev == frame-1 -> single extrapolation step with
         # weight (1+lam)/(1+lam) == 1
-        step = np.empty(F)
-        for i in range(F):
-            lu = frame_times.get(int(prev_frames[i]) - 1)
-            step[i] = times[i, 0] if lu is None else \
-                frame_times[int(prev_frames[i])] - lu
+        lu = lookup_time(prev_frames - 1)
+        step = np.where(np.isfinite(lu),
+                        lookup_time(prev_frames) - lu, times[:, 0])
         ok = simple & (counts > 0) & np.isfinite(step)
         est_x = np.where(ok, est_x + step * speed
                          * (dir_x + step * accd_x), est_x)
@@ -169,6 +178,8 @@ def compute_caches(individuals: list, frame: int, time: float,
     p = 1.0 - np.minimum(1.0, np.maximum(
         0.0, (tdelta - t_delta_frame) / t_max))
 
+    invalid_any = ((~np.isfinite(vx)) & (frames[:, 1:] > -10 ** 8)) \
+        .any(axis=1)
     for i, ind in enumerate(todo):
         cache = IndividualCache()
         cache.individual_empty = False
@@ -177,9 +188,7 @@ def compute_caches(individuals: list, frame: int, time: float,
         cache.last_seen_px = (float(last_x[i]), float(last_y[i]))
         # fish needing the gap-aware scalar path
         chain_broken = (not simple[i] and counts[i] > 0 and lam < 1)
-        window_has_invalid = bool(
-            (~np.isfinite(vx[i]) & (frames[i, 1:] > -10 ** 8)).any())
-        if chain_broken or window_has_invalid:
+        if chain_broken or invalid_any[i]:
             out[ind.identity] = ind.cache_for_frame(
                 frame, time, frame_times, start_frame)
             continue
