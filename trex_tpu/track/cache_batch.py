@@ -15,9 +15,8 @@ import math
 
 import numpy as np
 
+from .individual import CACHE_WINDOW as WINDOW
 from .individual import IndividualCache
-
-WINDOW = 7  # frames [prev-6 .. prev]
 
 
 def compute_caches(individuals: list, frame: int, time: float,
@@ -38,36 +37,18 @@ def compute_caches(individuals: list, frame: int, time: float,
         return out
 
     F = len(todo)
-    pos = np.full((F, WINDOW, 2), np.nan)
-    times = np.full((F, WINDOW), np.nan)
-    frames = np.full((F, WINDOW), -10 ** 9, np.int64)
-    prev_frames = np.empty(F, np.int64)
-    prev_times = np.empty(F)
-    last_x = np.empty(F)
-    last_y = np.empty(F)
-
-    for i, ind in enumerate(todo):
-        basic = ind.basic
-        prev = basic[-1]
-        prev_frames[i] = prev.frame
-        lo = max(ind.start_frame, prev.frame - 6)
-        # walk back over entries with frame >= lo (they are sorted)
-        j = len(basic) - 1
-        entries = []
-        while j >= 0 and basic[j].frame >= lo:
-            entries.append(basic[j])
-            j -= 1
-        entries.reverse()
-        n = min(len(entries), WINDOW)
-        for k, b in enumerate(entries[-WINDOW:]):
-            c = b.centroid
-            pos[i, k, 0] = c.x
-            pos[i, k, 1] = c.y
-            times[i, k] = frame_times.get(b.frame, c.time)
-            frames[i, k] = b.frame
-        prev_times[i] = times[i, n - 1]
-        last_x[i] = pos[i, n - 1, 0]
-        last_y[i] = pos[i, n - 1, 1]
+    # right-aligned (F, W, 4) windows maintained incrementally by
+    # Individual.add: [frame, x, y, time], empty slots frame = -1e9.
+    # Entries older than lo = max(start, prev-6) are masked out, which
+    # reproduces the scalar path's backward walk over sorted frames.
+    W4 = np.stack([ind._win for ind in todo])
+    wframes = W4[:, :, 0]
+    prev_frames = wframes[:, -1].astype(np.int64)
+    starts = np.fromiter((ind.start_frame for ind in todo), np.int64, F)
+    lo = np.maximum(starts, prev_frames - 6)
+    valid = wframes >= lo[:, None]  # suffix mask (frames ascending)
+    frames = np.where(valid, wframes, -1e9).astype(np.int64)
+    pos = np.where(valid[:, :, None], W4[:, :, 1:3], np.nan)
 
     cm = s["cm_per_pixel"] or 1.0
     max_speed = s["track_max_speed"]
@@ -80,9 +61,6 @@ def compute_caches(individuals: list, frame: int, time: float,
     p_min = s["match_min_probability"]
     time_prob_enabled = bool(s["track_time_probability_enabled"])
 
-    # pairwise velocities between consecutive window entries
-    np_err = np.seterr(invalid="ignore", divide="ignore")
-    dt = times[:, 1:] - times[:, :-1]
     # window frames span only ~WINDOW+1 distinct values across all fish
     # (dense tracking), so frame_times collapses to one small table
     # instead of F*W dict lookups per frame
@@ -100,6 +78,19 @@ def compute_caches(individuals: list, frame: int, time: float,
         ok = (farr > -10 ** 8) & (idx >= 0) & (idx < tbl.size)
         return np.where(ok, tbl[np.clip(idx, 0, tbl.size - 1)], np.nan)
 
+    # entry time: frame_times when registered, stored centroid time else
+    lt = lookup_time(frames)
+    times = np.where(np.isfinite(lt), lt,
+                     np.where(valid, W4[:, :, 3], np.nan))
+    prev_times = times[:, -1]
+    last_x = pos[:, -1, 0]
+    last_y = pos[:, -1, 1]
+    nvalid = valid.sum(axis=1)
+    oldest_time = times[np.arange(F), WINDOW - nvalid]
+
+    # pairwise velocities between consecutive window entries
+    np_err = np.seterr(invalid="ignore", divide="ignore")
+    dt = times[:, 1:] - times[:, :-1]
     # skip pairs when the global step t(f)-t(f-1) exceeds 1s
     prev_global = lookup_time(frames - 1)
     step_global = times - prev_global  # t(f) - t(f-1)
@@ -143,8 +134,12 @@ def compute_caches(individuals: list, frame: int, time: float,
     raw_y /= used
     acc_x /= used
     acc_y /= used
-    med = np.nanmedian(np.where(np.isfinite(l_sq), l_sq, np.nan), axis=1)
-    med = np.where(np.isfinite(med), med, 0.0)
+    med = np.zeros(F)
+    any_fin = np.isfinite(l_sq).any(axis=1)
+    if any_fin.any():  # rows with no velocity sample keep med = 0
+        med[any_fin] = np.nanmedian(
+            np.where(np.isfinite(l_sq[any_fin]), l_sq[any_fin], np.nan),
+            axis=1)
     speed = np.maximum(0.6, np.sqrt(med))
 
     nrm = np.hypot(raw_x, raw_y)
@@ -165,7 +160,7 @@ def compute_caches(individuals: list, frame: int, time: float,
         # weight (1+lam)/(1+lam) == 1
         lu = lookup_time(prev_frames - 1)
         step = np.where(np.isfinite(lu),
-                        lookup_time(prev_frames) - lu, times[:, 0])
+                        lookup_time(prev_frames) - lu, oldest_time)
         ok = simple & (counts > 0) & np.isfinite(step)
         est_x = np.where(ok, est_x + step * speed
                          * (dir_x + step * accd_x), est_x)
@@ -178,8 +173,10 @@ def compute_caches(individuals: list, frame: int, time: float,
     p = 1.0 - np.minimum(1.0, np.maximum(
         0.0, (tdelta - t_delta_frame) / t_max))
 
-    invalid_any = ((~np.isfinite(vx)) & (frames[:, 1:] > -10 ** 8)) \
-        .any(axis=1)
+    # a pair of VALID adjacent entries with an unusable velocity means
+    # the scalar path's chain-breaking applies -> per-fish fallback
+    invalid_any = ((~np.isfinite(vx)) & (frames[:, 1:] > -10 ** 8)
+                   & (frames[:, :-1] > -10 ** 8)).any(axis=1)
     for i, ind in enumerate(todo):
         cache = IndividualCache()
         cache.individual_empty = False

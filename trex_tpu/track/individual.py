@@ -28,6 +28,10 @@ import numpy as np
 
 from .motion import MotionRecord
 
+# window length of the batched cache path (cache_batch.py): the last
+# <=6 velocity samples need the last 7 assigned entries
+CACHE_WINDOW = 7
+
 
 @dataclass
 class BasicStuff:
@@ -71,6 +75,11 @@ class Individual:
         self._posture_by_frame: dict[int, int] = {}
         self.tracklets: list[list[int]] = []  # [start, end] inclusive
         self.manual_frames: set[int] = set()
+        # rolling window over the last CACHE_WINDOW basic entries for
+        # the batched cache path: [frame, x, y, time], right-aligned
+        # newest-last, empty slots marked frame = -1e9
+        self._win = np.full((CACHE_WINDOW, 4), np.nan)
+        self._win[:, 0] = -1e9
 
     # ------------------------------------------------------------------
     @property
@@ -114,6 +123,8 @@ class Individual:
                            thresholded_size=blob.num_pixels)
         self._frames[frame] = len(self.basic)
         self.basic.append(stuff)
+        self._win[:-1] = self._win[1:]
+        self._win[-1] = (frame, cx, cy, time)
         if manual:
             self.manual_frames.add(frame)
         self._update_tracklets(frame, time)
@@ -163,6 +174,12 @@ class Individual:
         self.tracklets = [t for t in self.tracklets if t[0] < frame]
         if self.tracklets and self.tracklets[-1][1] >= frame:
             self.tracklets[-1][1] = frame - 1
+        self._win[:, :] = np.nan
+        self._win[:, 0] = -1e9
+        for b in self.basic[-CACHE_WINDOW:]:
+            self._win[:-1] = self._win[1:]
+            self._win[-1] = (b.frame, b.centroid.x, b.centroid.y,
+                             b.centroid.time)
 
     # ------------------------------------------------------------------
     def recent_number_samples(self, frame: int) -> int:
