@@ -367,13 +367,13 @@ class HistorySplit:
             if want < 2:
                 out.append(b)
                 continue
-            parts = []
-            w = want
-            cache: dict = {}  # share threshold components across retries
-            while w >= 2 and not parts:
-                parts = split_blob(b, w, background, self.settings,
-                                   component_cache=cache)
-                w -= 1
+            # NO retry with fewer parts here: the reference's history
+            # split demands exactly `expect.number` pieces
+            # (allow_less_than=false, HistorySplit.cpp:184-200) — a
+            # failed split sends the blob to noise and the involved
+            # fish stay missing. (The start-frame split_big retry lives
+            # in tracker.py where the count is only a size heuristic.)
+            parts = split_blob(b, want, background, self.settings)
             if not parts:
                 # split failed: the blob leaves the match candidates
                 # (FilterReason::History) — involved fish stay missing
