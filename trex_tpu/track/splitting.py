@@ -257,9 +257,24 @@ class HistorySplit:
         involved = near[:, contested].any(axis=1)
         fi_idx, bi_idx = np.nonzero(near[involved])
         fish_ids = np.flatnonzero(involved)
+
+        def mask_distance(fx, fy, blob) -> float:
+            """Exact distance to the blob's RLE mask. The reference's
+            blob_grid holds (sampled) mask pixels and edges require a
+            pixel within max_d of the estimate (PPFrame.cpp:381-401);
+            bbox distances under-estimate for concave merged blobs and
+            would over-connect the cliques."""
+            ls = blob.lines
+            ddy = np.abs(ls[:, 0] - fy)
+            ddx = np.maximum(0, np.maximum(ls[:, 1] - fx, fx - ls[:, 2]))
+            return float(np.min(np.hypot(ddx, ddy)))
+
         edges: dict[int, list] = {}
         for fi, bi in zip(fish_ids[fi_idx].tolist(), bi_idx.tolist()):
-            edges.setdefault(fi, []).append((float(dmat[fi, bi]), bi))
+            fx, fy = fish_positions[fi]
+            md = mask_distance(fx, fy, blobs[bi])
+            if md <= max_distance_px:
+                edges.setdefault(fi, []).append((md, bi))
         for es in edges.values():
             es.sort()
 
@@ -288,26 +303,11 @@ class HistorySplit:
             for _, bi in es:
                 cliques[root][1].add(bi)
 
-        def mask_distance(fx, fy, blob) -> float:
-            """Exact distance to the blob's RLE mask (the reference's
-            proximity grid holds sampled mask pixels, PPFrame.cpp:
-            891-930 — bbox distances degenerate to 0 inside boxes and
-            make conflict resolution arbitrary)."""
-            ls = blob.lines
-            ddy = np.abs(ls[:, 0] - fy)
-            ddx = np.maximum(0, np.maximum(ls[:, 1] - fx, fx - ls[:, 2]))
-            return float(np.min(np.hypot(ddx, ddy)))
-
         expect: dict[int, int] = {}
         for fish_list, blob_set in cliques.values():
             if len(fish_list) <= len(blob_set):
                 continue
-            combos = {}
-            for fi in fish_list:
-                fx, fy = fish_positions[fi]
-                combos[fi] = sorted(
-                    (mask_distance(fx, fy, blobs[bi]), bi)
-                    for d, bi in edges[fi])
+            combos = {fi: list(edges[fi]) for fi in fish_list}
             assign_fish = {fi: combos[fi][0] for fi in fish_list}
             assign_blob: dict[int, tuple] = {}
             queue = list(fish_list)
