@@ -461,3 +461,81 @@ def test_split_sizes_matches_label_blobs():
             assert row[0] == len(sizes)
             assert row[1] == sum(sizes)
             assert list(row[2:2 + min(8, len(sizes))]) == sizes[:8]
+
+
+def test_results_binary_roundtrip(tmp_path):
+    """V_39 .results write -> read roundtrip (reference byte layout,
+    Output.cpp:1233-1492)."""
+    import numpy as np
+
+    from trex_tpu.export import results_binary as rb
+
+    res = rb.ResultsFile()
+    res.gui_frame = 7
+    res.consecutive = [(0, 10), (12, 20)]
+    res.video_resolution = (32, 24)
+    res.video_length = 21
+    res.average = np.arange(24 * 32, dtype=np.uint8).reshape(24, 32) % 251
+    res.analysis_range = (-1, -1)
+    res.creation_time = 123456789
+    res.settings = "track_threshold = 12\n"
+    res.cmd_line = "trex -i x.pv"
+    res.rec_data = {3: {77: np.array([0.1, 0.9], np.float32)}}
+    res.tags = {5: {3: (77, 0.5)}}
+    res.auto_assign = {1: [(0, 2, [10, 11, 12])]}
+    res.frame_properties = [(i, i * 40000, 2) for i in range(21)]
+    ind = rb.ResultsIndividual(id=1, name="fish1")
+    ind.frames = np.array([0, 1, 2], np.int64)
+    ind.positions = np.array([[1.5, 2.5], [2.0, 3.0], [2.5, 3.5]],
+                             np.float32)
+    ind.angles = np.array([0.1, 0.2, 0.3], np.float32)
+    lines = np.array([[2, 1, 5], [3, 1, 6]], np.int32)
+    for i in range(3):
+        pred = {"clid": 2, "p": 200, "pose": [(4, 5)],
+                "outlines": [np.array([1, 2, 3], np.int32)],
+                "original": np.array([9, 8], np.int32)} if i == 0 else None
+        ind.blobs.append(rb.ResultsBlob(lines=lines + i, flags=1,
+                                        parent_id=42 if i else -1,
+                                        prediction=pred))
+        ind.thresholded_size[i] = 10 + i
+    ind.midlines[1] = rb.ResultsMidline(
+        len=9.5, angle=0.4, offset=(1, 2), front=(3, 4), tail_index=0,
+        head_index=7, segments=np.arange(8, dtype=np.float32).reshape(2, 4))
+    ind.outlines[1] = rb.ResultsOutline(
+        first=(5.0, 6.0), points=np.array([300, 400], np.uint16), scale=2.0)
+    ind.qrcodes[2] = (4, 0.75, 9)
+    ind.auto_matched = [1, 2]
+    res.individuals = [ind]
+    res.active = {0: [1], 1: [1], 2: [1]}
+
+    path = tmp_path / "t.results"
+    rb.write_results(path, res)
+    back = rb.read_results(path)
+
+    assert back.version == rb.CURRENT
+    assert back.gui_frame == 7
+    assert back.consecutive == [(0, 10), (12, 20)]
+    assert back.video_resolution == (32, 24)
+    assert np.array_equal(back.average, res.average)
+    assert back.settings == res.settings
+    assert back.cmd_line == res.cmd_line
+    assert np.allclose(back.rec_data[3][77], [0.1, 0.9])
+    assert back.tags[5][3][0] == 77
+    assert back.auto_assign[1][0][:2] == (0, 2)
+    assert len(back.frame_properties) == 21
+    b = back.individuals[0]
+    assert b.id == 1 and b.name == "fish1"
+    assert np.array_equal(b.frames, ind.frames)
+    assert np.allclose(b.positions, ind.positions)
+    assert np.array_equal(b.blobs[0].lines, lines)
+    assert b.blobs[1].parent_id == 42
+    assert b.blobs[0].prediction["clid"] == 2
+    assert np.array_equal(b.blobs[0].prediction["original"], [9, 8])
+    assert b.thresholded_size == ind.thresholded_size
+    assert np.allclose(b.midlines[1].segments, ind.midlines[1].segments)
+    assert b.midlines[1].head_index == 7
+    assert np.array_equal(b.outlines[1].points, [300, 400])
+    assert b.outlines[1].scale == 2.0
+    assert b.qrcodes[2][0] == 4 and b.qrcodes[2][2] == 9
+    assert b.auto_matched == [1, 2]
+    assert back.active == res.active

@@ -49,9 +49,9 @@ def load_settings_file(settings: Settings, path: str | Path,
     return applied
 
 
-def write_settings_file(settings: Settings, path: str | Path,
-                        only_non_default: bool = True,
-                        exclude_access: AccessLevel = AccessLevel.SYSTEM):
+def settings_to_text(settings: Settings,
+                     only_non_default: bool = True,
+                     exclude_access: AccessLevel = AccessLevel.SYSTEM) -> str:
     lines = []
     for name in settings.names():
         p = settings.param(name)
@@ -65,7 +65,14 @@ def write_settings_file(settings: Settings, path: str | Path,
             lines.append(f"{name} = {value}")
         else:
             lines.append(f"{name} = {format_value(value)}")
-    Path(path).write_text("\n".join(lines) + "\n")
+    return "\n".join(lines) + "\n"
+
+
+def write_settings_file(settings: Settings, path: str | Path,
+                        only_non_default: bool = True,
+                        exclude_access: AccessLevel = AccessLevel.SYSTEM):
+    Path(path).write_text(
+        settings_to_text(settings, only_non_default, exclude_access))
 
 
 def apply_dict(settings: Settings, values: dict[str, Any], source: str,

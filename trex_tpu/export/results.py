@@ -1,12 +1,12 @@
 """`.results` checkpoint: full tracker state save/restore.
 
 Role of the reference's Output::TrackingResults (tracking/Output.h:85-228,
-versioned binary V_1..V_38). This implementation uses an NPZ-based
-container (magic "TREXTPU_RESULTS", version 1) holding all individuals'
-time series, tracklets, posture summaries, and the settings delta —
-enough to resume tracking (`-load`) and re-export without re-tracking.
-A reader for the reference's binary .results format is tracked as a
-compatibility follow-up.
+versioned binary V_1..V_39). Two on-disk formats:
+
+- the reference's binary format (results_binary.py, default for writes;
+  reads V_18+) — files are interchangeable with the reference app,
+- an NPZ container (magic "TREXTPU_RESULTS") kept as a fallback reader
+  for checkpoints written by earlier trex_tpu versions.
 """
 from __future__ import annotations
 
@@ -15,10 +15,137 @@ from pathlib import Path
 
 import numpy as np
 
+from . import results_binary as rb
+
 FORMAT_VERSION = 1
 
 
-def save_results(tracker, settings, path) -> Path:
+def save_results(tracker, settings, path, format: str = "binary") -> Path:
+    if format == "binary":
+        return save_results_binary(tracker, settings, path)
+    return _save_results_npz(tracker, settings, path)
+
+
+def save_results_binary(tracker, settings, path) -> Path:
+    """Write the reference's V_39 binary layout (results_binary.py)."""
+    from ..config.settings_io import settings_to_text
+
+    path = Path(path)
+    res = rb.ResultsFile()
+    bg = getattr(tracker, "background", None)
+    if bg is not None:
+        res.average = np.ascontiguousarray(bg, np.uint8)
+        res.video_resolution = (bg.shape[1], bg.shape[0])
+    res.video_length = (tracker.end_frame + 1) if tracker.end_frame >= 0 \
+        else 0
+    res.settings = settings_to_text(settings)
+    res.frame_properties = [
+        (int(f), int(round(t * 1e6)), sum(
+            1 for ind in tracker.individuals.values() if ind.has(f)))
+        for f, t in sorted(tracker.frame_times.items())
+    ]
+    for f, _, _ in res.frame_properties:
+        res.active[f] = [ind.identity
+                         for ind in tracker.individuals.values()
+                         if ind.has(f)]
+    for fid in sorted(tracker.individuals):
+        ind = tracker.individuals[fid]
+        r = rb.ResultsIndividual(id=fid, name=f"fish{fid}")
+        n = len(ind.basic)
+        r.frames = np.array([b.frame for b in ind.basic], np.int64)
+        r.positions = np.array(
+            [[b.centroid.x, b.centroid.y] for b in ind.basic],
+            np.float32).reshape(n, 2)
+        r.angles = np.array([b.centroid.angle for b in ind.basic],
+                            np.float32)
+        for b in ind.basic:
+            blob = b.blob
+            flags = 0x1 if getattr(blob, "split", False) else 0
+            parent = getattr(blob, "parent_id", None)
+            r.blobs.append(rb.ResultsBlob(
+                lines=np.asarray(blob.lines, np.int32), flags=flags,
+                parent_id=int(parent) if parent is not None else -1))
+            r.thresholded_size[b.frame] = int(b.thresholded_size or 0)
+        for p in ind.posture:
+            ml = getattr(p, "midline", None)
+            if ml is not None and not ml.empty:
+                seg = np.asarray(ml.segments, np.float64)
+                hts = np.asarray(ml.heights, np.float64)
+                if hts.size != len(seg):
+                    hts = np.zeros(len(seg))
+                r.midlines[p.frame] = rb.ResultsMidline(
+                    len=float(ml.len), angle=float(ml.angle),
+                    offset=tuple(map(float, ml.offset)),
+                    tail_index=int(ml.tail_index),
+                    head_index=int(ml.head_index),
+                    segments=np.column_stack(
+                        [hts, hts * 0.5, seg[:, 0], seg[:, 1]]
+                    ).astype(np.float32))
+            if p.outline is not None and len(p.outline):
+                pts = np.asarray(p.outline, np.float64)
+                first = pts[0]
+                # MinimalOutline: deltas packed (int8 dx, int8 dy) per
+                # point at unit scale (Output.cpp read_outline V_38)
+                deltas = np.diff(pts, axis=0)
+                scale = max(1.0, float(np.abs(deltas).max() / 127.0)) \
+                    if len(deltas) else 1.0
+                q = np.clip(np.round(deltas / scale), -128, 127) \
+                    .astype(np.int8)
+                packed = ((q[:, 0].astype(np.uint16) << 8)
+                          | (q[:, 1].astype(np.uint16) & 0xFF))
+                r.outlines[p.frame] = rb.ResultsOutline(
+                    first=tuple(map(float, first)), points=packed,
+                    scale=float(scale))
+        res.individuals.append(r)
+    rb.write_results(path, res)
+    return path
+
+
+def load_results_binary(tracker, path):
+    """Restore tracker state from a reference-binary .results file.
+
+    Positions/angles/masks come from the file; velocities, tracklets
+    and frame caches are rebuilt through the normal Individual.add path
+    (the reference also recomputes derivatives on load,
+    Output.cpp:1058 'Derivates etc. can be calculated after loading')."""
+    from ..track.blob import TrackBlob
+    from ..track.individual import BasicStuff, Individual
+    from ..track.motion import MotionRecord
+
+    res = rb.read_results(path)
+    tracker.frame_times = {
+        f: ts * 1e-6 for f, ts, _ in res.frame_properties}
+    frames_sorted = sorted(tracker.frame_times)
+    tracker.start_frame = frames_sorted[0] if frames_sorted else -1
+    tracker.end_frame = frames_sorted[-1] if frames_sorted else -1
+    for r in res.individuals:
+        ind = Individual(r.id, tracker.settings)
+        for i, f in enumerate(r.frames):
+            f = int(f)
+            blob = TrackBlob(np.asarray(r.blobs[i].lines, np.int32), None,
+                             split=bool(r.blobs[i].flags & 0x1))
+            if r.blobs[i].parent_id >= 0:
+                blob.parent_id = r.blobs[i].parent_id
+            t = tracker.frame_times.get(f, f / 25.0)
+            x = float(r.positions[i, 0])
+            y = float(r.positions[i, 1])
+            prev = ind.basic[-1].centroid if ind.basic else None
+            rec = MotionRecord.create(prev, t, x, y, float(r.angles[i]))
+            stuff = BasicStuff(frame=f, blob=blob, centroid=rec,
+                               thresholded_size=int(
+                                   r.thresholded_size.get(f, 0)))
+            ind._frames[f] = len(ind.basic)
+            ind.basic.append(stuff)
+            ind._win[:-1] = ind._win[1:]
+            ind._win[-1] = (f, x, y, t)
+            ind._update_tracklets(f, t)
+        tracker.individuals[r.id] = ind
+        tracker.active.add(r.id)
+        tracker._next_id = max(tracker._next_id, r.id + 1)
+    return tracker
+
+
+def _save_results_npz(tracker, settings, path) -> Path:
     path = Path(path)
     arrays = {
         "__magic__": np.array(["TREXTPU_RESULTS"]),
@@ -75,6 +202,16 @@ def save_results(tracker, settings, path) -> Path:
 
 
 def load_results(tracker, path):
+    """Restore tracker state; auto-detects the reference binary format
+    (u32-length-prefixed "TRACK<v>" magic) vs the NPZ container (zip)."""
+    with open(path, "rb") as f:
+        head = f.read(16)
+    if len(head) >= 9 and head[4:9] == b"TRACK":
+        return load_results_binary(tracker, path)
+    return _load_results_npz(tracker, path)
+
+
+def _load_results_npz(tracker, path):
     """Restore individuals into `tracker` (positions/tracklets/posture
     summaries; pixel masks are restored as line-only blobs)."""
     from ..track.blob import TrackBlob
