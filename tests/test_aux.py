@@ -176,15 +176,21 @@ def test_prediction_roundtrip():
     from trex_tpu.io.predictions import Prediction, pack_prediction, unpack_prediction
 
     p = Prediction(clid=3, p=0.75,
-                   pose=np.array([[1.5, 2.5], [3.0, 4.0]], np.float32),
-                   outlines=[np.array([[0, 0], [5, 5]], np.float32)])
+                   pose=np.array([[2, 3], [3, 4]], np.uint16),
+                   outlines=[np.array([7, 8, 9], np.int32)],
+                   original_outline=np.array([1, 2], np.int32))
     data = pack_prediction(p)
+    # reference layout: clid, p, u8 2*n_pose + 2x(u16,u16), u8 1 outline
+    # (u32 3 + 3xi32), u32 2 + 2xi32 original  (pv.cpp:72-102)
+    assert data[:2] == bytes([3, 191])
+    assert data[2] == 4  # 2 pose points -> N = 4
     q, pos = unpack_prediction(data, 0, 15)
     assert pos == len(data)
     assert q.clid == 3
     assert abs(q.p - 0.75) < 1 / 255
     np.testing.assert_array_equal(q.pose, p.pose)
     np.testing.assert_array_equal(q.outlines[0], p.outlines[0])
+    np.testing.assert_array_equal(q.original_outline, [1, 2])
 
 
 def test_pv_frame_with_predictions(tmp_path):
