@@ -225,6 +225,30 @@ def match(paired: PairedProbabilities, mode: str = "automatic",
         for fish_idx, blob_idx in paired.cliques():
             if not blob_idx:
                 continue
+            # trivial cliques (the common case for spread-out groups):
+            # the optimum is the single best edge; replicates _tree_on's
+            # ordering exactly (first maximum in stable desc sort)
+            if mode in ("tree", "automatic"):
+                if len(fish_idx) == 1:
+                    fi = fish_idx[0]
+                    bset = set(blob_idx)
+                    best_b, best_p = None, -1.0
+                    for bi, p in paired.edges.get(fi, ()):
+                        if bi in bset and p > best_p:
+                            best_b, best_p = bi, p
+                    if best_b is not None:
+                        raw[best_b] = fi
+                    continue
+                if len(blob_idx) == 1:
+                    bi = blob_idx[0]
+                    best_f, best_p = None, -1.0
+                    for fi in fish_idx:
+                        for b, p in paired.edges.get(fi, ()):
+                            if b == bi and p > best_p:
+                                best_f, best_p = fi, p
+                    if best_f is not None:
+                        raw[bi] = best_f
+                    continue
             if mode == "hungarian":
                 sub = _hungarian_on(paired, fish_idx, blob_idx)
             elif mode == "tree":
