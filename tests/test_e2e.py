@@ -131,3 +131,25 @@ def test_results_roundtrip(tmp_path):
         for a, b in zip(r.basic, ind.basic):
             assert a.frame == b.frame
             assert a.centroid.x == pytest.approx(b.centroid.x)
+
+
+def test_batch_convert_two_sources(tmp_path):
+    """BASELINE config 5's batched multi-video ingest (pipeline
+    batch_convert): two file-list sources -> two .pv + trackers."""
+    from pathlib import Path
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.config.settings_io import load_settings_file
+    from trex_tpu.pipeline import batch_convert
+
+    s = reset_global_settings()
+    load_settings_file(s, "/root/reference/videos/test.settings")
+    frames = sorted(
+        str(p) for p in
+        Path("/root/reference/videos/test_frames").glob("frame_*.jpg"))
+    out = batch_convert(s, [frames[:8], frames[8:16]], tmp_path,
+                        names=["a", "b"])
+    assert len(out) == 2
+    for pv_path, tracker in out:
+        assert Path(pv_path).exists()
+        assert len(tracker.individuals) >= 1
