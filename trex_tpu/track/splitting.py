@@ -146,13 +146,15 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
         keep = ~abort & ~remove & (valid >= expected)
         return abort, keep
 
-    # coarse scan (step 4) then refine the bracket by step 1: the goal
-    # is the smallest KEEP threshold, like the reference's segmented
-    # sampling search. Chunked: most blobs abort within a few steps.
-    coarse = np.arange(initial, MAX_THRESHOLD + 1, 4)
+    # Scan EVERY threshold ascending until the first keep or an abort:
+    # the reference's segmented multi-thread sampling covers the whole
+    # band at step 1 (SplitBlob.cpp:616-660, 3 threads x offsets), so
+    # keep-windows narrower than any coarse step must not be skipped.
+    # Chunked: most blobs abort within the first few thresholds.
+    coarse = np.arange(initial, MAX_THRESHOLD + 1)
     best_thr = None
     first_size = 0.0
-    CHUNK = 8
+    CHUNK = 16
     for c0 in range(0, len(coarse), CHUNK):
         chunk = coarse[c0:c0 + CHUNK]
         mat = sizes_mat(chunk)
@@ -166,11 +168,6 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
             if keep_f[i]:
                 best_thr = int(chunk[i])
             break  # abort: raising further only shrinks more
-    if best_thr is not None and best_thr > initial:
-        refine = np.arange(max(initial, best_thr - 3), best_thr)
-        _, keep_f = evaluate_rows(sizes_mat(refine), first_size)
-        if keep_f.any():
-            best_thr = int(refine[np.argmax(keep_f)])
     if best_thr is None:
         return []
     comps = threshold_components(blob, best_thr, background, s)
