@@ -136,6 +136,12 @@ class VITrainer:
               seed: int = 0) -> TrainResult:
         images = np.asarray(images, np.float32)
         labels = np.asarray(labels, np.int32)
+        if images.size and float(images.max()) <= 1.5:
+            import warnings
+            warnings.warn(
+                "VI networks expect 0-255 gray inputs (the model "
+                "normalizes x/127.5-1); inputs look 0-1 scaled",
+                stacklevel=2)
         n = len(images)
         if val_images is None:
             # stratified-ish 25% validation split like the reference loader
