@@ -153,3 +153,46 @@ def test_batch_convert_two_sources(tmp_path):
     for pv_path, tracker in out:
         assert Path(pv_path).exists()
         assert len(tracker.individuals) >= 1
+
+
+def test_color_encodings_convert(tmp_path):
+    """rgb8 / r3g3b2 conversion: detection stays gray, stored pixels
+    carry color (pv.cpp meta_encoding semantics)."""
+    import cv2
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.encoding import r3g3b2_to_bgr
+    from trex_tpu.io.pv import PVFile
+    from trex_tpu.pipeline import Segmenter
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    bg = np.full((96, 96, 3), (200, 180, 160), np.uint8)
+    for i in range(6):
+        img = bg.copy()
+        img[40:50, 14 + i * 5: 28 + i * 5] = (30, 60, 200)  # reddish blob
+        cv2.imwrite(str(d / f"c_{i:03d}.png"), img)
+
+    for enc, bpp in (("rgb8", 3), ("r3g3b2", 1)):
+        s = reset_global_settings()
+        for k, v in dict(track_threshold=20, detect_threshold=20,
+                         track_size_filter=[[20, 500]],
+                         track_max_speed=500, cm_per_pixel=1.0,
+                         frame_rate=25, meta_encoding=enc,
+                         track_max_individuals=4).items():
+            s.set(k, v)
+        out = tmp_path / f"c_{enc}.pv"
+        Segmenter(s, str(d / "c_%03d.png"), out, track=False).run()
+        with PVFile.open(out) as f:
+            assert f.header.encoding == enc
+            fr = f.read_frame(0)
+            assert fr.n >= 1
+            npx = sum(int(l[2] - l[1] + 1) for l in fr.masks[0])
+            assert fr.pixels[0].size == npx * bpp
+            if enc == "rgb8":
+                rgb = fr.pixels[0].reshape(-1, 3)
+                assert abs(int(rgb[0][0]) - 200) < 30  # R of (30,60,200) BGR
+            else:
+                bgr = r3g3b2_to_bgr(fr.pixels[0][:1])[0]
+                assert bgr[2] > 150 and bgr[0] < 100  # red-dominant

@@ -30,7 +30,7 @@ from .track.individual import PostureStuff
 
 
 def generate_average(source: VideoSource, settings: Settings,
-                     undistort_maps=None) -> np.ndarray:
+                     undistort_maps=None, color: bool = False) -> np.ndarray:
     """Background average over `average_samples` evenly spaced frames
     using `averaging_method` (Segmenter::trigger_average_generator +
     commons AveragingAccumulator). Frames get the same acquisition
@@ -39,7 +39,7 @@ def generate_average(source: VideoSource, settings: Settings,
     acc = AveragingAccumulator(settings["averaging_method"])
     for i in np.linspace(0, len(source) - 1, max(1, n)).astype(int):
         img = source.get(int(i))
-        if img.ndim == 3:
+        if img.ndim == 3 and not color:
             import cv2
 
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
@@ -77,7 +77,7 @@ def preprocess_video_frame(image: np.ndarray, settings: Settings,
         img = image.astype(np.float32) * float(s["image_contrast_increase"]) \
             + float(s["image_brightness_increase"])
         image = np.clip(img, 0, 255).astype(np.uint8)
-    if s["equalize_histogram"]:
+    if s["equalize_histogram"] and image.ndim == 2:
         image = cv2.equalizeHist(image)
     return image
 
@@ -213,15 +213,20 @@ class Segmenter:
                  progress: Optional[Callable[[int, int], None]] = None,
                  workers: int = 4):
         self.settings = settings
+        # color encodings keep the source in color: detection still runs
+        # on grayscale, stored blob pixels carry color (pv.cpp V_14
+        # encodings rgb8 / r3g3b2)
+        self._color = settings["meta_encoding"] in ("rgb8", "r3g3b2")
         if isinstance(source, str) and source == "basler":
             # reference `source = basler` keyword (grabber default_config)
             from .io.video import BaslerVideoSource
             self.source = BaslerVideoSource(
-                int(settings.get("basler_index", 0) or 0))
+                int(settings.get("basler_index", 0) or 0),
+                color=self._color)
         elif isinstance(source, VideoSource):
             self.source = source
         else:
-            self.source = VideoSource(source)
+            self.source = VideoSource(source, color=self._color)
         self.output_path = Path(output_path)
         self.track = track
         self.progress = progress
@@ -252,13 +257,22 @@ class Segmenter:
         if not s["meta_real_width"] and not s["cm_per_pixel"]:
             s.set("cm_per_pixel", 1.0, source="fallback")
         undistort_maps = build_undistort_maps(s, src.size)
-        self.background = generate_average(src, s, undistort_maps)
+        average = generate_average(src, s, undistort_maps,
+                                   color=self._color)
+        if average.ndim == 3:
+            import cv2
+            self.background = cv2.cvtColor(average, cv2.COLOR_BGR2GRAY)
+            if s["meta_encoding"] == "r3g3b2":
+                # r3g3b2 stores a 1-channel encoded average
+                from .io.encoding import bgr_to_r3g3b2
+                average = bgr_to_r3g3b2(average)
+        else:
+            self.background = average
         w, h = src.size
         header = PVHeader(
-            encoding=s["meta_encoding"] if s["meta_encoding"] != "rgb8"
-            else "gray",  # rgb8 conversion lands in a later stage
+            encoding=s["meta_encoding"],
             width=w, height=h,
-            average=self.background,
+            average=average,
             name=self.output_path.stem,
         )
         if frame_range is None:
@@ -284,14 +298,33 @@ class Segmenter:
             # (BackgroundSubtraction.cpp:200-205, commented out) — we
             # keep the component available but do not auto-apply it.
 
+            encoding = s["meta_encoding"]
+
             def produce(idx):
                 img = src.get(idx)
+                color = None
                 if img.ndim == 3:
                     import cv2
 
+                    color = img if self._color else None
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
                 img = preprocess_video_frame(img, s, undistort)
-                return idx, img, detect_frame(img, self.background, s)
+                blobs = detect_frame(img, self.background, s)
+                if color is not None:
+                    # store color pixels under each mask (detection and
+                    # tracking stay grayscale)
+                    from .io.encoding import bgr_to_r3g3b2
+                    color = preprocess_video_frame(color, s, undistort)
+                    for b in blobs:
+                        rows = [color[y, x0: x1 + 1]
+                                for y, x0, x1 in b.lines]
+                        px = np.concatenate(rows) if rows \
+                            else np.zeros((0, 3), np.uint8)
+                        if encoding == "r3g3b2":
+                            b.store_pixels = bgr_to_r3g3b2(px)
+                        else:  # rgb8: pv stores RGB byte order
+                            b.store_pixels = px[:, ::-1].reshape(-1)
+                return idx, img, blobs
 
             with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
                 pending = {}
@@ -310,7 +343,9 @@ class Segmenter:
                         timestamp=int(round((virtual + 1) * 1e6 / frame_rate)),
                         source_index=idx, index=virtual)
                     for b in blobs:
-                        fr.add_object(b.lines, b.pixels)
+                        px = b.store_pixels if b.store_pixels is not None \
+                            else b.pixels
+                        fr.add_object(b.lines, px)
                     pv.add_frame(fr)
                     if s["save_raw_movie"]:
                         self._write_raw(img, frame_rate)

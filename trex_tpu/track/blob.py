@@ -41,7 +41,8 @@ class TrackBlob:
 
     __slots__ = ("lines", "pixels", "parent_id", "split", "flags",
                  "_bid", "_bounds", "_recount_cache", "_last_recount",
-                 "_diff_cached", "stats", "tags", "prediction")
+                 "_diff_cached", "stats", "tags", "prediction",
+                 "store_pixels")  # encoded color pixels for pv storage
 
     def __init__(self, lines: np.ndarray, pixels: Optional[np.ndarray],
                  flags: int = 0, parent_id: int = -1, split: bool = False,
@@ -60,6 +61,7 @@ class TrackBlob:
         # (8 doubles: n_px, track_count, sum_x, sum_y, sxx, syy, sxy, _)
         self.stats = stats
         self.prediction = None
+        self.store_pixels = None
 
     # -- identity ------------------------------------------------------
     @property

@@ -186,7 +186,9 @@ class Tracker:
         p_min = s["match_min_probability"]
         topk = s["match_topk"]
         cm_per_pixel = s["cm_per_pixel"] or 1.0
-        max_speed = s["track_max_speed"]
+        # track_max_speed defaults to 0 (unset); treat as "no speed
+        # limit" rather than dividing by zero
+        max_speed = s["track_max_speed"] or 1e9
         usable = []
         for ind in active:
             cache = caches[ind.identity]
