@@ -255,21 +255,55 @@ class HistorySplit:
         fi_idx, bi_idx = np.nonzero(near[involved])
         fish_ids = np.flatnonzero(involved)
 
-        def mask_distance(fx, fy, blob) -> float:
-            """Exact distance to the blob's RLE mask. The reference's
-            blob_grid holds (sampled) mask pixels and edges require a
-            pixel within max_d of the estimate (PPFrame.cpp:381-401);
-            bbox distances under-estimate for concave merged blobs and
-            would over-connect the cliques."""
-            ls = blob.lines
-            ddy = np.abs(ls[:, 0] - fy)
-            ddx = np.maximum(0, np.maximum(ls[:, 1] - fx, fx - ls[:, 2]))
-            return float(np.min(np.hypot(ddx, ddy)))
+        # The reference's blob_grid holds SAMPLED mask points (PPFrame::
+        # fill_proximity_grid + insert_line, PPFrame.cpp:123-135,
+        # 891-932): first/last line plus even-y lines; per line the two
+        # endpoints, the midpoint, and interior points every
+        # max(1, bbox_width*0.1) px (only when that step >= 5). Edges
+        # exist where a sampled point lies within max_d of the estimate;
+        # distances are to the sampled points (NOT the exact mask), so
+        # replicate the sampling bit for bit.
+        _pts_cache: dict[int, np.ndarray] = {}
+
+        def grid_points(bi: int) -> np.ndarray:
+            pts = _pts_cache.get(bi)
+            if pts is not None:
+                return pts
+            ls = np.asarray(blobs[bi].lines)
+            K = len(ls)
+            if K >= 4:
+                sel = [0] + [i for i in range(1, K - 1)
+                             if ls[i, 0] % 2 == 0] + [K - 1]
+            else:
+                sel = list(range(K))
+            w = blobs[bi].bounds[2]
+            step = int(max(1.0, w * 0.1))
+            out = []
+            for i in sel:
+                y = float(ls[i, 0])
+                x0 = float(ls[i, 1])
+                x1 = float(ls[i, 2])
+                d = x1 - x0
+                out.append((x0, y))
+                out.append((x1, y))
+                out.append((x0 + d * 0.5, y))
+                if d >= 2 * step and step >= 5:
+                    x = x0 + step
+                    while x <= x1 - step:
+                        out.append((x, y))
+                        x += step
+            pts = np.asarray(out, np.float64)
+            _pts_cache[bi] = pts
+            return pts
+
+        def mask_distance(fx, fy, bi) -> float:
+            pts = grid_points(bi)
+            return float(np.min(np.hypot(pts[:, 0] - fx, pts[:, 1] - fy)))
 
         edges: dict[int, list] = {}
         for fi, bi in zip(fish_ids[fi_idx].tolist(), bi_idx.tolist()):
             fx, fy = fish_positions[fi]
-            md = mask_distance(fx, fy, blobs[bi])
+            md = mask_distance(fx, fy, bi)
             if md <= max_distance_px:
                 edges.setdefault(fi, []).append((md, bi))
         for es in edges.values():
