@@ -196,3 +196,51 @@ def test_color_encodings_convert(tmp_path):
             else:
                 bgr = r3g3b2_to_bgr(fr.pixels[0][:1])[0]
                 assert bgr[2] > 150 and bgr[0] < 100  # red-dominant
+
+
+def test_convert_subset_parity_floor(tmp_path):
+    """Regression floor for golden parity on the first 40 frames:
+    optimal-pairing per-identity X-exact and per-frame X-multiset
+    agreement (full-fixture numbers in docs/ROUND1_NOTES.md)."""
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    from scipy.optimize import linear_sum_assignment
+
+    tracker, s = _convert_range(tmp_path, 40)
+
+    def load(p):
+        out = {}
+        with open(p) as f:
+            for row in csv.DictReader(f):
+                v = row["X#wcentroid (cm)"]
+                out[int(float(row["frame"]))] = \
+                    float(v) if v not in ("", "inf", "-inf") else np.nan
+        return out
+
+    gold = [load(GOLDEN / f"test_fish{i}.csv") for i in range(8)]
+    mine = [load(p) for p in
+            sorted((tmp_path / "data").glob("test_fish*.csv"))]
+    frs = range(40)
+
+    def match(g, m, fr):
+        gv, mv = g.get(fr, np.nan), m.get(fr, np.nan)
+        return (np.isnan(gv) and np.isnan(mv)) or \
+            (not np.isnan(gv) and not np.isnan(mv)
+             and abs(gv - mv) < 0.005)
+
+    C = np.zeros((8, 8))
+    for i, g in enumerate(gold):
+        for j, m in enumerate(mine):
+            C[i, j] = sum(match(g, m, fr) for fr in frs)
+    ri, ci = linear_sum_assignment(-C)
+    parity = C[ri, ci].sum() / (8 * len(frs))
+    assert parity >= 0.75, f"per-identity X parity dropped to {parity:.3f}"
+
+    multi = 0
+    for fr in frs:
+        ms = sorted(round(m[fr], 2) for m in mine if not np.isnan(m[fr]))
+        gs = sorted(round(g[fr], 2) for g in gold if not np.isnan(g[fr]))
+        multi += ms == gs
+    assert multi / len(frs) >= 0.85, \
+        f"X multisets only match on {multi}/40 frames"
