@@ -84,3 +84,43 @@ def test_pallas_kernel_interpret_mode():
     )(x)
     # interior pixel: min of 8 neighbors of value grid = up-left neighbor
     assert out[3, 3] == x[2, 2]
+
+
+def test_detect_batch_matches_native():
+    """Device detect_batch vs the native host labeler on random frames."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_pipeline import detect_batch
+    from trex_tpu.ops.labeling import label_blobs
+
+    rng = np.random.default_rng(3)
+    bg = np.full((64, 96), 200, np.uint8)
+    frames = np.full((3, 64, 96), 200, np.uint8)
+    for b in range(3):
+        for _ in range(6):
+            y, x = rng.integers(5, 55), rng.integers(5, 85)
+            frames[b, y:y + 5, x:x + 8] = 90
+    out = detect_batch(jnp.asarray(frames), jnp.asarray(bg),
+                       threshold=20, track_threshold=40,
+                       absolute=False, max_blobs=64)
+    for b in range(3):
+        blobs = label_blobs(frames[b], bg, threshold=20, absolute=False,
+                            track_threshold=40, track_absolute=False)
+        host = sorted(bl.num_pixels for bl in blobs)
+        dev_counts = np.asarray(out["count"][b])
+        dev = sorted(int(c) for c in dev_counts[np.asarray(out["valid"][b])])
+        assert dev == host
+        # recount parity (fused second threshold)
+        host_rc = sorted(int(bl.stats[1]) for bl in blobs)
+        dev_rc = sorted(int(c) for c in
+                        np.asarray(out["track_count"][b])[
+                            np.asarray(out["valid"][b])])
+        assert dev_rc == host_rc
+        # centroid parity for the largest blob
+        big = max(blobs, key=lambda bl: bl.num_pixels)
+        hx, hy = big.center()
+        i = int(np.nanargmax(np.where(np.asarray(out["valid"][b]),
+                                      dev_counts, -1)))
+        assert abs(float(out["cx"][b][i]) - hx) < 1e-3
+        assert abs(float(out["cy"][b][i]) - hy) < 1e-3
