@@ -338,6 +338,147 @@ void trex_split_sizes(const uint8_t* img, const uint8_t* bg,
     }
 }
 
+// Threshold-escalation split scan with the full evaluation fused in
+// (SplitBlob::evaluate_result_multiple semantics, reference
+// SplitBlob.cpp:190-245,406-640): scan thresholds ascending from
+// `initial`, per threshold compute component sizes (same labeling as
+// trex_split_sizes) and evaluate
+//   abort:  total*cm_sqr < max_shrink * first_size
+//   keep:   top-`expected` pieces (after dropping pieces below the
+//           global shrink limit) all fish-sized
+//   remove: smallest keeper still above the largest allowed size
+//           (keep raising)
+// Stops at the first keep (returns that threshold) or abort/end of
+// scan (returns -1). `first_size` = largest component size at the
+// initial threshold (in cm^2, 0 when none). ranges = n_ranges (lo, hi)
+// pairs in cm^2 (track_size_filter); n_ranges == 0 means unfiltered.
+int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
+                        int32_t width, int32_t height,
+                        int32_t initial, int32_t absolute,
+                        int32_t expected,
+                        double cm_sqr, double max_shrink,
+                        double shrink_limit,
+                        const double* ranges, int32_t n_ranges,
+                        double* first_size_out) {
+    // per-pixel difference value, 0 where img is 0 (outside the mask)
+    std::vector<uint8_t> diff((size_t)width * height);
+    const size_t npx = (size_t)width * height;
+    if (bg) {
+        if (absolute) {
+            for (size_t i = 0; i < npx; i++) {
+                int d = (int)img[i] - (int)bg[i];
+                diff[i] = (img[i] != 0) ? (uint8_t)(d < 0 ? -d : d) : 0;
+            }
+        } else {
+            for (size_t i = 0; i < npx; i++) {
+                int d = (int)bg[i] - (int)img[i];
+                diff[i] = (img[i] != 0 && d > 0) ? (uint8_t)d : 0;
+            }
+        }
+    } else {
+        std::memcpy(diff.data(), img, npx);
+    }
+
+    // the range with the largest end (SizeFilters::max_range)
+    double max_lo = 0.0, max_hi = 0.0;
+    for (int32_t i = 0; i < n_ranges; i++) {
+        if (i == 0 || ranges[2 * i + 1] > max_hi) {
+            max_lo = ranges[2 * i];
+            max_hi = ranges[2 * i + 1];
+        }
+    }
+
+    struct SRun { int32_t x0, x1; uint32_t label; };
+    std::vector<SRun> prev_runs, cur_runs;
+    std::vector<uint32_t> parent;
+    std::vector<int64_t> run_size;
+    std::vector<double> comp_size;
+
+    double first_size = 0.0;
+    if (first_size_out) *first_size_out = 0.0;
+    if (initial < 1) initial = 1;
+
+    for (int32_t thr = initial; thr <= 255; thr++) {
+        parent.clear();
+        run_size.clear();
+        prev_runs.clear();
+        int64_t total = 0;
+        for (int32_t y = 0; y < height; y++) {
+            const uint8_t* row = diff.data() + (size_t)y * width;
+            cur_runs.clear();
+            int32_t x = 0;
+            while (x < width) {
+                while (x < width && row[x] < thr) x++;
+                if (x >= width) break;
+                const int32_t start = x;
+                while (x < width && row[x] >= thr) x++;
+                const int32_t end = x - 1;
+                uint32_t label = (uint32_t)parent.size();
+                parent.push_back(label);
+                run_size.push_back(end - start + 1);
+                total += end - start + 1;
+                cur_runs.push_back({start, end, label});
+            }
+            size_t j = 0;
+            for (auto& r : cur_runs) {
+                while (j < prev_runs.size() && prev_runs[j].x1 + 1 < r.x0) j++;
+                for (size_t k = j; k < prev_runs.size()
+                                   && prev_runs[k].x0 <= r.x1 + 1; k++) {
+                    unite(parent, prev_runs[k].label, r.label);
+                }
+            }
+            std::swap(prev_runs, cur_runs);
+        }
+        comp_size.clear();
+        {
+            std::vector<uint32_t> comp_of(parent.size(), UINT32_MAX);
+            for (size_t i = 0; i < parent.size(); i++) {
+                uint32_t r = find_root(parent, (uint32_t)i);
+                if (comp_of[r] == UINT32_MAX) {
+                    comp_of[r] = (uint32_t)comp_size.size();
+                    comp_size.push_back(0.0);
+                }
+                comp_size[comp_of[r]] += (double)run_size[i];
+            }
+        }
+        std::sort(comp_size.begin(), comp_size.end(), std::greater<double>());
+
+        if (thr == initial) {
+            first_size = comp_size.empty() ? 0.0 : comp_size[0] * cm_sqr;
+            if (first_size_out) *first_size_out = first_size;
+        }
+
+        const double total_cm = (double)total * cm_sqr;
+        if (total_cm < max_shrink * first_size) return -1;  // abort
+
+        const double min_thresh = n_ranges > 0
+            ? max_lo * shrink_limit : total_cm * max_shrink;
+        // kept = prefix of descending sizes >= min_thresh
+        int64_t kept = 0;
+        for (double s : comp_size) {
+            if (s * cm_sqr >= min_thresh) kept++;
+            else break;
+        }
+        const int64_t take = std::min<int64_t>(kept, expected);
+        int64_t valid = 0;
+        for (int64_t i = 0; i < take; i++) {
+            const double s = comp_size[(size_t)i] * cm_sqr;
+            bool in = n_ranges == 0;
+            for (int32_t r = 0; r < n_ranges && !in; r++)
+                in = s >= ranges[2 * r] && s <= ranges[2 * r + 1];
+            valid += in;
+        }
+        bool remove = false;
+        if (n_ranges > 0 && take > 0) {
+            const double min_size =
+                comp_size[(size_t)(take - 1)] * cm_sqr;
+            remove = min_size > max_hi;
+        }
+        if (!remove && valid >= expected) return thr;  // keep
+    }
+    return -1;
+}
+
 // Moore boundary trace (8-connectivity, clockwise) over a binary mask.
 // Writes up to max_points (x, y) float pairs into out; returns the
 // number of points written (0 when the mask is empty). Matches the

@@ -91,8 +91,42 @@ def _lib():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.trex_split_scan.restype = ctypes.c_int32
+        lib.trex_split_scan.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+        ]
         _configured = True
     return lib
+
+
+def split_scan(image: np.ndarray, background: Optional[np.ndarray],
+               initial: int, absolute: bool, expected: int,
+               cm_sqr: float, max_shrink: float, shrink_limit: float,
+               ranges) -> tuple[int, float]:
+    """Native threshold-escalation scan with the SplitBlob evaluation
+    fused in (early stop at the first keep/abort). Returns
+    (best_threshold or -1, first_size in cm^2)."""
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    h, w = image.shape
+    bg_ptr = None
+    if background is not None:
+        background = np.ascontiguousarray(background, dtype=np.uint8)
+        bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
+    r = np.ascontiguousarray(ranges or [], np.float64).reshape(-1, 2)
+    first_size = ctypes.c_double(0.0)
+    thr = _lib().trex_split_scan(
+        image.ctypes.data_as(ctypes.c_char_p), bg_ptr, w, h,
+        int(initial), 1 if absolute else 0, int(expected),
+        float(cm_sqr), float(max_shrink), float(shrink_limit),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), r.shape[0],
+        ctypes.byref(first_size))
+    return int(thr), float(first_size.value)
 
 
 def split_sizes(image: np.ndarray, background: Optional[np.ndarray],

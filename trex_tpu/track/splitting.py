@@ -20,10 +20,33 @@ from typing import Optional
 import numpy as np
 
 from .blob import TrackBlob
-from ..ops.labeling import split_sizes
+from ..ops.labeling import split_scan, split_sizes
 from .prefilter import SizeFilters, threshold_components
 
 MAX_THRESHOLD = 255
+
+
+def _split_crop(blob: TrackBlob, background: np.ndarray, settings):
+    """Masked grayscale crop + matching background crop for the
+    escalation scan (shared by the native and Python scan paths)."""
+    mask, gray, (ox, oy) = blob.to_dense(pad=1)
+    bg_crop = np.zeros_like(gray)
+    bh, bw = background.shape[:2]
+    ys0, ys1 = max(0, oy), min(bh, oy + gray.shape[0])
+    xs0, xs1 = max(0, ox), min(bw, ox + gray.shape[1])
+    bg_crop[ys0 - oy: ys1 - oy, xs0 - ox: xs1 - ox] = \
+        background[ys0:ys1, xs0:xs1]
+    img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
+    return img, bg_crop
+
+
+def _initial_threshold(settings) -> int:
+    track_thr = int(settings["track_threshold"])
+    if settings["calculate_posture"]:
+        initial = max(track_thr, int(settings["track_posture_threshold"])) + 1
+    else:
+        initial = track_thr + 1
+    return max(1, initial)
 
 
 def _evaluate_split(expected: int, first_size: float, comps: list,
@@ -58,8 +81,7 @@ def _evaluate_split(expected: int, first_size: float, comps: list,
 
 
 def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
-               settings, component_cache: Optional[dict] = None
-               ) -> list[TrackBlob]:
+               settings) -> list[TrackBlob]:
     """Split `blob` into >= `expected` components by raising the threshold.
 
     Reference semantics (SplitBlob.cpp:406-640): starting from
@@ -75,49 +97,60 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
     if s["blob_split_algorithm"] == "none":
         return []
     track_thr = int(s["track_threshold"])
-    if s["calculate_posture"]:
-        initial = max(track_thr, int(s["track_posture_threshold"])) + 1
-    else:
-        initial = track_thr + 1
-    initial = max(1, initial)
+    initial = _initial_threshold(s)
     cm = s["cm_per_pixel"] or 1.0
     cm_sqr = cm * cm
     fish_size = SizeFilters(s["track_size_filter"])
 
     # The escalation only needs component SIZES until the final
-    # threshold is chosen: build the dense crop once and scan thresholds
-    # with the native size-only labeler (ops.labeling.split_sizes),
-    # then materialize actual components with one threshold_components
-    # call. Size-identical to evaluating threshold_components at every
-    # step (verified byte-identical fixture output).
-    mask, gray, (ox, oy) = blob.to_dense(pad=1)
-    bg_crop = np.zeros_like(gray)
-    bh, bw = background.shape[:2]
-    ys0, ys1 = max(0, oy), min(bh, oy + gray.shape[0])
-    xs0, xs1 = max(0, ox), min(bw, ox + gray.shape[1])
-    bg_crop[ys0 - oy: ys1 - oy, xs0 - ox: xs1 - ox] = \
-        background[ys0:ys1, xs0:xs1]
+    # threshold is chosen: build the dense crop once, then the whole
+    # ascending scan + SplitBlob evaluation runs natively with early
+    # stop (ops.labeling.split_scan; split_scan_py below is the
+    # differential-test reference). The chosen threshold's actual
+    # components materialize with one threshold_components call.
+    img, bg_crop = _split_crop(blob, background, s)
     absolute = bool(s["track_threshold_is_absolute"])
-    img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
-    top_k = max(16, expected)
+    best_thr, first_size = split_scan(
+        img, bg_crop, initial, absolute, expected, cm_sqr,
+        float(s["blob_split_max_shrink"]),
+        float(s["blob_split_global_shrink_limit"]),
+        fish_size.ranges)
+    if best_thr < 0:
+        return []
+    comps = threshold_components(blob, best_thr, background, s)
+    comps.sort(key=lambda c: -c.num_pixels)
+    if _evaluate_split(expected, first_size, comps, s,
+                       cm_sqr, fish_size) != "keep":
+        return []  # size scan and materialization disagree: be safe
+    for c in comps:
+        c.split = True
+        c.parent_id = blob.blob_id
+        c.recount(track_thr, background, s)
+    return comps
 
-    def sizes_mat(thrs) -> np.ndarray:
-        cache = component_cache if component_cache is not None else {}
-        missing = [t for t in thrs if t not in cache]
-        if missing:
-            for t, row in zip(missing, split_sizes(img, bg_crop, missing,
-                                                   absolute, top_k)):
-                cache[t] = row
-        return np.stack([cache[t] for t in thrs])
 
+def split_scan_py(img: np.ndarray, bg_crop: np.ndarray, initial: int,
+                  absolute: bool, expected: int, settings
+                  ) -> tuple[int, float]:
+    """Pure-numpy scan over thresholds: the pre-native reference for
+    trex_split_scan (differential-tested equal). Scans EVERY threshold
+    ascending until the first keep or an abort — the reference's
+    segmented multi-thread sampling covers the whole band at step 1
+    (SplitBlob.cpp:616-660), so narrow keep-windows must not be
+    skipped. Returns (best threshold or -1, first_size cm^2)."""
+    s = settings
+    cm = s["cm_per_pixel"] or 1.0
+    cm_sqr = cm * cm
+    fish_size = SizeFilters(s["track_size_filter"])
     max_shrink = float(s["blob_split_max_shrink"])
     shrink_lim = float(s["blob_split_global_shrink_limit"])
+    top_k = max(16, expected)
 
     def evaluate_rows(mat: np.ndarray, first_size: float):
-        """Vectorized _evaluate_split over a (n, 2+K) size matrix.
-        Sizes are sorted desc per row, so the shrink filter removes a
-        suffix and top-`expected` of the filtered list is a row prefix.
-        Returns (abort, keep) bool vectors."""
+        """Vectorized SplitBlob::evaluate_result_multiple over a
+        (n, 2+K) size matrix. Sizes are sorted desc per row, so the
+        shrink filter removes a suffix and top-`expected` of the
+        filtered list is a row prefix. Returns (abort, keep) vectors."""
         n_comps = mat[:, 0]
         total = mat[:, 1].astype(np.float64) * cm_sqr
         abort = total < max_shrink * first_size
@@ -146,40 +179,16 @@ def split_blob(blob: TrackBlob, expected: int, background: np.ndarray,
         keep = ~abort & ~remove & (valid >= expected)
         return abort, keep
 
-    # Scan EVERY threshold ascending until the first keep or an abort:
-    # the reference's segmented multi-thread sampling covers the whole
-    # band at step 1 (SplitBlob.cpp:616-660, 3 threads x offsets), so
-    # keep-windows narrower than any coarse step must not be skipped.
-    # Chunked: most blobs abort within the first few thresholds.
-    coarse = np.arange(initial, MAX_THRESHOLD + 1)
-    best_thr = None
-    first_size = 0.0
-    CHUNK = 16
-    for c0 in range(0, len(coarse), CHUNK):
-        chunk = coarse[c0:c0 + CHUNK]
-        mat = sizes_mat(chunk)
-        if c0 == 0:
-            first_size = (float(mat[0, 2]) * cm_sqr) if mat[0, 0] > 0 \
-                else 0.0
-        abort_f, keep_f = evaluate_rows(mat, first_size)
-        stop = keep_f | abort_f
-        if stop.any():
-            i = int(np.argmax(stop))
-            if keep_f[i]:
-                best_thr = int(chunk[i])
-            break  # abort: raising further only shrinks more
-    if best_thr is None:
-        return []
-    comps = threshold_components(blob, best_thr, background, s)
-    comps.sort(key=lambda c: -c.num_pixels)
-    if _evaluate_split(expected, first_size, comps, s,
-                       cm_sqr, fish_size) != "keep":
-        return []  # size scan and materialization disagree: be safe
-    for c in comps:
-        c.split = True
-        c.parent_id = blob.blob_id
-        c.recount(track_thr, background, s)
-    return comps
+    thrs = np.arange(max(1, initial), MAX_THRESHOLD + 1)
+    mat = split_sizes(img, bg_crop, thrs, absolute, top_k)
+    first_size = (float(mat[0, 2]) * cm_sqr) if mat[0, 0] > 0 else 0.0
+    abort_f, keep_f = evaluate_rows(mat, first_size)
+    stop = keep_f | abort_f
+    if stop.any():
+        i = int(np.argmax(stop))
+        if keep_f[i]:
+            return int(thrs[i]), first_size
+    return -1, first_size
 
 
 class HistorySplit:
@@ -252,8 +261,9 @@ class HistorySplit:
         if not contested.any():
             return {}
         involved = near[:, contested].any(axis=1)
-        fi_idx, bi_idx = np.nonzero(near[involved])
         fish_ids = np.flatnonzero(involved)
+        cand = near[involved]  # (F_inv, B) bbox-proximity candidates
+        cand_blobs = np.flatnonzero(cand.any(axis=0))
 
         # The reference's blob_grid holds SAMPLED mask points (PPFrame::
         # fill_proximity_grid + insert_line, PPFrame.cpp:123-135,
@@ -262,50 +272,65 @@ class HistorySplit:
         # max(1, bbox_width*0.1) px (only when that step >= 5). Edges
         # exist where a sampled point lies within max_d of the estimate;
         # distances are to the sampled points (NOT the exact mask), so
-        # replicate the sampling bit for bit.
-        _pts_cache: dict[int, np.ndarray] = {}
-
-        def grid_points(bi: int) -> np.ndarray:
-            pts = _pts_cache.get(bi)
-            if pts is not None:
-                return pts
-            ls = np.asarray(blobs[bi].lines)
-            K = len(ls)
-            if K >= 4:
-                sel = [0] + [i for i in range(1, K - 1)
-                             if ls[i, 0] % 2 == 0] + [K - 1]
-            else:
-                sel = list(range(K))
-            w = blobs[bi].bounds[2]
-            step = int(max(1.0, w * 0.1))
-            out = []
-            for i in sel:
-                y = float(ls[i, 0])
-                x0 = float(ls[i, 1])
-                x1 = float(ls[i, 2])
-                d = x1 - x0
-                out.append((x0, y))
-                out.append((x1, y))
-                out.append((x0 + d * 0.5, y))
-                if d >= 2 * step and step >= 5:
-                    x = x0 + step
-                    while x <= x1 - step:
-                        out.append((x, y))
-                        x += step
-            pts = np.asarray(out, np.float64)
-            _pts_cache[bi] = pts
-            return pts
-
-        def mask_distance(fx, fy, bi) -> float:
-            pts = grid_points(bi)
-            return float(np.min(np.hypot(pts[:, 0] - fx, pts[:, 1] - fy)))
+        # replicate the sampling bit for bit. All candidate blobs'
+        # points stack into one array; one distance matrix + a
+        # scatter-min gives every (fish, blob) mask distance at once.
+        line_arrays = [np.asarray(blobs[bi].lines) for bi in cand_blobs]
+        counts = np.fromiter((len(a) for a in line_arrays), np.int64,
+                             len(line_arrays))
+        L = np.concatenate(line_arrays).astype(np.float64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        line_owner = np.repeat(np.arange(len(counts)), counts)
+        # line selection: blobs with >= 4 lines keep first/last + even-y
+        # interiors; smaller blobs keep every line
+        keep = L[:, 0] % 2 == 0
+        keep[np.repeat(counts < 4, counts)] = True
+        keep[starts] = True
+        keep[ends - 1] = True
+        Lk = L[keep]
+        ok_owner = line_owner[keep]
+        y = Lk[:, 0]
+        x0 = Lk[:, 1]
+        x1 = Lk[:, 2]
+        pts = np.concatenate([
+            np.stack([x0, y], 1), np.stack([x1, y], 1),
+            np.stack([x0 + (x1 - x0) * 0.5, y], 1)])
+        owner = np.concatenate([ok_owner] * 3)
+        # interior samples every `step` px exist only when
+        # step = max(1, bbox_width*0.1) >= 5, i.e. blobs >= ~50 px wide
+        widths = np.zeros(len(counts))
+        np.maximum.at(widths, line_owner, L[:, 2])
+        mins = np.full(len(counts), np.inf)
+        np.minimum.at(mins, line_owner, L[:, 1])
+        steps = np.maximum(1.0, (widths - mins + 1) * 0.1).astype(np.int64)
+        step_of = steps[ok_owner]
+        wide = np.flatnonzero((step_of >= 5) & (x1 - x0 >= 2 * step_of))
+        if wide.size:
+            extra = []
+            extra_owner = []
+            for i in wide.tolist():
+                st = step_of[i]
+                xs = np.arange(x0[i] + st, x1[i] - st + 1e-9, st)
+                extra.append(np.stack([xs, np.full(xs.size, y[i])], 1))
+                extra_owner.append(np.full(xs.size, ok_owner[i], np.int64))
+            pts = np.concatenate([pts] + extra)
+            owner = np.concatenate([owner] + extra_owner)
+        fpos = pos[fish_ids]  # (F_inv, 2)
+        d2 = (pts[None, :, 0] - fpos[:, 0, None]) ** 2 \
+            + (pts[None, :, 1] - fpos[:, 1, None]) ** 2
+        md2 = np.full((len(fish_ids), len(cand_blobs)), np.inf)
+        np.minimum.at(md2, (slice(None), owner), d2)
+        md = np.sqrt(md2)
+        slot_of = {int(bi): si for si, bi in enumerate(cand_blobs)}
 
         edges: dict[int, list] = {}
-        for fi, bi in zip(fish_ids[fi_idx].tolist(), bi_idx.tolist()):
-            fx, fy = fish_positions[fi]
-            md = mask_distance(fx, fy, bi)
-            if md <= max_distance_px:
-                edges.setdefault(fi, []).append((md, bi))
+        fi_rows, bi_cols = np.nonzero(cand)
+        for fr, bi in zip(fi_rows.tolist(), bi_cols.tolist()):
+            dist = md[fr, slot_of[bi]]
+            if dist <= max_distance_px:
+                edges.setdefault(int(fish_ids[fr]), []).append(
+                    (float(dist), bi))
         for es in edges.values():
             es.sort()
 
