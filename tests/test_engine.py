@@ -1,0 +1,106 @@
+"""Differential test: FastTracker (SoA engine) vs Tracker (reference
+implementation) — frame-by-frame assignments must match exactly on a
+synthetic multi-fish video with merges, splits and reactivations."""
+import numpy as np
+import pytest
+
+from trex_tpu.config import reset_global_settings
+from trex_tpu.ops.labeling import label_blobs_raw
+from trex_tpu.pipeline import detect_frame
+from trex_tpu.track import Tracker
+from trex_tpu.track.engine import EngineUnsupported, FastTracker
+
+
+def _settings(n_fish):
+    s = reset_global_settings()
+    s.set("track_max_individuals", n_fish)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_threshold", 20)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[20, 400]])
+    s.set("calculate_posture", False)
+    s.set("match_mode", "automatic")
+    return s
+
+
+def _synth(n_frames, n_fish, size, seed=0):
+    rng = np.random.default_rng(seed)
+    pos = rng.uniform(30, size - 30, (n_fish, 2))
+    vel = rng.normal(0, 2.0, (n_fish, 2))
+    stamp = np.zeros((9, 15), np.uint8)
+    stamp[2:7, 1:14] = 90
+    stamp[3:6, 0:15] = 110
+    bg = np.full((size, size), 200, np.uint8)
+    frames = []
+    for _ in range(n_frames):
+        img = bg.copy()
+        vel += rng.normal(0, 0.6, vel.shape)
+        np.clip(vel, -4, 4, out=vel)
+        pos += vel
+        pos = np.clip(pos, 20, size - 25)
+        for (x, y) in pos:
+            xi, yi = int(x), int(y)
+            region = img[yi:yi + 9, xi:xi + 15]
+            np.minimum(region, 200 - stamp[:region.shape[0],
+                                           :region.shape[1]], out=region)
+        frames.append(img)
+    return bg, frames
+
+
+def _tracker_assignments(tracker, frames_n):
+    out = {}
+    for fid, ind in tracker.individuals.items():
+        for b in ind.basic:
+            out.setdefault(b.frame, {})[fid] = (
+                round(b.centroid.x, 6), round(b.centroid.y, 6))
+    return out
+
+
+def _engine_assignments(eng):
+    out = {}
+    for frame, h in eng.history.items():
+        out[frame] = {int(f): (round(float(x), 6), round(float(y), 6))
+                      for f, x, y in zip(h["fish"], h["x"], h["y"])}
+    return out
+
+
+@pytest.mark.parametrize("n_fish,size,seed", [
+    (32, 256, 1), (64, 384, 2), (128, 512, 3)])
+def test_engine_matches_tracker(n_fish, size, seed):
+    s = _settings(n_fish)
+    bg, frames = _synth(40, n_fish, size, seed)
+    tracker = Tracker(s, background=bg)
+    eng = FastTracker(s, background=bg)
+    for i, f in enumerate(frames):
+        pp = tracker.preprocess_frame(i, detect_frame(f, bg, s),
+                                      time=i / 25.0)
+        tracker.add(pp)
+        raw = label_blobs_raw(
+            f, bg, threshold=int(s["detect_threshold"]),
+            absolute=bool(s["detect_threshold_is_absolute"]),
+            track_threshold=20, track_absolute=False)
+        eng.add_frame(i, i / 25.0, **raw)
+    ta = _tracker_assignments(tracker, len(frames))
+    ea = _engine_assignments(eng)
+    for i in range(len(frames)):
+        assert ta.get(i, {}) == ea.get(i, {}), (
+            f"frame {i}: tracker={sorted(ta.get(i, {}).items())} "
+            f"engine={sorted(ea.get(i, {}).items())}")
+    # per-frame statistics agree too
+    for i in range(len(frames)):
+        assert tracker.statistics[i].number_fish \
+            == eng.statistics[i].number_fish
+
+
+def test_engine_rejects_unsupported():
+    s = _settings(8)
+    s.set("calculate_posture", True)
+    with pytest.raises(EngineUnsupported):
+        FastTracker(s, background=np.zeros((16, 16), np.uint8))
+    s = _settings(8)
+    s.set("manual_matches", {0: {0: 123}})
+    with pytest.raises(EngineUnsupported):
+        FastTracker(s, background=np.zeros((16, 16), np.uint8))

@@ -155,6 +155,61 @@ def split_sizes(image: np.ndarray, background: Optional[np.ndarray],
     return out
 
 
+def label_blobs_raw(
+    image: np.ndarray,
+    background: Optional[np.ndarray] = None,
+    threshold: int = 0,
+    absolute: bool = True,
+    track_threshold: int = 0,
+    track_absolute: bool = True,
+) -> dict:
+    """Like label_blobs but returns the labeler's raw flat arrays
+    (no per-blob Python objects) — the FastTracker engine's input:
+    {lines (L,3) i32, pixels (P,) u8, line_start (N+1,) u32,
+     pixel_start (N+1,) u32, stats (N,8) f64}."""
+    image = np.ascontiguousarray(image, dtype=np.uint8)
+    if image.ndim != 2:
+        raise ValueError("label_blobs_raw expects a single-channel image")
+    h, w = image.shape
+    bg_ptr = None
+    if background is not None:
+        background = np.ascontiguousarray(background, dtype=np.uint8)
+        if background.shape != image.shape:
+            raise ValueError("background shape mismatch")
+        bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
+    lib = _lib()
+    ctx = lib.trex_label_image2(
+        image.ctypes.data_as(ctypes.c_char_p), bg_ptr,
+        w, h, int(threshold), 1 if absolute else 0,
+        int(track_threshold), 1 if track_absolute else 0,
+    )
+    try:
+        n_blobs = lib.trex_label_n_blobs(ctx)
+        n_lines = lib.trex_label_n_lines(ctx)
+        n_pixels = lib.trex_label_n_pixels(ctx)
+        line_start = np.ctypeslib.as_array(
+            lib.trex_label_blob_line_start(ctx), (n_blobs + 1,)
+        ).copy() if n_blobs else np.zeros(1, np.uint32)
+        pixel_start = np.ctypeslib.as_array(
+            lib.trex_label_blob_pixel_start(ctx), (n_blobs + 1,)
+        ).copy() if n_blobs else np.zeros(1, np.uint32)
+        lines = np.ctypeslib.as_array(
+            lib.trex_label_lines(ctx), (n_lines, 3)
+        ).copy() if n_lines else np.zeros((0, 3), np.int32)
+        pixels = np.ctypeslib.as_array(
+            lib.trex_label_pixels(ctx), (n_pixels,)
+        ).copy() if n_pixels else np.zeros((0,), np.uint8)
+        stats = np.ctypeslib.as_array(
+            lib.trex_label_stats(ctx), (n_blobs, 8)
+        ).copy() if n_blobs else np.zeros((0, 8), np.float64)
+    finally:
+        lib.trex_label_free(ctx)
+    return {"lines": lines, "pixels": pixels,
+            "line_start": line_start.astype(np.int64),
+            "pixel_start": pixel_start.astype(np.int64),
+            "stats": stats}
+
+
 def label_blobs(
     image: np.ndarray,
     background: Optional[np.ndarray] = None,

@@ -1,0 +1,890 @@
+"""FastTracker: struct-of-arrays tracking engine for the hot path.
+
+Semantically equivalent to track.Tracker (which remains the reference
+implementation and handles every configuration) for the common
+high-throughput configuration: grayscale background subtraction, no
+posture, no manual overrides, track_speed_decay == 1. The engine keeps
+all per-fish state in flat numpy arrays and processes each frame with
+vectorized operations — no per-blob or per-fish Python objects on the
+hot path. `EngineUnsupported` signals a configuration the engine does
+not cover; callers fall back to Tracker.
+
+Equivalence is enforced by differential tests (tests/test_engine.py):
+frame-by-frame assignments must match Tracker exactly on synthetic
+256-fish videos, including history splits, reactivation and tracklet
+bookkeeping.
+
+Reference semantics re-created here (same citations as tracker.py):
+Tracker::preprocess_frame/prefilter (Tracker.cpp:633-964), HistorySplit,
+calculate_paired_probabilities (Tracker.cpp:1083-1360), per-clique
+matching, the reactivation second pass (Tracker.cpp:1900-1930), and
+Individual::add tracklet rules.
+"""
+from __future__ import annotations
+
+import math
+import time as _time
+from dataclasses import dataclass
+
+import numpy as np
+
+from .blob import TrackBlob, blob_id_from_lines
+from .matching import MatchResult, PairedProbabilities, match
+from .prefilter import SizeFilters, threshold_components
+from .splitting import split_blob
+from .tracker import FrameStatistics
+
+
+class EngineUnsupported(ValueError):
+    """The settings need the full object Tracker."""
+
+
+def check_supported(settings) -> None:
+    s = settings
+    def want(cond, why):
+        if not cond:
+            raise EngineUnsupported(why)
+    want(not (s["manual_matches"] or {}), "manual_matches")
+    want(not (s["manual_splits"] or {}), "manual_splits")
+    want(not (s["track_ignore"] or []), "track_ignore")
+    want(not (s["track_include"] or []), "track_include")
+    want(not (s["track_ignore_bdx"] or {}), "track_ignore_bdx")
+    want(not s["calculate_posture"], "calculate_posture")
+    want(float(s["track_speed_decay"]) >= 1.0, "track_speed_decay < 1")
+    want(int(s["track_threshold"]) > 0, "track_threshold == 0")
+    want(int(s["track_threshold_2"]) <= 0, "track_threshold_2")
+    want(bool(s["track_background_subtraction"]),
+         "track_background_subtraction off")
+    want(not int(s["match_topk"] or 0), "match_topk")
+    want(int(s["track_max_individuals"]) > 0, "unbounded individuals")
+    want(s["match_mode"] in ("automatic", "approximate", "hungarian",
+                             "tree"), "match_mode")
+    want(not (s["track_only_categories"] or []), "track_only_categories")
+
+
+@dataclass
+class _CandTable:
+    """Per-frame candidate blobs as flat arrays. Rows backed either by
+    slices into the frame's native line/pixel arrays or by a TrackBlob
+    (split pieces)."""
+    n: int
+    cnt: np.ndarray        # num_pixels
+    recount: np.ndarray    # cm^2 at track_threshold
+    cx: np.ndarray         # mask centroid
+    cy: np.ndarray
+    bx0: np.ndarray
+    by0: np.ndarray
+    bx1: np.ndarray
+    by1: np.ndarray
+    line_lo: np.ndarray    # [lo, hi) into `lines`; -1 when object-backed
+    line_hi: np.ndarray
+    objs: list             # TrackBlob or None per row
+    lines: np.ndarray      # frame line array (L, 3)
+    pixel_lo: np.ndarray   # per row, offset into pixels; -1 if object
+    pixel_hi: np.ndarray
+    pixels: np.ndarray
+
+    def blob(self, i: int) -> TrackBlob:
+        """Materialize row i as a TrackBlob (split / export paths)."""
+        if self.objs[i] is not None:
+            return self.objs[i]
+        lines = self.lines[self.line_lo[i]:self.line_hi[i]]
+        px = self.pixels[self.pixel_lo[i]:self.pixel_hi[i]] \
+            if self.pixel_lo[i] >= 0 else None
+        return TrackBlob(lines, px)
+
+    def bid(self, i: int) -> int:
+        if self.objs[i] is not None:
+            return self.objs[i].blob_id
+        return blob_id_from_lines(
+            self.lines[self.line_lo[i]:self.line_hi[i]])
+
+
+def _in_range_rows(values: np.ndarray, ranges) -> np.ndarray:
+    if not ranges:
+        return np.ones(values.shape, bool)
+    out = np.zeros(values.shape, bool)
+    for lo, hi in ranges:
+        out |= (values >= lo) & (values <= hi)
+    return out
+
+
+class FastTracker:
+    def __init__(self, settings, background: np.ndarray):
+        check_supported(settings)
+        self.settings = settings
+        self.background = background
+        s = settings
+        self.F = int(s["track_max_individuals"])
+        F = self.F
+        self.cm = float(s["cm_per_pixel"] or 1.0)
+        self.cm_sqr = self.cm * self.cm
+        self.frame_rate = int(s["frame_rate"] or 25)
+        self.t_max = float(s["track_max_reassign_time"])
+        self.p_min = float(s["match_min_probability"])
+        self.max_speed = float(s["track_max_speed"] or 1e9)
+        self.fish_size = SizeFilters(s["track_size_filter"])
+        self.track_thr = int(s["track_threshold"])
+        self.absolute = bool(s["track_threshold_is_absolute"])
+        self.mode = s["match_mode"]
+        self.minimum_frames = min(self.frame_rate, 5)
+        self.time_prob_enabled = bool(s["track_time_probability_enabled"])
+        self.punish_td = bool(s["tracklet_punish_timedelta"])
+        self.punish_sp = bool(s["tracklet_punish_speeding"])
+        self.trk_max_len = float(s["tracklet_max_length"] or 0)
+        self.max_gap = float(s["track_max_reassign_time"])
+
+        self.n_fish = 0                     # created so far
+        self.last_frame = np.full(F, -(10 ** 9), np.int64)
+        self.start_frame_f = np.full(F, -1, np.int64)
+        self.last_x = np.zeros(F)
+        self.last_y = np.zeros(F)
+        self.last_time = np.zeros(F)
+        self.n_basic = np.zeros(F, np.int64)
+        # current tracklet + the end of the one before it
+        self.trk_start = np.full(F, -1, np.int64)
+        self.trk_start_time = np.zeros(F)
+        self.prev_trk_end = np.full(F, -(10 ** 9), np.int64)
+        self.closed_tracklets: list[list[list[int]]] = [
+            [] for _ in range(F)]
+
+        self.start_frame = -1
+        self.end_frame = -1
+        self.frame_times: dict[int, float] = {}
+        self.statistics: dict[int, FrameStatistics] = {}
+        # archives: per frame arrays (fish ids, blob row, x, y, prob)
+        self.history: dict[int, dict] = {}
+
+    # -- candidate construction (Tracker::prefilter) --------------------
+    def build_candidates(self, lines: np.ndarray, pixels: np.ndarray,
+                         line_start: np.ndarray, pixel_start: np.ndarray,
+                         stats: np.ndarray,
+                         rows: np.ndarray = None) -> tuple[_CandTable, list]:
+        """Vectorized prefilter over the native labeler's raw arrays.
+
+        `rows` restricts to a subset of blobs (detect_size_filter).
+        Returns (candidate table incl. big blobs, big row indices)."""
+        s = self.settings
+        if rows is None:
+            rows = np.arange(len(stats))
+        N = len(rows)
+        if N == 0:
+            empty = np.zeros(0)
+            return _CandTable(0, empty, empty, empty, empty, empty,
+                              empty, empty, empty,
+                              np.zeros(0, np.int64), np.zeros(0, np.int64),
+                              [], lines, np.zeros(0, np.int64),
+                              np.zeros(0, np.int64), pixels), []
+        count = stats[rows, 0]
+        track_count = stats[rows, 1]
+        size_px = count * self.cm_sqr
+        max_lo, max_hi = self.fish_size.max_range
+        # huge blobs skip the expensive recount (force_set_recount)
+        huge = bool(self.fish_size) and (size_px > max_hi * 100)
+        recount = np.where(huge, size_px, track_count * self.cm_sqr)
+        # note: the all-pass threshold_components fast path yields a
+        # child identical to its parent with the same recount, so only
+        # partially-passing blobs need the native re-split
+        close = (not self.fish_size) | _in_close(recount, self.fish_size)
+        slow = close & (track_count != count) & (track_count > 0) \
+            & ~huge
+
+        if not slow.any():
+            table = self._table_from_rows(rows, count, recount, lines,
+                                          pixels, line_start,
+                                          pixel_start, stats)
+        else:
+            # rare: some blobs re-split at the track threshold
+            idx_rows: list = []
+            cnt_l: list = []
+            rec_l: list = []
+            objs: list = []
+            for k in range(N):
+                i = int(rows[k])
+                if slow[k]:
+                    b = TrackBlob(
+                        lines[line_start[i]:line_start[i + 1]],
+                        pixels[pixel_start[i]:pixel_start[i + 1]],
+                        stats=stats[i])
+                    comps = threshold_components(
+                        b, self.track_thr, self.background, s)
+                    if comps:
+                        for c in comps:
+                            c.recount(self.track_thr, self.background, s)
+                            idx_rows.append(-1)
+                            cnt_l.append(c.num_pixels)
+                            rec_l.append(c.recount(-1))
+                            objs.append(c)
+                        continue
+                idx_rows.append(i)
+                cnt_l.append(count[k])
+                rec_l.append(recount[k])
+                objs.append(None)
+            table = self._table_mixed(
+                idx_rows, cnt_l, rec_l, objs, lines, pixels,
+                line_start, pixel_start, stats)
+
+        # classification (filtered / noise / big)
+        in_rng = _in_range_rows(table.recount, self.fish_size.ranges)
+        small = np.zeros(table.n, bool)
+        if self.fish_size:
+            small = ~in_rng & (table.recount < max_lo)
+        keep = in_rng | ~small
+        big_mask = ~in_rng & ~small
+        table = _filter_table(table, keep)
+        big_rows = np.flatnonzero(big_mask[keep]).tolist()
+        return table, big_rows
+
+    def _table_from_rows(self, rows, cnt, rec, lines, pixels,
+                         line_start, pixel_start, stats) -> _CandTable:
+        st = stats[rows]
+        n = st[:, 0]
+        lo = line_start[rows].astype(np.int64)
+        hi = line_start[rows + 1].astype(np.int64)
+        y0 = lines[lo, 0].astype(np.float64)
+        y1 = lines[np.maximum(hi - 1, lo), 0].astype(np.float64)
+        # x bounds via per-blob segment min/max over the line array
+        owner = np.repeat(np.arange(len(rows)), (hi - lo))
+        allx0 = np.full(len(rows), np.inf)
+        allx1 = np.full(len(rows), -np.inf)
+        sel = _concat_ranges(lo, hi)
+        np.minimum.at(allx0, owner, lines[sel, 1])
+        np.maximum.at(allx1, owner, lines[sel, 2])
+        return _CandTable(
+            n=len(rows), cnt=np.asarray(cnt, np.float64),
+            recount=np.asarray(rec, np.float64),
+            cx=st[:, 2] / n, cy=st[:, 3] / n,
+            bx0=allx0, by0=y0, bx1=allx1, by1=y1,
+            line_lo=lo, line_hi=hi,
+            objs=[None] * len(rows), lines=lines,
+            pixel_lo=pixel_start[rows].astype(np.int64),
+            pixel_hi=pixel_start[rows + 1].astype(np.int64),
+            pixels=pixels)
+
+    def _table_mixed(self, idx_rows, cnt_l, rec_l, objs, lines, pixels,
+                     line_start, pixel_start, stats) -> _CandTable:
+        n = len(idx_rows)
+        cnt = np.asarray(cnt_l, np.float64)
+        rec = np.asarray(rec_l, np.float64)
+        cx = np.zeros(n)
+        cy = np.zeros(n)
+        bx0 = np.zeros(n)
+        by0 = np.zeros(n)
+        bx1 = np.zeros(n)
+        by1 = np.zeros(n)
+        lo = np.full(n, -1, np.int64)
+        hi = np.full(n, -1, np.int64)
+        plo = np.full(n, -1, np.int64)
+        phi = np.full(n, -1, np.int64)
+        for r, i in enumerate(idx_rows):
+            if i >= 0:
+                lo[r] = line_start[i]
+                hi[r] = line_start[i + 1]
+                plo[r] = pixel_start[i]
+                phi[r] = pixel_start[i + 1]
+                st = stats[i]
+                cx[r] = st[2] / st[0]
+                cy[r] = st[3] / st[0]
+                ls = lines[lo[r]:hi[r]]
+                bx0[r] = ls[:, 1].min()
+                bx1[r] = ls[:, 2].max()
+                by0[r] = ls[0, 0]
+                by1[r] = ls[-1, 0]
+            else:
+                b = objs[r]
+                cx[r], cy[r] = b.center
+                x, y, w, h = b.bounds
+                bx0[r], by0[r] = x, y
+                bx1[r], by1[r] = x + w - 1, y + h - 1
+        return _CandTable(n, cnt, rec, cx, cy, bx0, by0, bx1, by1,
+                          lo, hi, objs, lines, plo, phi, pixels)
+
+    # -- history split ---------------------------------------------------
+    def _grid_points(self, table: _CandTable, rows: np.ndarray):
+        """Sampled mask grid points for the given rows (PPFrame::
+        fill_proximity_grid sampling, see splitting.split_expectation) —
+        one vectorized pass over all rows' concatenated lines."""
+        line_arrays = [
+            np.asarray(table.objs[r].lines)
+            if table.objs[r] is not None
+            else table.lines[table.line_lo[r]:table.line_hi[r]]
+            for r in rows.tolist()]
+        counts = np.fromiter((len(a) for a in line_arrays), np.int64,
+                             len(line_arrays))
+        L = np.concatenate(line_arrays).astype(np.float64)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        line_owner = np.repeat(np.arange(len(counts)), counts)
+        keep = L[:, 0] % 2 == 0
+        keep[np.repeat(counts < 4, counts)] = True
+        keep[starts] = True
+        keep[ends - 1] = True
+        Lk = L[keep]
+        ok_owner = line_owner[keep]
+        y = Lk[:, 0]
+        x0 = Lk[:, 1]
+        x1 = Lk[:, 2]
+        pts = np.concatenate([
+            np.stack([x0, y], 1), np.stack([x1, y], 1),
+            np.stack([x0 + (x1 - x0) * 0.5, y], 1)])
+        owner = np.concatenate([ok_owner] * 3)
+        steps = np.maximum(
+            1.0, (table.bx1[rows] - table.bx0[rows] + 1) * 0.1
+        ).astype(np.int64)
+        step_of = steps[ok_owner]
+        wide = np.flatnonzero((step_of >= 5) & (x1 - x0 >= 2 * step_of))
+        if wide.size:
+            extra = []
+            extra_owner = []
+            for i in wide.tolist():
+                st = step_of[i]
+                xs = np.arange(x0[i] + st, x1[i] - st + 1e-9, st)
+                extra.append(np.stack([xs, np.full(xs.size, y[i])], 1))
+                extra_owner.append(np.full(xs.size, ok_owner[i], np.int64))
+            pts = np.concatenate([pts] + extra)
+            owner = np.concatenate([owner] + extra_owner)
+        return pts, owner
+
+    def _split_expectation(self, table: _CandTable, fish_pos: np.ndarray,
+                           max_d: float) -> dict[int, int]:
+        """HistorySplit expectation (splitting.HistorySplit
+        .split_expectation semantics over the SoA table)."""
+        if not len(fish_pos) or not table.n:
+            return {}
+        fx = fish_pos[:, 0][:, None]
+        fy = fish_pos[:, 1][:, None]
+        dx = np.maximum(0, np.maximum(table.bx0[None, :] - fx,
+                                      fx - table.bx1[None, :]))
+        dy = np.maximum(0, np.maximum(table.by0[None, :] - fy,
+                                      fy - table.by1[None, :]))
+        near = np.hypot(dx, dy) <= max_d
+        contested = near.sum(axis=0) >= 2
+        if not contested.any():
+            return {}
+        involved = near[:, contested].any(axis=1)
+        fish_ids = np.flatnonzero(involved)
+        cand = near[involved]
+        cand_blobs = np.flatnonzero(cand.any(axis=0))
+        pts, owner = self._grid_points(table, cand_blobs)
+        fpos = fish_pos[fish_ids]
+        d2 = (pts[None, :, 0] - fpos[:, 0, None]) ** 2 \
+            + (pts[None, :, 1] - fpos[:, 1, None]) ** 2
+        md2 = np.full((len(fish_ids), len(cand_blobs)), np.inf)
+        np.minimum.at(md2, (slice(None), owner), d2)
+        md = np.sqrt(md2)
+        slot_of = {int(b): si for si, b in enumerate(cand_blobs)}
+
+        edges: dict[int, list] = {}
+        fr_rows, bi_cols = np.nonzero(cand)
+        for fr, bi in zip(fr_rows.tolist(), bi_cols.tolist()):
+            dist = md[fr, slot_of[bi]]
+            if dist <= max_d:
+                edges.setdefault(int(fish_ids[fr]), []).append(
+                    (float(dist), bi))
+        for es in edges.values():
+            es.sort()
+        return _resolve_expectation(edges)
+
+    def _apply_history_split(self, table: _CandTable,
+                             fish_pos: np.ndarray) -> _CandTable:
+        s = self.settings
+        max_d = (self.max_speed / self.cm) / max(
+            1.0, float(self.frame_rate)) * 0.5
+        expect = self._split_expectation(table, fish_pos, max_d)
+        drop = np.zeros(table.n, bool)
+        insert: dict[int, list] = {}
+        for bi, want in expect.items():
+            if want < 2:
+                continue
+            parts = split_blob(table.blob(bi), want, self.background, s)
+            drop[bi] = True
+            if parts:
+                for p in parts:
+                    p.recount(self.track_thr, self.background, s)
+                insert[bi] = parts
+        # final size filter on everything (split or not)
+        if not drop.any():
+            keep = _in_range_rows(table.recount, self.fish_size.ranges) \
+                if self.fish_size else np.ones(table.n, bool)
+            return _filter_table(table, keep)
+        return _rebuild_with_splits(table, drop, insert, self.fish_size,
+                                    self.cm_sqr)
+
+    # -- caches (lam == 1: estimate = last position) ---------------------
+    def _caches(self, frame: int, time: float):
+        F = self.n_fish
+        last_f = self.last_frame[:F]
+        has = last_f > -(10 ** 8)
+        tdelta = np.maximum(time - self.last_time[:F], 1e-6)
+        if not self.time_prob_enabled:
+            tprob = np.where(has, 1.0, 0.0)
+        else:
+            p = 1.0 - np.minimum(1.0, np.maximum(
+                0.0, (tdelta - 1.0 / self.frame_rate) / self.t_max))
+            scale = np.ones(F)
+            needs = has & (last_f >= self.start_frame
+                           + self.minimum_frames)
+            if needs.any():
+                R = self._recent_samples(np.flatnonzero(needs))
+                scale[needs] = np.minimum(
+                    1.0, (R - 1) / self.minimum_frames + self.p_min)
+            tprob = np.where(tdelta > self.t_max, 0.0,
+                             (p * scale) * 0.75 + 0.25)
+            tprob = np.where(has, tprob, 0.0)
+        return has, tdelta, tprob
+
+    def _recent_samples(self, fids: np.ndarray) -> np.ndarray:
+        """Individual.recent_number_samples vectorized: the current
+        tracklet covers the common case; fish whose previous tracklet
+        could reach into the window walk their list."""
+        prev = self.last_frame[fids]
+        lower = prev - self.frame_rate
+        time_limit = self.frame_rate * self.t_max
+        start = self.trk_start[fids]
+        n = np.minimum(prev, prev) - np.maximum(start, lower) + 1
+        n = np.maximum(n, 0)
+        fallback = (start > lower) & (self.prev_trk_end[fids] >= lower) \
+            & (start - self.prev_trk_end[fids] <= time_limit)
+        for k in np.flatnonzero(fallback).tolist():
+            fid = int(fids[k])
+            n[k] = self._recent_samples_walk(fid, int(prev[k]))
+        return n
+
+    def _recent_samples_walk(self, fid: int, frame: int) -> int:
+        lower = frame - self.frame_rate
+        time_limit = self.frame_rate * self.t_max
+        n = 0
+        previous = frame
+        trks = self.closed_tracklets[fid] \
+            + [[int(self.trk_start[fid]), int(self.last_frame[fid])]]
+        for t in reversed(trks):
+            if t[1] < lower:
+                break
+            if previous - t[1] > time_limit:
+                break
+            start = max(t[0], lower)
+            end = min(t[1], frame)
+            previous = start
+            n += max(0, end - start + 1)
+        return n
+
+    # -- assignment bookkeeping (Individual.add) --------------------------
+    def _assign(self, fids: np.ndarray, frame: int, time: float,
+                xs: np.ndarray, ys: np.ndarray):
+        if not len(fids):
+            return
+        lf = self.last_frame[fids]
+        lt = self.last_time[fids]
+        fresh = self.n_basic[fids] == 0
+        dt = time - lt
+        with np.errstate(invalid="ignore", divide="ignore"):
+            speed_cm = np.hypot(xs - self.last_x[fids],
+                                ys - self.last_y[fids]) \
+                / np.where(dt > 0, dt, np.inf) * self.cm
+        consecutive = lf == frame - 1
+        ok = consecutive & (self.n_basic[fids] >= 1)
+        if self.punish_td:
+            ok &= ~(dt >= self.max_gap)
+        if self.punish_sp:
+            ok &= ~(speed_cm >= self.max_speed * 0.99)
+        if self.trk_max_len > 0:
+            ok &= (time - self.trk_start_time[fids]) < self.trk_max_len
+        # the very first assignment of a fish also opens a tracklet
+        breaks = ~ok
+        for k in np.flatnonzero(breaks & ~fresh).tolist():
+            fid = int(fids[k])
+            self.closed_tracklets[fid].append(
+                [int(self.trk_start[fid]), int(self.last_frame[fid])])
+        bf = fids[breaks]
+        self.prev_trk_end[bf] = np.where(
+            fresh[breaks], -(10 ** 9), self.last_frame[bf])
+        self.trk_start[bf] = frame
+        self.trk_start_time[bf] = time
+        self.last_frame[fids] = frame
+        self.last_x[fids] = xs
+        self.last_y[fids] = ys
+        self.last_time[fids] = time
+        self.start_frame_f[fids] = np.where(
+            fresh, frame, self.start_frame_f[fids])
+        self.n_basic[fids] += 1
+
+    # -- main ------------------------------------------------------------
+    def add_frame(self, frame: int, time: float, lines, pixels,
+                  line_start, pixel_start, stats) -> MatchResult:
+        t0 = _time.perf_counter()
+        s = self.settings
+        if self.start_frame < 0:
+            self.start_frame = frame
+        self.frame_times[frame] = time
+
+        table, big_rows = self.build_candidates(
+            lines, pixels, line_start, pixel_start, stats)
+
+        has, tdelta, tprob = self._caches(frame, time)
+        F = self.n_fish
+        recent_limit = frame - self.frame_rate * self.t_max
+        pos_ok = has & (self.last_frame[:F] >= recent_limit)
+        fish_pos = np.stack([self.last_x[:F][pos_ok],
+                             self.last_y[:F][pos_ok]], 1) \
+            if pos_ok.any() else np.zeros((0, 2))
+
+        if big_rows and frame == self.start_frame:
+            table = self._split_big_start(table, np.asarray(big_rows))
+        if frame != self.start_frame and s["track_do_history_split"]:
+            table = self._apply_history_split(table, fish_pos)
+
+        B = table.n
+        assigned_fish: set[int] = set()
+        assigned_blob = np.zeros(B, bool)
+        result = MatchResult(mode=self.mode)
+        probs_of: dict[int, float] = {}
+
+        if F and B:
+            usable = has & (tprob > 0)
+            uf = np.flatnonzero(usable)
+            if len(uf):
+                bcx = (table.bx0 + table.bx1 + 1) * 0.5
+                bcy = (table.by0 + table.by1 + 1) * 0.5
+                d = np.hypot(bcx[None, :] - self.last_x[uf][:, None],
+                             bcy[None, :] - self.last_y[uf][:, None])
+                speed = d / tdelta[uf][:, None] \
+                    * (self.cm / self.max_speed)
+                P = tprob[uf][:, None] / (1.0 + speed) ** 2
+                fi_idx, bi_idx = np.nonzero(P > self.p_min)
+                if len(fi_idx):
+                    paired = _bulk_paired(uf[fi_idx], bi_idx,
+                                          P[fi_idx, bi_idx])
+                    result = match(paired, mode=self.mode)
+                    pairs = sorted(result.pairings.items())
+                    fids = []
+                    rows = []
+                    for bi, fid in pairs:
+                        if assigned_blob[bi] or fid in assigned_fish:
+                            continue
+                        assigned_blob[bi] = True
+                        assigned_fish.add(fid)
+                        fids.append(fid)
+                        rows.append(bi)
+                        probs_of[fid] = paired.probability(
+                            paired._fish_index[fid],
+                            paired._blob_index[bi])
+                    if fids:
+                        rows = np.asarray(rows)
+                        self._assign(np.asarray(fids), frame, time,
+                                     table.cx[rows], table.cy[rows])
+                        self.history[frame] = {
+                            "fish": np.asarray(fids),
+                            "x": table.cx[rows].copy(),
+                            "y": table.cy[rows].copy(),
+                            "prob": np.asarray(
+                                [probs_of[f] for f in fids]),
+                        }
+
+        # second pass: free blobs -> inactive/new fish
+        free = np.flatnonzero(~assigned_blob)
+        if len(free):
+            self._second_pass(table, free, frame, time, tdelta,
+                              assigned_fish, assigned_blob)
+
+        self.end_frame = frame
+        self.statistics[frame] = FrameStatistics(
+            number_fish=len(assigned_fish),
+            adding_seconds=_time.perf_counter() - t0,
+            match_improvements=result.improvements_made)
+        return result
+
+    def _second_pass(self, table: _CandTable, free: np.ndarray,
+                     frame: int, time: float, tdelta: np.ndarray,
+                     assigned_fish: set, assigned_blob: np.ndarray):
+        """Reactivation (Tracker.cpp:1900-1930): greedy over free blobs
+        in index order; p = p_min + (1/sqdist/tdelta)(1-p_min)."""
+        F = self.n_fish
+        cand_f = np.asarray([f for f in range(F)
+                             if f not in assigned_fish], np.int64)
+        if len(cand_f) and len(free):
+            has = self.n_basic[cand_f] > 0
+            lx = self.last_x[cand_f]
+            ly = self.last_y[cand_f]
+            td = tdelta[cand_f]
+            bx = table.cx[free]
+            by = table.cy[free]
+            sq = (bx[None, :] - lx[:, None]) ** 2 \
+                + (by[None, :] - ly[:, None]) ** 2
+            with np.errstate(divide="ignore"):
+                p = np.where(sq > 0, 1.0 / sq / td[:, None],
+                             1.0 / td[:, None])
+            p = np.where(td[:, None] <= 0, 1.0, p)
+            p = self.p_min + p * (1.0 - self.p_min)
+            p = np.where(has[:, None], p, self.p_min)
+            taken = np.zeros(len(cand_f), bool)
+            newly: list[tuple[int, int]] = []
+            for j in range(len(free)):
+                col = np.where(taken, -1.0, p[:, j])
+                k = int(np.argmax(col))
+                if col[k] <= 0:
+                    continue
+                taken[k] = True
+                newly.append((int(cand_f[k]), int(free[j])))
+                assigned_blob[free[j]] = True
+            if newly:
+                fids = np.asarray([f for f, _ in newly])
+                rows = np.asarray([r for _, r in newly])
+                self._assign(fids, frame, time, table.cx[rows],
+                             table.cy[rows])
+                for f in fids.tolist():
+                    assigned_fish.add(f)
+                h = self.history.setdefault(
+                    frame, {"fish": np.zeros(0, np.int64),
+                            "x": np.zeros(0), "y": np.zeros(0),
+                            "prob": np.zeros(0)})
+                h["fish"] = np.concatenate([h["fish"], fids])
+                h["x"] = np.concatenate([h["x"], table.cx[rows]])
+                h["y"] = np.concatenate([h["y"], table.cy[rows]])
+                h["prob"] = np.concatenate([h["prob"], np.zeros(len(fids))])
+        # brand-new individuals while under the cap
+        still_free = [int(b) for b in free if not assigned_blob[b]]
+        for bi in still_free:
+            if self.n_fish >= self.F:
+                break
+            fid = self.n_fish
+            self.n_fish += 1
+            self._assign(np.asarray([fid]), frame, time,
+                         table.cx[[bi]], table.cy[[bi]])
+            # brand-new individuals don't count into number_fish
+            # (Tracker.add second-pass creation semantics)
+            assigned_blob[bi] = True
+            h = self.history.setdefault(
+                frame, {"fish": np.zeros(0, np.int64),
+                        "x": np.zeros(0), "y": np.zeros(0),
+                        "prob": np.zeros(0)})
+            h["fish"] = np.concatenate([h["fish"], [fid]])
+            h["x"] = np.concatenate([h["x"], table.cx[[bi]]])
+            h["y"] = np.concatenate([h["y"], table.cy[[bi]]])
+            h["prob"] = np.concatenate([h["prob"], [0.0]])
+
+    def _split_big_start(self, table: _CandTable,
+                         big_rows: np.ndarray) -> _CandTable:
+        """Start-frame split of oversized blobs (tracker.py add())."""
+        s = self.settings
+        drop = np.zeros(table.n, bool)
+        insert: dict[int, list] = {}
+        for bi in big_rows.tolist():
+            b = table.blob(bi)
+            want = 2
+            if self.fish_size:
+                mid = sum(self.fish_size.max_range) / 2 or 1.0
+                want = max(2, int(round(table.recount[bi] / mid))
+                           if mid else 2)
+            parts = []
+            while want >= 2 and not parts:
+                parts = split_blob(b, want, self.background, s)
+                want -= 1
+            kept = []
+            for p in parts:
+                sz = p.num_pixels * self.cm_sqr
+                if self.fish_size.in_range_of_one(sz):
+                    p.recount(self.track_thr, self.background, s)
+                    kept.append(p)
+            drop[bi] = True
+            if kept:
+                insert[bi] = kept
+        return _rebuild_with_splits(table, drop, insert, self.fish_size,
+                                    self.cm_sqr, start_frame=True)
+
+    # -- compatibility surface -------------------------------------------
+    def average_seconds_per_individual(self) -> float:
+        tot_fish = sum(s.number_fish for s in self.statistics.values())
+        tot_t = sum(s.adding_seconds for s in self.statistics.values())
+        return tot_t / tot_fish if tot_fish else 0.0
+
+
+def _in_close(recount: np.ndarray, fish_size: SizeFilters) -> np.ndarray:
+    out = np.zeros(recount.shape, bool)
+    for lo, hi in fish_size.ranges:
+        out |= recount >= lo * 0.5
+    return out
+
+
+def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Indices [lo0..hi0) ++ [lo1..hi1) ++ ... as one array."""
+    lens = hi - lo
+    total = int(lens.sum())
+    out = np.ones(total, np.int64)
+    starts = np.cumsum(lens)[:-1]
+    out[0] = lo[0] if len(lo) else 0
+    if len(lo) > 1:
+        out[starts] = lo[1:] - (hi[:-1] - 1)
+    return np.cumsum(out)
+
+
+def _filter_table(t: _CandTable, keep: np.ndarray) -> _CandTable:
+    idx = np.flatnonzero(keep)
+    return _CandTable(
+        n=len(idx), cnt=t.cnt[idx], recount=t.recount[idx],
+        cx=t.cx[idx], cy=t.cy[idx], bx0=t.bx0[idx], by0=t.by0[idx],
+        bx1=t.bx1[idx], by1=t.by1[idx],
+        line_lo=t.line_lo[idx], line_hi=t.line_hi[idx],
+        objs=[t.objs[i] for i in idx.tolist()],
+        lines=t.lines, pixel_lo=t.pixel_lo[idx],
+        pixel_hi=t.pixel_hi[idx], pixels=t.pixels)
+
+
+def _rebuild_with_splits(t: _CandTable, drop: np.ndarray,
+                         insert: dict[int, list],
+                         fish_size: SizeFilters, cm_sqr: float,
+                         start_frame: bool = False) -> _CandTable:
+    """Replace dropped rows by their split pieces (in order) and apply
+    the final size filter (HistorySplit.cpp:364-373). At the start
+    frame there is no final filter (pieces pre-filtered)."""
+    keep = ~drop
+    if not start_frame and fish_size:
+        keep &= _in_range_rows(t.recount, fish_size.ranges)
+    base = _filter_table(t, keep)
+    base_pos = np.flatnonzero(keep).astype(np.float64)
+    # piece mini-table (few rows; object-backed)
+    prow: list = []
+    pobj: list = []
+    for bi in sorted(insert):
+        for k, p in enumerate(insert[bi]):
+            rec = p.recount(-1)
+            if start_frame or not fish_size \
+                    or fish_size.in_range_of_one(rec):
+                # fractional position keeps pieces in order at the
+                # parent's place in the table
+                prow.append(bi + (k + 1) / (len(insert[bi]) + 2))
+                pobj.append(p)
+    if not pobj:
+        return base
+    m = len(pobj)
+    cnt = np.fromiter((p.num_pixels for p in pobj), np.float64, m)
+    rec_a = np.fromiter((p.recount(-1) for p in pobj), np.float64, m)
+    centers = np.asarray([p.center for p in pobj])
+    bounds = np.asarray([p.bounds for p in pobj], np.float64)
+    pieces = _CandTable(
+        n=m, cnt=cnt, recount=rec_a,
+        cx=centers[:, 0], cy=centers[:, 1],
+        bx0=bounds[:, 0], by0=bounds[:, 1],
+        bx1=bounds[:, 0] + bounds[:, 2] - 1,
+        by1=bounds[:, 1] + bounds[:, 3] - 1,
+        line_lo=np.full(m, -1, np.int64), line_hi=np.full(m, -1, np.int64),
+        objs=pobj, lines=t.lines,
+        pixel_lo=np.full(m, -1, np.int64), pixel_hi=np.full(m, -1, np.int64),
+        pixels=t.pixels)
+    order = np.argsort(np.concatenate([base_pos, np.asarray(prow)]),
+                       kind="stable")
+    return _concat_tables(base, pieces, order)
+
+
+def _concat_tables(a: _CandTable, b: _CandTable,
+                   order: np.ndarray) -> _CandTable:
+    objs = a.objs + b.objs
+    return _CandTable(
+        n=len(order),
+        cnt=np.concatenate([a.cnt, b.cnt])[order],
+        recount=np.concatenate([a.recount, b.recount])[order],
+        cx=np.concatenate([a.cx, b.cx])[order],
+        cy=np.concatenate([a.cy, b.cy])[order],
+        bx0=np.concatenate([a.bx0, b.bx0])[order],
+        by0=np.concatenate([a.by0, b.by0])[order],
+        bx1=np.concatenate([a.bx1, b.bx1])[order],
+        by1=np.concatenate([a.by1, b.by1])[order],
+        line_lo=np.concatenate([a.line_lo, b.line_lo])[order],
+        line_hi=np.concatenate([a.line_hi, b.line_hi])[order],
+        objs=[objs[i] for i in order.tolist()],
+        lines=a.lines,
+        pixel_lo=np.concatenate([a.pixel_lo, b.pixel_lo])[order],
+        pixel_hi=np.concatenate([a.pixel_hi, b.pixel_hi])[order],
+        pixels=a.pixels)
+
+
+def _resolve_expectation(edges: dict[int, list]) -> dict[int, int]:
+    """Conflict resolution over proximity cliques (HistorySplit.cpp:
+    170-320) — identical to splitting.HistorySplit.split_expectation's
+    tail."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for fi, es in edges.items():
+        for _, bi in es:
+            union(("f", fi), ("b", bi))
+    cliques: dict = {}
+    for fi in edges:
+        cliques.setdefault(find(("f", fi)), ([], set()))[0].append(fi)
+    for fi, es in edges.items():
+        root = find(("f", fi))
+        for _, bi in es:
+            cliques[root][1].add(bi)
+
+    expect: dict[int, int] = {}
+    for fish_list, blob_set in cliques.values():
+        if len(fish_list) <= len(blob_set):
+            continue
+        combos = {fi: list(edges[fi]) for fi in fish_list}
+        assign_fish = {fi: combos[fi][0] for fi in fish_list}
+        assign_blob: dict[int, tuple] = {}
+        queue = list(fish_list)
+        while queue:
+            fi = queue.pop(0)
+            combo = combos[fi]
+            if not combo:
+                continue
+            d, b = combo[0]
+            if b not in assign_blob:
+                assign_blob[b] = (fi, d)
+                continue
+            owner, od = assign_blob[b]
+            if owner != fi:
+                if od <= d:
+                    combo.pop(0)
+                    queue.append(fi)
+                else:
+                    assign_blob[b] = (fi, d)
+                    queue.append(owner)
+        for fi in fish_list:
+            if combos[fi]:
+                continue
+            d, b = assign_fish[fi]
+            if b in assign_blob:
+                expect[b] = expect.get(b, 0) + 1
+                del assign_blob[b]
+            expect[b] = expect.get(b, 0) + 1
+    return expect
+
+
+def _bulk_paired(fish_ids: np.ndarray, blob_ids: np.ndarray,
+                 probs: np.ndarray) -> PairedProbabilities:
+    """Build PairedProbabilities from parallel edge arrays without
+    per-edge Python dict churn. Edge order must be fish-major (as
+    np.nonzero yields) so insertion orders match the object path."""
+    pp = PairedProbabilities()
+    uf, f_inv = np.unique(fish_ids, return_inverse=True)
+    # blob slot by first occurrence order
+    ub, b_first = np.unique(blob_ids, return_index=True)
+    order = np.argsort(b_first, kind="stable")
+    ub_ordered = ub[order]
+    slot_of = np.empty(len(ub), np.int64)
+    slot_of[order] = np.arange(len(ub))
+    b_slot = slot_of[np.searchsorted(ub, blob_ids)]
+    pp._fish = [int(f) for f in uf]
+    pp._fish_index = {int(f): i for i, f in enumerate(uf)}
+    pp._blobs = [int(b) for b in ub_ordered]
+    pp._blob_index = {int(b): i for i, b in enumerate(ub_ordered)}
+    # fish-major contiguous runs: slice at fish boundaries
+    bs = b_slot.tolist()
+    ps = probs.tolist()
+    bounds = np.searchsorted(f_inv, np.arange(len(uf) + 1))
+    for fi in range(len(uf)):
+        lo, hi = bounds[fi], bounds[fi + 1]
+        pp.edges[fi] = list(zip(bs[lo:hi], ps[lo:hi]))
+    pp._edge_arrays = (f_inv, b_slot)
+    return pp
