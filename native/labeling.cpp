@@ -15,6 +15,7 @@
 //   trex_label_free(ctx)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <functional>
 #include <cstdlib>
@@ -477,6 +478,188 @@ int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
         if (!remove && valid >= expected) return thr;  // keep
     }
     return -1;
+}
+
+// History-split expectation over proximity cliques (HistorySplit.cpp:
+// 170-320 + PPFrame::fill_proximity_grid sampling). Inputs: `fish`
+// (nf, 2) positions of the involved fish, candidate blobs as
+// concatenated RLE lines (y, x0, x1) with per-blob offsets, per-blob
+// bbox widths, the bbox-proximity matrix near (nf x nb, row-major,
+// nonzero = candidate edge), and max_d. Output: expect counts per blob.
+//
+// Semantics mirror trex_tpu/track/engine.py::_split_expectation /
+// _resolve_expectation exactly (differential-tested): per blob sample
+// grid points (first/last line + even-y interiors when >= 4 lines;
+// endpoints + midpoint + interior points every step = max(1,
+// width*0.1) px when step >= 5); an edge exists when the minimum
+// point distance <= max_d; per clique with more fish than blobs,
+// resolve closest-first; fish without alternatives raise their best
+// blob's expectation (+1 for the current owner).
+void trex_expectation(const double* fish, int32_t nf,
+                      const int32_t* lines,
+                      const int64_t* row_lo, const int64_t* row_hi,
+                      const double* bounds, int32_t nb,
+                      double max_d, int32_t* expect) {
+    for (int32_t b = 0; b < nb; b++) expect[b] = 0;
+    // bbox proximity matrix (near = hypot(dx, dy) <= max_d, matching
+    // the numpy reference's np.hypot boundary semantics)
+    std::vector<uint8_t> near((size_t)nf * nb, 0);
+    std::vector<int32_t> blob_deg(nb, 0);
+    const double far2 = (max_d + 1.0) * (max_d + 1.0);
+    for (int32_t f = 0; f < nf; f++) {
+        const double fx = fish[2 * f], fy = fish[2 * f + 1];
+        for (int32_t b = 0; b < nb; b++) {
+            const double x0 = bounds[4 * b], y0 = bounds[4 * b + 1];
+            const double x1 = bounds[4 * b + 2], y1 = bounds[4 * b + 3];
+            double dx = std::max(0.0, std::max(x0 - fx, fx - x1));
+            double dy = std::max(0.0, std::max(y0 - fy, fy - y1));
+            const double d2 = dx * dx + dy * dy;
+            if (d2 > far2) continue;
+            if (std::hypot(dx, dy) <= max_d) {
+                near[(size_t)f * nb + b] = 1;
+                blob_deg[b]++;
+            }
+        }
+    }
+    // involved fish: touching a contested (>= 2 fish) blob; candidate
+    // blobs: near any involved fish
+    std::vector<uint8_t> involved(nf, 0);
+    bool any_contested = false;
+    for (int32_t f = 0; f < nf; f++) {
+        for (int32_t b = 0; b < nb; b++) {
+            if (near[(size_t)f * nb + b] && blob_deg[b] >= 2) {
+                involved[f] = 1;
+                any_contested = true;
+                break;
+            }
+        }
+    }
+    if (!any_contested) return;
+
+    std::vector<std::vector<std::pair<double, int32_t>>> edges(nf);
+    std::vector<double> px, py;
+    for (int32_t b = 0; b < nb; b++) {
+        bool any = false;
+        for (int32_t f = 0; f < nf && !any; f++)
+            any = involved[f] && near[(size_t)f * nb + b];
+        if (!any) continue;
+        // sample grid points for this blob (PPFrame::insert_line)
+        px.clear();
+        py.clear();
+        const int64_t lo = row_lo[b], hi = row_hi[b];
+        const int64_t K = hi - lo;
+        const double width = bounds[4 * b + 2] - bounds[4 * b] + 1;
+        const int32_t step = (int32_t)std::max(1.0, width * 0.1);
+        for (int64_t i = lo; i < hi; i++) {
+            if (K >= 4 && i != lo && i != hi - 1 && (lines[3 * i] % 2))
+                continue;
+            const double y = lines[3 * i];
+            const double x0 = lines[3 * i + 1];
+            const double x1 = lines[3 * i + 2];
+            px.push_back(x0); py.push_back(y);
+            px.push_back(x1); py.push_back(y);
+            px.push_back(x0 + (x1 - x0) * 0.5); py.push_back(y);
+            if (step >= 5 && x1 - x0 >= 2 * step) {
+                for (double x = x0 + step; x <= x1 - step + 1e-9;
+                     x += step) {
+                    px.push_back(x); py.push_back(y);
+                }
+            }
+        }
+        for (int32_t f = 0; f < nf; f++) {
+            if (!involved[f] || !near[(size_t)f * nb + b]) continue;
+            double best = 1e300;
+            const double fx = fish[2 * f], fy = fish[2 * f + 1];
+            for (size_t k = 0; k < px.size(); k++) {
+                const double dx = px[k] - fx, dy = py[k] - fy;
+                const double d2 = dx * dx + dy * dy;
+                if (d2 < best) best = d2;
+            }
+            const double md = std::sqrt(best);
+            if (md <= max_d) edges[f].push_back({md, b});
+        }
+    }
+    for (auto& es : edges) std::sort(es.begin(), es.end());
+
+    // connected cliques over shared blobs (union-find; fish = [0, nf),
+    // blobs = [nf, nf+nb))
+    std::vector<uint32_t> parent(nf + nb);
+    for (size_t i = 0; i < parent.size(); i++) parent[i] = (uint32_t)i;
+    for (int32_t f = 0; f < nf; f++)
+        for (auto& e : edges[f])
+            unite(parent, (uint32_t)f, (uint32_t)(nf + e.second));
+    // group fish by root, in fish order
+    std::vector<int32_t> root_order;
+    std::vector<std::vector<int32_t>> clique_fish;
+    std::vector<int32_t> clique_of(nf + nb, -1);
+    for (int32_t f = 0; f < nf; f++) {
+        if (edges[f].empty()) continue;
+        uint32_t r = find_root(parent, (uint32_t)f);
+        if (clique_of[r] < 0) {
+            clique_of[r] = (int32_t)clique_fish.size();
+            clique_fish.push_back({});
+        }
+        clique_fish[clique_of[r]].push_back(f);
+    }
+    for (auto& fish_list : clique_fish) {
+        // count distinct blobs in the clique
+        std::vector<int32_t> blobs_here;
+        for (int32_t f : fish_list)
+            for (auto& e : edges[f]) blobs_here.push_back(e.second);
+        std::sort(blobs_here.begin(), blobs_here.end());
+        blobs_here.erase(std::unique(blobs_here.begin(), blobs_here.end()),
+                         blobs_here.end());
+        if ((int64_t)fish_list.size() <= (int64_t)blobs_here.size())
+            continue;
+        // combos = mutable per-fish edge lists; assign_fish = first edge
+        std::vector<std::vector<std::pair<double, int32_t>>> combos;
+        std::vector<int32_t> fidx(nf, -1);
+        for (size_t i = 0; i < fish_list.size(); i++) {
+            fidx[fish_list[i]] = (int32_t)i;
+            combos.push_back(edges[fish_list[i]]);
+        }
+        std::vector<std::pair<double, int32_t>> assign_fish;
+        for (size_t i = 0; i < fish_list.size(); i++)
+            assign_fish.push_back(combos[i][0]);
+        // blob -> (owner fish local idx, dist)
+        std::vector<std::pair<int32_t, double>> assign_blob(
+            nb, {-1, 0.0});
+        std::vector<int32_t> queue(fish_list.size());
+        for (size_t i = 0; i < fish_list.size(); i++)
+            queue[i] = (int32_t)i;
+        size_t qhead = 0;
+        while (qhead < queue.size()) {
+            const int32_t i = queue[qhead++];
+            auto& combo = combos[i];
+            if (combo.empty()) continue;
+            const double d = combo[0].first;
+            const int32_t b = combo[0].second;
+            if (assign_blob[b].first < 0) {
+                assign_blob[b] = {i, d};
+                continue;
+            }
+            const int32_t owner = assign_blob[b].first;
+            const double od = assign_blob[b].second;
+            if (owner != i) {
+                if (od <= d) {
+                    combo.erase(combo.begin());
+                    queue.push_back(i);
+                } else {
+                    assign_blob[b] = {i, d};
+                    queue.push_back(owner);
+                }
+            }
+        }
+        for (size_t i = 0; i < fish_list.size(); i++) {
+            if (!combos[i].empty()) continue;
+            const int32_t b = assign_fish[i].second;
+            if (assign_blob[b].first >= 0) {
+                expect[b] += 1;  // current owner
+                assign_blob[b].first = -1;
+            }
+            expect[b] += 1;
+        }
+    }
 }
 
 // Moore boundary trace (8-connectivity, clockwise) over a binary mask.

@@ -91,6 +91,16 @@ def _lib():
             ctypes.c_int32, ctypes.c_int32,
             ctypes.POINTER(ctypes.c_int64),
         ]
+        lib.trex_expectation.restype = None
+        lib.trex_expectation.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int32,
+            ctypes.c_double,
+            ctypes.POINTER(ctypes.c_int32),
+        ]
         lib.trex_split_scan.restype = ctypes.c_int32
         lib.trex_split_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -103,6 +113,35 @@ def _lib():
         ]
         _configured = True
     return lib
+
+
+def expectation_native(fish: np.ndarray, lines: np.ndarray,
+                       row_lo: np.ndarray, row_hi: np.ndarray,
+                       bounds: np.ndarray, max_d: float) -> np.ndarray:
+    """History-split expectation counts (native, full pipeline: bbox
+    proximity, grid-point sampling, mask distances, clique conflict
+    resolution). fish (F,2) float64; lines (L,3) int32 (the frame's
+    base line array); row_lo/row_hi (N,) int64 per-blob ranges into it;
+    bounds (N,4) float64 [x0,y0,x1,y1]. Returns (N,) int32."""
+    fish = np.ascontiguousarray(fish, np.float64)
+    lines = np.ascontiguousarray(lines, np.int32)
+    row_lo = np.ascontiguousarray(row_lo, np.int64)
+    row_hi = np.ascontiguousarray(row_hi, np.int64)
+    bounds = np.ascontiguousarray(bounds, np.float64)
+    nf = len(fish)
+    nb = len(bounds)
+    out = np.zeros(nb, np.int32)
+    if nf == 0 or nb == 0:
+        return out
+    _lib().trex_expectation(
+        fish.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nf,
+        lines.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        row_lo.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        row_hi.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        bounds.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nb,
+        float(max_d),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
 
 
 def split_scan(image: np.ndarray, background: Optional[np.ndarray],

@@ -348,9 +348,43 @@ class FastTracker:
     def _split_expectation(self, table: _CandTable, fish_pos: np.ndarray,
                            max_d: float) -> dict[int, int]:
         """HistorySplit expectation (splitting.HistorySplit
-        .split_expectation semantics over the SoA table)."""
+        .split_expectation semantics over the SoA table); mask
+        distances + conflict resolution run natively
+        (trex_expectation; _split_expectation_py is the reference)."""
         if not len(fish_pos) or not table.n:
             return {}
+        from ..ops.labeling import expectation_native
+
+        lines = table.lines
+        row_lo = table.line_lo
+        row_hi = table.line_hi
+        if any(o is not None for o in table.objs):
+            # object-backed rows (slow-path children): append their
+            # lines to a side buffer and point their ranges at it
+            extra = [np.asarray(o.lines, np.int32)
+                     for o in table.objs if o is not None]
+            base_len = len(lines)
+            lines = np.concatenate([lines] + extra)
+            row_lo = row_lo.copy()
+            row_hi = row_hi.copy()
+            off = base_len
+            for i, o in enumerate(table.objs):
+                if o is not None:
+                    n = len(o.lines)
+                    row_lo[i] = off
+                    row_hi[i] = off + n
+                    off += n
+        bounds = np.stack([table.bx0, table.by0, table.bx1, table.by1],
+                          axis=1)
+        expect = expectation_native(fish_pos, lines, row_lo, row_hi,
+                                    bounds, max_d)
+        nz = np.flatnonzero(expect)
+        return {int(b): int(expect[b]) for b in nz}
+
+    def _expectation_prefilter(self, table: _CandTable,
+                               fish_pos: np.ndarray, max_d: float):
+        if not len(fish_pos) or not table.n:
+            return None
         fx = fish_pos[:, 0][:, None]
         fy = fish_pos[:, 1][:, None]
         dx = np.maximum(0, np.maximum(table.bx0[None, :] - fx,
@@ -360,11 +394,22 @@ class FastTracker:
         near = np.hypot(dx, dy) <= max_d
         contested = near.sum(axis=0) >= 2
         if not contested.any():
-            return {}
+            return None
         involved = near[:, contested].any(axis=1)
         fish_ids = np.flatnonzero(involved)
         cand = near[involved]
         cand_blobs = np.flatnonzero(cand.any(axis=0))
+        return cand, cand_blobs, fish_ids
+
+    def _split_expectation_py(self, table: _CandTable,
+                              fish_pos: np.ndarray,
+                              max_d: float) -> dict[int, int]:
+        """Pure-numpy reference for _split_expectation
+        (differential-tested against the native path)."""
+        pre = self._expectation_prefilter(table, fish_pos, max_d)
+        if pre is None:
+            return {}
+        cand, cand_blobs, fish_ids = pre
         pts, owner = self._grid_points(table, cand_blobs)
         fpos = fish_pos[fish_ids]
         d2 = (pts[None, :, 0] - fpos[:, 0, None]) ** 2 \
@@ -552,10 +597,29 @@ class FastTracker:
                 P = tprob[uf][:, None] / (1.0 + speed) ** 2
                 fi_idx, bi_idx = np.nonzero(P > self.p_min)
                 if len(fi_idx):
-                    paired = _bulk_paired(uf[fi_idx], bi_idx,
-                                          P[fi_idx, bi_idx])
-                    result = match(paired, mode=self.mode)
-                    pairs = sorted(result.pairings.items())
+                    probs = P[fi_idx, bi_idx]
+                    # isolated 1-edge fish x 1-edge blob pairs are
+                    # singleton cliques: assign directly, and give the
+                    # matcher only the interesting subgraph
+                    f_deg = np.bincount(fi_idx, minlength=len(uf))
+                    b_deg = np.bincount(bi_idx, minlength=B)
+                    triv = (f_deg[fi_idx] == 1) & (b_deg[bi_idx] == 1)
+                    pairings: dict[int, int] = {
+                        int(b): int(uf[f]) for f, b in
+                        zip(fi_idx[triv], bi_idx[triv])}
+                    pmap = {(int(uf[f]), int(b)): float(p) for f, b, p
+                            in zip(fi_idx[triv], bi_idx[triv],
+                                   probs[triv])}
+                    rest = ~triv
+                    if rest.any():
+                        paired = _bulk_paired(uf[fi_idx[rest]],
+                                              bi_idx[rest], probs[rest])
+                        result = match(paired, mode=self.mode)
+                        pairings.update(result.pairings)
+                        for f, b, p in zip(fi_idx[rest], bi_idx[rest],
+                                           probs[rest]):
+                            pmap[(int(uf[f]), int(b))] = float(p)
+                    pairs = sorted(pairings.items())
                     fids = []
                     rows = []
                     for bi, fid in pairs:
@@ -565,9 +629,7 @@ class FastTracker:
                         assigned_fish.add(fid)
                         fids.append(fid)
                         rows.append(bi)
-                        probs_of[fid] = paired.probability(
-                            paired._fish_index[fid],
-                            paired._blob_index[bi])
+                        probs_of[fid] = pmap[(fid, bi)]
                     if fids:
                         rows = np.asarray(rows)
                         self._assign(np.asarray(fids), frame, time,

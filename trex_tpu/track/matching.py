@@ -203,22 +203,23 @@ def _tree2_on(edges: dict, order: list) -> dict[int, int]:
     tree search's leaf enumeration order (first maximum in row-major
     over [f1 options desc + unassigned] x [f2 options desc + skip])."""
     f1, f2 = order
-    o1 = sorted(edges[f1], key=lambda e: -e[1])
-    o2 = sorted(edges[f2], key=lambda e: -e[1])
-    n1, n2 = len(o1) + 1, len(o2) + 1  # +1 = fish stays unassigned
-    p1 = np.asarray([p for _, p in o1] + [0.0])
-    p2 = np.asarray([p for _, p in o2] + [0.0])
-    b1 = np.asarray([b for b, _ in o1] + [-1])
-    b2 = np.asarray([b for b, _ in o2] + [-2])
-    total = p1[:, None] + p2[None, :]
-    total[b1[:, None] == b2[None, :]] = -np.inf  # same-blob conflicts
-    k = int(np.argmax(total))
-    i, j = divmod(k, n2)
+    o1 = sorted(edges[f1], key=lambda e: -e[1]) + [(-1, 0.0)]
+    o2 = sorted(edges[f2], key=lambda e: -e[1]) + [(-2, 0.0)]
+    best = -1.0
+    bi = bj = -1
+    for b1, p1 in o1:
+        for b2, p2 in o2:
+            if b1 == b2:
+                continue
+            t = p1 + p2
+            if t > best:
+                best = t
+                bi, bj = b1, b2
     out = {}
-    if i < n1 - 1:
-        out[int(b1[i])] = f1
-    if j < n2 - 1:
-        out[int(b2[j])] = f2
+    if bi >= 0:
+        out[bi] = f1
+    if bj >= 0:
+        out[bj] = f2
     return out
 
 
