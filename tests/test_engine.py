@@ -95,6 +95,25 @@ def test_engine_matches_tracker(n_fish, size, seed):
             == eng.statistics[i].number_fish
 
 
+def test_native_phases_match_python_phases():
+    """FastTracker with native C++ phases (caches/match/reactivate)
+    must equal FastTracker running the numpy reference phases."""
+    s = _settings(64)
+    bg, frames = _synth(40, 64, 384, 7)
+    nat = FastTracker(s, background=bg)
+    py = FastTracker(s, background=bg)
+    py.use_native = False
+    for i, f in enumerate(frames):
+        raw = label_blobs_raw(
+            f, bg, threshold=int(s["detect_threshold"]),
+            absolute=False, track_threshold=20, track_absolute=False)
+        nat.add_frame(i, i / 25.0, **raw)
+        py.add_frame(i, i / 25.0, **raw)
+    assert _engine_assignments(nat) == _engine_assignments(py)
+    np.testing.assert_array_equal(nat.last_frame, py.last_frame)
+    np.testing.assert_array_equal(nat.trk_start, py.trk_start)
+
+
 def test_engine_rejects_unsupported():
     s = _settings(8)
     s.set("calculate_posture", True)

@@ -101,6 +101,35 @@ def _lib():
             ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32),
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.trex_track_caches.restype = None
+        lib.trex_track_caches.argtypes = [
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+            i64p, f64p, i64p, i64p, i32p, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32,
+            f64p, f64p,
+        ]
+        lib.trex_track_match.restype = ctypes.c_int64
+        lib.trex_track_match.argtypes = [
+            i32p, ctypes.c_int32,
+            f64p, f64p, f64p, f64p,
+            f64p, f64p, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            i32p, f64p,
+            i32p, i32p, f64p, ctypes.c_int64,
+        ]
+        lib.trex_track_reactivate.restype = None
+        lib.trex_track_reactivate.argtypes = [
+            i32p, ctypes.c_int32,
+            ctypes.c_char_p,
+            f64p, f64p, f64p,
+            i32p, ctypes.c_int32,
+            f64p, f64p,
+            ctypes.c_double, i32p,
+        ]
         lib.trex_split_scan.restype = ctypes.c_int32
         lib.trex_split_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,

@@ -147,6 +147,14 @@ class FastTracker:
         self.prev_trk_end = np.full(F, -(10 ** 9), np.int64)
         self.closed_tracklets: list[list[list[int]]] = [
             [] for _ in range(F)]
+        # ring of recent closed tracklets for the native recent-samples
+        # walk: only tracklets reaching into the last ~frame_rate
+        # frames matter, and each occupies >= 2 frames incl. its gap
+        self.RING = 16
+        self.trk_ring = np.zeros((F, self.RING, 2), np.int64)
+        self.trk_ring_n = np.zeros(F, np.int32)
+        # native phases require automatic matching semantics
+        self.use_native = self.mode == "automatic"
 
         self.start_frame = -1
         self.end_frame = -1
@@ -457,6 +465,37 @@ class FastTracker:
 
     # -- caches (lam == 1: estimate = last position) ---------------------
     def _caches(self, frame: int, time: float):
+        if self.use_native:
+            return self._caches_native(time)
+        return self._caches_py(frame, time)
+
+    def _caches_native(self, time: float):
+        import ctypes
+
+        from ..ops.labeling import _lib
+
+        F = self.n_fish
+        tdelta = np.empty(F)
+        tprob = np.empty(F)
+        if F:
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            _lib().trex_track_caches(
+                F, float(time), int(self.start_frame),
+                self.last_frame.ctypes.data_as(i64p),
+                self.last_time.ctypes.data_as(f64p),
+                self.trk_start.ctypes.data_as(i64p),
+                self.trk_ring.ctypes.data_as(i64p),
+                self.trk_ring_n.ctypes.data_as(i32p),
+                self.RING, self.frame_rate, self.t_max, self.p_min,
+                self.minimum_frames, int(self.time_prob_enabled),
+                tdelta.ctypes.data_as(f64p),
+                tprob.ctypes.data_as(f64p))
+        has = self.last_frame[:F] > -(10 ** 8)
+        return has, tdelta, tprob
+
+    def _caches_py(self, frame: int, time: float):
         F = self.n_fish
         last_f = self.last_frame[:F]
         has = last_f > -(10 ** 8)
@@ -538,8 +577,15 @@ class FastTracker:
         breaks = ~ok
         for k in np.flatnonzero(breaks & ~fresh).tolist():
             fid = int(fids[k])
-            self.closed_tracklets[fid].append(
-                [int(self.trk_start[fid]), int(self.last_frame[fid])])
+            ts = int(self.trk_start[fid])
+            te = int(self.last_frame[fid])
+            self.closed_tracklets[fid].append([ts, te])
+            n = int(self.trk_ring_n[fid])
+            if n == self.RING:
+                self.trk_ring[fid, :-1] = self.trk_ring[fid, 1:]
+                n -= 1
+            self.trk_ring[fid, n] = (ts, te)
+            self.trk_ring_n[fid] = n + 1
         bf = fids[breaks]
         self.prev_trk_end[bf] = np.where(
             fresh[breaks], -(10 ** 9), self.last_frame[bf])
@@ -552,6 +598,86 @@ class FastTracker:
         self.start_frame_f[fids] = np.where(
             fresh, frame, self.start_frame_f[fids])
         self.n_basic[fids] += 1
+
+    # -- matching ---------------------------------------------------------
+    def _match_py(self, uf: np.ndarray, tdelta: np.ndarray,
+                  tprob: np.ndarray, table: _CandTable, B: int):
+        """Probability matrix + matching in numpy/Python — the
+        reference path for _match_native (differential-tested)."""
+        bcx = (table.bx0 + table.bx1 + 1) * 0.5
+        bcy = (table.by0 + table.by1 + 1) * 0.5
+        d = np.hypot(bcx[None, :] - self.last_x[uf][:, None],
+                     bcy[None, :] - self.last_y[uf][:, None])
+        speed = d / tdelta[uf][:, None] * (self.cm / self.max_speed)
+        P = tprob[uf][:, None] / (1.0 + speed) ** 2
+        fob = np.full(B, -1, np.int64)
+        pob = np.zeros(B)
+        fi_idx, bi_idx = np.nonzero(P > self.p_min)
+        if not len(fi_idx):
+            return fob, pob
+        probs = P[fi_idx, bi_idx]
+        # isolated 1-edge fish x 1-edge blob pairs are singleton
+        # cliques: assign directly; matcher gets the rest
+        f_deg = np.bincount(fi_idx, minlength=len(uf))
+        b_deg = np.bincount(bi_idx, minlength=B)
+        triv = (f_deg[fi_idx] == 1) & (b_deg[bi_idx] == 1)
+        fob[bi_idx[triv]] = uf[fi_idx[triv]]
+        pob[bi_idx[triv]] = probs[triv]
+        rest = ~triv
+        if rest.any():
+            paired = _bulk_paired(uf[fi_idx[rest]], bi_idx[rest],
+                                  probs[rest])
+            result = match(paired, mode=self.mode)
+            pmap = {(int(uf[f]), int(b)): float(p) for f, b, p in
+                    zip(fi_idx[rest], bi_idx[rest], probs[rest])}
+            for bi, fid in result.pairings.items():
+                fob[bi] = fid
+                pob[bi] = pmap[(fid, bi)]
+        return fob, pob
+
+    def _match_native(self, uf: np.ndarray, tdelta: np.ndarray,
+                      tprob: np.ndarray, table: _CandTable, B: int):
+        import ctypes
+
+        from ..ops.labeling import _lib
+
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        uf32 = np.ascontiguousarray(uf, np.int32)
+        bcx = np.ascontiguousarray((table.bx0 + table.bx1 + 1) * 0.5)
+        bcy = np.ascontiguousarray((table.by0 + table.by1 + 1) * 0.5)
+        fob32 = np.empty(B, np.int32)
+        pob = np.empty(B)
+        cap = 65536
+        pend_f = np.empty(cap, np.int32)
+        pend_b = np.empty(cap, np.int32)
+        pend_p = np.empty(cap)
+        n_pend = _lib().trex_track_match(
+            uf32.ctypes.data_as(i32p), len(uf32),
+            self.last_x.ctypes.data_as(f64p),
+            self.last_y.ctypes.data_as(f64p),
+            tdelta.ctypes.data_as(f64p),
+            tprob.ctypes.data_as(f64p),
+            bcx.ctypes.data_as(f64p), bcy.ctypes.data_as(f64p), B,
+            self.p_min, self.cm / self.max_speed, 8,
+            fob32.ctypes.data_as(i32p), pob.ctypes.data_as(f64p),
+            pend_f.ctypes.data_as(i32p), pend_b.ctypes.data_as(i32p),
+            pend_p.ctypes.data_as(f64p), cap)
+        if n_pend < 0:  # pending-edge overflow: full python fallback
+            return self._match_py(uf, tdelta, tprob, table, B)
+        fob = fob32.astype(np.int64)
+        if n_pend:
+            paired = _bulk_paired(pend_f[:n_pend], pend_b[:n_pend],
+                                  pend_p[:n_pend])
+            result = match(paired, mode=self.mode)
+            pmap = {(int(f), int(b)): float(p) for f, b, p in
+                    zip(pend_f[:n_pend], pend_b[:n_pend],
+                        pend_p[:n_pend])}
+            for bi, fid in result.pairings.items():
+                fob[bi] = fid
+                pob[bi] = pmap[(fid, bi)]
+        return fob, pob
 
     # -- main ------------------------------------------------------------
     def add_frame(self, frame: int, time: float, lines, pixels,
@@ -588,59 +714,25 @@ class FastTracker:
             usable = has & (tprob > 0)
             uf = np.flatnonzero(usable)
             if len(uf):
-                bcx = (table.bx0 + table.bx1 + 1) * 0.5
-                bcy = (table.by0 + table.by1 + 1) * 0.5
-                d = np.hypot(bcx[None, :] - self.last_x[uf][:, None],
-                             bcy[None, :] - self.last_y[uf][:, None])
-                speed = d / tdelta[uf][:, None] \
-                    * (self.cm / self.max_speed)
-                P = tprob[uf][:, None] / (1.0 + speed) ** 2
-                fi_idx, bi_idx = np.nonzero(P > self.p_min)
-                if len(fi_idx):
-                    probs = P[fi_idx, bi_idx]
-                    # isolated 1-edge fish x 1-edge blob pairs are
-                    # singleton cliques: assign directly, and give the
-                    # matcher only the interesting subgraph
-                    f_deg = np.bincount(fi_idx, minlength=len(uf))
-                    b_deg = np.bincount(bi_idx, minlength=B)
-                    triv = (f_deg[fi_idx] == 1) & (b_deg[bi_idx] == 1)
-                    pairings: dict[int, int] = {
-                        int(b): int(uf[f]) for f, b in
-                        zip(fi_idx[triv], bi_idx[triv])}
-                    pmap = {(int(uf[f]), int(b)): float(p) for f, b, p
-                            in zip(fi_idx[triv], bi_idx[triv],
-                                   probs[triv])}
-                    rest = ~triv
-                    if rest.any():
-                        paired = _bulk_paired(uf[fi_idx[rest]],
-                                              bi_idx[rest], probs[rest])
-                        result = match(paired, mode=self.mode)
-                        pairings.update(result.pairings)
-                        for f, b, p in zip(fi_idx[rest], bi_idx[rest],
-                                           probs[rest]):
-                            pmap[(int(uf[f]), int(b))] = float(p)
-                    pairs = sorted(pairings.items())
-                    fids = []
-                    rows = []
-                    for bi, fid in pairs:
-                        if assigned_blob[bi] or fid in assigned_fish:
-                            continue
-                        assigned_blob[bi] = True
-                        assigned_fish.add(fid)
-                        fids.append(fid)
-                        rows.append(bi)
-                        probs_of[fid] = pmap[(fid, bi)]
-                    if fids:
-                        rows = np.asarray(rows)
-                        self._assign(np.asarray(fids), frame, time,
-                                     table.cx[rows], table.cy[rows])
-                        self.history[frame] = {
-                            "fish": np.asarray(fids),
-                            "x": table.cx[rows].copy(),
-                            "y": table.cy[rows].copy(),
-                            "prob": np.asarray(
-                                [probs_of[f] for f in fids]),
-                        }
+                if self.use_native:
+                    fob, pob = self._match_native(uf, tdelta, tprob,
+                                                  table, B)
+                else:
+                    fob, pob = self._match_py(uf, tdelta, tprob,
+                                              table, B)
+                bs = np.flatnonzero(fob >= 0)
+                if len(bs):
+                    fids = fob[bs]
+                    assigned_blob[bs] = True
+                    assigned_fish.update(fids.tolist())
+                    self._assign(fids, frame, time,
+                                 table.cx[bs], table.cy[bs])
+                    self.history[frame] = {
+                        "fish": fids.astype(np.int64),
+                        "x": table.cx[bs].copy(),
+                        "y": table.cy[bs].copy(),
+                        "prob": pob[bs].copy(),
+                    }
 
         # second pass: free blobs -> inactive/new fish
         free = np.flatnonzero(~assigned_blob)
@@ -655,39 +747,81 @@ class FastTracker:
             match_improvements=result.improvements_made)
         return result
 
+    def _reactivate_py(self, cand_f: np.ndarray, free: np.ndarray,
+                       table: _CandTable, tdelta: np.ndarray):
+        """Numpy reference for _reactivate_native."""
+        has = self.n_basic[cand_f] > 0
+        lx = self.last_x[cand_f]
+        ly = self.last_y[cand_f]
+        td = tdelta[cand_f]
+        bx = table.cx[free]
+        by = table.cy[free]
+        sq = (bx[None, :] - lx[:, None]) ** 2 \
+            + (by[None, :] - ly[:, None]) ** 2
+        with np.errstate(divide="ignore"):
+            p = np.where(sq > 0, 1.0 / sq / td[:, None],
+                         1.0 / td[:, None])
+        p = np.where(td[:, None] <= 0, 1.0, p)
+        p = self.p_min + p * (1.0 - self.p_min)
+        p = np.where(has[:, None], p, self.p_min)
+        taken = np.zeros(len(cand_f), bool)
+        newly: list[tuple[int, int]] = []
+        for j in range(len(free)):
+            col = np.where(taken, -1.0, p[:, j])
+            k = int(np.argmax(col))
+            if col[k] <= 0:
+                continue
+            taken[k] = True
+            newly.append((int(cand_f[k]), int(free[j])))
+        return newly
+
+    def _reactivate_native(self, cand_f: np.ndarray, free: np.ndarray,
+                           table: _CandTable, tdelta: np.ndarray):
+        import ctypes
+
+        from ..ops.labeling import _lib
+
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        cand32 = np.ascontiguousarray(cand_f, np.int32)
+        hh = np.ascontiguousarray(self.n_basic[cand_f] > 0, np.uint8)
+        free32 = np.ascontiguousarray(free, np.int32)
+        cx = np.ascontiguousarray(table.cx)
+        cy = np.ascontiguousarray(table.cy)
+        fob = np.full(table.n, -1, np.int32)
+        _lib().trex_track_reactivate(
+            cand32.ctypes.data_as(i32p), len(cand32),
+            hh.ctypes.data_as(ctypes.c_char_p),
+            self.last_x.ctypes.data_as(f64p),
+            self.last_y.ctypes.data_as(f64p),
+            tdelta.ctypes.data_as(f64p),
+            free32.ctypes.data_as(i32p), len(free32),
+            cx.ctypes.data_as(f64p), cy.ctypes.data_as(f64p),
+            self.p_min, fob.ctypes.data_as(i32p))
+        return [(int(fob[b]), int(b)) for b in free.tolist()
+                if fob[b] >= 0]
+
     def _second_pass(self, table: _CandTable, free: np.ndarray,
                      frame: int, time: float, tdelta: np.ndarray,
                      assigned_fish: set, assigned_blob: np.ndarray):
         """Reactivation (Tracker.cpp:1900-1930): greedy over free blobs
         in index order; p = p_min + (1/sqdist/tdelta)(1-p_min)."""
         F = self.n_fish
-        cand_f = np.asarray([f for f in range(F)
-                             if f not in assigned_fish], np.int64)
+        if assigned_fish:
+            mask = np.ones(F, bool)
+            mask[np.fromiter(assigned_fish, np.int64,
+                             len(assigned_fish))] = False
+            cand_f = np.flatnonzero(mask)
+        else:
+            cand_f = np.arange(F)
         if len(cand_f) and len(free):
-            has = self.n_basic[cand_f] > 0
-            lx = self.last_x[cand_f]
-            ly = self.last_y[cand_f]
-            td = tdelta[cand_f]
-            bx = table.cx[free]
-            by = table.cy[free]
-            sq = (bx[None, :] - lx[:, None]) ** 2 \
-                + (by[None, :] - ly[:, None]) ** 2
-            with np.errstate(divide="ignore"):
-                p = np.where(sq > 0, 1.0 / sq / td[:, None],
-                             1.0 / td[:, None])
-            p = np.where(td[:, None] <= 0, 1.0, p)
-            p = self.p_min + p * (1.0 - self.p_min)
-            p = np.where(has[:, None], p, self.p_min)
-            taken = np.zeros(len(cand_f), bool)
-            newly: list[tuple[int, int]] = []
-            for j in range(len(free)):
-                col = np.where(taken, -1.0, p[:, j])
-                k = int(np.argmax(col))
-                if col[k] <= 0:
-                    continue
-                taken[k] = True
-                newly.append((int(cand_f[k]), int(free[j])))
-                assigned_blob[free[j]] = True
+            if self.use_native:
+                newly = self._reactivate_native(cand_f, free, table,
+                                                tdelta)
+            else:
+                newly = self._reactivate_py(cand_f, free, table, tdelta)
+            for _, bi in newly:
+                assigned_blob[bi] = True
             if newly:
                 fids = np.asarray([f for f, _ in newly])
                 rows = np.asarray([r for _, r in newly])
@@ -941,10 +1075,14 @@ def _bulk_paired(fish_ids: np.ndarray, blob_ids: np.ndarray,
     pp._fish_index = {int(f): i for i, f in enumerate(uf)}
     pp._blobs = [int(b) for b in ub_ordered]
     pp._blob_index = {int(b): i for i, b in enumerate(ub_ordered)}
-    # fish-major contiguous runs: slice at fish boundaries
-    bs = b_slot.tolist()
-    ps = probs.tolist()
-    bounds = np.searchsorted(f_inv, np.arange(len(uf) + 1))
+    # bucket edges per fish; input may be fish-major (np.nonzero) or
+    # clique-major (native pending edges) — a stable sort preserves
+    # each fish's within-edge order either way
+    order = np.argsort(f_inv, kind="stable")
+    f_sorted = f_inv[order]
+    bs = b_slot[order].tolist()
+    ps = probs[order].tolist()
+    bounds = np.searchsorted(f_sorted, np.arange(len(uf) + 1))
     for fi in range(len(uf)):
         lo, hi = bounds[fi], bounds[fi + 1]
         pp.edges[fi] = list(zip(bs[lo:hi], ps[lo:hi]))
