@@ -76,48 +76,44 @@ void* trex_label_image2(const uint8_t* img, const uint8_t* bg,
     all_runs.reserve(1024);
     parent.reserve(1024);
 
+    // vectorizable per-row foreground bytes + word-skipping run
+    // extraction (background-dominated frames skip 8 px per test)
+    std::vector<uint8_t> fgrow((size_t)width + 8, 0);
     for (int32_t y = 0; y < height; y++) {
         const uint8_t* row = img + (size_t)y * width;
         const uint8_t* brow = bg ? bg + (size_t)y * width : nullptr;
         cur_runs.clear();
-        int32_t x = 0;
-        while (x < width) {
-            // find start of a foreground run
-            int32_t start = -1;
-            for (; x < width; x++) {
-                bool fg;
-                if (threshold <= 0) {
-                    fg = row[x] != 0;
-                } else if (!brow) {
-                    fg = row[x] >= threshold;
-                } else if (absolute) {
-                    int d = (int)row[x] - (int)brow[x];
-                    // nonzero test mirrors labeling over the masked image
-                    fg = ((d < 0 ? -d : d) >= threshold) && row[x] != 0;
-                } else {
-                    fg = (((int)brow[x] - (int)row[x]) >= threshold) && row[x] != 0;
-                }
-                if (fg) { start = x; break; }
+        uint8_t* fgp = fgrow.data();
+        if (threshold <= 0) {
+            for (int32_t x = 0; x < width; x++) fgp[x] = row[x] != 0;
+        } else if (!brow) {
+            for (int32_t x = 0; x < width; x++)
+                fgp[x] = row[x] >= threshold;
+        } else if (absolute) {
+            for (int32_t x = 0; x < width; x++) {
+                int d = (int)row[x] - (int)brow[x];
+                // nonzero test mirrors labeling over the masked image
+                fgp[x] = ((d < 0 ? -d : d) >= threshold) & (row[x] != 0);
             }
-            if (start < 0) break;
-            int32_t end = start;
-            for (x = start + 1; x < width; x++) {
-                bool fg;
-                if (threshold <= 0) {
-                    fg = row[x] != 0;
-                } else if (!brow) {
-                    fg = row[x] >= threshold;
-                } else if (absolute) {
-                    int d = (int)row[x] - (int)brow[x];
-                    // nonzero test mirrors labeling over the masked image
-                    fg = ((d < 0 ? -d : d) >= threshold) && row[x] != 0;
-                } else {
-                    fg = (((int)brow[x] - (int)row[x]) >= threshold) && row[x] != 0;
+        } else {
+            for (int32_t x = 0; x < width; x++)
+                fgp[x] = (((int)brow[x] - (int)row[x]) >= threshold)
+                         & (row[x] != 0);
+        }
+        for (int32_t x = 0; x < width;) {
+            // skip background 8 bytes at a time
+            if (!fgp[x]) {
+                if ((x & 7) == 0) {
+                    uint64_t w8;
+                    std::memcpy(&w8, fgp + x, 8);
+                    if (w8 == 0) { x += 8; continue; }
                 }
-                if (!fg) break;
-                end = x;
+                x++;
+                continue;
             }
-            x = end + 1;
+            const int32_t start = x;
+            while (x < width && fgp[x]) x++;
+            const int32_t end = x - 1;
             uint32_t label = (uint32_t)all_runs.size();
             parent.push_back(label);
             cur_runs.push_back({y, start, end, label});
@@ -478,6 +474,242 @@ int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
         if (!remove && valid >= expected) return thr;  // keep
     }
     return -1;
+}
+
+// Per-blob statistics for externally-supplied blobs (e.g. pv-file
+// frames): the same 8-double rows trex_label_image2 produces
+// (n_px, track_count, sum_x, sum_y, sum_xx, sum_yy, sum_xy, 0), so
+// pv-loaded blobs can feed the FastTracker engine directly.
+void trex_blob_stats(const int32_t* lines, const int64_t* line_start,
+                     const uint8_t* pixels, const int64_t* pixel_start,
+                     int32_t n_blobs,
+                     const uint8_t* bg, int32_t width, int32_t height,
+                     int32_t track_threshold, int32_t track_absolute,
+                     double* stats) {
+    for (int32_t b = 0; b < n_blobs; b++) {
+        double* st = stats + (size_t)b * 8;
+        for (int k = 0; k < 8; k++) st[k] = 0.0;
+        int64_t pi = pixel_start ? pixel_start[b] : 0;
+        for (int64_t i = line_start[b]; i < line_start[b + 1]; i++) {
+            const double y = lines[3 * i];
+            const double a = lines[3 * i + 1];
+            const double e = lines[3 * i + 2];
+            const double nn = e - a + 1;
+            st[0] += nn;
+            st[2] += 0.5 * (a + e) * nn;
+            st[3] += y * nn;
+            st[4] += (e * (e + 1) * (2 * e + 1)
+                      - (a - 1) * a * (2 * a - 1)) / 6.0;
+            st[5] += y * y * nn;
+            st[6] += y * 0.5 * (a + e) * nn;
+            if (track_threshold > 0 && bg && pixels) {
+                const int32_t yy = lines[3 * i];
+                const uint8_t* brow =
+                    (yy >= 0 && yy < height) ? bg + (size_t)yy * width
+                                             : nullptr;
+                uint32_t cnt = 0;
+                for (int32_t x = lines[3 * i + 1];
+                     x <= lines[3 * i + 2]; x++, pi++) {
+                    if (!brow || x < 0 || x >= width) continue;
+                    const int v = pixels[pi];
+                    // same test as pv::Blob::recount (raw_recount):
+                    // no nonzero-pixel guard here
+                    if (track_absolute) {
+                        int d = v - (int)brow[x];
+                        cnt += (d < 0 ? -d : d) >= track_threshold;
+                    } else {
+                        cnt += ((int)brow[x] - v) >= track_threshold;
+                    }
+                }
+                st[1] += cnt;
+            }
+        }
+    }
+}
+
+// One-shot blob split (SplitBlob semantics, the native composition of
+// split_blob in trex_tpu/track/splitting.py): build the padded masked
+// crop from the blob's RLE lines + pixels over the background, run the
+// threshold-escalation scan with the evaluation fused (trex_split_scan
+// logic), then materialize the winning threshold's components and
+// re-evaluate them (the scan and the materialization must agree).
+// Output rows (max_pieces x 7 doubles): num_pixels, x0, y0, x1, y1,
+// sum_x, sum_y — pieces sorted by size descending (stable), already
+// filtered by the global shrink limit, in FRAME coordinates.
+// Returns the piece count (0 = no acceptable split).
+int32_t trex_split_execute(
+    const int32_t* lines, int64_t n_lines, const uint8_t* pixels,
+    const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+    int32_t initial, int32_t absolute, int32_t expected,
+    double cm_sqr, double max_shrink, double shrink_limit,
+    const double* ranges, int32_t n_ranges,
+    int32_t max_pieces, double* out) {
+    if (n_lines <= 0) return 0;
+    // bbox + padded crop (to_dense(pad=1))
+    int32_t bx0 = lines[1], bx1 = lines[2];
+    const int32_t by0 = lines[0], by1 = lines[3 * (n_lines - 1)];
+    for (int64_t i = 0; i < n_lines; i++) {
+        bx0 = std::min(bx0, lines[3 * i + 1]);
+        bx1 = std::max(bx1, lines[3 * i + 2]);
+    }
+    const int32_t ox = bx0 - 1, oy = by0 - 1;
+    const int32_t w = bx1 - bx0 + 3, h = by1 - by0 + 3;
+    std::vector<uint8_t> img((size_t)w * h, 0);
+    // background fill (zero outside the frame)
+    for (int32_t yy = 0; yy < h; yy++) {
+        const int32_t gy = yy + oy;
+        if (gy < 0 || gy >= bg_h) continue;
+        for (int32_t xx = 0; xx < w; xx++) {
+            const int32_t gx = xx + ox;
+            img[(size_t)yy * w + xx] =
+                (gx >= 0 && gx < bg_w) ? bg[(size_t)gy * bg_w + gx] : 0;
+        }
+    }
+    // blob pixels over the background
+    {
+        int64_t pi = 0;
+        for (int64_t i = 0; i < n_lines; i++) {
+            const int32_t y = lines[3 * i] - oy;
+            const int32_t x0 = lines[3 * i + 1] - ox;
+            const int32_t x1 = lines[3 * i + 2] - ox;
+            for (int32_t x = x0; x <= x1; x++)
+                img[(size_t)y * w + x] = pixels[pi++];
+        }
+    }
+    // scan for the winning threshold
+    double first_size = 0.0;
+    std::vector<uint8_t> bgcrop((size_t)w * h, 0);
+    for (int32_t yy = 0; yy < h; yy++) {
+        const int32_t gy = yy + oy;
+        if (gy < 0 || gy >= bg_h) continue;
+        for (int32_t xx = 0; xx < w; xx++) {
+            const int32_t gx = xx + ox;
+            bgcrop[(size_t)yy * w + xx] =
+                (gx >= 0 && gx < bg_w) ? bg[(size_t)gy * bg_w + gx] : 0;
+        }
+    }
+    const int32_t best_thr = trex_split_scan(
+        img.data(), bgcrop.data(), w, h, initial, absolute, expected,
+        cm_sqr, max_shrink, shrink_limit, ranges, n_ranges, &first_size);
+    if (best_thr < 0) return 0;
+
+    // materialize components at best_thr: diff mask + labeling with
+    // per-component count/bbox/centroid sums
+    std::vector<uint8_t> diff((size_t)w * h, 0);
+    const size_t npx = (size_t)w * h;
+    if (absolute) {
+        for (size_t i = 0; i < npx; i++) {
+            int d = (int)img[i] - (int)bgcrop[i];
+            diff[i] = (img[i] != 0) ? (uint8_t)(d < 0 ? -d : d) : 0;
+        }
+    } else {
+        for (size_t i = 0; i < npx; i++) {
+            int d = (int)bgcrop[i] - (int)img[i];
+            diff[i] = (img[i] != 0 && d > 0) ? (uint8_t)d : 0;
+        }
+    }
+    struct SRun { int32_t y, x0, x1; uint32_t label; };
+    std::vector<SRun> prev_runs, cur_runs, all;
+    std::vector<uint32_t> parent;
+    for (int32_t y = 0; y < h; y++) {
+        const uint8_t* row = diff.data() + (size_t)y * w;
+        cur_runs.clear();
+        int32_t x = 0;
+        while (x < w) {
+            while (x < w && row[x] < best_thr) x++;
+            if (x >= w) break;
+            const int32_t start = x;
+            while (x < w && row[x] >= best_thr) x++;
+            uint32_t label = (uint32_t)all.size();
+            parent.push_back(label);
+            cur_runs.push_back({y, start, x - 1, label});
+            all.push_back(cur_runs.back());
+        }
+        size_t j = 0;
+        for (auto& r : cur_runs) {
+            while (j < prev_runs.size() && prev_runs[j].x1 + 1 < r.x0) j++;
+            for (size_t k = j; k < prev_runs.size()
+                               && prev_runs[k].x0 <= r.x1 + 1; k++)
+                unite(parent, prev_runs[k].label, r.label);
+        }
+        std::swap(prev_runs, cur_runs);
+    }
+    struct Piece {
+        double n = 0, x0 = 1e18, y0 = 1e18, x1 = -1e18, y1 = -1e18;
+        double sx = 0, sy = 0;
+    };
+    std::vector<Piece> pieces;
+    std::vector<uint32_t> piece_of(parent.size(), UINT32_MAX);
+    for (size_t i = 0; i < all.size(); i++) {
+        uint32_t r = find_root(parent, (uint32_t)i);
+        if (piece_of[r] == UINT32_MAX) {
+            piece_of[r] = (uint32_t)pieces.size();
+            pieces.push_back({});
+        }
+        Piece& p = pieces[piece_of[r]];
+        const auto& run = all[i];
+        const double len = run.x1 - run.x0 + 1;
+        p.n += len;
+        p.x0 = std::min(p.x0, (double)run.x0);
+        p.x1 = std::max(p.x1, (double)run.x1);
+        p.y0 = std::min(p.y0, (double)run.y);
+        p.y1 = std::max(p.y1, (double)run.y);
+        p.sx += 0.5 * (run.x0 + run.x1) * len;
+        p.sy += (double)run.y * len;
+    }
+    std::stable_sort(pieces.begin(), pieces.end(),
+                     [](const Piece& a, const Piece& b) {
+                         return a.n > b.n;
+                     });
+    // re-evaluate (SplitBlob::evaluate_result_multiple on materialized
+    // components; must return keep or the split is rejected)
+    double total = 0.0;
+    for (auto& p : pieces) total += p.n;
+    total *= cm_sqr;
+    if (total < max_shrink * first_size) return 0;  // abort
+    double max_lo = 0.0, max_hi = 0.0;
+    for (int32_t i = 0; i < n_ranges; i++) {
+        if (i == 0 || ranges[2 * i + 1] > max_hi) {
+            max_lo = ranges[2 * i];
+            max_hi = ranges[2 * i + 1];
+        }
+    }
+    const double min_thresh = n_ranges > 0
+        ? max_lo * shrink_limit : total * max_shrink;
+    // drop pieces below the global shrink limit (anywhere in the list;
+    // sizes are sorted so this keeps a prefix)
+    size_t kept = 0;
+    while (kept < pieces.size()
+           && pieces[kept].n * cm_sqr >= min_thresh) kept++;
+    pieces.resize(kept);
+    int64_t valid = 0;
+    double min_size = 1e300;
+    const size_t top = std::min<size_t>(kept, (size_t)expected);
+    for (size_t i = 0; i < top; i++) {
+        const double s = pieces[i].n * cm_sqr;
+        min_size = std::min(min_size, pieces[i].n);
+        bool in = n_ranges == 0;
+        for (int32_t r = 0; r < n_ranges && !in; r++)
+            in = s >= ranges[2 * r] && s <= ranges[2 * r + 1];
+        valid += in;
+    }
+    if (n_ranges > 0 && top > 0 && min_size * cm_sqr > max_hi)
+        return 0;  // remove
+    if (valid < expected) return 0;  // too_few
+    const int32_t n_out = (int32_t)std::min<size_t>(
+        pieces.size(), (size_t)max_pieces);
+    for (int32_t i = 0; i < n_out; i++) {
+        const Piece& p = pieces[i];
+        double* o = out + (size_t)i * 7;
+        o[0] = p.n;
+        o[1] = p.x0 + ox;
+        o[2] = p.y0 + oy;
+        o[3] = p.x1 + ox;
+        o[4] = p.y1 + oy;
+        o[5] = p.sx + p.n * ox;
+        o[6] = p.sy + p.n * oy;
+    }
+    return n_out;
 }
 
 // History-split expectation over proximity cliques (HistorySplit.cpp:

@@ -162,8 +162,19 @@ int64_t trex_track_match(
         const int32_t f = uf[i];
         const double fx = last_x[f], fy = last_y[f];
         const double td = tdelta[f], tp = tprob[f];
+        // p > p_min  <=>  d < td/cms * (sqrt(tp/p_min) - 1); reject on
+        // the squared distance (with margin) before the exact test
+        double d_rej = 1e300;
+        if (tp <= p_min) continue;  // no distance can pass
+        if (cm_over_maxspeed > 0.0) {
+            d_rej = td / cm_over_maxspeed
+                    * (std::sqrt(tp / p_min) - 1.0) * 1.0000001 + 1.0;
+        }
+        const double d_rej2 = d_rej * d_rej;
         for (int32_t b = 0; b < n_blobs; b++) {
-            const double d = std::hypot(bcx[b] - fx, bcy[b] - fy);
+            const double dx = bcx[b] - fx, dy = bcy[b] - fy;
+            if (dx * dx + dy * dy > d_rej2) continue;
+            const double d = std::hypot(dx, dy);
             const double speed = d / td * cm_over_maxspeed;
             const double denom = (1.0 + speed) * (1.0 + speed);
             const double p = tp / denom;

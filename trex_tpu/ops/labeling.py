@@ -130,6 +130,21 @@ def _lib():
             f64p, f64p,
             ctypes.c_double, i32p,
         ]
+        lib.trex_blob_stats.restype = None
+        lib.trex_blob_stats.argtypes = [
+            i32p, i64p, ctypes.c_char_p, i64p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, f64p,
+        ]
+        lib.trex_split_execute.restype = ctypes.c_int32
+        lib.trex_split_execute.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            f64p, ctypes.c_int32,
+            ctypes.c_int32, f64p,
+        ]
         lib.trex_split_scan.restype = ctypes.c_int32
         lib.trex_split_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -171,6 +186,32 @@ def expectation_native(fish: np.ndarray, lines: np.ndarray,
         float(max_d),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
     return out
+
+
+def split_execute(lines: np.ndarray, pixels: np.ndarray,
+                  background: np.ndarray, initial: int, absolute: bool,
+                  expected: int, cm_sqr: float, max_shrink: float,
+                  shrink_limit: float, ranges,
+                  max_pieces: int = 64) -> np.ndarray:
+    """One-shot native blob split (scan + materialize). Returns
+    (n_pieces, 7) float64 rows [num_pixels, x0, y0, x1, y1, sum_x,
+    sum_y] in frame coordinates, size-descending, shrink-filtered;
+    empty when no acceptable split exists."""
+    lines = np.ascontiguousarray(lines, np.int32)
+    pixels = np.ascontiguousarray(pixels, np.uint8)
+    background = np.ascontiguousarray(background, np.uint8)
+    r = np.ascontiguousarray(ranges or [], np.float64).reshape(-1, 2)
+    out = np.zeros((max_pieces, 7))
+    h, w = background.shape
+    n = _lib().trex_split_execute(
+        lines.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(lines), pixels.ctypes.data_as(ctypes.c_char_p),
+        background.ctypes.data_as(ctypes.c_char_p), w, h,
+        int(initial), 1 if absolute else 0, int(expected),
+        float(cm_sqr), float(max_shrink), float(shrink_limit),
+        r.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), r.shape[0],
+        max_pieces, out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return out[:n]
 
 
 def split_scan(image: np.ndarray, background: Optional[np.ndarray],

@@ -449,11 +449,15 @@ class FastTracker:
         for bi, want in expect.items():
             if want < 2:
                 continue
-            parts = split_blob(table.blob(bi), want, self.background, s)
             drop[bi] = True
-            if parts:
+            if self.use_native:
+                parts = self._split_native(table, bi, want)
+            else:
+                parts = split_blob(table.blob(bi), want,
+                                   self.background, s)
                 for p in parts:
                     p.recount(self.track_thr, self.background, s)
+            if parts:
                 insert[bi] = parts
         # final size filter on everything (split or not)
         if not drop.any():
@@ -462,6 +466,31 @@ class FastTracker:
             return _filter_table(table, keep)
         return _rebuild_with_splits(table, drop, insert, self.fish_size,
                                     self.cm_sqr)
+
+    def _split_native(self, table: _CandTable, bi: int,
+                      want: int) -> list:
+        """One-shot native split of table row bi into stat pieces."""
+        from ..ops.labeling import split_execute
+        from .splitting import _initial_threshold
+
+        if table.objs[bi] is not None:
+            b = table.objs[bi]
+            lines, pixels = b.lines, b.pixels
+        else:
+            lines = table.lines[table.line_lo[bi]:table.line_hi[bi]]
+            if table.pixel_lo[bi] < 0:
+                return []
+            pixels = table.pixels[table.pixel_lo[bi]:table.pixel_hi[bi]]
+        if pixels is None or self.settings[
+                "blob_split_algorithm"] == "none":
+            return []
+        rows = split_execute(
+            lines, pixels, self.background,
+            _initial_threshold(self.settings), self.absolute, want,
+            self.cm_sqr, float(self.settings["blob_split_max_shrink"]),
+            float(self.settings["blob_split_global_shrink_limit"]),
+            self.fish_size.ranges)
+        return [_StatPiece(r, self.cm_sqr) for r in rows]
 
     # -- caches (lam == 1: estimate = last position) ---------------------
     def _caches(self, frame: int, time: float):
@@ -650,9 +679,12 @@ class FastTracker:
         fob32 = np.empty(B, np.int32)
         pob = np.empty(B)
         cap = 65536
-        pend_f = np.empty(cap, np.int32)
-        pend_b = np.empty(cap, np.int32)
-        pend_p = np.empty(cap)
+        buf = getattr(self, "_pend_buf", None)
+        if buf is None:
+            buf = self._pend_buf = (np.empty(cap, np.int32),
+                                    np.empty(cap, np.int32),
+                                    np.empty(cap))
+        pend_f, pend_b, pend_p = buf
         n_pend = _lib().trex_track_match(
             uf32.ctypes.data_as(i32p), len(uf32),
             self.last_x.ctypes.data_as(f64p),
@@ -892,6 +924,26 @@ class FastTracker:
         tot_fish = sum(s.number_fish for s in self.statistics.values())
         tot_t = sum(s.adding_seconds for s in self.statistics.values())
         return tot_t / tot_fish if tot_fish else 0.0
+
+
+class _StatPiece:
+    """A split piece backed by native stats only (no pixel data); at
+    the chosen split threshold every pixel passes the track threshold,
+    so recount == num_pixels * cm^2."""
+
+    __slots__ = ("num_pixels", "_rec", "center", "bounds", "lines")
+
+    def __init__(self, row: np.ndarray, cm_sqr: float):
+        n, x0, y0, x1, y1, sx, sy = row
+        self.num_pixels = int(n)
+        self._rec = float(n) * cm_sqr
+        self.center = (sx / n, sy / n)
+        self.bounds = (int(x0), int(y0),
+                       int(x1 - x0 + 1), int(y1 - y0 + 1))
+        self.lines = None
+
+    def recount(self, *args, **kwargs) -> float:
+        return self._rec
 
 
 def _in_close(recount: np.ndarray, fish_size: SizeFilters) -> np.ndarray:
