@@ -29,6 +29,41 @@ from .track.posture import calculate_posture
 from .track.individual import PostureStuff
 
 
+def select_tracker(settings: Settings, background,
+                   need_individuals: bool = True,
+                   gray_pixels: bool = True):
+    """Pick the tracking engine per the `track_engine` setting.
+
+    The struct-of-arrays FastTracker (track/engine.py) covers the
+    high-throughput configuration but keeps positional history only —
+    callers that need per-individual blob archives (export, posture,
+    .results) must pass need_individuals=True, which restricts 'auto'
+    to the object Tracker. 'fast' forces the engine and raises when the
+    configuration (or the caller) needs more.
+    """
+    from .track.engine import EngineUnsupported, FastTracker
+
+    mode = settings.get("track_engine", "auto") or "auto"
+    if mode == "object":
+        return Tracker(settings, background=background)
+    if mode == "fast":
+        if need_individuals:
+            raise EngineUnsupported(
+                "the fast engine keeps positional history only; this "
+                "task needs per-individual archives (export/posture/"
+                ".results) — use track_engine=object")
+        if not gray_pixels:
+            raise EngineUnsupported("non-gray blob pixels")
+        return FastTracker(settings, background)
+    # auto
+    if not need_individuals and gray_pixels:
+        try:
+            return FastTracker(settings, background)
+        except EngineUnsupported:
+            pass
+    return Tracker(settings, background=background)
+
+
 def generate_average(source: VideoSource, settings: Settings,
                      undistort_maps=None, color: bool = False) -> np.ndarray:
     """Background average over `average_samples` evenly spaced frames
@@ -211,8 +246,9 @@ class Segmenter:
     def __init__(self, settings: Settings, source, output_path,
                  track: bool = True,
                  progress: Optional[Callable[[int, int], None]] = None,
-                 workers: int = 4):
+                 workers: int = 4, need_individuals: bool = True):
         self.settings = settings
+        self.need_individuals = need_individuals
         # color encodings keep the source in color: detection still runs
         # on grayscale, stored blob pixels carry color (pv.cpp V_14
         # encodings rgb8 / r3g3b2)
@@ -279,7 +315,8 @@ class Segmenter:
             frame_range = (0, len(src) - 1)
         header.conversion_start, header.conversion_end = frame_range
 
-        self.tracker = Tracker(s, background=self.background) if self.track \
+        self.tracker = select_tracker(
+            s, self.background, self.need_individuals) if self.track \
             else None
         frame_rate = float(s["frame_rate"] or 25)
         start_t = _time.perf_counter()
@@ -379,6 +416,11 @@ class Segmenter:
 
     def _track_frame(self, index: int, blobs, time: float, posture_pool):
         tracker = self.tracker
+        from .track.engine import FastTracker
+
+        if isinstance(tracker, FastTracker):
+            tracker.add_frame_blobs(index, time, blobs)
+            return
         pp = tracker.preprocess_frame(index, blobs, time=time)
         tracker.add(pp)
         if posture_pool is not None:
@@ -472,7 +514,7 @@ class TrackingState:
 
     def __init__(self, settings: Settings, pv_path,
                  progress: Optional[Callable[[int, int], None]] = None,
-                 workers: int = 4):
+                 workers: int = 4, need_individuals: bool = True):
         self.settings = settings
         self.pv = PVFile.open(pv_path)
         self.progress = progress
@@ -487,7 +529,9 @@ class TrackingState:
         meta = {k: v for k, v in meta.items()
                 if settings.source_of(k) in ("default", "pv-metadata")}
         apply_dict(settings, meta, source="pv-metadata")
-        self.tracker = Tracker(settings, background=self.background)
+        self.tracker = select_tracker(
+            settings, self.background, need_individuals,
+            gray_pixels=self.pv.header.encoding in ("gray", "grey"))
 
     def run(self, frame_range=None):
         s = self.settings
@@ -498,11 +542,17 @@ class TrackingState:
         posture_pool = cf.ThreadPoolExecutor(max_workers=self.workers) \
             if s["calculate_posture"] else None
 
+        from .track.engine import FastTracker
+
+        fast = isinstance(self.tracker, FastTracker)
+
         def load(idx):
             fr = self.pv.read_frame(idx)
             blobs = [TrackBlob(fr.masks[i], fr.pixels[i], flags=fr.flags[i])
                      for i in range(fr.n)]
             t = fr.timestamp / 1e6
+            if fast:
+                return idx, t, blobs
             pp = self.tracker.preprocess_frame(idx, blobs, time=t,
                                                timestamp=fr.timestamp)
             return pp
@@ -518,9 +568,14 @@ class TrackingState:
                     futures[next_submit] = pool.submit(load, next_submit)
                     next_submit += 1
                 pp = futures.pop(next_track).result()
-                self.tracker.add(pp)
-                if posture_pool is not None:
-                    run_postures(self.tracker, next_track, s, posture_pool)
+                if fast:
+                    idx, t, blobs = pp
+                    self.tracker.add_frame_blobs(idx, t, blobs)
+                else:
+                    self.tracker.add(pp)
+                    if posture_pool is not None:
+                        run_postures(self.tracker, next_track, s,
+                                     posture_pool)
                 if self.progress:
                     self.progress(next_track - frame_range[0] + 1,
                                   frame_range[1] - frame_range[0] + 1)

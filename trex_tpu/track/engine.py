@@ -920,6 +920,58 @@ class FastTracker:
                                     self.cm_sqr, start_frame=True)
 
     # -- compatibility surface -------------------------------------------
+    def add_frame_blobs(self, frame: int, time: float,
+                        blobs: list) -> MatchResult:
+        """Track a frame given TrackBlob-like objects (pv-loaded or
+        detection-produced): concatenates their line/pixel arrays and
+        computes labeler-identical stats natively when absent."""
+        import ctypes
+
+        from ..ops.labeling import _lib
+
+        n = len(blobs)
+        if n == 0:
+            return self.add_frame(frame, time,
+                                  np.zeros((0, 3), np.int32),
+                                  np.zeros(0, np.uint8),
+                                  np.zeros(1, np.int64),
+                                  np.zeros(1, np.int64),
+                                  np.zeros((0, 8)))
+        lines = np.concatenate([np.asarray(b.lines, np.int32)
+                                for b in blobs])
+        have_px = all(b.pixels is not None for b in blobs)
+        pixels = np.concatenate([b.pixels for b in blobs]) if have_px \
+            else np.zeros(0, np.uint8)
+        line_start = np.zeros(n + 1, np.int64)
+        np.cumsum([len(b.lines) for b in blobs], out=line_start[1:])
+        pixel_start = np.zeros(n + 1, np.int64)
+        if have_px:
+            np.cumsum([len(b.pixels) for b in blobs],
+                      out=pixel_start[1:])
+        if all(b.stats is not None for b in blobs):
+            stats = np.stack([b.stats for b in blobs])
+        else:
+            if not have_px:
+                raise EngineUnsupported(
+                    "blobs without pixels or stats (binary encoding)")
+            stats = np.zeros((n, 8))
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            h, w = self.background.shape[:2]
+            _lib().trex_blob_stats(
+                np.ascontiguousarray(lines).ctypes.data_as(i32p),
+                line_start.ctypes.data_as(i64p),
+                np.ascontiguousarray(pixels).ctypes.data_as(
+                    ctypes.c_char_p),
+                pixel_start.ctypes.data_as(i64p), n,
+                np.ascontiguousarray(self.background).ctypes.data_as(
+                    ctypes.c_char_p), w, h,
+                self.track_thr, 1 if self.absolute else 0,
+                stats.ctypes.data_as(f64p))
+        return self.add_frame(frame, time, lines, pixels, line_start,
+                              pixel_start, stats)
+
     def average_seconds_per_individual(self) -> float:
         tot_fish = sum(s.number_fish for s in self.statistics.values())
         tot_t = sum(s.adding_seconds for s in self.statistics.values())
