@@ -180,7 +180,7 @@ def main(argv=None) -> int:
             _auto_train_apply(tracker, state, s, pv_path,
                               train=auto_train)
         if auto_quit:
-            _export(tracker, s, data_dir, name)
+            _export(tracker, s, data_dir, name, pv_file=state.pv)
             if not s["auto_no_results"]:
                 from ..export.results import save_results
 
@@ -264,10 +264,10 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
         state.run()
 
 
-def _export(tracker, s, data_dir, name):
+def _export(tracker, s, data_dir, name, pv_file=None):
     from ..export.export import export_data, export_posture
 
-    paths = export_data(tracker, s, data_dir, name)
+    paths = export_data(tracker, s, data_dir, name, pv_file=pv_file)
     if s["output_posture_data"]:
         paths += export_posture(tracker, s, data_dir, name)
     print(f"[export] wrote {len(paths)} files to {data_dir}")

@@ -47,7 +47,7 @@ def _interpolate_positions(rows: np.ndarray, titles: list[str]):
 
 def export_data(tracker, settings, output_dir, video_name: str,
                 frame_range=None, write_npz: bool = None,
-                write_csv: bool = None) -> list[Path]:
+                write_csv: bool = None, pv_file=None) -> list[Path]:
     """Write per-fish data files; returns the list of paths written."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
@@ -66,7 +66,7 @@ def export_data(tracker, settings, output_dir, video_name: str,
         end = tracker.end_frame
     else:
         start, end = frame_range
-    ctx = EvalContext(tracker, settings)
+    ctx = EvalContext(tracker, settings, pv_file=pv_file)
     # the reference emits "frame" first, then fields ASCII-sorted by name
     # (golden CSVs: SPEED,X,blobid,midline_length,num_pixels)
     fields = sorted((list(f) for f in fields if f[0] != "frame"),

@@ -32,10 +32,30 @@ CENTROID_ONLY = {
 
 
 class EvalContext:
-    def __init__(self, tracker, settings):
+    def __init__(self, tracker, settings, pv_file=None):
         self.tracker = tracker
         self.settings = settings
         self.cm = settings["cm_per_pixel"] or 1.0
+        self._border = None
+        self._pv = pv_file
+        # category fields resolve automatically when categorization
+        # attached its DataStore to the tracker
+        store = getattr(tracker, "category_store", None)
+        if store is not None:
+            set_category_lookup(self, store)
+
+    @property
+    def border(self):
+        """Arena Border model, built lazily (heatmap types sample the
+        pv file when one was provided)."""
+        if self._border is None:
+            from ..track.border import Border
+
+            self._border = Border(self.settings,
+                                  self.tracker.background)
+            if self._pv is not None:
+                self._border.update_from_video(self._pv)
+        return self._border
 
 
 def _record(ind, frame: int, source: str):
@@ -89,7 +109,15 @@ def _speed(ind, frame, source, smooth, ctx):
 
 def _acceleration(ind, frame, source, smooth, ctx):
     r = _record(ind, frame, source)
-    return r.acceleration(ctx.cm) if r else INVALID
+    if r is None:
+        return INVALID
+    if smooth:
+        ax = _smooth_window(ind, frame, source, "ax", ctx)
+        ay = _smooth_window(ind, frame, source, "ay", ctx)
+        if ax is None:
+            return INVALID
+        return math.hypot(ax, ay) * ctx.cm
+    return r.acceleration(ctx.cm)
 
 
 def _angle(ind, frame, source, smooth, ctx):
@@ -127,12 +155,8 @@ def _border_distance(ind, frame, source, smooth, ctx):
     r = _record(ind, frame, source or "pcentroid")
     if r is None:
         return INVALID
-    bg = ctx.tracker.background
-    if bg is None:
-        return INVALID
-    h, w = bg.shape[:2]
-    d = min(r.x, r.y, w - r.x, h - r.y)
-    return d * ctx.cm
+    d = ctx.border.distance(r.x, r.y)
+    return d * ctx.cm if math.isfinite(d) else INVALID
 
 
 def _neighbor_distance(ind, frame, source, smooth, ctx):
@@ -349,7 +373,9 @@ FUNCTIONS.update({
             v := _midline_offset_field(ind, frame)) else INVALID),
     "average_category": lambda ind, frame, source, smooth, ctx: INVALID,
     "category": lambda ind, frame, source, smooth, ctx: INVALID,
-    "qr_id": lambda ind, frame, source, smooth, ctx: INVALID,
+    "qr_id": lambda ind, frame, source, smooth, ctx: (
+        float(t) if (t := ctx.tracker.tag_assignments.get(
+            frame, {}).get(ind.identity)) is not None else INVALID),
 })
 
 

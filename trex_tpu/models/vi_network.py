@@ -154,27 +154,129 @@ class SmallMLP(nn.Module):
         return x
 
 
+class VGG(nn.Module):
+    """VGG16/19 backbone + the reference zoo's classification head
+    (visual_identification_network.py:205-410 uses keras-applications
+    backbones with include_top=False + GAP + dense head, trained from
+    scratch on identity crops)."""
+    num_classes: int
+    blocks: tuple = (2, 2, 3, 3, 3)  # vgg16; vgg19 = (2,2,4,4,4)
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype) / 127.5 - 1.0
+        feats = (64, 128, 256, 512, 512)
+        for bi, (n, f) in enumerate(zip(self.blocks, feats)):
+            for i in range(n):
+                x = nn.Conv(f, (3, 3), padding="SAME",
+                            dtype=self.dtype)(x)
+                x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+        x = x.mean(axis=(1, 2))  # GAP head
+        x = nn.Dense(1024, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.05, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+        return x
+
+
+class _BottleneckV2(nn.Module):
+    """ResNet v2 pre-activation bottleneck."""
+    features: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pre = nn.BatchNorm(use_running_average=not train,
+                           dtype=jnp.float32)(x)
+        pre = nn.relu(pre)
+        if self.stride > 1 or x.shape[-1] != self.features * 4:
+            shortcut = nn.Conv(self.features * 4, (1, 1),
+                               strides=(self.stride, self.stride),
+                               dtype=self.dtype)(pre)
+        else:
+            shortcut = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(pre)
+        y = nn.BatchNorm(use_running_average=not train,
+                         dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3),
+                    strides=(self.stride, self.stride), padding="SAME",
+                    use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train,
+                         dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features * 4, (1, 1), dtype=self.dtype)(y)
+        return shortcut + y
+
+
+class ResNet50V2(nn.Module):
+    """ResNet50 v2 (pre-activation) + GAP head, the reference zoo's
+    resnet50v2 option."""
+    num_classes: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype) / 127.5 - 1.0
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+                    dtype=self.dtype)(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
+        for stage, (f, n, s) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 6, 2), (512, 3, 2)]):
+            for i in range(n):
+                x = _BottleneckV2(f, s if i == 0 else 1,
+                                  dtype=self.dtype)(x, train)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = x.mean(axis=(1, 2))
+        x = nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+        return x
+
+
+def _vgg19(num_classes, dtype=jnp.bfloat16):
+    return VGG(num_classes=num_classes, blocks=(2, 2, 4, 4, 4),
+               dtype=dtype)
+
+
 VERSIONS: dict[str, Callable[..., nn.Module]] = {
     "v118_3": V118_3,
     "v118": V118_3,
     "v119": V119,
     "v200": V200,
     "vit_b_16": ViT,
-    "convnext_base": V200,  # keras-applications backbones map to the
-    "efficientnetb0": V200,  # strongest local CNN until ported weights
-    "resnet50v2": V200,      # land (visual_identification_network.py:205+)
-    "mobilenetv3small": V118_3,
-    "vgg16": V200,
-    "vgg19": V200,
-    "inceptionv3": V200,
-    "xception": V200,
+    "vgg16": VGG,
+    "vgg19": _vgg19,
+    "resnet50v2": ResNet50V2,
 }
 
+# reference zoo entries (visual_identification_network.py:205-410) not
+# implemented natively yet: requesting them raises instead of silently
+# substituting another architecture
+UNIMPLEMENTED_VERSIONS = (
+    "convnext_base", "efficientnetb0", "mobilenetv3small",
+    "inceptionv3", "xception", "nasnetmobile",
+)
 
-def build(version: str, num_classes: int) -> nn.Module:
+
+def build(version: str, num_classes: int,
+          dtype: Dtype = None) -> nn.Module:
     key = str(version).lower()
+    if key in UNIMPLEMENTED_VERSIONS:
+        raise NotImplementedError(
+            f"visual_identification_version {version!r} is in the "
+            f"reference zoo but has no native implementation here yet; "
+            f"implemented: {sorted(VERSIONS)}")
     if key not in VERSIONS:
         raise ValueError(
             f"unknown visual_identification_version {version!r}; "
             f"available: {sorted(VERSIONS)}")
-    return VERSIONS[key](num_classes=num_classes)
+    kwargs = {"num_classes": num_classes}
+    if dtype is not None:
+        kwargs["dtype"] = dtype
+    return VERSIONS[key](**kwargs)

@@ -72,6 +72,10 @@ class Tracker:
         self.manual_matches = settings["manual_matches"] or {}
         # VI / tag predictions store: frame -> {blob_id: probs}
         self.predicted: dict[int, dict] = {}
+        # physical-tag assignments: frame -> {identity: tag_id}
+        # (Tracker.cpp:2056-2108 QR-tag <-> fish Hungarian matching)
+        self.tag_assignments: dict[int, dict[int, int]] = {}
+        self.tag_decoder = None  # pluggable decode_fn (pretrained_tagwork)
 
     # ------------------------------------------------------------------
     def preprocess_frame(self, frame_index: int, blobs: list[TrackBlob],
@@ -309,6 +313,17 @@ class Tracker:
                 assigned_blobs.add(bi)
 
         self.end_frame = frame
+        if s["tags_recognize"] and pp.noise:
+            from .tags import detect_tags, match_tags_to_fish
+
+            tags = detect_tags(pp.noise, self.background, frame,
+                               decode_fn=self.tag_decoder)
+            if tags:
+                matched = match_tags_to_fish(tags, self, frame)
+                if matched:
+                    self.tag_assignments[frame] = {
+                        fid: t.tag_id for fid, t in matched.items()}
+
         st = FrameStatistics(
             number_fish=len(assigned_fish),
             adding_seconds=_time.perf_counter() - t0,
