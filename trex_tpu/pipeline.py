@@ -72,7 +72,10 @@ def generate_average(source: VideoSource, settings: Settings,
     preprocessing as the conversion path."""
     n = min(int(settings["average_samples"]), len(source))
     acc = AveragingAccumulator(settings["averaging_method"])
-    for i in np.linspace(0, len(source) - 1, max(1, n)).astype(int):
+    # sample indices round to nearest (matches the reference's frame
+    # selection — truncation shifts samples and flips borderline
+    # background pixels against the golden fixtures)
+    for i in np.round(np.linspace(0, len(source) - 1, max(1, n))).astype(int):
         img = source.get(int(i))
         if img.ndim == 3 and not color:
             import cv2
