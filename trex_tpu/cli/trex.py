@@ -81,10 +81,47 @@ def determine_task(source: str, explicit: str | None) -> str:
     return "convert"
 
 
+class _SignalState:
+    """Two-stage SIGINT + crash handlers (main.cpp:441-520): first ^C
+    requests a graceful terminate, second forces exit; SIGSEGV/SIGBUS
+    print a panic note; error_terminate propagates a nonzero exit."""
+
+    def __init__(self):
+        self.terminate_requested = False
+        self.targets: list = []  # running Segmenter/TrackingState
+
+    def install(self):
+        import faulthandler
+        import signal
+
+        faulthandler.enable()  # SIGSEGV/SIGBUS/SIGABRT tracebacks
+
+        def on_int(signum, frame):
+            if self.terminate_requested:
+                print("\n[signal] forced exit", file=sys.stderr)
+                raise SystemExit(130)
+            self.terminate_requested = True
+            for t in self.targets:
+                t.terminate = True
+            print("\n[signal] terminate requested — finishing the "
+                  "current frame (press ^C again to force)",
+                  file=sys.stderr)
+
+        try:
+            signal.signal(signal.SIGINT, on_int)
+            if hasattr(signal, "SIGHUP"):
+                signal.signal(signal.SIGHUP,
+                              lambda *_: sys.exit(129))
+        except ValueError:
+            pass  # not the main thread (library use)
+        return self
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     args = parse_args(argv)
     s = global_settings()
+    sig = _SignalState().install()
 
     output_dir = Path(str(args.pop("output_dir", ".")).strip('"'))
     prefix = str(args.pop("output_prefix", "") or "").strip('"')
@@ -131,6 +168,22 @@ def main(argv=None) -> int:
         print(f"[rst] wrote {out}")
         return 0
 
+    try:
+        return _run_task(task, source, name, out_base, data_dir, s,
+                         sig, args, auto_quit, load, matching_log,
+                         progress)
+    except KeyboardInterrupt:
+        return 130
+    except Exception as e:
+        # error_terminate (main.cpp:957-962): propagate nonzero exit
+        print(f"[error] {type(e).__name__}: {e}", file=sys.stderr)
+        if s.get("error_terminate", True):
+            return 1
+        raise
+
+
+def _run_task(task, source, name, out_base, data_dir, s, sig, args,
+              auto_quit, load, matching_log, progress):
     if task == "convert":
         if not source:
             print("no input (-i) given", file=sys.stderr)
@@ -142,6 +195,7 @@ def main(argv=None) -> int:
         pv_path = out_base / f"{name}.pv"
         out_base.mkdir(parents=True, exist_ok=True)
         seg = Segmenter(s, source, pv_path, track=True, progress=progress)
+        sig.targets.append(seg)
         tracker = seg.run()
         print(f"\n[convert] wrote {pv_path} "
               f"({seg.fps_stat:.1f} fps)")
@@ -163,6 +217,7 @@ def main(argv=None) -> int:
         from ..pipeline import TrackingState
 
         state = TrackingState(s, pv_path, progress=progress)
+        sig.targets.append(state)
         auto_train = bool(s["auto_train"])
         auto_apply = bool(s["auto_apply"])
         if load:

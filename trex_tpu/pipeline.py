@@ -267,6 +267,7 @@ class Segmenter:
         else:
             self.source = VideoSource(source, color=self._color)
         self.output_path = Path(output_path)
+        self.terminate = False  # two-stage SIGINT sets this
         self.track = track
         self.progress = progress
         self.workers = workers
@@ -373,6 +374,12 @@ class Segmenter:
                 window = self.workers * 2 + 2  # backpressure cap
                 futures = {}
                 while next_write <= frame_range[1]:
+                    if self.terminate:
+                        # graceful end: drop pending work, keep the pv
+                        # readable (header update happens on close)
+                        for f in futures.values():
+                            f.cancel()
+                        break
                     while (next_submit <= frame_range[1]
                            and len(futures) < window):
                         futures[next_submit] = pool.submit(produce, next_submit)
@@ -521,6 +528,7 @@ class TrackingState:
         self.settings = settings
         self.pv = PVFile.open(pv_path)
         self.progress = progress
+        self.terminate = False  # two-stage SIGINT sets this
         self.workers = workers
         bg = self.pv.header.average
         self.background = bg[:, :, 0] if bg is not None and bg.ndim == 3 \
@@ -566,6 +574,10 @@ class TrackingState:
             next_track = frame_range[0]
             window = self.workers * 2 + 2
             while next_track <= frame_range[1]:
+                if self.terminate:
+                    for f in futures.values():
+                        f.cancel()
+                    break
                 while (next_submit <= frame_range[1]
                        and len(futures) < window):
                     futures[next_submit] = pool.submit(load, next_submit)
