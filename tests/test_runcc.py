@@ -123,6 +123,36 @@ def test_overflow_flags():
     assert bool(np.asarray(out["overflow"])[0])
 
 
+def test_sharded_detection_over_mesh():
+    """Detection batch sharded over the 8-virtual-device mesh must
+    equal the single-device result (SURVEY §5.8 DP-over-tiles)."""
+    from trex_tpu.ops.runcc import detect_batch_runs_sharded
+    from trex_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    rng = np.random.default_rng(2)
+    bg, frames = _random_frames(rng, 8, 96, 128)
+    kw = dict(detect_threshold=15, detect_absolute=False,
+              track_threshold=20, track_absolute=False,
+              max_runs=512, max_pixels=8192, max_blobs=128,
+              max_child_runs=512, max_children=128)
+    mesh = make_mesh(8, axis_names=("data",))
+    sharded = detect_batch_runs_sharded(frames, bg, mesh, **kw)
+    single = detect_batch_runs(jnp.asarray(frames), jnp.asarray(bg),
+                               **kw)
+    # outputs actually shard over the mesh
+    shd = sharded["det"]["count"].sharding
+    assert getattr(shd, "spec", None) is not None
+    for key in ("count", "x0", "x1", "n_blobs"):
+        np.testing.assert_array_equal(
+            np.asarray(sharded["det"][key]),
+            np.asarray(single["det"][key]))
+    np.testing.assert_array_equal(
+        np.asarray(sharded["child"]["count"]),
+        np.asarray(single["child"]["count"]))
+
+
 def test_native_split_scan_matches_python():
     rng = np.random.default_rng(42)
     s = reset_global_settings()

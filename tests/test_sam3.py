@@ -68,3 +68,164 @@ def test_session_state_machine():
     assert session.state == SessionState.Ready
     assert 0 in session.masks and 1 in session.masks
     assert calls == [1, 1]
+
+
+def test_sam_segmenter_end_to_end():
+    """The real SAM model path: a tiny randomly-initialized model runs
+    the full session -> segment -> blobs pipeline and produces masks of
+    the right shape (weights convert via convert_sam_checkpoint when a
+    real checkpoint is available)."""
+    import numpy as np
+
+    from trex_tpu.detect.sam3 import (
+        Sam3InteractiveSession, Sam3Prompt, SamSegmenter,
+        blobs_from_masks)
+
+    seg = SamSegmenter.small_random(img_size=64)
+    session = Sam3InteractiveSession(
+        segment_fn=lambda img, prompts: seg.segment(img, prompts))
+    session.add_prompt(0, Sam3Prompt(box=(10, 10, 40, 40)),
+                       box=(10, 10, 40, 40))
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (48, 56), np.uint8)
+    session.propagate([0, 1], lambda f: img)
+    assert session.state.value == "ready"
+    assert 0 in session.masks and 1 in session.masks
+    masks = session.masks[0]
+    assert set(masks) == {1} or len(masks) >= 1
+    mask = next(iter(masks.values()))
+    assert mask.shape == img.shape and mask.dtype == bool
+    blobs = blobs_from_masks(masks, img)
+    for b in blobs:
+        assert b.num_pixels > 0
+
+
+def test_sam_checkpoint_conversion_roundtrip(tmp_path):
+    """convert_sam_checkpoint maps a (tiny, correctly-named) official
+    state dict onto the flax tree and the model runs with it."""
+    torch = __import__("pytest").importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from trex_tpu.models.sam import SAM, convert_sam_checkpoint
+
+    model = SAM(img_size=64, encoder_dim=32, encoder_depth=2,
+                encoder_heads=2, global_idx=(1,), dtype=jnp.float32)
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    pts = jnp.zeros((1, 2, 2), jnp.float32)
+    lbl = jnp.zeros((1, 2), jnp.int32)
+    ref = model.init(jax.random.PRNGKey(0), img, pts, lbl)
+
+    # build a torch-style state dict with official SAM key names whose
+    # shapes mirror the flax tree, then convert and compare structure
+    g = torch.Generator().manual_seed(0)
+
+    def t(shape):
+        return torch.randn(*shape, generator=g)
+
+    sd = {}
+    p = ref["params"]["image_encoder"]
+    sd["image_encoder.patch_embed.proj.weight"] = t(
+        np.transpose(p["patch_embed"]["kernel"], (3, 2, 0, 1)).shape)
+    sd["image_encoder.patch_embed.proj.bias"] = t(
+        p["patch_embed"]["bias"].shape)
+    sd["image_encoder.pos_embed"] = t(p["pos_embed"].shape)
+    for i in range(2):
+        b = p[f"block{i}"]
+        pre = f"image_encoder.blocks.{i}"
+        for nm in ("norm1", "norm2"):
+            sd[f"{pre}.{nm}.weight"] = t(b[nm]["scale"].shape)
+            sd[f"{pre}.{nm}.bias"] = t(b[nm]["bias"].shape)
+        sd[f"{pre}.attn.qkv.weight"] = t(b["attn"]["qkv"]["kernel"].T.shape)
+        sd[f"{pre}.attn.qkv.bias"] = t(b["attn"]["qkv"]["bias"].shape)
+        sd[f"{pre}.attn.proj.weight"] = t(b["attn"]["proj"]["kernel"].T.shape)
+        sd[f"{pre}.attn.proj.bias"] = t(b["attn"]["proj"]["bias"].shape)
+        sd[f"{pre}.attn.rel_pos_h"] = t(b["attn"]["rel_pos_h"].shape)
+        sd[f"{pre}.attn.rel_pos_w"] = t(b["attn"]["rel_pos_w"].shape)
+        for lin in ("lin1", "lin2"):
+            sd[f"{pre}.mlp.{lin}.weight"] = t(b["mlp"][lin]["kernel"].T.shape)
+            sd[f"{pre}.mlp.{lin}.bias"] = t(b["mlp"][lin]["bias"].shape)
+    sd["image_encoder.neck.0.weight"] = t(
+        np.transpose(p["neck0"]["kernel"], (3, 2, 0, 1)).shape)
+    sd["image_encoder.neck.2.weight"] = t(
+        np.transpose(p["neck2"]["kernel"], (3, 2, 0, 1)).shape)
+    for nm, key in (("neck1", "image_encoder.neck.1"),
+                    ("neck3", "image_encoder.neck.3")):
+        sd[key + ".weight"] = t(p[nm]["scale"].shape)
+        sd[key + ".bias"] = t(p[nm]["bias"].shape)
+
+    pe = ref["params"]["prompt_encoder"]
+    sd["prompt_encoder.pe_layer.positional_encoding_gaussian_matrix"] = \
+        t(pe["pe_gaussian"].shape)
+    for i in range(4):
+        sd[f"prompt_encoder.point_embeddings.{i}.weight"] = t(
+            (1, pe["point_embeddings"].shape[1]))
+    sd["prompt_encoder.not_a_point_embed.weight"] = t(
+        pe["not_a_point"].shape)
+    sd["prompt_encoder.no_mask_embed.weight"] = t(
+        pe["no_mask_embed"].shape)
+
+    md = ref["params"]["mask_decoder"]
+    sd["mask_decoder.iou_token.weight"] = t(md["iou_token"].shape)
+    sd["mask_decoder.mask_tokens.weight"] = t(md["mask_tokens"].shape)
+    tw = {"self_attn": "self_attn",
+          "cross_attn_t2i": "cross_attn_token_to_image",
+          "cross_attn_i2t": "cross_attn_image_to_token"}
+    for i in range(2):
+        blk = md[f"block{i}"]
+        pre = f"mask_decoder.transformer.layers.{i}"
+        for ours, theirs in tw.items():
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"{pre}.{theirs}.{proj}.weight"] = t(
+                    blk[ours][proj]["kernel"].T.shape)
+                sd[f"{pre}.{theirs}.{proj}.bias"] = t(
+                    blk[ours][proj]["bias"].shape)
+        for nm in ("norm1", "norm2", "norm3", "norm4"):
+            sd[f"{pre}.{nm}.weight"] = t(blk[nm]["scale"].shape)
+            sd[f"{pre}.{nm}.bias"] = t(blk[nm]["bias"].shape)
+        for lin in ("lin1", "lin2"):
+            sd[f"{pre}.mlp.{lin}.weight"] = t(
+                blk["mlp"][lin]["kernel"].T.shape)
+            sd[f"{pre}.mlp.{lin}.bias"] = t(blk["mlp"][lin]["bias"].shape)
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        sd[f"mask_decoder.transformer.final_attn_token_to_image.{proj}"
+           f".weight"] = t(md["final_attn"][proj]["kernel"].T.shape)
+        sd[f"mask_decoder.transformer.final_attn_token_to_image.{proj}"
+           f".bias"] = t(md["final_attn"][proj]["bias"].shape)
+    sd["mask_decoder.transformer.norm_final_attn.weight"] = t(
+        md["final_norm"]["scale"].shape)
+    sd["mask_decoder.transformer.norm_final_attn.bias"] = t(
+        md["final_norm"]["bias"].shape)
+    sd["mask_decoder.output_upscaling.0.weight"] = t(
+        np.transpose(md["upscale0"]["kernel"], (3, 2, 0, 1)).shape)
+    sd["mask_decoder.output_upscaling.0.bias"] = t(
+        md["upscale0"]["bias"].shape)
+    sd["mask_decoder.output_upscaling.1.weight"] = t(
+        md["upscale_norm"]["scale"].shape)
+    sd["mask_decoder.output_upscaling.1.bias"] = t(
+        md["upscale_norm"]["bias"].shape)
+    sd["mask_decoder.output_upscaling.3.weight"] = t(
+        np.transpose(md["upscale1"]["kernel"], (3, 2, 0, 1)).shape)
+    sd["mask_decoder.output_upscaling.3.bias"] = t(
+        md["upscale1"]["bias"].shape)
+    for ti in range(4):
+        for li in range(3):
+            sd[f"mask_decoder.output_hypernetworks_mlps.{ti}.layers.{li}"
+               f".weight"] = t(md[f"hyper{ti}_{li}"]["kernel"].T.shape)
+            sd[f"mask_decoder.output_hypernetworks_mlps.{ti}.layers.{li}"
+               f".bias"] = t(md[f"hyper{ti}_{li}"]["bias"].shape)
+    for li in range(3):
+        sd[f"mask_decoder.iou_prediction_head.layers.{li}.weight"] = t(
+            md[f"iou{li}"]["kernel"].T.shape)
+        sd[f"mask_decoder.iou_prediction_head.layers.{li}.bias"] = t(
+            md[f"iou{li}"]["bias"].shape)
+
+    conv = convert_sam_checkpoint(sd)
+    # same tree structure + shapes as a fresh init
+    ref_shapes = jax.tree_util.tree_map(lambda x: x.shape, ref["params"])
+    conv_shapes = jax.tree_util.tree_map(lambda x: tuple(np.asarray(x).shape),
+                                         conv["params"])
+    assert ref_shapes == conv_shapes
+    out, iou = model.apply(conv, img, pts, lbl)
+    assert out.shape[0] == 1 and iou.shape[-1] == 4

@@ -145,9 +145,43 @@ class NoDetection(DetectionBackend):
         return [TrackBlob(lines, image.reshape(-1))]
 
 
+class Sam3Backend(DetectionBackend):
+    """Prompted segmentation (python/SAM3.{h,cpp}): frame-indexed
+    prompts from detect_sam3_prompt drive the SAM model
+    (detect/sam3.py SamSegmenter over models/sam.py); each prompt
+    object's mask becomes an instance-segmentation blob."""
+
+    def init(self, settings, background=None):
+        from .sam3 import Sam3Prompts, SamSegmenter
+
+        self.settings = settings
+        prompt = settings["detect_sam3_prompt"]
+        self.prompts = Sam3Prompts.from_json(prompt) if prompt \
+            else Sam3Prompts()
+        model_path = settings["detect_model"]
+        if model_path and Path(str(model_path)).exists():
+            self.segmenter = SamSegmenter.from_checkpoint(model_path)
+        else:
+            raise ValueError(
+                "detect_type sam3 needs a segment-anything checkpoint "
+                "in detect_model (none is bundled; the reference "
+                "downloads weights at runtime)")
+        return self
+
+    def apply(self, frame_index, image):
+        from .sam3 import blobs_from_masks
+
+        objs = self.prompts.materialize(frame_index)
+        if not objs:
+            return []
+        masks = self.segmenter.segment(image, objs)
+        return blobs_from_masks(masks, image)
+
+
 REGISTRY: dict[str, Callable[[], DetectionBackend]] = {
     "background_subtraction": BackgroundSubtractionBackend,
     "yolo": YOLOBackend,
+    "sam3": Sam3Backend,
     "precomputed": PrecomputedBackend,
     "none": NoDetection,
 }

@@ -139,6 +139,130 @@ class Sam3Prompts:
         return self
 
 
+class SamSegmenter:
+    """Promptable segmentation via the flax SAM model (models/sam.py).
+
+    The reference's sam3 backend downloads model weights at runtime
+    (trex_sam3_interface.py); here a segment-anything checkpoint
+    converts directly (from_checkpoint), or any SAM-architecture
+    variables can be attached. segment() matches the
+    Sam3InteractiveSession segment_fn contract."""
+
+    def __init__(self, model, variables, mask_threshold: float = 0.0):
+        import jax
+
+        self.model = model
+        self.variables = variables
+        self.mask_threshold = mask_threshold
+        self._encode = jax.jit(
+            lambda img: model.apply(variables, img, method="encode"))
+        self._decode = jax.jit(
+            lambda emb, pts, lbl: model.apply(variables, emb, pts, lbl,
+                                              method="decode"))
+
+    @classmethod
+    def from_checkpoint(cls, path, dtype=None):
+        """Official segment-anything .pth -> flax (ViT-B shapes)."""
+        import jax.numpy as jnp
+        import torch
+
+        from ..models.sam import SAM, convert_sam_checkpoint
+
+        sd = torch.load(str(path), map_location="cpu",
+                        weights_only=False)
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+        variables = convert_sam_checkpoint(sd)
+        model = SAM(dtype=dtype or jnp.bfloat16)
+        return cls(model, variables)
+
+    @classmethod
+    def small_random(cls, img_size: int = 128, seed: int = 0):
+        """Tiny randomly-initialized model (tests / smoke runs)."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as _np
+
+        from ..models.sam import SAM
+
+        model = SAM(img_size=img_size, encoder_dim=64, encoder_depth=2,
+                    encoder_heads=2, global_idx=(1,),
+                    dtype=jnp.float32)
+        img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
+        pts = jnp.zeros((1, 2, 2), jnp.float32)
+        lbl = jnp.zeros((1, 2), jnp.int32)
+        variables = model.init(jax.random.PRNGKey(seed), img, pts, lbl)
+        return cls(model, variables)
+
+    def segment(self, image: np.ndarray,
+                prompts: list) -> dict[int, np.ndarray]:
+        """image (H, W[, 3]) uint8; prompts = Sam3PromptObject list with
+        box prompts. Returns {object_id: bool mask (H, W)}."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.sam import box_to_prompt
+
+        if image.ndim == 2:
+            image = np.repeat(image[:, :, None], 3, axis=2)
+        H, W = image.shape[:2]
+        size = self.model.img_size
+        scale = size / max(H, W)
+        nh, nw = int(round(H * scale)), int(round(W * scale))
+        import cv2
+
+        resized = cv2.resize(image, (nw, nh),
+                             interpolation=cv2.INTER_LINEAR)
+        padded = np.zeros((size, size, 3), image.dtype)
+        padded[:nh, :nw] = resized
+
+        pts_list, lbl_list, ids = [], [], []
+        for obj in prompts:
+            box = getattr(obj, "seed_box", None) \
+                or getattr(obj, "box", None)
+            if box is None:
+                continue
+            p, l = box_to_prompt([c * scale for c in box])
+            pts_list.append(p[0])
+            lbl_list.append(l[0])
+            ids.append(getattr(obj, "id", getattr(obj, "object_id", 0)))
+        if not pts_list:
+            return {}
+        emb = self._encode(jnp.asarray(padded[None]))
+        masks, iou = self._decode(
+            emb[0], jnp.asarray(np.stack(pts_list), jnp.float32),
+            jnp.asarray(np.stack(lbl_list), jnp.int32))
+        masks = np.asarray(masks)
+        iou = np.asarray(iou)
+        out = {}
+        for k, oid in enumerate(ids):
+            best = int(iou[k].argmax())
+            m = masks[k, best]
+            m = cv2.resize(m, (size, size),
+                           interpolation=cv2.INTER_LINEAR)
+            m = m[:nh, :nw]
+            m = cv2.resize(m, (W, H), interpolation=cv2.INTER_LINEAR)
+            out[oid] = m > self.mask_threshold
+        return out
+
+
+def blobs_from_masks(masks: dict, image: np.ndarray) -> list:
+    """Object masks -> TrackBlobs (instance-segmentation flagged),
+    pixels = grayscale values under the mask."""
+    from ..ops.labeling import label_blobs
+    from ..track.blob import TrackBlob
+
+    gray = image if image.ndim == 2 else image[..., 0]
+    out = []
+    for oid, mask in masks.items():
+        img = np.where(mask, np.maximum(gray, 1), 0).astype(np.uint8)
+        for b in label_blobs(img, None, threshold=0):
+            tb = TrackBlob(b.lines, b.pixels, stats=b.stats)
+            tb.prediction = oid
+            out.append(tb)
+    return out
+
+
 class SessionState(enum.Enum):
     Idle = "idle"
     Prompted = "prompted"

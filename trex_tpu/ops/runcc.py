@@ -275,3 +275,21 @@ def detect_batch_runs(frames: jax.Array, background: jax.Array,
         max_runs=max_runs, max_pixels=max_pixels, max_blobs=max_blobs,
         max_child_runs=max_child_runs, max_children=max_children)
     return jax.vmap(lambda fr: fn(fr, background))(frames)
+
+
+def detect_batch_runs_sharded(frames, background, mesh,
+                              axis: str = "data", **kwargs) -> dict:
+    """Multi-chip batched detection: the frame batch shards over the
+    mesh's `axis`; every per-frame output inherits that sharding, so
+    detection scales linearly across chips with no collectives (the
+    SURVEY §5.8 DP-over-tiles mapping). The background replicates.
+
+    `kwargs` are detect_batch_runs' threshold/capacity options."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    frames = jax.device_put(
+        jnp.asarray(frames), NamedSharding(mesh, P(axis)))
+    background = jax.device_put(
+        jnp.asarray(background), NamedSharding(mesh, P()))
+    with mesh:
+        return detect_batch_runs(frames, background, **kwargs)

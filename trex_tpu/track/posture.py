@@ -409,11 +409,74 @@ def calculate_midline_from_outline(points: np.ndarray, settings,
                   heights=np.asarray(heights),
                   tail_index=tail_index, head_index=head_index)
     _post_process(mid, settings, movement_direction)
-    d = np.hypot(*np.diff(mid.segments, axis=0).T)
+    # the cached midline is the NORMALIZED one (Individual.cpp:1372:
+    # post_process + Midline::normalize): its length is the chord sum
+    # of the midline resampled to `midline_resolution` points
+    # (Outline.cpp:1270-1408), not the raw segment sum. Resampling can
+    # fail (point-count mismatch) — then there is no midline.
+    reduced = _normalize_resample(mid.segments,
+                                  int(s["midline_resolution"]))
+    if reduced is None:
+        return None
+    d = np.hypot(*np.diff(reduced, axis=0).T)
     mid.len = float(d.sum())
     direction = mid.midline_direction(s["midline_stiff_percentage"])
     mid.angle = math.atan2(direction[1], direction[0])
     return mid
+
+
+def _normalize_resample(segments: np.ndarray,
+                        resolution: int) -> Optional[np.ndarray]:
+    """Midline::normalize's arc-length resampler (Outline.cpp:
+    1279-1376), ported step for step: walk the polyline accumulating
+    segment lengths; every full `step` of walked distance emits an
+    interpolated point; append the raw endpoint when the walk stopped
+    short; exactly `resolution` points or failure. Positions compute
+    in float32 like the reference's Float2_t."""
+    segs = np.asarray(segments, np.float32)
+    dif = np.diff(segs, axis=0)
+    lens = np.hypot(dif[:, 0], dif[:, 1]).astype(np.float64)
+    raw_len = float(lens.sum())
+    if raw_len == 0.0:
+        return None
+    max_segments = resolution - 1
+    step = raw_len / max_segments
+    n = len(segs)
+    reduced = [segs[0]]
+    index = 0
+    last_pt_distance = 0.0
+    distance = 0.0
+    while distance <= raw_len and index < n - 1:
+        while distance - last_pt_distance < step and index < n - 1:
+            distance += float(lens[index])
+            index += 1
+        off = distance - last_pt_distance
+        if off < step:
+            break
+        while off >= step:
+            off -= step
+            if index > 0:
+                s0 = segs[index - 1]
+                s1 = segs[index]
+                line = s1 - s0
+                local_d = float(np.hypot(line[0], line[1]))
+                percent = off
+                if local_d > 0:
+                    percent /= local_d
+                percent = 1.0 - percent
+                pos = s0 + line * np.float32(percent)
+                reduced.append(pos)
+                rem = line * np.float32(1.0 - percent)
+                last_pt_distance = distance - float(
+                    np.hypot(rem[0], rem[1]))
+            else:
+                reduced.append(segs[index])
+                last_pt_distance = distance
+    if float(np.hypot(*(reduced[-1] - segs[-1]))) >= 0.01:
+        reduced.append(segs[-1])
+    if len(reduced) != resolution:
+        return None
+    return np.asarray(reduced, np.float32)
 
 
 def _post_process(mid: Midline, settings, movement_direction=None):
