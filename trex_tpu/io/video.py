@@ -18,6 +18,15 @@ import numpy as np
 
 try:
     import cv2
+
+    # single-threaded OpenCV: the decode workers already parallelize at
+    # the frame level, and cv2's internal pool both wastes the 1-core
+    # host and has shown rare crashes when several workers decode
+    # jpegs concurrently under the TPU plugin environment
+    try:
+        cv2.setNumThreads(0)
+    except Exception:
+        pass
 except ImportError:  # pragma: no cover
     cv2 = None
 
