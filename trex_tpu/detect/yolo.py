@@ -120,6 +120,33 @@ class YOLODetector:
 
         self._infer = infer
         self._conf_threshold = float(conf_t if conf_t else 0.1)
+        self.batch_size = self._auto_batch_size()
+
+    def _auto_batch_size(self, target_fraction: float = 0.5) -> int:
+        """Memory-aware batch sizing (trex_detection_model.py's
+        calculate_memory/get_free_memory:656-691): estimate per-image
+        activation bytes from the model scale and input size, size the
+        batch to `target_fraction` of free device memory, clamped to
+        [1, detect_batch_size]."""
+        import jax
+
+        from ..models.yolo import SCALES
+
+        cap = int(self.settings.get("detect_batch_size") or 8)
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            free = stats.get("bytes_limit", 0) - stats.get(
+                "bytes_in_use", 0)
+        except Exception:
+            free = 0
+        if free <= 0:
+            return max(1, cap)
+        _, width, _ = SCALES[self.model.scale]
+        # dominant activations: stride-4/8 feature maps, bf16
+        per_image = int(self.input_size * self.input_size
+                        * (16 + 32) * width * 2 * 2.5)
+        batch = int(max(1, (free * target_fraction) // max(1, per_image)))
+        return max(1, min(cap, batch))
 
     # ------------------------------------------------------------------
     def _prepare(self, image: np.ndarray, size: int):
@@ -149,9 +176,13 @@ class YOLODetector:
         if not tiles:
             return self._detect_single(image)
         all_boxes, all_conf, all_clid, all_kp = [], [], [], []
-        for (tx, ty, tw, th) in tiles:
-            crop = image[int(ty) : int(ty + th), int(tx) : int(tx + tw)]
-            det = self._detect_single(crop)
+        # tiles run through the model in memory-sized batches
+        # (PipelineManager<TileImage> batching, detect_batch_size +
+        # the OOM-aware cap)
+        crops = [image[int(ty): int(ty + th), int(tx): int(tx + tw)]
+                 for (tx, ty, tw, th) in tiles]
+        dets = self._detect_many(crops)
+        for (tx, ty, tw, th), det in zip(tiles, dets):
             det.boxes[:, [0, 2]] += tx
             det.boxes[:, [1, 3]] += ty
             if det.keypoints is not None:
@@ -168,15 +199,37 @@ class YOLODetector:
         det = Detections(boxes, conf, clid, keypoints=kp)
         return merge_tile_detections(det, self.settings)
 
-    def _detect_single(self, image: np.ndarray) -> Detections:
-        import numpy as np
+    def _detect_many(self, images: list) -> list:
+        """Batched inference over several crops: letterbox all, pad the
+        last batch to a fixed shape (one compiled program), then
+        post-process each."""
+        B = max(1, int(self.batch_size))
+        out_dets = []
+        for i0 in range(0, len(images), B):
+            chunk = images[i0:i0 + B]
+            canv = np.stack([self._prepare(im, self.input_size)
+                             for im in chunk])
+            if len(chunk) < B:
+                canv = np.concatenate(
+                    [canv, np.zeros((B - len(chunk),) + canv.shape[1:],
+                                    canv.dtype)])
+            out = self._infer(canv.astype(np.float32))
+            for k, im in enumerate(chunk):
+                out_dets.append(self._postprocess(out, k, im.shape[:2]))
+        return out_dets
 
-        h, w = image.shape[:2]
+    def _detect_single(self, image: np.ndarray) -> Detections:
         canvas = self._prepare(image, self.input_size)
         out = self._infer(canvas[None].astype(np.float32))
-        boxes = np.asarray(out["boxes"][0])
-        conf = np.asarray(out["conf"][0])
-        clid = np.asarray(out["clid"][0])
+        return self._postprocess(out, 0, image.shape[:2])
+
+    def _postprocess(self, out, k: int, hw) -> Detections:
+        import numpy as np
+
+        h, w = hw
+        boxes = np.asarray(out["boxes"][k])
+        conf = np.asarray(out["conf"][k])
+        clid = np.asarray(out["clid"][k])
         keep = conf >= self._conf_threshold
         boxes, conf, clid = boxes[keep], conf[keep], clid[keep]
         # intra-frame NMS (ultralytics default iou 0.7)
@@ -188,15 +241,15 @@ class YOLODetector:
                                  (h, w))
         kp = None
         if "keypoints" in out:
-            kp = np.asarray(out["keypoints"][0])[keep][sel]
+            kp = np.asarray(out["keypoints"][k])[keep][sel]
             gain, pad = letterbox_params((h, w),
                                          (self.input_size, self.input_size))
             kp[..., 0] = (kp[..., 0] - pad[0]) / gain
             kp[..., 1] = (kp[..., 1] - pad[1]) / gain
         masks = None
         if "mask_coeffs" in out:
-            coeffs = np.asarray(out["mask_coeffs"][0])[keep][sel]
-            proto = np.asarray(out["proto"][0])
+            coeffs = np.asarray(out["mask_coeffs"][k])[keep][sel]
+            proto = np.asarray(out["proto"][k])
             # boxes are in video coords; map back to model-input coords
             gain, pad = letterbox_params((h, w),
                                          (self.input_size, self.input_size))
