@@ -114,6 +114,53 @@ def test_native_phases_match_python_phases():
     np.testing.assert_array_equal(nat.trk_start, py.trk_start)
 
 
+def test_fast_engine_through_tracking_state(tmp_path):
+    """track_engine=fast drives the product track task on a pv file
+    (stats computed natively from the stored blobs via
+    trex_blob_stats)."""
+    import cv2
+
+    from trex_tpu.pipeline import Segmenter, TrackingState
+
+    s = _settings(8)
+    s.set("detect_threshold", 15)
+    s.set("detect_threshold_is_absolute", False)
+    s.set("meta_encoding", "gray")
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    bg = np.full((128, 128), 200, np.uint8)
+    for i in range(12):
+        img = bg.copy()
+        for k in range(8):
+            img[20 + k * 12:26 + k * 12, 10 + i * 3:20 + i * 3] = 90
+        cv2.imwrite(str(frames_dir / f"f_{i:03d}.jpg"), img,
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+    seg = Segmenter(s, str(frames_dir / "f_%03d.jpg"),
+                    tmp_path / "t.pv", track=False)
+    seg.run()
+    s.set("track_engine", "fast")
+    state = TrackingState(s, tmp_path / "t.pv", need_individuals=False)
+    tr = state.run()
+    assert type(tr).__name__ == "FastTracker"
+    assert len(tr.history) == 12 and tr.n_fish == 8
+    # object tracker on the same pv agrees on per-frame positions
+    s2 = _settings(8)
+    s2.set("meta_encoding", "gray")
+    s2.set("track_engine", "object")
+    state2 = TrackingState(s2, tmp_path / "t.pv")
+    tr2 = state2.run()
+    for frame, h in tr.history.items():
+        ours = {(round(float(x), 6), round(float(y), 6))
+                for x, y in zip(h["x"], h["y"])}
+        theirs = set()
+        for ind in tr2.individuals.values():
+            b = ind.basic_stuff(frame)
+            if b is not None:
+                theirs.add((round(b.centroid.x, 6),
+                            round(b.centroid.y, 6)))
+        assert ours == theirs, f"frame {frame}"
+
+
 def test_engine_rejects_unsupported():
     s = _settings(8)
     s.set("calculate_posture", True)
