@@ -413,15 +413,47 @@ class Segmenter:
 
     def _write_raw(self, img: np.ndarray, frame_rate: float):
         """save_raw_movie: record the raw stream alongside conversion
-        (role of core/tomp4.cpp / FFMPEGQueue, via cv2.VideoWriter)."""
+        (core/tomp4.cpp / FFMPEGQueue). When `ffmpeg_path` is
+        configured, frames pipe to that ffmpeg as rawvideo with
+        libx264 at `ffmpeg_crf` (the reference's encoder settings);
+        otherwise cv2.VideoWriter is the fallback encoder."""
         import cv2
 
         if self._raw_writer is None:
             path = str(self.output_path.with_suffix(".mov.mp4"))
-            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
-            self._raw_writer = cv2.VideoWriter(
-                path, fourcc, frame_rate,
-                (img.shape[1], img.shape[0]), img.ndim == 3)
+            ffmpeg = str(self.settings["ffmpeg_path"] or "").strip()
+            if ffmpeg and Path(ffmpeg).exists():
+                import subprocess
+
+                crf = int(self.settings["ffmpeg_crf"] or 23)
+                pix = "bgr24" if img.ndim == 3 else "gray"
+                proc = subprocess.Popen(
+                    [ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", pix,
+                     "-s", f"{img.shape[1]}x{img.shape[0]}",
+                     "-r", str(frame_rate), "-i", "-",
+                     "-c:v", "libx264", "-crf", str(crf),
+                     "-pix_fmt", "yuv420p", path],
+                    stdin=subprocess.PIPE,
+                    stdout=subprocess.DEVNULL,
+                    stderr=subprocess.DEVNULL)
+
+                class _FFWriter:
+                    def __init__(self, p):
+                        self.p = p
+
+                    def write(self, frame):
+                        self.p.stdin.write(frame.tobytes())
+
+                    def release(self):
+                        self.p.stdin.close()
+                        self.p.wait(timeout=300)
+
+                self._raw_writer = _FFWriter(proc)
+            else:
+                fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+                self._raw_writer = cv2.VideoWriter(
+                    path, fourcc, frame_rate,
+                    (img.shape[1], img.shape[0]), img.ndim == 3)
         self._raw_writer.write(img)
 
     def _track_frame(self, index: int, blobs, time: float, posture_pool):
