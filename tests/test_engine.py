@@ -114,6 +114,42 @@ def test_native_phases_match_python_phases():
     np.testing.assert_array_equal(nat.trk_start, py.trk_start)
 
 
+def test_dense_cliques_pending_path():
+    """Very dense fish force cliques beyond the native tree budget
+    (>8 fish) so the pending-edge escape to the Python matcher runs;
+    native and python phases must still agree frame-exactly."""
+    s = _settings(24)
+    s.set("track_max_speed", 2000)  # everyone sees everyone
+    rng = np.random.default_rng(4)
+    size = 160
+    bg = np.full((size, size), 200, np.uint8)
+    pos = rng.uniform(20, size - 30, (24, 2))
+    frames = []
+    for i in range(15):
+        img = bg.copy()
+        pos += rng.normal(0, 1.5, pos.shape)
+        pos = np.clip(pos, 10, size - 20)
+        for (x, y) in pos:
+            xi, yi = int(x), int(y)
+            img[yi:yi + 7, xi:xi + 9] = 90
+        frames.append(img)
+    nat = FastTracker(s, background=bg)
+    py = FastTracker(s, background=bg)
+    py.use_native = False
+    tracker = Tracker(s, background=bg)
+    for i, f in enumerate(frames):
+        raw = label_blobs_raw(f, bg, threshold=int(s["detect_threshold"]),
+                              absolute=False, track_threshold=20,
+                              track_absolute=False)
+        nat.add_frame(i, i / 25.0, **raw)
+        py.add_frame(i, i / 25.0, **raw)
+        pp = tracker.preprocess_frame(i, detect_frame(f, bg, s),
+                                      time=i / 25.0)
+        tracker.add(pp)
+    assert _engine_assignments(nat) == _engine_assignments(py)
+    assert _engine_assignments(nat) == _tracker_assignments(tracker, 15)
+
+
 def test_fast_engine_through_tracking_state(tmp_path):
     """track_engine=fast drives the product track task on a pv file
     (stats computed natively from the stored blobs via

@@ -54,21 +54,23 @@ def pseudo_identities(crops: dict, n_ids: int, rng) -> tuple:
     is (real fish, fixed appearance transform) — real shape/texture
     variation plus a stable per-identity signature."""
     fids = sorted(crops)
-    per_fish = int(np.ceil(n_ids / len(fids)))
     images, labels = [], []
     pid = 0
+    # each pseudo-identity = (real fish, DISTINCT rot/flip combo) so
+    # identities stay separable; n_ids caps at 8 combos per fish
+    combos = [(rot, flip) for rot in range(4) for flip in (False, True)]
+    per_fish = int(np.ceil(n_ids / len(fids)))
+    if per_fish > len(combos):
+        raise SystemExit(
+            f"n_ids {n_ids} needs {per_fish} distinct variants per "
+            f"fish but only {len(combos)} geometric combos exist "
+            f"({len(fids) * len(combos)} identities max)")
     for fid in fids:
         base = crops[fid].astype(np.float32)
-        for k in range(per_fish):
+        for rot, flip in combos[:per_fish]:
             if pid >= n_ids:
                 break
-            gain = float(rng.uniform(0.7, 1.3))
-            bias = float(rng.uniform(-20, 20))
-            rot = int(rng.integers(0, 4))
-            flip = bool(rng.integers(0, 2))
-            x = base * gain + bias
-            x = np.clip(x, 0, 255)
-            x = np.rot90(x, rot, axes=(1, 2))
+            x = np.rot90(base, rot, axes=(1, 2))
             if flip:
                 x = x[:, :, ::-1]
             images.append(np.ascontiguousarray(x))
@@ -87,7 +89,15 @@ def main():
     print(f"    {len(crops)} fish, "
           f"{sum(len(v) for v in crops.values())} crops")
 
-    images, labels = pseudo_identities(crops, n_ids, rng)
+    if n_ids <= len(crops):
+        # pure real identities, no expansion
+        fids = sorted(crops)[:n_ids]
+        images = np.concatenate([crops[f] for f in fids]).astype(np.float32)
+        labels = np.concatenate([
+            np.full(len(crops[f]), i, np.int32)
+            for i, f in enumerate(fids)])
+    else:
+        images, labels = pseudo_identities(crops, n_ids, rng)
     if images.ndim == 3:
         images = images[..., None]
     # frame split: every 5th crop per identity validates
