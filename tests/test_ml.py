@@ -172,3 +172,38 @@ def test_vi_network_facade(tmp_path):
                weights_file=tmp_path / "model.pt")
     np.testing.assert_allclose(net2.probabilities(images[:4]), probs,
                                atol=1e-5)
+
+
+def test_vi_training_sharded_over_mesh():
+    """VITrainer with a mesh: batches shard over 'data' across the 8
+    virtual devices, params replicate, result matches the unsharded
+    trainer closely (same data order; reduction order may differ)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from trex_tpu.models import VITrainer, build
+    from trex_tpu.parallel import make_mesh
+
+    rng = np.random.default_rng(0)
+    n, ncls = 128, 4
+    images = rng.integers(0, 255, (n, 32, 32, 1)).astype(np.float32)
+    labels = (np.arange(n) % ncls).astype(np.int32)
+
+    mesh = make_mesh(8, axis_names=("data",))
+    sharded = VITrainer(build("v118_3", ncls), ncls, (32, 32, 1),
+                        mesh=mesh)
+    plain = VITrainer(build("v118_3", ncls), ncls, (32, 32, 1))
+    with mesh:
+        r1 = sharded.train(images, labels, val_images=images,
+                           val_labels=labels, max_epochs=2,
+                           batch_size=64, min_iterations=1)
+        probs_s = sharded.predict(images[:64], batch_size=64)
+    r2 = plain.train(images, labels, val_images=images,
+                     val_labels=labels, max_epochs=2,
+                     batch_size=64, min_iterations=1)
+    probs_p = plain.predict(images[:64], batch_size=64)
+    assert probs_s.shape == probs_p.shape
+    np.testing.assert_allclose(probs_s, probs_p, atol=5e-2)

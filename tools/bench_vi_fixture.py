@@ -115,9 +115,14 @@ def main():
     model = build("v118_3", n_ids)
     trainer = VITrainer(model, n_ids, tr_x.shape[1:])
     t0 = time.perf_counter()
-    trainer.train(tr_x, tr_y, val_images=va_x, val_labels=va_y,
-                  max_epochs=epochs)
+    res = trainer.train(tr_x, tr_y, val_images=va_x, val_labels=va_y,
+                        max_epochs=epochs)
     dt = time.perf_counter() - t0
+    for h in res.history[-4:]:
+        print("   ", {k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in h.items()})
+    tr_acc = trainer.per_class_accuracy(tr_x[:2000], tr_y[:2000])
+    print(f"    train-set accuracy (first 2000): {tr_acc.mean():.4f}")
 
     print("[3/3] evaluating...")
     acc = trainer.per_class_accuracy(va_x, va_y)

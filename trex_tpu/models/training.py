@@ -113,7 +113,7 @@ class VITrainer:
 
     def __init__(self, model, num_classes: int, image_shape,
                  learning_rate: float = 1e-4, loss: str = "ce",
-                 seed: int = 0):
+                 seed: int = 0, mesh=None, data_axis: str = "data"):
         self.model = model
         self.num_classes = num_classes
         self.image_shape = tuple(image_shape)
@@ -122,6 +122,23 @@ class VITrainer:
             (1, *self.image_shape), learning_rate)
         self._train_step = make_train_step(num_classes, loss)
         self._eval_step = make_eval_step()
+        # optional multi-chip data parallelism: batches shard over the
+        # mesh's data axis, parameters replicate, XLA inserts the
+        # gradient psum (SURVEY §5.8 DP-over-crops)
+        self.mesh = mesh
+        self._data_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._data_sharding = NamedSharding(mesh, P(data_axis))
+            repl = NamedSharding(mesh, P())
+            self.state = jax.device_put(self.state, repl)
+
+    def _put_batch(self, *arrays):
+        if self._data_sharding is None:
+            return arrays
+        return tuple(jax.device_put(a, self._data_sharding)
+                     for a in arrays)
 
     # ------------------------------------------------------------------
     def train(self, images: np.ndarray, labels: np.ndarray,
@@ -171,9 +188,10 @@ class VITrainer:
                 if len(idx) < batch_size:
                     idx = np.concatenate(
                         [idx, order[: batch_size - len(idx)]])
+                bi, bl = self._put_batch(jnp.asarray(images[idx]),
+                                         jnp.asarray(labels[idx]))
                 self.state, loss_v, acc = self._train_step(
-                    self.state, jnp.asarray(images[idx]),
-                    jnp.asarray(labels[idx]))
+                    self.state, bi, bl)
                 losses.append(float(loss_v))
                 accs.append(float(acc))
                 steps_done += 1
@@ -220,7 +238,8 @@ class VITrainer:
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])
-            probs = np.asarray(self._eval_step(self.state, jnp.asarray(chunk)))
+            (bi,) = self._put_batch(jnp.asarray(chunk))
+            probs = np.asarray(self._eval_step(self.state, bi))
             out[s : s + len(images[s : s + batch_size])] = \
                 probs[: len(images[s : s + batch_size])]
         return out
