@@ -207,3 +207,29 @@ def test_vi_training_sharded_over_mesh():
     probs_p = plain.predict(images[:64], batch_size=64)
     assert probs_s.shape == probs_p.shape
     np.testing.assert_allclose(probs_s, probs_p, atol=5e-2)
+
+
+def test_learn_static_entry(tmp_path):
+    """learn_static: static-dataset training entry (legacy TF path)."""
+    import numpy as np
+
+    from trex_tpu.ml.learn_static import load_dataset, train_static
+
+    rng = np.random.default_rng(0)
+    # 3 distinguishable classes of 16x16 patterns
+    images = np.zeros((90, 16, 16), np.uint8)
+    labels = np.repeat(np.arange(3), 30).astype(np.int32)
+    images[labels == 0, 2:6, :] = 220
+    images[labels == 1, :, 2:6] = 220
+    images[labels == 2, 8:14, 8:14] = 220
+    images = np.clip(images.astype(int)
+                     + rng.integers(0, 30, images.shape), 0, 255
+                     ).astype(np.uint8)
+    np.savez(tmp_path / "ds.npz", images=images, labels=labels)
+    imgs, lbls = load_dataset(tmp_path / "ds.npz")
+    trainer, result = train_static(
+        imgs, lbls, version="v118_3", max_epochs=8, batch_size=32,
+        output_prefix=str(tmp_path / "tagmodel"))
+    assert (tmp_path / "tagmodel_weights.npz").exists()
+    acc = trainer.per_class_accuracy(imgs, lbls)
+    assert acc.mean() > 0.8

@@ -87,6 +87,51 @@ def make_train_step(num_classes: int, loss: str = "ce"):
     return train_step
 
 
+def make_augment_step(height: int, width: int):
+    """Training-batch augmentation (visual_recognition_torch.py:
+    1301-1337): RandomAffine(+-5 deg, translate +-move_range) +
+    brightness/contrast jitter (0.85-1.15), computed on device."""
+    move_range = min(0.05, 2 / min(width, height))
+    deg = 5.0
+
+    @jax.jit
+    def augment(rng, images):
+        B, H, W, C = images.shape
+        k = jax.random.split(rng, 5)
+        ang = jax.random.uniform(k[0], (B,), minval=-deg, maxval=deg) \
+            * (jnp.pi / 180.0)
+        tx = jax.random.uniform(k[1], (B,), minval=-move_range,
+                                maxval=move_range) * W
+        ty = jax.random.uniform(k[2], (B,), minval=-move_range,
+                                maxval=move_range) * H
+        bright = jax.random.uniform(k[3], (B,), minval=0.85, maxval=1.15)
+        contr = jax.random.uniform(k[4], (B,), minval=0.85, maxval=1.15)
+        cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+        yy, xx = jnp.mgrid[0:H, 0:W]
+        yy = yy.astype(jnp.float32) - cy
+        xx = xx.astype(jnp.float32) - cx
+        ca = jnp.cos(ang)[:, None, None]
+        sa = jnp.sin(ang)[:, None, None]
+        # inverse transform: rotate by -ang, shift by -t
+        sx = ca * xx[None] + sa * yy[None] + cx - tx[:, None, None]
+        sy = -sa * xx[None] + ca * yy[None] + cy - ty[:, None, None]
+
+        def sample(img, syi, sxi):
+            return jax.scipy.ndimage.map_coordinates(
+                img, [syi, sxi], order=1, mode="constant", cval=0.0)
+
+        out = jax.vmap(
+            lambda img, syi, sxi: jnp.stack(
+                [sample(img[..., c], syi, sxi) for c in range(C)], -1)
+        )(images, sy, sx)
+        out = out * bright[:, None, None, None]
+        mean = out.mean(axis=(1, 2, 3), keepdims=True)
+        out = (out - mean) * contr[:, None, None, None] + mean
+        return jnp.clip(out, 0.0, 255.0)
+
+    return augment
+
+
 def make_eval_step():
     @jax.jit
     def eval_step(state: TrainState, images):
@@ -122,6 +167,9 @@ class VITrainer:
             (1, *self.image_shape), learning_rate)
         self._train_step = make_train_step(num_classes, loss)
         self._eval_step = make_eval_step()
+        self._augment = make_augment_step(self.image_shape[0],
+                                          self.image_shape[1])
+        self._aug_rng = jax.random.PRNGKey(seed + 7)
         # optional multi-chip data parallelism: batches shard over the
         # mesh's data axis, parameters replicate, XLA inserts the
         # gradient psum (SURVEY §5.8 DP-over-crops)
@@ -150,7 +198,7 @@ class VITrainer:
               accuracy_stop_worst: float = 0.99,
               uniqueness_fn: Optional[Callable[[], float]] = None,
               callbacks: Optional[Callable[[int, dict], None]] = None,
-              seed: int = 0) -> TrainResult:
+              seed: int = 0, augment: bool = False) -> TrainResult:
         images = np.asarray(images, np.float32)
         labels = np.asarray(labels, np.int32)
         if images.size and float(images.max()) <= 1.5:
@@ -190,6 +238,9 @@ class VITrainer:
                         [idx, order[: batch_size - len(idx)]])
                 bi, bl = self._put_batch(jnp.asarray(images[idx]),
                                          jnp.asarray(labels[idx]))
+                if augment:
+                    self._aug_rng, k = jax.random.split(self._aug_rng)
+                    bi = self._augment(k, bi)
                 self.state, loss_v, acc = self._train_step(
                     self.state, bi, bl)
                 losses.append(float(loss_v))

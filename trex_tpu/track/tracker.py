@@ -19,7 +19,6 @@ O(F*B) math matches Individual::probability exactly (see individual.py).
 """
 from __future__ import annotations
 
-import math
 import time as _time
 from dataclasses import dataclass, field
 from typing import Optional
@@ -92,10 +91,6 @@ class Tracker:
 
     # ------------------------------------------------------------------
     def _active_individuals(self) -> list[Individual]:
-        max_gap = self.settings["track_max_reassign_time"]
-        frame_rate = float(self.settings["frame_rate"] or 25)
-        cutoff = self.end_frame - max(1, int(math.ceil(
-            max_gap * frame_rate))) * 2
         out = []
         for fid in sorted(self.active):
             ind = self.individuals[fid]
