@@ -545,3 +545,102 @@ def test_results_binary_roundtrip(tmp_path):
     assert b.qrcodes[2][0] == 4 and b.qrcodes[2][2] == 9
     assert b.auto_matched == [1, 2]
     assert back.active == res.active
+
+
+def test_border_grid_circles():
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.border import Border
+
+    s = reset_global_settings()
+    s.set("recognition_border", "grid")
+    s.set("grid_points", [[20, 20], [60, 20], [20, 60], [60, 60]])
+    s.set("grid_points_scaling", 1.0)
+    b = Border(s, np.full((80, 80), 255, np.uint8))
+    # nearest-neighbor distance 40 -> radius 20
+    assert b.in_recognition_bounds(20, 20)
+    assert b.in_recognition_bounds(25, 25)
+    assert not b.in_recognition_bounds(40, 40)  # 28.3 from each center
+    assert b.distance(20, 20) == 20.0  # circle center -> edge
+    assert b.distance(40, 40) == 0.0
+
+
+def test_border_outline_distance_transform():
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.border import Border
+
+    s = reset_global_settings()
+    s.set("recognition_border", "outline")
+    bg = np.full((60, 60), 200, np.uint8)
+    bg[10:50, 10:50] = 30  # dark arena region
+    b = Border(s, bg)
+    assert b.in_recognition_bounds(30, 30)
+    assert not b.in_recognition_bounds(5, 5)
+    # distance grows toward the arena center
+    assert b.distance(30, 30) > b.distance(12, 30) > 0
+
+
+def test_border_heatmap_from_video(tmp_path):
+    """heatmap samples blobs from the pv video (Border::update_heatmap)
+    and masks where fish-sized blobs were seen."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader
+    from trex_tpu.track.border import Border
+
+    s = reset_global_settings()
+    s.set("recognition_border", "heatmap")
+    s.set("track_threshold", 10)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 400]])
+    s.set("cm_per_pixel", 1.0)
+    bg = np.full((100, 100), 200, np.uint8)
+    header = PVHeader(encoding="gray", width=100, height=100, average=bg,
+                      name="h")
+    path = tmp_path / "h.pv"
+    with PVFile.create(path, header) as pv:
+        for i in range(30):
+            fr = PVFrame(timestamp=(i + 1) * 40000, index=i)
+            # a fish-sized blob wandering the LEFT half only
+            y = 20 + (i % 10) * 5
+            lines = np.stack([np.arange(y, y + 6),
+                              np.full(6, 10 + i % 20),
+                              np.full(6, 17 + i % 20)], 1).astype(np.int32)
+            px = np.full(6 * 8, 60, np.uint8)
+            fr.add_object(lines, px)
+            pv.add_frame(fr)
+    b = Border(s, bg)
+    b.update_from_video(PVFile.open(path))
+    assert b._mask is not None
+    # visited left-half cells in-bounds, untouched right edge out
+    assert b.in_recognition_bounds(20, 45)
+    assert not b.in_recognition_bounds(95, 50)
+
+
+def test_export_qr_id_and_smooth_acceleration():
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.export.library import EvalContext, evaluate
+    from trex_tpu.track import TrackBlob, Tracker
+
+    s = reset_global_settings()
+    s.set("track_max_individuals", 2)
+    s.set("track_threshold", 10)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_max_speed", 500)
+    bg = np.full((64, 64), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in range(8):
+        lines = np.stack([np.arange(10, 16), np.full(6, 10 + f * 2),
+                          np.full(6, 16 + f * 2)], 1).astype(np.int32)
+        blob = TrackBlob(lines, np.full(6 * 7, 50, np.uint8))
+        pp = tracker.preprocess_frame(f, [blob], time=f / 25.0)
+        tracker.add(pp)
+    tracker.tag_assignments[3] = {0: 42}
+    ctx = EvalContext(tracker, s)
+    ind = tracker.individuals[0]
+    assert evaluate(ctx, ind, 3, "qr_id", []) == 42.0
+    assert evaluate(ctx, ind, 2, "qr_id", []) == float("inf")
+    v = evaluate(ctx, ind, 4, "ACCELERATION", ["SMOOTH"])
+    assert np.isfinite(v)
