@@ -185,6 +185,17 @@ void* trex_label_image2(const uint8_t* img, const uint8_t* bg,
 
         double* st = res->stats.data() + 8 * b;
         const double a = r.x0, e = r.x1, nn = n, y = r.y;
+        // st[7] packs the blob's x-bounds (x0 * 65536 + x1, exact in
+        // a double) so consumers skip a per-line reduction
+        if (st[0] == 0.0) {
+            st[7] = a * 65536.0 + e;
+        } else {
+            double bx0 = std::floor(st[7] / 65536.0);
+            double bx1 = st[7] - bx0 * 65536.0;
+            if (a < bx0) bx0 = a;
+            if (e > bx1) bx1 = e;
+            st[7] = bx0 * 65536.0 + bx1;
+        }
         st[0] += nn;
         st[2] += 0.5 * (a + e) * nn;                       // sum x
         st[3] += y * nn;                                   // sum y
@@ -495,6 +506,15 @@ void trex_blob_stats(const int32_t* lines, const int64_t* line_start,
             const double a = lines[3 * i + 1];
             const double e = lines[3 * i + 2];
             const double nn = e - a + 1;
+            if (st[0] == 0.0) {
+                st[7] = a * 65536.0 + e;
+            } else {
+                double bx0 = std::floor(st[7] / 65536.0);
+                double bx1 = st[7] - bx0 * 65536.0;
+                if (a < bx0) bx0 = a;
+                if (e > bx1) bx1 = e;
+                st[7] = bx0 * 65536.0 + bx1;
+            }
             st[0] += nn;
             st[2] += 0.5 * (a + e) * nn;
             st[3] += y * nn;

@@ -67,10 +67,13 @@ def _engine_assignments(eng):
     return out
 
 
-@pytest.mark.parametrize("n_fish,size,seed", [
-    (32, 256, 1), (64, 384, 2), (128, 512, 3)])
-def test_engine_matches_tracker(n_fish, size, seed):
+@pytest.mark.parametrize("n_fish,size,seed,mode", [
+    (32, 256, 1, "automatic"), (64, 384, 2, "automatic"),
+    (128, 512, 3, "automatic"), (48, 320, 5, "hungarian"),
+    (48, 320, 5, "tree"), (48, 320, 5, "approximate")])
+def test_engine_matches_tracker(n_fish, size, seed, mode):
     s = _settings(n_fish)
+    s.set("match_mode", mode)
     bg, frames = _synth(40, n_fish, size, seed)
     tracker = Tracker(s, background=bg)
     eng = FastTracker(s, background=bg)

@@ -251,13 +251,9 @@ class FastTracker:
         hi = line_start[rows + 1].astype(np.int64)
         y0 = lines[lo, 0].astype(np.float64)
         y1 = lines[np.maximum(hi - 1, lo), 0].astype(np.float64)
-        # x bounds via per-blob segment min/max over the line array
-        owner = np.repeat(np.arange(len(rows)), (hi - lo))
-        allx0 = np.full(len(rows), np.inf)
-        allx1 = np.full(len(rows), -np.inf)
-        sel = _concat_ranges(lo, hi)
-        np.minimum.at(allx0, owner, lines[sel, 1])
-        np.maximum.at(allx1, owner, lines[sel, 2])
+        # x bounds packed by the native labeler (st[7] = x0*65536 + x1)
+        allx0 = np.floor(st[:, 7] / 65536.0)
+        allx1 = st[:, 7] - allx0 * 65536.0
         return _CandTable(
             n=len(rows), cnt=np.asarray(cnt, np.float64),
             recount=np.asarray(rec, np.float64),
@@ -1003,18 +999,6 @@ def _in_close(recount: np.ndarray, fish_size: SizeFilters) -> np.ndarray:
     for lo, hi in fish_size.ranges:
         out |= recount >= lo * 0.5
     return out
-
-
-def _concat_ranges(lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-    """Indices [lo0..hi0) ++ [lo1..hi1) ++ ... as one array."""
-    lens = hi - lo
-    total = int(lens.sum())
-    out = np.ones(total, np.int64)
-    starts = np.cumsum(lens)[:-1]
-    out[0] = lo[0] if len(lo) else 0
-    if len(lo) > 1:
-        out[starts] = lo[1:] - (hi[:-1] - 1)
-    return np.cumsum(out)
 
 
 def _filter_table(t: _CandTable, keep: np.ndarray) -> _CandTable:
