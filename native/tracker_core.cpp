@@ -28,7 +28,8 @@ extern "C" {
 // trk_ring: (F, ring_cap, 2) int64 closed tracklets, oldest first;
 // trk_ring_n: number of valid entries. Outputs tdelta, tprob (F,).
 void trex_track_caches(
-    int32_t n_fish, double time, int64_t global_start_frame,
+    int32_t n_fish, int64_t cur_frame, double time,
+    int64_t global_start_frame,
     const int64_t* last_frame, const double* last_time,
     const int64_t* trk_start, const int64_t* trk_ring,
     const int32_t* trk_ring_n, int32_t ring_cap,
@@ -49,12 +50,13 @@ void trex_track_caches(
             0.0, (td - t_delta_frame) / t_max));
         double scale = 1.0;
         if (has && last_frame[f] >= global_start_frame + minimum_frames) {
-            // recent_number_samples walk over ring + current tracklet
+            // recent_number_samples walk over ring + current tracklet,
+            // window anchored at the CURRENT frame (Individual.cpp:1806)
             const int64_t prev = last_frame[f];
-            const int64_t lower = prev - frame_rate;
+            const int64_t lower = cur_frame - frame_rate;
             const double time_limit = (double)frame_rate * t_max;
             int64_t n = 0;
-            int64_t previous = prev;
+            int64_t previous = cur_frame;
             // tracklets newest-last: current, then ring reversed
             int64_t cs = trk_start[f], ce = prev;
             bool stop = false;
@@ -68,7 +70,7 @@ void trex_track_caches(
                 if (t1 < lower) break;
                 if ((double)(previous - t1) > time_limit) break;
                 const int64_t s = std::max(t0, lower);
-                const int64_t e = std::min(t1, prev);
+                const int64_t e = std::min(t1, cur_frame);
                 previous = s;
                 if (e >= s) n += e - s + 1;
             }

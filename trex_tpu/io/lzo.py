@@ -8,11 +8,24 @@ from __future__ import annotations
 
 import ctypes
 import pathlib
+import threading
 
 _lib = None
+_load_lock = threading.Lock()
 
 
 def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    with _load_lock:
+        return _load_locked()
+
+
+def _load_locked():
+    # double-checked: concurrent first calls must share ONE CDLL —
+    # two instances would leave one without restype/argtypes and a
+    # void* return truncated to c_int segfaults
     global _lib
     if _lib is not None:
         return _lib

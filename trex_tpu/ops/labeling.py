@@ -9,6 +9,7 @@ equivalent of the reference's commons `CPULabeling::run` +
 from __future__ import annotations
 
 import ctypes
+import threading
 from dataclasses import dataclass
 from typing import Optional
 
@@ -49,11 +50,20 @@ class Blob:
 
 
 _configured = False
+_cfg_lock = threading.Lock()
 
 
 def _lib():
     global _configured
     lib = _load_native()
+    if _configured:
+        return lib
+    with _cfg_lock:
+        return _configure(lib)
+
+
+def _configure(lib):
+    global _configured
     if not _configured:
         lib.trex_label_image.restype = ctypes.c_void_p
         lib.trex_label_image.argtypes = [
@@ -106,7 +116,8 @@ def _lib():
         f64p = ctypes.POINTER(ctypes.c_double)
         lib.trex_track_caches.restype = None
         lib.trex_track_caches.argtypes = [
-            ctypes.c_int32, ctypes.c_double, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int64,
             i64p, f64p, i64p, i64p, i32p, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_double, ctypes.c_double,
             ctypes.c_int32, ctypes.c_int32,

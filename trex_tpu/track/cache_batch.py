@@ -151,6 +151,11 @@ def compute_caches(individuals: list, frame: int, time: float,
 
     np.seterr(**np_err)
     tdelta = np.maximum(time - prev_times, 1e-6)
+    # global frame-to-frame delta (Individual.cpp:1753): shared by all
+    # fish; position_probability speeds divide by THIS, not by the
+    # fish-relative tdelta above
+    prev_frame_t = frame_times.get(frame - 1)
+    global_td = (time - prev_frame_t) if prev_frame_t is not None else 0.0
 
     est_x = last_x.copy()
     est_y = last_y.copy()
@@ -181,7 +186,8 @@ def compute_caches(individuals: list, frame: int, time: float,
         cache = IndividualCache()
         cache.individual_empty = False
         cache.previous_frame = int(prev_frames[i])
-        cache.local_tdelta = float(tdelta[i])
+        cache.fish_tdelta = float(tdelta[i])
+        cache.local_tdelta = global_td
         cache.last_seen_px = (float(last_x[i]), float(last_y[i]))
         # fish needing the gap-aware scalar path
         chain_broken = (not simple[i] and counts[i] > 0 and lam < 1)
@@ -197,7 +203,7 @@ def compute_caches(individuals: list, frame: int, time: float,
         else:
             pp = float(p[i])
             if prev_frames[i] >= start_frame + minimum_frames:
-                r = ind.recent_number_samples(int(prev_frames[i]))
+                r = ind.recent_number_samples(frame)
                 pp *= min(1.0, (r - 1) / minimum_frames + p_min)
             cache.time_probability = pp * 0.75 + 0.25
         cache.valid_frame = False

@@ -491,10 +491,10 @@ class FastTracker:
     # -- caches (lam == 1: estimate = last position) ---------------------
     def _caches(self, frame: int, time: float):
         if self.use_native:
-            return self._caches_native(time)
+            return self._caches_native(frame, time)
         return self._caches_py(frame, time)
 
-    def _caches_native(self, time: float):
+    def _caches_native(self, frame: int, time: float):
         import ctypes
 
         from ..ops.labeling import _lib
@@ -507,7 +507,7 @@ class FastTracker:
             i64p = ctypes.POINTER(ctypes.c_int64)
             i32p = ctypes.POINTER(ctypes.c_int32)
             _lib().trex_track_caches(
-                F, float(time), int(self.start_frame),
+                F, int(frame), float(time), int(self.start_frame),
                 self.last_frame.ctypes.data_as(i64p),
                 self.last_time.ctypes.data_as(f64p),
                 self.trk_start.ctypes.data_as(i64p),
@@ -534,7 +534,7 @@ class FastTracker:
             needs = has & (last_f >= self.start_frame
                            + self.minimum_frames)
             if needs.any():
-                R = self._recent_samples(np.flatnonzero(needs))
+                R = self._recent_samples(np.flatnonzero(needs), frame)
                 scale[needs] = np.minimum(
                     1.0, (R - 1) / self.minimum_frames + self.p_min)
             tprob = np.where(tdelta > self.t_max, 0.0,
@@ -542,21 +542,23 @@ class FastTracker:
             tprob = np.where(has, tprob, 0.0)
         return has, tdelta, tprob
 
-    def _recent_samples(self, fids: np.ndarray) -> np.ndarray:
+    def _recent_samples(self, fids: np.ndarray,
+                        frame: int) -> np.ndarray:
         """Individual.recent_number_samples vectorized: the current
         tracklet covers the common case; fish whose previous tracklet
-        could reach into the window walk their list."""
+        could reach into the window walk their list. The window is
+        anchored at the CURRENT frame (Individual.cpp:1806)."""
         prev = self.last_frame[fids]
-        lower = prev - self.frame_rate
+        lower = frame - self.frame_rate
         time_limit = self.frame_rate * self.t_max
         start = self.trk_start[fids]
-        n = np.minimum(prev, prev) - np.maximum(start, lower) + 1
+        n = np.minimum(prev, frame) - np.maximum(start, lower) + 1
         n = np.maximum(n, 0)
         fallback = (start > lower) & (self.prev_trk_end[fids] >= lower) \
             & (start - self.prev_trk_end[fids] <= time_limit)
         for k in np.flatnonzero(fallback).tolist():
             fid = int(fids[k])
-            n[k] = self._recent_samples_walk(fid, int(prev[k]))
+            n[k] = self._recent_samples_walk(fid, frame)
         return n
 
     def _recent_samples_walk(self, fid: int, frame: int) -> int:
@@ -721,6 +723,12 @@ class FastTracker:
 
         has, tdelta, tprob = self._caches(frame, time)
         F = self.n_fish
+        # global frame-to-frame delta: position probabilities divide the
+        # distance-from-estimate by ONE frame-time for every fish
+        # (Individual.cpp:1753 local_tdelta), not by the per-fish gap
+        prev_t = self.frame_times.get(frame - 1)
+        global_td = (time - prev_t) if prev_t is not None else 0.0
+        speed_td = np.full(F, global_td if global_td > 0 else np.inf)
         recent_limit = frame - self.frame_rate * self.t_max
         pos_ok = has & (self.last_frame[:F] >= recent_limit)
         fish_pos = np.stack([self.last_x[:F][pos_ok],
@@ -739,14 +747,16 @@ class FastTracker:
         probs_of: dict[int, float] = {}
 
         if F and B:
-            usable = has & (tprob > 0)
+            # active set only: fish seen less than t_max ago
+            # (IndividualManager ctor prunes at >= t_max)
+            usable = has & (tprob > 0) & (tdelta < self.t_max)
             uf = np.flatnonzero(usable)
             if len(uf):
                 if self.use_native:
-                    fob, pob = self._match_native(uf, tdelta, tprob,
+                    fob, pob = self._match_native(uf, speed_td, tprob,
                                                   table, B)
                 else:
-                    fob, pob = self._match_py(uf, tdelta, tprob,
+                    fob, pob = self._match_py(uf, speed_td, tprob,
                                               table, B)
                 bs = np.flatnonzero(fob >= 0)
                 if len(bs):
@@ -762,11 +772,14 @@ class FastTracker:
                         "prob": pob[bs].copy(),
                     }
 
-        # second pass: free blobs -> inactive/new fish
+        # second pass: free blobs -> inactive/new fish. Only fish whose
+        # gap is >= t_max (or never-seen) are reactivation-eligible;
+        # the probability divides by the global one-frame delta.
         free = np.flatnonzero(~assigned_blob)
         if len(free):
-            self._second_pass(table, free, frame, time, tdelta,
-                              assigned_fish, assigned_blob)
+            inactive_ok = (~has) | (tdelta >= self.t_max)
+            self._second_pass(table, free, frame, time, speed_td,
+                              assigned_fish, assigned_blob, inactive_ok)
 
         self.end_frame = frame
         self.statistics[frame] = FrameStatistics(
@@ -831,17 +844,19 @@ class FastTracker:
 
     def _second_pass(self, table: _CandTable, free: np.ndarray,
                      frame: int, time: float, tdelta: np.ndarray,
-                     assigned_fish: set, assigned_blob: np.ndarray):
-        """Reactivation (Tracker.cpp:1900-1930): greedy over free blobs
-        in index order; p = p_min + (1/sqdist/tdelta)(1-p_min)."""
+                     assigned_fish: set, assigned_blob: np.ndarray,
+                     inactive_ok: np.ndarray = None):
+        """Reactivation (Tracker.cpp:1846-1975): greedy over free blobs
+        in index order; p = p_min + (1/sqdist/tdelta)(1-p_min). Only
+        INACTIVE fish (gap >= t_max, or never assigned) take part."""
         F = self.n_fish
+        mask = np.ones(F, bool)
+        if inactive_ok is not None:
+            mask &= inactive_ok[:F]
         if assigned_fish:
-            mask = np.ones(F, bool)
             mask[np.fromiter(assigned_fish, np.int64,
                              len(assigned_fish))] = False
-            cand_f = np.flatnonzero(mask)
-        else:
-            cand_f = np.arange(F)
+        cand_f = np.flatnonzero(mask)
         if len(cand_f) and len(free):
             if self.use_native:
                 newly = self._reactivate_native(cand_f, free, table,

@@ -59,7 +59,16 @@ class IndividualCache:
     estimated_px: tuple = (0.0, 0.0)
     last_seen_px: tuple = (0.0, 0.0)
     time_probability: float = 0.0
+    # time since the global previous frame (Individual.cpp:1753
+    # `local_tdelta = prev_props ? time - prev_props->time() : 0` —
+    # NOT the time since this fish was last seen). position_probability
+    # divides by this, so a long-lost fish's distance is judged against
+    # one frame-time, which is what gates far reactivations below
+    # match_min_probability.
     local_tdelta: float = 0.0
+    # time since this fish's own last assigned frame (the `tdelta` that
+    # feeds time_probability and the active/inactive decision)
+    fish_tdelta: float = 0.0
     previous_frame: int = -1
     valid_frame: bool = False  # true only when no centroid history/manual
     individual_empty: bool = True
@@ -222,7 +231,11 @@ class Individual:
         tdelta = time - ptime
         if tdelta <= 0:
             tdelta = 1e-6
-        cache.local_tdelta = tdelta
+        cache.fish_tdelta = tdelta
+        # global frame-to-frame delta (Individual.cpp:1753); 0 when the
+        # previous frame was never tracked -> zero velocity, p = tprob
+        prev_t = frame_times.get(frame - 1)
+        cache.local_tdelta = (time - prev_t) if prev_t is not None else 0.0
         cache.last_seen_px = prev_stuff.centroid.pos
 
         cm_per_pixel = s["cm_per_pixel"] or 1.0
@@ -322,14 +335,16 @@ class Individual:
         cache.estimated_px = (est_x + prev_stuff.centroid.x,
                               est_y + prev_stuff.centroid.y)
 
-        # time probability
+        # time probability (tdelta here is the fish-relative one; the
+        # recent-samples walk runs from the CURRENT frameIndex,
+        # Individual.cpp:1806 `lower_limit = frameIndex - frame_rate`)
         if not s["track_time_probability_enabled"] or last_frame_manual:
             cache.time_probability = 1.0
         elif tdelta > s["track_max_reassign_time"]:
             cache.time_probability = 0.0
         else:
             cache.time_probability = self.time_probability(
-                tdelta, prev_frame, self.recent_number_samples(prev_frame),
+                tdelta, prev_frame, self.recent_number_samples(frame),
                 start_frame,
             )
         # reference semantics: valid_frame true only when there is no
@@ -357,8 +372,11 @@ class Individual:
                              position: tuple, blob_center: tuple) -> float:
         s = self.settings
         cm_per_pixel = s["cm_per_pixel"] or 1.0
-        vx = (position[0] - cache.estimated_px[0]) / cache.local_tdelta
-        vy = (position[1] - cache.estimated_px[1]) / cache.local_tdelta
+        if cache.local_tdelta != 0:
+            vx = (position[0] - cache.estimated_px[0]) / cache.local_tdelta
+            vy = (position[1] - cache.estimated_px[1]) / cache.local_tdelta
+        else:
+            vx = vy = 0.0
         speed = math.hypot(vx, vy) / s["track_max_speed"] * cm_per_pixel
         speed = 1.0 / (1.0 + speed) ** 2
         if not cache.valid_frame:

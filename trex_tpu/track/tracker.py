@@ -188,19 +188,30 @@ class Tracker:
         # track_max_speed defaults to 0 (unset); treat as "no speed
         # limit" rather than dividing by zero
         max_speed = s["track_max_speed"] or 1e9
+        t_max = s["track_max_reassign_time"]
+        # the first pass covers the ACTIVE set only: fish assigned less
+        # than track_max_reassign_time ago (IndividualManager ctor
+        # prunes at >= t_max; those fish go to the reactivation pass)
         usable = []
         for ind in active:
             cache = caches[ind.identity]
-            if not cache.individual_empty and cache.time_probability > 0:
+            if (not cache.individual_empty and cache.time_probability > 0
+                    and cache.fish_tdelta < t_max):
                 usable.append((ind, cache))
         if usable and blobs:
             centers = np.array([b.bbox_center for b in blobs], np.float64)
             est = np.array([c.estimated_px for _, c in usable], np.float64)
+            # distance from estimate over ONE frame-time (the global
+            # local_tdelta, Individual.cpp:1753/2125) — same divisor
+            # for every fish regardless of how long it has been unseen
             tdelta = np.array([c.local_tdelta for _, c in usable])
             tprob = np.array([c.time_probability for _, c in usable])
             d = np.hypot(centers[None, :, 0] - est[:, None, 0],
                          centers[None, :, 1] - est[:, None, 1])
-            speed = d / tdelta[:, None] * (cm_per_pixel / max_speed)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                speed = np.where(tdelta[:, None] != 0,
+                                 d / tdelta[:, None], 0.0) \
+                    * (cm_per_pixel / max_speed)
             P = tprob[:, None] / (1.0 + speed) ** 2
             # rare manual/no-history fish use the scalar path (angle term)
             for fi, (ind, cache) in enumerate(usable):
@@ -256,13 +267,25 @@ class Tracker:
         free_blobs = [bi for bi in range(len(blobs))
                       if bi not in assigned_blobs]
         if free_blobs:
-            # reactivation probability (Tracker.cpp:1900-1930): NOT the
-            # motion model — p = p_min + (1/sqdist/tdelta)*(1-p_min), so
-            # every inactive fish can claim any leftover blob, nearest
-            # (and most recently seen) first; empty fish bid p_min.
-            inactive = [ind for ind in self.individuals.values()
-                        if ind.identity not in assigned_fish
-                        and not ind.has(frame)]
+            # reactivation (Tracker.cpp:1846-1975): only INACTIVE fish
+            # take part — fish whose last assignment is at least
+            # track_max_reassign_time old, plus never-assigned ones. A
+            # recently-seen fish that merely lost the matching stays
+            # active-but-unassigned and cannot grab a leftover blob.
+            # p = p_min + (1/sqdist/local_tdelta)*(1-p_min) with the
+            # GLOBAL one-frame local_tdelta -> ranking by pure distance;
+            # empty fish bid p_min.
+            inactive = []
+            for ind in self.individuals.values():
+                if ind.identity in assigned_fish or ind.has(frame):
+                    continue
+                if ind.empty():
+                    inactive.append(ind)
+                    continue
+                cache = caches.get(ind.identity) or ind.cache_for_frame(
+                    frame, pp.time, self.frame_times, self.start_frame)
+                if cache.fish_tdelta >= t_max:
+                    inactive.append(ind)
             second = PairedProbabilities()
             for ind in inactive:
                 if ind.empty():
