@@ -74,7 +74,14 @@ class Tracker:
         # physical-tag assignments: frame -> {identity: tag_id}
         # (Tracker.cpp:2056-2108 QR-tag <-> fish Hungarian matching)
         self.tag_assignments: dict[int, dict[int, int]] = {}
-        self.tag_decoder = None  # pluggable decode_fn (pretrained_tagwork)
+        # tag payload decoder (ml/tagwork.py = pretrained_tagwork):
+        # loaded from tags_model_path when configured, else tags keep
+        # their detection-order ids and stay matchable but undecoded
+        self.tag_decoder = None
+        if settings["tags_recognize"]:
+            from ..ml.tagwork import tag_decoder_from_settings
+
+            self.tag_decoder = tag_decoder_from_settings(settings)
 
     # ------------------------------------------------------------------
     def preprocess_frame(self, frame_index: int, blobs: list[TrackBlob],
