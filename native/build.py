@@ -22,7 +22,11 @@ def build(force: bool = False) -> pathlib.Path:
         if target.stat().st_mtime >= newest:
             return target
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++20", "-shared", "-fPIC",
+        # -ffp-contract=off: kernels that mirror numpy float32 math
+        # (posture resample/walk) must not fuse mul+add into FMA, or
+        # results drift 1 ulp from the python reference paths
+        "g++", "-O3", "-march=native", "-ffp-contract=off",
+        "-std=c++20", "-shared", "-fPIC",
         "-fvisibility=default", "-o", str(target),
     ] + [str(s) for s in SOURCES] + ["-lpthread"]
     subprocess.run(cmd, check=True)

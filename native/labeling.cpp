@@ -978,4 +978,93 @@ int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
     return n;
 }
 
+// Closed-polygon resampling (Outline::resample semantics, matching
+// track/posture.py resample() arithmetic: float32 points, float32
+// hypot widened to double for the walked-distance bookkeeping,
+// interpolation factor applied in float32). Returns the number of
+// points written (0 -> caller keeps the input), or -1 on overflow.
+int64_t trex_outline_resample(const float* pts, int64_t n,
+                              double distance, float* out,
+                              int64_t cap) {
+    if (distance <= 0 || n <= 1) return 0;
+    int64_t m = 0;
+    double walked = 0.0;
+    for (int64_t i = 0; i < n; i++) {
+        const float p0x = pts[2 * i], p0y = pts[2 * i + 1];
+        const int64_t j = (i + 1 == n) ? 0 : i + 1;
+        const float lx = pts[2 * j] - p0x, ly = pts[2 * j + 1] - p0y;
+        const double seg = (double)hypotf(lx, ly);
+        walked += seg;
+        const double percent = seg / distance;
+        double walked_percent = walked / distance;
+        int64_t offset = 0;
+        while (walked_percent >= 1.0) {
+            const double t = percent > 0 ? (double)offset / percent : 0.0;
+            if (m >= cap) return -1;
+            const float tf = (float)t;
+            out[2 * m] = p0x + lx * tf;
+            out[2 * m + 1] = p0y + ly * tf;
+            m++;
+            offset++;
+            walked -= distance;
+            walked_percent -= 1.0;
+        }
+    }
+    return m;
+}
+
+// Midline walk (Outline::calculate_midline pairing loop,
+// Outline.cpp:795-857; arithmetic matches track/posture.py's walk:
+// float32 distances via hypotf, first-minimum tie-breaks like
+// np.argmin). pts: (L,2) float32 with the tail rotated to index 0.
+// seg_out rows: [mid_x, mid_y, height]. Returns segment count.
+int64_t trex_midline_walk(const float* pts, int64_t L,
+                          int32_t max_offset, float* seg_out,
+                          int64_t cap) {
+    int64_t idx_r = 1, idx_l = -1;
+    int64_t guard = 0, m = 0;
+    while (idx_r < L + idx_l && guard < 4 * L) {
+        guard++;
+        int64_t li = ((L + idx_l) % L + L) % L;
+        float plx = pts[2 * li], ply = pts[2 * li + 1];
+        // best right candidate in [idx_r, min(L, idx_r + max_offset))
+        const int64_t hi = std::min<int64_t>(L, idx_r + max_offset);
+        if (hi > idx_r) {
+            float best = std::numeric_limits<float>::infinity();
+            int64_t best_i = idx_r;
+            for (int64_t i = idx_r; i < hi; i++) {
+                const float d = hypotf(pts[2 * i] - plx,
+                                       pts[2 * i + 1] - ply);
+                if (d < best) { best = d; best_i = i; }
+            }
+            idx_r = best_i;
+        }
+        const float prx = pts[2 * idx_r], pry = pts[2 * idx_r + 1];
+        // best left candidate walking idx_l, idx_l-1, ... lo
+        const int64_t lo = std::max<int64_t>(-L + 1,
+                                             idx_l - max_offset + 1);
+        {
+            float best = std::numeric_limits<float>::infinity();
+            int64_t best_k = 0, k = 0;
+            for (int64_t cand = idx_l; cand >= lo; cand--, k++) {
+                const int64_t ci = ((cand % L) + L) % L;
+                const float d = hypotf(pts[2 * ci] - prx,
+                                       pts[2 * ci + 1] - pry);
+                if (d < best) { best = d; best_k = k; }
+            }
+            idx_l -= best_k;
+        }
+        li = ((L + idx_l) % L + L) % L;
+        plx = pts[2 * li]; ply = pts[2 * li + 1];
+        if (m >= cap) break;
+        seg_out[3 * m] = (plx + prx) * 0.5f;
+        seg_out[3 * m + 1] = (ply + pry) * 0.5f;
+        seg_out[3 * m + 2] = hypotf(prx - plx, pry - ply);
+        m++;
+        idx_r++;
+        idx_l--;
+    }
+    return m;
+}
+
 }  // extern "C"

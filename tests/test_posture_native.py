@@ -1,0 +1,48 @@
+"""Native posture kernels (trex_outline_resample / trex_midline_walk)
+must be bit-exact with the python reference paths in posture.py —
+the kernels mirror numpy float32 arithmetic (including no FMA
+contraction, see native/build.py -ffp-contract=off)."""
+import numpy as np
+
+from trex_tpu.track.posture import (_midline_walk, _midline_walk_py,
+                                    _resample_py, resample)
+
+
+def _random_outline(rng):
+    L = int(rng.integers(10, 300))
+    th = np.sort(rng.uniform(0, 2 * np.pi, L))
+    r = rng.uniform(5, 40) * (1 + 0.3 * np.sin(3 * th)
+                              + rng.normal(0, 0.05, L))
+    return np.stack([r * np.cos(th), r * np.sin(th)], 1).astype(
+        np.float32) + 100
+
+
+def test_native_resample_bit_exact():
+    rng = np.random.default_rng(7)
+    for _ in range(60):
+        pts = _random_outline(rng)
+        for dist in (0.5, 1.0, 2.0):
+            a = resample(pts, dist)
+            b = _resample_py(pts, dist)
+            assert a.shape == b.shape
+            assert np.array_equal(a, b)
+
+
+def test_native_midline_walk_bit_exact():
+    rng = np.random.default_rng(8)
+    for _ in range(60):
+        pts = _random_outline(rng)
+        mo = max(3, int(0.025 * len(pts)))
+        wa = _midline_walk(np.ascontiguousarray(pts, np.float32), mo)
+        wb = _midline_walk_py(np.ascontiguousarray(pts, np.float32), mo)
+        assert wa.shape == wb.shape
+        assert np.array_equal(wa, wb)
+
+
+def test_resample_short_input_passthrough():
+    pts = np.array([[0, 0]], np.float32)
+    assert resample(pts, 0.5) is pts
+    pts2 = np.array([[0, 0], [1, 0]], np.float32)
+    # too short to emit: python returns input unchanged
+    out = resample(pts2, 10.0)
+    assert np.array_equal(out, _resample_py(pts2, 10.0))

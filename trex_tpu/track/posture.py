@@ -43,6 +43,30 @@ from .blob import TrackBlob
 _MOORE = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
 _native_trace = None
+_native_posture = None
+
+
+def _get_native_posture():
+    """ctypes bindings for the resample + midline-walk kernels
+    (native/labeling.cpp trex_outline_resample/trex_midline_walk)."""
+    global _native_posture
+    if _native_posture is None:
+        import ctypes
+
+        from ..io.lzo import _load as _load_native
+
+        lib = _load_native()
+        f32p = ctypes.POINTER(ctypes.c_float)
+        lib.trex_outline_resample.restype = ctypes.c_int64
+        lib.trex_outline_resample.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_double, f32p, ctypes.c_int64,
+        ]
+        lib.trex_midline_walk.restype = ctypes.c_int64
+        lib.trex_midline_walk.argtypes = [
+            f32p, ctypes.c_int64, ctypes.c_int32, f32p, ctypes.c_int64,
+        ]
+        _native_posture = lib
+    return _native_posture
 
 
 def _get_native_trace():
@@ -174,7 +198,80 @@ def biggest_component(blob: TrackBlob, threshold: int,
 
 def resample(points: np.ndarray, distance: float) -> np.ndarray:
     """Reference Outline::resample: walk the closed polygon, emitting a
-    point every `distance` pixels along it."""
+    point every `distance` pixels along it. Runs in native C++
+    (trex_outline_resample); the Python loop below is the tested
+    fallback/reference."""
+    if distance <= 0 or len(points) <= 1:
+        return points
+    try:
+        import ctypes
+
+        lib = _get_native_posture()
+        pts = np.ascontiguousarray(points, np.float32)
+        cap = 8 * len(pts) + 16
+        buf = np.empty((cap, 2), np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        n = lib.trex_outline_resample(
+            pts.ctypes.data_as(f32p), len(pts), float(distance),
+            buf.ctypes.data_as(f32p), cap)
+        if n == 0:
+            return points
+        if n > 0:
+            return buf[:n].copy()
+    except OSError:
+        pass
+    return _resample_py(points, distance)
+
+
+def _midline_walk(points: np.ndarray, max_offset: int) -> np.ndarray:
+    """Run the pairing walk; returns (M, 3) rows [mid_x, mid_y, height]."""
+    try:
+        import ctypes
+
+        lib = _get_native_posture()
+        L = len(points)
+        buf = np.empty((L + 4, 3), np.float32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        n = lib.trex_midline_walk(
+            points.ctypes.data_as(f32p), L, int(max_offset),
+            buf.ctypes.data_as(f32p), len(buf))
+        return buf[:n].copy()
+    except OSError:
+        return _midline_walk_py(points, max_offset)
+
+
+def _midline_walk_py(points: np.ndarray, max_offset: int) -> np.ndarray:
+    L = len(points)
+    px = points[:, 0]
+    py = points[:, 1]
+    segments = []
+    idx_r, idx_l = 1, -1
+    guard = 0
+    while idx_r < L + idx_l and guard < 4 * L:
+        guard += 1
+        pt_l = points[(L + idx_l) % L]
+        # find best right point (vectorized candidate window)
+        hi = min(L, idx_r + max_offset)
+        if hi > idx_r:
+            dd = np.hypot(px[idx_r:hi] - pt_l[0], py[idx_r:hi] - pt_l[1])
+            idx_r = idx_r + int(np.argmin(dd))
+        pt_r = points[idx_r]
+        # find best left point
+        lo = max(-L + 1, idx_l - max_offset + 1)
+        cand = np.arange(idx_l, lo - 1, -1) % L
+        if len(cand):
+            dd = np.hypot(px[cand] - pt_r[0], py[cand] - pt_r[1])
+            idx_l = idx_l - int(np.argmin(dd))
+        pt_l = points[(L + idx_l) % L]
+        m = (pt_l + pt_r) * 0.5
+        segments.append((float(m[0]), float(m[1]),
+                         float(np.hypot(*(pt_r - pt_l)))))
+        idx_r += 1
+        idx_l -= 1
+    return np.asarray(segments, np.float32).reshape(-1, 3)
+
+
+def _resample_py(points: np.ndarray, distance: float) -> np.ndarray:
     if distance <= 0 or len(points) <= 1:
         return points
     out = []
@@ -373,40 +470,15 @@ def calculate_midline_from_outline(points: np.ndarray, settings,
     if s["midline_invert"]:
         tail_index, head_index = head_index, tail_index
 
-    # midline walk (Outline.cpp:768-866)
+    # midline walk (Outline.cpp:768-866) — native kernel with the
+    # python loop as fallback/reference (differential-tested)
     max_offset = max(3, int(s["midline_walk_offset"] * L))
-    segments = []
-    heights = []
-    idx_r, idx_l = 1, -1
-    guard = 0
-    px = points[:, 0]
-    py = points[:, 1]
-    while idx_r < L + idx_l and guard < 4 * L:
-        guard += 1
-        pt_l = points[(L + idx_l) % L]
-        # find best right point (vectorized candidate window)
-        hi = min(L, idx_r + max_offset)
-        if hi > idx_r:
-            dd = np.hypot(px[idx_r:hi] - pt_l[0], py[idx_r:hi] - pt_l[1])
-            idx_r = idx_r + int(np.argmin(dd))
-        pt_r = points[idx_r]
-        # find best left point
-        lo = max(-L + 1, idx_l - max_offset + 1)
-        cand = np.arange(idx_l, lo - 1, -1) % L
-        if len(cand):
-            dd = np.hypot(px[cand] - pt_r[0], py[cand] - pt_r[1])
-            idx_l = idx_l - int(np.argmin(dd))
-        pt_l = points[(L + idx_l) % L]
-        m = (pt_l + pt_r) * 0.5
-        segments.append(m)
-        heights.append(float(np.hypot(*(pt_r - pt_l))))
-        idx_r += 1
-        idx_l -= 1
-
-    if len(segments) <= 2:
+    seg_h = _midline_walk(np.ascontiguousarray(points, np.float32),
+                          max_offset)
+    if seg_h.shape[0] <= 2:
         return None
-    mid = Midline(segments=np.asarray(segments, np.float64),
-                  heights=np.asarray(heights),
+    mid = Midline(segments=seg_h[:, :2].astype(np.float64),
+                  heights=seg_h[:, 2].astype(np.float64),
                   tail_index=tail_index, head_index=head_index)
     _post_process(mid, settings, movement_direction)
     # the cached midline is the NORMALIZED one (Individual.cpp:1372:
