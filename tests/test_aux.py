@@ -644,3 +644,19 @@ def test_export_qr_id_and_smooth_acceleration():
     assert evaluate(ctx, ind, 2, "qr_id", []) == float("inf")
     v = evaluate(ctx, ind, 4, "ACCELERATION", ["SMOOTH"])
     assert np.isfinite(v)
+
+
+def test_cli_log_file_tee(tmp_path):
+    """log_file (default_config.cpp:788): CLI output tees to the file."""
+    import subprocess
+    import sys
+
+    log = tmp_path / "run.log"
+    r = subprocess.run(
+        [sys.executable, "-m", "trex_tpu.cli.trex", "-task", "rst",
+         "-d", str(tmp_path), "-log_file", str(log)],
+        capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0
+    assert log.exists()
+    assert "[rst] wrote" in log.read_text()
+    assert "[rst] wrote" in r.stdout

@@ -148,6 +148,31 @@ def main(argv=None) -> int:
     out_base = output_dir / prefix if prefix else output_dir
     data_dir = out_base / "data"
 
+    # log_file (default_config.cpp:788): tee stdout/stderr to a file
+    log_path = str(s.get("log_file", "") or "").strip()
+    if log_path:
+        class _Tee:
+            def __init__(self, stream, fh):
+                self._s, self._f = stream, fh
+
+            def write(self, data):
+                self._s.write(data)
+                self._f.write(data)
+                return len(data)
+
+            def flush(self):
+                self._s.flush()
+                self._f.flush()
+
+            def __getattr__(self, name):
+                return getattr(self._s, name)
+
+        p = Path(log_path)
+        p.parent.mkdir(parents=True, exist_ok=True)
+        fh = open(p, "a", buffering=1)
+        sys.stdout = _Tee(sys.stdout, fh)
+        sys.stderr = _Tee(sys.stderr, fh)
+
     def progress(done, total):
         if done % 50 == 0 or done == total:
             print(f"\r[{task}] {done}/{total}", end="", flush=True)
