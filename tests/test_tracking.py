@@ -241,3 +241,71 @@ def test_tracker_respects_max_individuals():
     pp = tracker.preprocess_frame(0, blobs, time=0.0)
     tracker.add(pp)
     assert len(tracker.individuals) == 2
+
+
+def test_long_gap_fish_gated_from_first_pass():
+    """Individual.cpp:1753: position probability divides the distance
+    from the estimate by the GLOBAL one-frame delta, so a fish unseen
+    for many frames cannot grab a far blob through the first pass —
+    and a recently-seen fish that merely lost the matching is NOT
+    reactivation-eligible (only gap >= track_max_reassign_time is)."""
+    s = _settings()
+    s.set("track_max_individuals", 2)
+    s.set("track_do_history_split", False)
+    bg = np.full((400, 200), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+
+    # frame 0: two fish
+    pp = tracker.preprocess_frame(
+        0, [_blob_at(20, 20, value=100), _blob_at(20, 120, value=100)],
+        time=0.0)
+    tracker.add(pp)
+    # fish B (y=120) disappears for 11 frames; fish A keeps moving
+    for f in range(1, 12):
+        pp = tracker.preprocess_frame(
+            f, [_blob_at(20 + 2 * f, 20, value=100)], time=f / 25)
+        tracker.add(pp)
+    ids_a = [fid for fid, ind in tracker.individuals.items()
+             if ind.has(11)]
+    id_b = [fid for fid in tracker.individuals if fid not in ids_a][0]
+
+    # frame 12 (gap = 0.44s < 0.5): B's old position reappears 60 px
+    # away — speed = 60/0.04/800 = 1.9 -> p = tprob/(1+1.9)^2 < 0.1:
+    # gated below match_min_probability; and B is still ACTIVE
+    # (gap < t_max) so reactivation must NOT claim it either.
+    pp = tracker.preprocess_frame(
+        12, [_blob_at(20 + 24, 20, value=100),
+             _blob_at(80, 120, value=100)], time=12 / 25)
+    tracker.add(pp)
+    assert not tracker.individuals[id_b].has(12), \
+        "active-but-lost fish must not reactivate before t_max"
+
+    # frame 14 (gap = 0.56s >= 0.5): B is now inactive -> the second
+    # pass may claim the blob by pure distance.
+    pp = tracker.preprocess_frame(
+        13, [_blob_at(20 + 26, 20, value=100)], time=13 / 25)
+    tracker.add(pp)
+    pp = tracker.preprocess_frame(
+        14, [_blob_at(20 + 28, 20, value=100),
+             _blob_at(80, 120, value=100)], time=14 / 25)
+    tracker.add(pp)
+    assert tracker.individuals[id_b].has(14), \
+        "inactive fish reactivates via the second pass"
+
+
+def test_recent_samples_window_breaks_at_gap():
+    """Individual.cpp:1802-1838: the recent-samples walk anchors at the
+    current frame and stops at tracklet gaps wider than
+    frame_rate*track_max_reassign_time, flooring tprob at 0.775 for a
+    freshly-reactivated fish (4 samples -> factor 0.7)."""
+    s = _settings()
+    ind = Individual(0, s)
+    blob = _blob_at(10, 10, value=100)
+    times = {}
+    # tracked 0..20, gap 21..32 (13 frames > 12.5), tracked 33..36
+    for f in list(range(21)) + list(range(33, 37)):
+        times[f] = f / 25
+        ind.add(f, f / 25, blob)
+    assert ind.recent_number_samples(37) == 4
+    cache = ind.cache_for_frame(37, 37 / 25, times, start_frame=0)
+    assert cache.time_probability == pytest.approx(0.7 * 0.75 + 0.25)
