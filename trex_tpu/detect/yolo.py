@@ -301,9 +301,11 @@ def boxes_to_blobs(det: Detections, image: np.ndarray,
     full horizontal lines carrying the image pixels + class prediction."""
     h, w = image.shape[:2]
     out = []
-    only = settings["detect_only_classes"]
+    from .prediction_filter import filter_from_settings
+
+    only = filter_from_settings(settings)
     for i in range(len(det)):
-        if only and int(det.clid[i]) not in _allowed(only):
+        if only is not None and not only.allowed(int(det.clid[i])):
             continue
         x0, y0, x1, y1 = det.boxes[i]
         x0 = int(max(0, min(w - 1, x0)))
@@ -349,7 +351,3 @@ def masks_to_blobs(det: Detections, image: np.ndarray, masks: np.ndarray,
     return out
 
 
-def _allowed(only_classes) -> set:
-    if isinstance(only_classes, (list, tuple, set)):
-        return {int(x) for x in only_classes}
-    return set()
