@@ -109,3 +109,26 @@ def test_split_three_termites():
     # same (blob, want, background) inputs
     pieces = split_blob(blob, 3, bg, s)
     assert len(pieces) == 3, f"expected 3 pieces, got {len(pieces)}"
+
+
+def test_commandline_spaced_path_and_flags():
+    """CommandLineTest.ParsesSpacedPathAndFlags + quoted negatives
+    (test_commandline.cpp:62-121)."""
+    from trex_tpu.cli.trex import parse_args
+
+    out = parse_args(["-i", "/Users/tristan/Downloads/videos",
+                      "2/test.pv", "-load", "-parm2", "value"])
+    assert out["source"] == "/Users/tristan/Downloads/videos 2/test.pv"
+    assert out["load"] is True
+    assert out["parm2"] == "value"
+
+    out = parse_args(["-enabled", "-name", "Alice", "Bob",
+                      "-threshold", "'-7'", "-extra", "spare"])
+    assert out["enabled"] is True
+    assert out["name"] == "Alice Bob"
+    assert out["threshold"] == "-7"
+    assert out["extra"] == "spare"
+
+    # unquoted negative numbers are values, not flags
+    out = parse_args(["-threshold", "-7"])
+    assert out["threshold"] == "-7"

@@ -43,6 +43,12 @@ FLAG_ONLY = {"nowindow", "auto_quit", "auto_train", "load", "auto_apply",
 
 
 def parse_args(argv: list[str]) -> dict:
+    """CommandLine::init semantics (misc/CommandLine.h, covered by the
+    reference's test_commandline.cpp): an option's value spans every
+    following token up to the next `-flag`, joined with spaces (paths
+    with spaces arrive as several argv entries); a missing value makes
+    a boolean flag; quoted values ('-7') shed their quotes so negative
+    numbers are not mistaken for flags."""
     out: dict[str, object] = {}
     i = 0
     while i < len(argv):
@@ -52,13 +58,21 @@ def parse_args(argv: list[str]) -> dict:
             continue
         name = arg.lstrip("-")
         key = SHORTHAND.get(name, name)
-        if key in FLAG_ONLY or i + 1 >= len(argv) or argv[i + 1].startswith("-") \
-                and not _is_number(argv[i + 1]):
+        if key in FLAG_ONLY or i + 1 >= len(argv) \
+                or (argv[i + 1].startswith("-")
+                    and not _is_number(argv[i + 1])):
             out[key] = True
             i += 1
-        else:
-            out[key] = argv[i + 1]
-            i += 2
+            continue
+        parts = [argv[i + 1]]
+        i += 2
+        while i < len(argv) and not argv[i].startswith("-"):
+            parts.append(argv[i])
+            i += 1
+        value = " ".join(parts)
+        if len(value) >= 2 and value[0] == value[-1] and value[0] in "'\"":
+            value = value[1:-1]
+        out[key] = value
     return out
 
 
