@@ -132,3 +132,97 @@ def test_commandline_spaced_path_and_flags():
     # unquoted negative numbers are values, not flags
     out = parse_args(["-threshold", "-7"])
     assert out["threshold"] == "-7"
+
+
+class _MockFS:
+    """Injectable filesystem mirroring the reference's
+    FilesystemInterface mocks (test_patharray.cpp:390-412)."""
+
+    def __init__(self, files, folders=()):
+        self._files = set(files)
+        self._folders = set(folders)
+
+    def find_files(self, parent):
+        return sorted(self._files)
+
+    def is_folder(self, path):
+        return path in self._folders
+
+    def exists(self, path):
+        return path in self._files
+
+
+def test_patharray_printf_variants():
+    """PathArrayTest.ParsePath / From10ToEnd / ConsecutiveFiles_10_100 /
+    3DigitsPadded / 03DigitsPadded / FilenamesWithSpaces
+    (test_patharray.cpp:388-744)."""
+    from trex_tpu.io.patharray import resolve_paths
+
+    fs = _MockFS({f"/path/to/file{i:02d}" for i in range(3)})
+    assert resolve_paths("/path/to/file%0.2d", fs) == [
+        "/path/to/file00", "/path/to/file01", "/path/to/file02"]
+    assert resolve_paths("/path/to/file%1.2d", fs) == [
+        "/path/to/file01", "/path/to/file02"]
+
+    fs = _MockFS({"/path/to/file010", "/path/to/file011"})
+    assert resolve_paths("/path/to/file%10.3d", fs) == [
+        "/path/to/file010", "/path/to/file011"]
+
+    fs = _MockFS({f"/path/to/file{i:06d}.mp4" for i in range(10, 101)})
+    got = resolve_paths("/path/to/file%10.100.6d.mp4", fs)
+    assert len(got) == 91
+    assert got[0] == "/path/to/file000010.mp4"
+    assert got[-1] == "/path/to/file000100.mp4"
+
+    fs = _MockFS({"/path/to/file000", "/path/to/file001"})
+    for pat in ("/path/to/file%3d", "/path/to/file%03d"):
+        assert resolve_paths(pat, fs) == [
+            "/path/to/file000", "/path/to/file001"]
+
+    fs = _MockFS({"/path to/file 000", "/path to/file 001"})
+    assert resolve_paths("/path to/file %3d", fs) == [
+        "/path to/file 000", "/path to/file 001"]
+
+
+def test_patharray_star_and_array():
+    """PathArrayTest.ParsePath_Star / StarWithSubdirectories /
+    ArrayFormat (test_patharray.cpp:444-846)."""
+    from trex_tpu.io.patharray import resolve_paths
+
+    fs = _MockFS({"/path/to/file1", "/path/to/file2", "/path/to/file3"})
+    assert resolve_paths("/path/to/file*", fs) == [
+        "/path/to/file1", "/path/to/file2", "/path/to/file3"]
+
+    # subdirectory contents are not direct children and never match
+    fs = _MockFS({"/path/to/file_a.txt", "/path/to/file_b.log",
+                  "/path/to/another_file.txt", "/path/to/subdir",
+                  "/path/to/subdir/file_c.txt"},
+                 folders={"/path/to", "/path/to/subdir"})
+    assert resolve_paths("/path/to/*", fs) == [
+        "/path/to/another_file.txt", "/path/to/file_a.txt",
+        "/path/to/file_b.log", "/path/to/subdir"]
+
+    got = resolve_paths('["path/to/file1","/other/path"]', _MockFS(set()))
+    assert got == ["path/to/file1", "/other/path"]
+
+
+def test_patharray_basename_and_sanitize():
+    """FindBasenameTest + SanitizeFilenameTest
+    (test_patharray.cpp:849-901)."""
+    from trex_tpu.io.patharray import find_basename, sanitize_filename
+
+    assert find_basename([]) == ""
+    assert find_basename(["/path/to/file.txt"]) == "file"
+    assert find_basename(["/path/to/file.txt", "/path/to/another_file.txt",
+                          "/path/to/yet_another.txt"]) == "to"
+    assert find_basename(["/path/to/file0001.txt", "/path/to/file0002.txt",
+                          "/path/to/file0005.txt"]) == "to"
+    assert find_basename(["/first/path/to/file.txt",
+                          "/second/path/to/file.txt"]) == "file"
+
+    assert sanitize_filename("") == ""
+    assert sanitize_filename("valid_filename.txt") == "valid_filename.txt"
+    assert sanitize_filename("s/a*n:i?t|i<z>e>d_filename.txt") == \
+        "sanitized_filename.txt"
+    assert sanitize_filename("filename.txt  ") == "filename.txt"
+    assert sanitize_filename("file name.txt") == "file name.txt"

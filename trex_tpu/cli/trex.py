@@ -228,7 +228,16 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             print("no input (-i) given", file=sys.stderr)
             return 1
         if not name:
-            name = Path(source.replace("%", "_")).stem or "output"
+            # default output name = find_basename over the resolved
+            # source array (commons PathArray; SettingsInitializer)
+            from ..io.patharray import (find_basename, has_pattern,
+                                        resolve_paths, sanitize_filename)
+
+            if has_pattern(source):
+                name = sanitize_filename(
+                    find_basename(resolve_paths(source)))
+            if not name:
+                name = Path(source.replace("%", "_")).stem or "output"
         from ..pipeline import Segmenter
 
         pv_path = out_base / f"{name}.pv"

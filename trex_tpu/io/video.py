@@ -57,8 +57,11 @@ class VideoSource:
                 self._live = True
                 if not self._cap.isOpened():
                     raise RuntimeError("cannot open webcam device 0")
-            elif re.search(r"%\d*d", s):
-                self._files = self._expand_printf(s)
+            elif re.search(r"%(?:\d+\.)*\d*d", s):
+                # printf patterns incl. %start.digits / %start.end.digits
+                from .patharray import resolve_paths
+
+                self._files = resolve_paths(s)
             elif any(ch in s for ch in "*?["):
                 self._files = sorted(glob.glob(s))
             elif Path(s).is_dir():
@@ -74,27 +77,6 @@ class VideoSource:
                     raise FileNotFoundError(f"cannot open video source {s!r}")
         if self._files is not None and not self._files:
             raise FileNotFoundError(f"no frames found for {source!r}")
-
-    @staticmethod
-    def _expand_printf(pattern: str) -> list[str]:
-        files = []
-        i = 0
-        while True:
-            # TRex-style %3d means zero-padded 3 digits (commons PathArray)
-            path = re.sub(
-                r"%0?(\d*)d",
-                lambda m: ("%0" + (m.group(1) or "") + "d") % i
-                if m.group(1) else str(i),
-                pattern,
-            )
-            if not Path(path).exists():
-                if i == 0:
-                    i += 1  # allow 1-based sequences
-                    continue
-                break
-            files.append(path)
-            i += 1
-        return files
 
     def __len__(self) -> int:
         if self._files is not None:
