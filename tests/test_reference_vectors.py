@@ -226,3 +226,27 @@ def test_patharray_basename_and_sanitize():
         "sanitized_filename.txt"
     assert sanitize_filename("filename.txt  ") == "filename.txt"
     assert sanitize_filename("file name.txt") == "file name.txt"
+
+
+def test_r3g3b2_conversion_vectors():
+    """VecToR3G3B2Test/R3G3B2ToVecTest/ConvertTo+From vectors
+    (test_pixels.cpp:629-744): the bit layout is
+    [e0:2][e1:3][e2:3] and the inverse is a pure shift expansion."""
+    import numpy as np
+
+    from trex_tpu.io.encoding import bgr_to_r3g3b2, r3g3b2_to_bgr
+
+    v = bgr_to_r3g3b2(np.array([[[255, 128, 64]]], np.uint8))[0, 0]
+    assert v == 0b11100010
+
+    back = r3g3b2_to_bgr(np.array([[0b11100010]], np.uint8))[0, 0]
+    assert tuple(back) == (192, 128, 64)
+
+    # pure channels + white/black (VecToR3G3B2Test.BasicConversion)
+    for color, want in (((255, 0, 0), 0b11000000),
+                        ((0, 255, 0), 0b00111000),
+                        ((0, 0, 255), 0b00000111),
+                        ((255, 255, 255), 0b11111111),
+                        ((0, 0, 0), 0b00000000)):
+        got = bgr_to_r3g3b2(np.array([[color]], np.uint8))[0, 0]
+        assert got == want, (color, bin(got), bin(want))

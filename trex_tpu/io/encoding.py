@@ -1,10 +1,11 @@
 """Pixel encodings for .pv storage (commons processing/encoding.h role).
 
 meta_encoding values (docs/parameters_trex.rst:1885-1893, enum order
-gray/r3g3b2/rgb8/binary): r3g3b2 packs color into one byte
-(3 bits red, 3 green, 2 blue — see the rgb8 doc text in the reference);
-helpers convert between BGR, gray, and r3g3b2 both on host (numpy) and
-device (jax-compatible pure functions).
+gray/r3g3b2/rgb8/binary): r3g3b2 packs color into one byte — despite
+the name, the actual bit layout (test_pixels.cpp:629-744) is
+[element0:2][element1:3][element2:3] top-to-bottom; helpers convert
+between BGR, gray, and r3g3b2 both on host (numpy) and device
+(jax-compatible pure functions).
 """
 from __future__ import annotations
 
@@ -21,11 +22,16 @@ def bgr_to_r3g3b2(bgr: np.ndarray) -> np.ndarray:
 
 
 def r3g3b2_to_bgr(packed: np.ndarray) -> np.ndarray:
-    """(H, W) r3g3b2 -> (H, W, 3) BGR uint8 (expanded to full range)."""
+    """(H, W) r3g3b2 -> (H, W, 3) BGR uint8.
+
+    Channel expansion is a pure shift like the reference's
+    r3g3b2_to_vec (pinned by test_pixels.cpp:636-653: 0b11100010 ->
+    (192, 128, 64)), NOT a full-range rescale: the 2-bit channel tops
+    out at 192 and the 3-bit channels at 224."""
     packed = packed.astype(np.uint16)
-    b = ((packed >> 6) & 0x3) * 85
-    g = ((packed >> 3) & 0x7) * 36
-    r = (packed & 0x7) * 36
+    b = (packed >> 6) << 6
+    g = ((packed >> 3) & 0x7) << 5
+    r = (packed & 0x7) << 5
     return np.stack([b, g, r], axis=-1).astype(np.uint8)
 
 
