@@ -250,3 +250,35 @@ def test_r3g3b2_conversion_vectors():
                         ((0, 0, 0), 0b00000000)):
         got = bgr_to_r3g3b2(np.array([[color]], np.uint8))[0, 0]
         assert got == want, (color, bin(got), bin(want))
+
+
+def test_rgb8_threshold_vector():
+    """BackgroundThresholding.RGB8AbsoluteDifferenceSimulatedBlob
+    (test_pixels.cpp:1073-1167): which pixels survive |diff| >= 25, on
+    the grayscale equivalents of the rgb blob/background (the reference
+    asserts the rgb8 and gray paths produce the same lines)."""
+    import numpy as np
+
+    from trex_tpu.io.encoding import _bgr_luma, storage_to_gray
+
+    bg_rgb = np.array([[(30,) * 3, (50,) * 3, (70,) * 3, (90,) * 3],
+                       [(40,) * 3, (60,) * 3, (80,) * 3, (100,) * 3]],
+                      np.uint8)
+    blob = np.array([(25, 25, 25), (110, 110, 110), (80, 80, 80),
+                     (10, 200, 10), (30, 30, 30), (95, 95, 95),
+                     (200, 200, 200), (100, 100, 100)], np.uint8)
+    gray_blob = storage_to_gray(blob, "rgb8")
+    gray_bg = _bgr_luma(bg_rgb[..., 0], bg_rgb[..., 1],
+                        bg_rgb[..., 2]).reshape(-1)
+    keep = np.abs(gray_blob.astype(int) - gray_bg.astype(int)) >= 25
+    # expected survivors: (0,1), (0,3), (1,1), (1,2)
+    assert keep.tolist() == [False, True, False, True,
+                             False, True, True, False]
+    # luma matches cv2 exactly (storage_to_gray feeds the tracking
+    # threshold, which must agree with the reference's gray path)
+    import cv2
+
+    rgb = np.vstack([blob[None]]).reshape(1, -1, 3)
+    assert np.array_equal(
+        storage_to_gray(blob, "rgb8"),
+        cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY).reshape(-1))
