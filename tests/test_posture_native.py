@@ -46,3 +46,24 @@ def test_resample_short_input_passthrough():
     # too short to emit: python returns input unchanged
     out = resample(pts2, 10.0)
     assert np.array_equal(out, _resample_py(pts2, 10.0))
+
+
+def test_outline_resample_reference_vectors():
+    """OutlineResampleTest (Application/Tests/test_outlines.cpp:53-95):
+    square outline resampled at 5 px -> the 8 expected points; tiny
+    distance densifies >100 points; huge distance collapses <3; a
+    single point passes through unchanged."""
+    sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], np.float32)
+
+    got = resample(sq, 5.0)
+    want = np.array([[0, 0], [5, 0], [10, 0], [10, 5], [10, 10],
+                     [5, 10], [0, 10], [0, 5]], np.float32)
+    assert got.shape == want.shape
+    assert np.allclose(got, want, atol=0.01)
+
+    assert len(resample(sq, 0.1)) > 100
+    assert len(resample(sq, 50.0)) < 3
+
+    single = np.array([[0, 0]], np.float32)
+    out = resample(single, 5.0)
+    assert np.array_equal(out, single)

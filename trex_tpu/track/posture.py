@@ -214,9 +214,10 @@ def resample(points: np.ndarray, distance: float) -> np.ndarray:
         n = lib.trex_outline_resample(
             pts.ctypes.data_as(f32p), len(pts), float(distance),
             buf.ctypes.data_as(f32p), cap)
-        if n == 0:
-            return points
-        if n > 0:
+        if n >= 0:
+            # the emitted set REPLACES the outline even when smaller
+            # than the input (Outline.cpp:726-766; pinned by
+            # OutlineResampleTest.VeryLargeResamplingDistance)
             return buf[:n].copy()
     except OSError:
         pass
@@ -292,7 +293,7 @@ def _resample_py(points: np.ndarray, distance: float) -> np.ndarray:
             offset += 1
             walked -= distance
             walked_percent -= 1.0
-    return np.asarray(out, np.float32) if out else points
+    return np.asarray(out, np.float32).reshape(-1, 2)
 
 
 def smooth_points(points: np.ndarray, samples: float, step: int) -> np.ndarray:
