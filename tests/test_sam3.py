@@ -229,3 +229,129 @@ def test_sam_checkpoint_conversion_roundtrip(tmp_path):
     assert ref_shapes == conv_shapes
     out, iou = model.apply(conv, img, pts, lbl)
     assert out.shape[0] == 1 and iou.shape[-1] == 4
+
+
+# -- prompt payload string format (test_sam3promptpayload.cpp) -----------
+
+def test_prompt_payload_from_str_vectors():
+    from trex_tpu.detect.sam3 import Sam3PromptPayload as P
+
+    p = P.from_str("fish")
+    assert p.type == "text" and p.has_value() and p.text() == "fish"
+    assert p.to_str() == "fish" and p.to_json() == "fish"
+
+    assert P.from_str('"fish"').text() == "fish"
+    assert P.from_str("  'fish'  ").text() == "fish"
+
+    p = P.from_str("[[1,2],[3,4]]")
+    assert p.type == "points" and len(p.points()) == 2
+    assert p.points()[0] == [1, 2] and p.points()[1] == [3, 4]
+    assert p.to_str() == "[[1,2],[3,4]]"
+    assert p.to_json() == [[1, 2], [3, 4]]
+
+    p = P.from_str("[[10,20,30,40],[50,60,70,80]]")
+    assert p.type == "boxes" and len(p.boxes()) == 2
+    assert p.to_str() == "[[10,20,30,40],[50,60,70,80]]"
+
+    p = P.from_str("  [[1,2],[3,4]]  ")
+    assert p.type == "points" and p.to_str() == "[[1,2],[3,4]]"
+
+    import pytest
+
+    for empty in ("  ", "[]"):
+        p = P.from_str(empty)
+        assert not p.has_value() and p.type == "none"
+        with pytest.raises(Exception):
+            p.to_str()
+        with pytest.raises(Exception):
+            p.to_json()
+
+    with pytest.raises(Exception):
+        P.from_str("[[1,2],[3,4,5,6]]")
+
+
+def test_prompt_list_vectors():
+    from trex_tpu.detect.sam3 import Sam3PromptList as L
+    from trex_tpu.detect.sam3 import Sam3PromptPayload as P
+
+    lst = L.from_str(
+        "['hi i bims',[[25,666],[1234,4567]],"
+        "[[0,0,200,200],[200,200,210,230]]]")
+    assert len(lst) == 3
+    assert lst[0] == P("hi i bims")
+    assert lst[1] == P([[25, 666], [1234, 4567]])
+    assert lst[2] == P([[0, 0, 200, 200], [200, 200, 210, 230]])
+
+    single = L([P("fish")])
+    assert single.to_str() == "fish"
+    assert single.to_json() == ["fish"]
+
+    multi = L([P("fish"), P([[1, 2]])])
+    assert multi.to_str() == "[fish,[[1,2]]]"
+    assert multi.to_json() == ["fish", [[1, 2]]]
+
+
+def test_prompt_map_vectors():
+    from trex_tpu.detect.sam3 import (Sam3PromptList, Sam3PromptPayload,
+                                      parse_prompt_map,
+                                      prompt_map_to_json,
+                                      prompt_map_to_str)
+
+    pmap = parse_prompt_map("fish")
+    assert list(pmap) == [None]
+    assert prompt_map_to_str(pmap) == "fish"
+    assert prompt_map_to_json(pmap) == {"null": ["fish"]}
+
+    pmap = {0: Sam3PromptList([Sam3PromptPayload("fish")])}
+    assert prompt_map_to_str(pmap) == "{0:fish}"
+    assert prompt_map_to_json(pmap) == {"0": ["fish"]}
+
+    want = {0: Sam3PromptList([Sam3PromptPayload("fish")])}
+    for text in ("{0:fish}", "{0:'fish'}", "{0:[fish]}", "{0:['fish']}"):
+        assert parse_prompt_map(text) == want, text
+
+    multi = parse_prompt_map("{0:[fish,human]}")
+    assert multi == {0: Sam3PromptList(
+        [Sam3PromptPayload("fish"), Sam3PromptPayload("human")])}
+
+    mixed = parse_prompt_map("{null:human,0:fish,1:[[10,12]]}")
+    assert mixed[None] == Sam3PromptList([Sam3PromptPayload("human")])
+    assert mixed[0] == Sam3PromptList([Sam3PromptPayload("fish")])
+    assert mixed[1] == Sam3PromptList([Sam3PromptPayload([[10, 12]])])
+
+    assert prompt_map_to_str({}) == "{}"
+    assert prompt_map_to_json({}) == {}
+
+
+def test_prompt_materialize_legacy_multibox():
+    """MaterializeLegacyMultiBoxPromptsAsSeparateObjects
+    (test_sam3promptpayload.cpp:228-252)."""
+    from trex_tpu.detect.sam3 import (Sam3PromptList, Sam3PromptPayload,
+                                      flatten_prompt_state,
+                                      materialize_prompt_state)
+
+    pmap = {
+        None: Sam3PromptList([Sam3PromptPayload("fish")]),
+        3: Sam3PromptList([Sam3PromptPayload(
+            [[0, 0, 10, 10], [20, 20, 10, 10], [40, 40, 10, 10]])]),
+    }
+    shared, objects = materialize_prompt_state(3, pmap)
+    assert len(shared) == 1 and shared[0].text() == "fish"
+    assert len(objects) == 3
+    flat = flatten_prompt_state((shared, objects))
+    assert len(flat) == 4
+    assert flat[0].text() == "fish"
+    for p in flat[1:]:
+        assert p.type == "boxes" and len(p.boxes()) == 1
+
+
+def test_prompts_from_setting_reference_format():
+    from trex_tpu.detect.sam3 import Sam3Prompts
+
+    r = Sam3Prompts.from_setting("{0:fish,3:[[0,0,10,10],[20,20,10,10]]}")
+    objs0 = r.materialize(0)
+    assert len(objs0) == 1  # the text prompt
+    objs3 = r.materialize(3)
+    assert len(objs3) == 3  # text + one object per box
+    boxes = [o.seed_box for o in objs3 if o.seed_box]
+    assert sorted(boxes) == [(0, 0, 10, 10), (20, 20, 10, 10)]

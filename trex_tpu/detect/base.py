@@ -156,7 +156,7 @@ class Sam3Backend(DetectionBackend):
 
         self.settings = settings
         prompt = settings["detect_sam3_prompt"]
-        self.prompts = Sam3Prompts.from_json(prompt) if prompt \
+        self.prompts = Sam3Prompts.from_setting(prompt) if prompt \
             else Sam3Prompts()
         model_path = settings["detect_model"]
         if model_path and Path(str(model_path)).exists():

@@ -57,6 +57,201 @@ class Sam3PromptObject:
     negative_prompts: list = field(default_factory=list)
 
 
+class Sam3PromptPayload:
+    """One prompt payload: text, point array, or box array
+    (misc/Sam3PromptPayload; string format pinned by the reference's
+    test_sam3promptpayload.cpp, ported in tests/test_sam3.py).
+
+    type: 'none' | 'text' | 'points' | 'boxes'."""
+
+    def __init__(self, value=None):
+        if value is None or value == "" or value == []:
+            self.type, self.value = "none", None
+        elif isinstance(value, str):
+            self.type, self.value = "text", value
+        else:
+            rows = [list(map(float, r)) for r in value]
+            if all(len(r) == 2 for r in rows):
+                self.type, self.value = "points", rows
+            elif all(len(r) == 4 for r in rows):
+                self.type, self.value = "boxes", rows
+            else:
+                raise ValueError("mixed prompt array shapes")
+
+    def has_value(self) -> bool:
+        return self.type != "none"
+
+    def text(self):
+        return self.value if self.type == "text" else None
+
+    def points(self):
+        return self.value if self.type == "points" else []
+
+    def boxes(self):
+        return self.value if self.type == "boxes" else []
+
+    @classmethod
+    def from_str(cls, sv: str) -> "Sam3PromptPayload":
+        s = str(sv).strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            s = s[1:-1].strip()
+        if not s:
+            return cls(None)
+        if s.startswith("["):
+            rows = json.loads(s.replace("'", '"'))
+            if not rows:
+                return cls(None)
+            return cls(rows)
+        return cls(s)
+
+    @staticmethod
+    def _fmt(v: float) -> str:
+        return str(int(v)) if float(v) == int(v) else repr(float(v))
+
+    def to_str(self) -> str:
+        if self.type == "none":
+            raise ValueError("empty prompt payload has no string form")
+        if self.type == "text":
+            return self.value
+        return "[" + ",".join(
+            "[" + ",".join(self._fmt(x) for x in row) + "]"
+            for row in self.value) + "]"
+
+    def to_json(self):
+        if self.type == "none":
+            raise ValueError("empty prompt payload has no json form")
+        if self.type == "text":
+            return self.value
+        return [[int(x) if float(x) == int(x) else float(x) for x in r]
+                for r in self.value]
+
+    def __eq__(self, other):
+        return (isinstance(other, Sam3PromptPayload)
+                and self.type == other.type and self.value == other.value)
+
+    __str__ = to_str
+
+
+class Sam3PromptList(list):
+    """Ordered payload list; toStr collapses a single payload
+    (test_sam3promptpayload.cpp:105-139)."""
+
+    @classmethod
+    def from_str(cls, sv: str) -> "Sam3PromptList":
+        s = str(sv).strip()
+        if not s.startswith("["):
+            return cls([Sam3PromptPayload.from_str(s)])
+        parts = _split_top_level(s[1:-1])
+        if not parts:
+            return cls()
+        # a bare point/box array is ONE payload, not a list of rows
+        if all(p.strip().startswith("[") for p in parts):
+            try:
+                return cls([Sam3PromptPayload.from_str(s)])
+            except ValueError:
+                pass
+        return cls(Sam3PromptPayload.from_str(p) for p in parts)
+
+    def to_str(self) -> str:
+        if len(self) == 1:
+            return self[0].to_str()
+        return "[" + ",".join(p.to_str() for p in self) + "]"
+
+    def to_json(self):
+        return [p.to_json() for p in self]
+
+
+def _split_top_level(s: str) -> list[str]:
+    parts, depth, cur, quote = [], 0, [], None
+    for ch in s:
+        if quote:
+            if ch == quote:
+                quote = None
+            cur.append(ch)
+            continue
+        if ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "[":
+            depth += 1
+            cur.append(ch)
+        elif ch == "]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def parse_prompt_map(sv) -> dict:
+    """Sam3Prompts::fromStr: '{0:fish,null:human}' or a bare payload /
+    payload list (keyed null). Keys: int frame or None."""
+    s = str(sv).strip()
+    out: dict = {}
+    if not s:
+        return out
+    if s.startswith("{"):
+        for part in _split_top_level(s[1:-1]):
+            if not part:
+                continue
+            k, _, v = part.partition(":")
+            k = k.strip().strip('"').strip("'")
+            key = None if k in ("null", "None", "") else int(k)
+            out[key] = Sam3PromptList.from_str(v.strip())
+        return out
+    out[None] = Sam3PromptList.from_str(s)
+    return out
+
+
+def prompt_map_to_str(pmap: dict) -> str:
+    if not pmap:
+        return "{}"
+    if len(pmap) == 1 and None in pmap:
+        return pmap[None].to_str()
+    def key(k):
+        return "null" if k is None else str(k)
+    items = sorted(pmap.items(),
+                   key=lambda kv: (-1 if kv[0] is None else kv[0]))
+    return "{" + ",".join(f"{key(k)}:{v.to_str()}" for k, v in items) + "}"
+
+
+def prompt_map_to_json(pmap: dict) -> dict:
+    return {("null" if k is None else str(k)): v.to_json()
+            for k, v in sorted(
+                pmap.items(),
+                key=lambda kv: (-1 if kv[0] is None else kv[0]))}
+
+
+def materialize_prompt_state(frame: int, pmap: dict):
+    """materialize_sam3_prompt_state: shared (text/point) prompts from
+    every entry at or before `frame`, plus one OBJECT per box — a
+    legacy multi-box payload becomes separate single-box objects
+    (test_sam3promptpayload.cpp:228-252)."""
+    shared: list[Sam3PromptPayload] = []
+    objects: list[Sam3PromptPayload] = []
+    keys = sorted((k for k in pmap if k is None or k <= frame),
+                  key=lambda k: (-1 if k is None else k))
+    for k in keys:
+        for payload in pmap[k]:
+            if payload.type == "boxes":
+                for box in payload.boxes():
+                    objects.append(Sam3PromptPayload([box]))
+            elif payload.has_value():
+                shared.append(payload)
+    return shared, objects
+
+
+def flatten_prompt_state(state) -> list:
+    shared, objects = state
+    return list(shared) + list(objects)
+
+
 class Sam3Prompts:
     """Frame-indexed prompt map (detect_sam3_prompt setting)."""
 
@@ -119,6 +314,45 @@ class Sam3Prompts:
             ]
             for f, objs in self.by_frame.items()
         })
+
+    @classmethod
+    def from_setting(cls, value) -> "Sam3Prompts":
+        """Accept either the reference's prompt-map string format
+        ('fish', '{0:[[10,20,30,40]]}', ...) or our repository JSON."""
+        if isinstance(value, cls):
+            return value
+        if isinstance(value, str):
+            s = value.strip()
+            looks_like_repo = False
+            if s.startswith("{"):
+                try:
+                    data = json.loads(s)
+                    looks_like_repo = data and all(
+                        isinstance(v, list) and v
+                        and isinstance(v[0], dict) and "id" in v[0]
+                        for v in data.values())
+                except (ValueError, AttributeError):
+                    looks_like_repo = False
+            if not looks_like_repo:
+                pmap = parse_prompt_map(s)
+                self = cls()
+                for key, plist in pmap.items():
+                    frame = 0 if key is None else int(key)
+                    for payload in plist:
+                        if payload.type == "text":
+                            self.add(frame, Sam3Prompt(text=payload.text()))
+                        elif payload.type == "points":
+                            for pt in payload.points():
+                                self.add(frame,
+                                         Sam3Prompt(point=tuple(pt)))
+                        elif payload.type == "boxes":
+                            # one object per box (legacy multi-box)
+                            for b in payload.boxes():
+                                self.add(frame,
+                                         Sam3Prompt(box=tuple(b)),
+                                         box=tuple(b))
+                return self
+        return cls.from_json(value)
 
     @classmethod
     def from_json(cls, text) -> "Sam3Prompts":
