@@ -170,3 +170,81 @@ def test_index_table_allows_random_access(tmp_path):
         fr = f.read_frame(7)
         assert fr.source_index == 7
         assert lines_num_pixels(fr.masks[0]) == 8
+
+
+def _fill_frame(i, w=50, h=50):
+    from trex_tpu.io.pv import PVFrame
+
+    fr = PVFrame(timestamp=1000 + i * 40000)
+    lines = np.array([[10 + i % 5, 5, 9], [11 + i % 5, 5, 9]], np.int32)
+    fr.add_object(lines, pixels=np.full(10, 30 + i, np.uint8))
+    return fr
+
+
+def test_pv_modify_jump_around(tmp_path):
+    """PVTest.JumpAroundInFile (test_sam3interactivesession.cpp:167):
+    write 10 frames, reopen MODIFY, reset_to_frame(2), append two
+    frames, reopen read -> 4 frames."""
+    from trex_tpu.io.pv import PVFile, PVHeader
+
+    p = tmp_path / "test.pv"
+    h = PVHeader(width=50, height=50, encoding="gray",
+                 average=np.zeros((50, 50), np.uint8), source="virtual")
+    with PVFile.create(p, h) as f:
+        for i in range(10):
+            f.add_frame(_fill_frame(i))
+        assert f.header.num_frames == 10
+
+    f = PVFile.open_modify(p)
+    f.reset_to_frame(2)
+    assert f.header.num_frames == 2
+    f.add_frame(_fill_frame(2))
+    assert f.header.num_frames == 3
+    f.add_frame(_fill_frame(3))
+    assert f.header.num_frames == 4
+    f.close()
+
+    with PVFile.open(p) as rd:
+        assert len(rd) == 4
+        for i in range(4):
+            fr = rd.read_frame(i)
+            assert fr.n == 1
+            assert fr.timestamp == 1000 + i * 40000
+            assert fr.pixels[0][0] == 30 + i
+
+
+def test_pv_modify_append_without_reset(tmp_path):
+    """MODIFY without reset: appending continues after the last
+    frame (pv::File WRITE->MODIFY reopen)."""
+    from trex_tpu.io.pv import PVFile, PVHeader
+
+    p = tmp_path / "t.pv"
+    h = PVHeader(width=50, height=50, encoding="gray",
+                 average=np.zeros((50, 50), np.uint8))
+    with PVFile.create(p, h) as f:
+        for i in range(3):
+            f.add_frame(_fill_frame(i))
+    f = PVFile.open_modify(p)
+    f.add_frame(_fill_frame(3))
+    f.close()
+    with PVFile.open(p) as rd:
+        assert len(rd) == 4
+        assert rd.read_frame(3).timestamp == 1000 + 3 * 40000
+
+
+def test_pv_reset_to_zero(tmp_path):
+    from trex_tpu.io.pv import PVFile, PVHeader
+
+    p = tmp_path / "z.pv"
+    h = PVHeader(width=50, height=50, encoding="gray",
+                 average=np.zeros((50, 50), np.uint8))
+    with PVFile.create(p, h) as f:
+        for i in range(5):
+            f.add_frame(_fill_frame(i))
+    f = PVFile.open_modify(p)
+    f.reset_to_frame(0)
+    assert f.header.num_frames == 0
+    f.add_frame(_fill_frame(0))
+    f.close()
+    with PVFile.open(p) as rd:
+        assert len(rd) == 1

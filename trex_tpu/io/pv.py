@@ -508,6 +508,86 @@ class PVFile:
         fh.seek(end)
         fh.truncate()
 
+    # ---------------- modify (append / rewind) ----------------
+    @classmethod
+    def open_modify(cls, path) -> "PVFile":
+        """Open an existing .pv for continued writing (pv::FileMode::
+        MODIFY, reference pv.cpp; behavior pinned by the reference's
+        PVTest.JumpAroundInFile/DoItInOne): the writer resumes after
+        the last frame; `reset_to_frame` rewinds first."""
+        existing = cls.open(path)
+        h = existing.header
+        data = existing._data
+        existing._fh.close()
+        if h.version != CURRENT_VERSION:
+            raise ValueError(
+                f"can only modify V_{CURRENT_VERSION} files "
+                f"(got V_{h.version})")
+        fh = open(path, "r+b")
+        self = cls(path, "w", h, fh)
+        # recover the header patch offsets by replaying the layout
+        r = _Reader(data)
+        r.string()          # magic
+        r.string()          # encoding (V_14+)
+        r.read(8)           # width,height
+        r.read(8)           # offsets
+        r.read(16)          # conversion range
+        r.string()          # source
+        r.read(1)           # line size
+        self._patch["num_frames"] = r.pos
+        r.u32()
+        self._patch["index_offset"] = r.pos
+        r.u64()
+        self._patch["timestamp"] = r.pos
+        # writing resumes at the sentinel before the index table
+        fh.seek(h.index_offset - 8)
+        if h.index_table:
+            self._prev_time = self._frame_timestamp_at(h.index_table[-1])
+            first_ts = self._frame_timestamp_at(h.index_table[0])
+            self._running_tdelta = self._prev_time - first_ts
+        return self
+
+    def _frame_timestamp_at(self, offset: int) -> int:
+        """Parse just the timestamp of the frame starting at `offset`."""
+        self._fh.flush()
+        pos = self._fh.tell()
+        self._fh.seek(offset)
+        compressed = self._fh.read(1) == b"\x01"
+        if compressed:
+            comp_len, _ = struct.unpack("<II", self._fh.read(8))
+            payload = lzo.decompress(self._fh.read(comp_len))
+        else:
+            payload = self._fh.read(16)
+        ts = struct.unpack("<Q", payload[:8])[0]
+        self._fh.seek(pos)
+        return ts
+
+    def reset_to_frame(self, n: int):
+        """Drop every frame from index `n` on; the next add_frame
+        overwrites from there (pv::File::reset_to_frame)."""
+        if self.mode != "w":
+            raise IOError("file not open for writing")
+        h = self.header
+        n = int(n)
+        if n < 0 or n > h.num_frames:
+            raise ValueError(f"cannot reset to frame {n} "
+                             f"of {h.num_frames}")
+        if n == h.num_frames:
+            return
+        resume = h.index_table[n]  # start byte of the dropped frame
+        h.index_table = h.index_table[:n]
+        h.num_frames = n
+        if n:
+            self._prev_time = self._frame_timestamp_at(h.index_table[-1])
+            first_ts = self._frame_timestamp_at(h.index_table[0])
+            self._running_tdelta = self._prev_time - first_ts
+        else:
+            self._prev_time = None
+            self._running_tdelta = 0
+        h.average_tdelta = (self._running_tdelta / h.num_frames
+                            if h.num_frames else 0)
+        self._fh.seek(resume)
+
     # ---------------- reading ----------------
     @classmethod
     def open(cls, path) -> "PVFile":
