@@ -282,3 +282,58 @@ def test_rgb8_threshold_vector():
     assert np.array_equal(
         storage_to_gray(blob, "rgb8"),
         cv2.cvtColor(rgb, cv2.COLOR_BGR2GRAY).reshape(-1))
+
+
+def test_segmenter_exact_frames_and_conversion_range(tmp_path):
+    """SegmenterExactFramesTest (test_segmenter.cpp:143-235): a 12-frame
+    synthetic moving-square sequence converts frame-exactly; with
+    video_conversion_range=[4,-1] the output has 8 frames whose
+    source_index keeps the +4 offset."""
+    import cv2
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.pv import PVFile
+    from trex_tpu.pipeline import Segmenter
+
+    src_dir = tmp_path / "source"
+    src_dir.mkdir()
+    for i in range(12):
+        frame = np.zeros((48, 64, 3), np.uint8)
+        x = 4 + i * 3
+        cv2.rectangle(frame, (x, 18), (x + 8, 26), (255, 255, 255), -1)
+        frame[0, 0] = (i, 255 - i, (i * 37) % 256)
+        cv2.imwrite(str(src_dir / f"frame_{i:04d}.png"), frame)
+
+    def convert(range_setting, out_name):
+        s = reset_global_settings()
+        s["detect_type"] = "background_subtraction"
+        s["track_background_subtraction"] = True
+        s["calculate_posture"] = False
+        s["meta_encoding"] = "gray"
+        s["frame_rate"] = 25
+        s["track_threshold"] = 15
+        s["detect_threshold"] = 15
+        s["cm_per_pixel"] = 1.0
+        s["average_samples"] = 4
+        s["detect_size_filter"] = [[1, 10000]]
+        s["track_size_filter"] = [[1, 10000]]
+        s["track_max_individuals"] = 1
+        if range_setting is not None:
+            s["video_conversion_range"] = range_setting
+        seg = Segmenter(s, str(src_dir / "frame_%04d.png"),
+                        tmp_path / out_name, track=False)
+        seg.run()
+        return PVFile.open(tmp_path / out_name)
+
+    with convert(None, "full.pv") as f:
+        assert len(f) == 12
+        for i in range(12):
+            fr = f.read_frame(i)
+            assert fr.source_index == i, (i, fr.source_index)
+
+    with convert([4, -1], "offset.pv") as f:
+        assert len(f) == 8
+        assert f.header.conversion_start == 4
+        for i in range(8):
+            fr = f.read_frame(i)
+            assert fr.source_index == i + 4, (i, fr.source_index)

@@ -316,7 +316,15 @@ class Segmenter:
             name=self.output_path.stem,
         )
         if frame_range is None:
-            frame_range = (0, len(src) - 1)
+            # video_conversion_range (grabber default_config.cpp:105,
+            # applied like Segmenter::set_metadata): -1 keeps the
+            # default on either side independently
+            rng = s["video_conversion_range"] or [-1, -1]
+            start = int(rng[0]) if rng[0] is not None and rng[0] >= 0 \
+                else 0
+            end = int(rng[1]) if len(rng) > 1 and rng[1] is not None \
+                and rng[1] >= 0 else len(src) - 1
+            frame_range = (start, end)
         header.conversion_start, header.conversion_end = frame_range
 
         self.tracker = select_tracker(
