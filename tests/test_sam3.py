@@ -355,3 +355,137 @@ def test_prompts_from_setting_reference_format():
     assert len(objs3) == 3  # text + one object per box
     boxes = [o.seed_box for o in objs3 if o.seed_box]
     assert sorted(boxes) == [(0, 0, 10, 10), (20, 20, 10, 10)]
+
+
+# -- anchor/replay scheduler (test_sam3interactivesession.cpp) -----------
+
+class _FakeBackend:
+    def __init__(self):
+        self.calls = []
+
+    def reset(self, frame):
+        self.calls.append(f"reset:{frame}")
+
+    def predict(self, frame, n_new):
+        self.calls.append(f"predict:{frame}:{n_new}")
+        return f"mask{frame}"
+
+    def replay_begin(self, start, end, count):
+        self.calls.append(f"replay_begin:{start}:{end}:{count}")
+
+    def replay_step(self, n):
+        self.calls.append(f"replay_step:{n}")
+
+    def replay_finish(self):
+        self.calls.append("replay_finish")
+
+
+def _make_session():
+    from trex_tpu.detect.sam3 import Sam3ReplaySession
+
+    backend = _FakeBackend()
+    loaded = []
+    session = Sam3ReplaySession(backend, loaded.append)
+    return session, backend, loaded
+
+
+def test_session_same_frame_rerun_uses_snapshot_anchor():
+    session, backend, loaded = _make_session()
+    first = session.process_frame(0)
+    assert session.commit_frame(first)
+    backend.calls.clear(); loaded.clear()
+
+    rerun = session.process_frame(0, attempt=1)
+    assert rerun.frame_index == 0
+    assert backend.calls == ["reset:0", "predict:0:0"]
+    assert loaded == []
+
+
+def test_session_next_frame_uses_live_runtime():
+    session, backend, loaded = _make_session()
+    assert session.commit_frame(session.process_frame(0))
+    backend.calls.clear(); loaded.clear()
+
+    second = session.process_frame(1)
+    assert second.frame_index == 1
+    assert backend.calls == ["predict:1:0"]
+    assert loaded == []
+
+
+def test_session_forward_jump_replays_from_live_runtime():
+    from trex_tpu.detect.sam3 import parse_prompt_map
+
+    session, backend, loaded = _make_session()
+    session.set_prompts(parse_prompt_map(
+        "{0:[[0.1,0.1,0.2,0.2],[0.5,0.5,0.2,0.2]]}"))
+    assert session.commit_frame(session.process_frame(0))
+    backend.calls.clear(); loaded.clear()
+
+    jumped = session.process_frame(3)
+    assert jumped.frame_index == 3
+    assert backend.calls == [
+        "replay_begin:1:3:3",
+        "predict:1:0", "replay_step:1",
+        "predict:2:0", "replay_step:1",
+        "predict:3:0", "replay_step:1",
+        "replay_finish"]
+    assert loaded == [1, 2]
+
+
+def test_session_prompt_frame_becomes_replay_anchor():
+    from trex_tpu.detect.sam3 import parse_prompt_map
+
+    session, backend, loaded = _make_session()
+    session.set_prompts(parse_prompt_map("{3:[[0.1,0.1,0.3,0.3]]}"))
+    for f in range(4):
+        assert session.commit_frame(session.process_frame(f))
+    backend.calls.clear(); loaded.clear()
+
+    replayed = session.process_frame(5)
+    assert replayed.frame_index == 5
+    assert backend.calls == [
+        "replay_begin:4:5:2",
+        "predict:4:0", "replay_step:1",
+        "predict:5:0", "replay_step:1",
+        "replay_finish"]
+    assert loaded == [4]
+
+
+def test_session_invalidate_from_drops_anchors_and_forces_replay():
+    session, backend, loaded = _make_session()
+    for f in range(3):
+        assert session.commit_frame(session.process_frame(f))
+    session.invalidate_from(1)
+    backend.calls.clear(); loaded.clear()
+
+    replayed = session.process_frame(2)
+    assert replayed.frame_index == 2
+    assert backend.calls == [
+        "reset:0",
+        "replay_begin:0:2:3",
+        "predict:0:0", "replay_step:1",
+        "predict:1:0", "replay_step:1",
+        "predict:2:0", "replay_step:1",
+        "replay_finish"]
+    assert loaded == [0, 1]
+
+
+def test_session_invalidated_inflight_frame_cannot_commit():
+    session, backend, loaded = _make_session()
+    assert session.commit_frame(session.process_frame(0))
+
+    second = session.process_frame(1)
+    session.invalidate_from(1)
+    assert not session.commit_frame(second)
+
+    backend.calls.clear(); loaded.clear()
+    third = session.process_frame(2)
+    assert third.frame_index == 2
+    assert backend.calls == [
+        "reset:0",
+        "replay_begin:0:2:3",
+        "predict:0:0", "replay_step:1",
+        "predict:1:0", "replay_step:1",
+        "predict:2:0", "replay_step:1",
+        "replay_finish"]
+    assert loaded == [0, 1]

@@ -549,3 +549,98 @@ class Sam3InteractiveSession:
         self.state = SessionState.Idle
         self.masks.clear()
         self.error = None
+
+
+@dataclass
+class ProcessedFrame:
+    """Result handle from Sam3ReplaySession.process_frame; carries the
+    invalidation generation so stale in-flight frames cannot commit."""
+    frame_index: int
+    generation: int
+    result: object = None
+
+
+class Sam3ReplaySession:
+    """The anchor/replay scheduler of SAM3InteractiveSession.cpp,
+    behavior pinned by the reference's test_sam3interactivesession.cpp
+    (ported in tests/test_sam3.py):
+
+    - the frame after the last committed one runs on the live runtime
+      (one predict, no reset, no replay bracket);
+    - a forward jump replays last+1..target inside a
+      replay_begin/replay_step/replay_finish bracket, loading every
+      intermediate frame through `images_fn` (the caller's tile
+      provides the target image);
+    - re-running a committed frame resets the backend to that frame's
+      stored snapshot anchor and predicts without replaying;
+    - invalidate_from(f) drops anchors >= f and bumps the generation:
+      in-flight frames can no longer commit, and the next
+      process_frame resets to the best remaining anchor and replays
+      from there.
+    """
+
+    def __init__(self, backend, images_fn: Callable[[int], object]):
+        self.backend = backend
+        self.images_fn = images_fn
+        self.prompts: Optional[dict] = None  # parse_prompt_map output
+        self._anchors: set[int] = set()
+        self._last_committed = -1
+        self._generation = 0
+        self._runtime_valid = False
+
+    # -- prompt bookkeeping -------------------------------------------
+    def set_prompts(self, pmap: Optional[dict]):
+        self.prompts = pmap
+
+    def _n_new_prompts(self, frame: int) -> int:
+        if not self.prompts:
+            return 0
+        plist = self.prompts.get(frame)
+        return len(plist) if plist else 0
+
+    # -- processing -----------------------------------------------------
+    def process_frame(self, frame: int, image=None,
+                      attempt: int = 0) -> ProcessedFrame:
+        b = self.backend
+        gen = self._generation
+        if self._runtime_valid and frame == self._last_committed + 1:
+            res = b.predict(frame, self._n_new_prompts(frame))
+        elif self._runtime_valid and frame > self._last_committed + 1:
+            res = self._replay(self._last_committed + 1, frame)
+        else:
+            anchors = [a for a in self._anchors if a <= frame]
+            a = max(anchors) if anchors else 0
+            b.reset(a)
+            if frame == a:
+                res = b.predict(frame, self._n_new_prompts(frame))
+            else:
+                res = self._replay(a, frame)
+            self._runtime_valid = False  # valid again only on commit
+        return ProcessedFrame(frame_index=frame, generation=gen,
+                              result=res)
+
+    def _replay(self, start: int, end: int):
+        b = self.backend
+        b.replay_begin(start, end, end - start + 1)
+        res = None
+        for f in range(start, end + 1):
+            if f != end:
+                self.images_fn(f)
+            res = b.predict(f, self._n_new_prompts(f))
+            b.replay_step(1)
+        b.replay_finish()
+        return res
+
+    def commit_frame(self, processed: ProcessedFrame) -> bool:
+        if processed.generation != self._generation:
+            return False
+        self._anchors.add(processed.frame_index)
+        self._last_committed = processed.frame_index
+        self._runtime_valid = True
+        return True
+
+    def invalidate_from(self, frame: int):
+        self._anchors = {a for a in self._anchors if a < frame}
+        self._last_committed = min(self._last_committed, frame - 1)
+        self._generation += 1
+        self._runtime_valid = False
