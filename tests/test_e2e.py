@@ -244,3 +244,37 @@ def test_convert_subset_parity_floor(tmp_path):
         multi += ms == gs
     assert multi / len(frs) >= 0.85, \
         f"X multisets only match on {multi}/40 frames"
+
+
+def test_pvinfo_harness_frame_count_checks(tmp_path, capsys):
+    """run_unix.bash check_frame_count_with_pvinfo: `-d DIR -i DIR/test
+    -quiet -print_parameters "[video_length]"` prints
+    `video_length = N` and `-plain_text` prints `frames N`; with
+    `-p corrected` the input resolves under the prefix directory."""
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+    _convert_range(tmp_path, 5)
+    from trex_tpu.cli.pvinfo import main
+
+    rc = main(["-d", str(tmp_path), "-i", str(tmp_path / "test"),
+               "-quiet", "-print_parameters", "[video_length]"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "video_length = 5" in out.splitlines()
+
+    rc = main(["-d", str(tmp_path), "-i", str(tmp_path / "test"),
+               "-quiet", "-plain_text"])
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    assert "frames 5" in out
+    assert any(line.startswith("version ") for line in out)
+
+    # prefix flow: -p corrected resolves DIR/corrected/test.pv
+    sub = tmp_path / "corrected"
+    sub.mkdir()
+    (tmp_path / "test.pv").rename(sub / "test.pv")
+    rc = main(["-d", str(tmp_path), "-i", str(tmp_path / "test"),
+               "-p", "corrected", "-quiet", "-plain_text"])
+    assert rc == 0
+    assert "frames 5" in capsys.readouterr().out.splitlines()

@@ -21,11 +21,19 @@ def main(argv=None) -> int:
     print_params = []
     merge_out = None
     merge_in = []
+    out_dir = None
+    prefix = None
     i = 0
     while i < len(argv):
         a = argv[i]
         if a == "-i" and i + 1 < len(argv):
             path = argv[i + 1]
+            i += 2
+        elif a == "-d" and i + 1 < len(argv):
+            out_dir = argv[i + 1]
+            i += 2
+        elif a == "-p" and i + 1 < len(argv):
+            prefix = argv[i + 1]
             i += 2
         elif a == "-print_parameters" and i + 1 < len(argv):
             v = argv[i + 1].strip("[]")
@@ -40,6 +48,22 @@ def main(argv=None) -> int:
             i += 1
         else:
             i += 1
+
+    # -d/-p resolution (pvinfo.cpp DataLocation: the input lives in
+    # <output_dir>/<output_prefix>/, run_unix.bash:check_frame_count)
+    if path and (out_dir or prefix):
+        cand = []
+        name = Path(path).name
+        if out_dir and prefix:
+            cand.append(Path(out_dir) / prefix / name)
+        if prefix:
+            cand.append(Path(path).parent / prefix / name)
+        if out_dir:
+            cand.append(Path(out_dir) / name)
+        for c in cand:
+            if c.with_suffix(".pv").exists() or c.exists():
+                path = str(c)
+                break
 
     if merge_out:
         from ..io.pv import merge_files
@@ -76,7 +100,14 @@ def main(argv=None) -> int:
                 value = s[name]
             else:
                 value = "<not found>"
-            print(value if plain or quiet else f"{name} = {value}")
+            # parameter_format=settings (the default): `name = value`
+            # lines, which the reference harness parses
+            # (run_unix.bash: awk '/^video_length = /')
+            print(value if plain else f"{name} = {value}")
+        return 0
+    if plain:
+        # pvinfo.cpp:445: "version N\nframes M"
+        print(f"version {h.version}\nframes {h.num_frames}")
         return 0
     if quiet:
         print(h.num_frames)
