@@ -132,3 +132,18 @@ def test_retrack_modes_match_convert(converted, mode, tmp_path):
         a = (converted / "data" / f"test_fish{i}.csv").read_bytes()
         b = (out / "data" / f"test_fish{i}.csv").read_bytes()
         assert a == b, f"{mode} re-track fish{i} differs from convert"
+
+
+def test_run_harness_end_to_end(tmp_path):
+    """tools/run_harness.py = the run_unix.bash port: convert + compare
+    + pvinfo frame checks + re-track under -p corrected + compare."""
+    import subprocess
+
+    if not FIXTURE.exists():
+        pytest.skip("fixture not available")
+    r = subprocess.run(
+        [sys.executable, str(Path("tools/run_harness.py").resolve()),
+         "--workdir", str(tmp_path), "--modes", "automatic"],
+        capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stdout[-3000:] + r.stderr[-2000:]
+    assert "HARNESS: PASS" in r.stdout
