@@ -660,3 +660,30 @@ def test_cli_log_file_tee(tmp_path):
     assert log.exists()
     assert "[rst] wrote" in log.read_text()
     assert "[rst] wrote" in r.stdout
+
+
+def test_results_categorize_block_roundtrip(tmp_path):
+    """Categorize::DataStore block in .results
+    (CategorizeDatastore.cpp:1312-1371): labels, per-frame blob label
+    cache, ranged labels with per-frame blob ids."""
+    from trex_tpu.export.results_binary import (ResultsFile, read_results,
+                                                write_results)
+
+    res = ResultsFile()
+    res.video_length = 5
+    res.categorize = {
+        "labels": ["male", "female"],
+        "probs": {3: {12345: 1}, 4: {22222: 0, 33333: 1}},
+        "ranged": [(2, 4, 1, [111, 222, 333])],
+    }
+    p = tmp_path / "c.results"
+    write_results(p, res)
+    back = read_results(p)
+    assert back.categorize == res.categorize
+
+    # absent block stays None
+    res2 = ResultsFile()
+    res2.video_length = 1
+    p2 = tmp_path / "n.results"
+    write_results(p2, res2)
+    assert read_results(p2).categorize is None

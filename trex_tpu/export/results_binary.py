@@ -182,6 +182,10 @@ class ResultsFile:
     settings: str = ""
     cmd_line: str = ""
     rec_data: dict = field(default_factory=dict)  # frame -> {bid: [float]}
+    # Categorize::DataStore block (CategorizeDatastore.cpp:1312-1371):
+    # {"labels": [names], "probs": {frame: {bid: label_id}},
+    #  "ranged": [(start, end, label_id, [bids len == end-start+1])]}
+    categorize: Optional[dict] = None
     tags: dict = field(default_factory=dict)  # id -> {frame: (bid, p)}
     auto_assign: dict = field(default_factory=dict)  # id -> [(s, e, [bids])]
     frame_properties: list = field(default_factory=list)  # (frame, ts, n)
@@ -484,19 +488,29 @@ def read_results(path) -> ResultsFile:
                 per[bid] = np.frombuffer(r.raw(4 * vs), "<f4").copy()
             out.rec_data[frame] = per
     if version >= V_33:
-        if r.u8() == 1:  # categorize data present: parse + discard
+        if r.u8() == 1:  # Categorize::DataStore block
+            labels = []
             for _ in range(r.u64()):
-                r.i32()
-                r.string()
+                r.i32()  # label id == list position
+                labels.append(r.string())
+            probs = {}
             for _ in range(r.u64()):
-                r.u32()
+                frame = r.u32()
+                per = {}
                 for _ in range(r.u32()):
-                    r.u32()
-                    r.i32()
+                    bid = r.u32()
+                    per[bid] = r.i32()
+                if per:
+                    probs[frame] = per
+            ranged = []
             for _ in range(r.u64()):
                 s, e = r.u32(), r.u32()
-                r.i32()
-                r.skip(4 * (e - s + 1))
+                lbl = r.i32()
+                bids = np.frombuffer(r.raw(4 * (e - s + 1)),
+                                     "<u4").tolist()
+                ranged.append((s, e, lbl, bids))
+            out.categorize = {"labels": labels, "probs": probs,
+                              "ranged": ranged}
     if version >= V_35:
         for _ in range(r.u32()):
             tid = r.u32()
@@ -567,7 +581,28 @@ def write_results(path, res: ResultsFile):
             w.u32(bid)
             w.u64(len(vec))
             w.raw(np.asarray(vec, "<f4").tobytes())
-    w.u8(0)  # no categorize data
+    if res.categorize:
+        c = res.categorize
+        w.u8(1)
+        w.u64(len(c["labels"]))
+        for i, name in enumerate(c["labels"]):
+            w.i32(i)
+            w.string(name)
+        w.u64(len(c["probs"]))
+        for frame, per in c["probs"].items():
+            w.u32(frame)
+            w.u32(len(per))
+            for bid, lbl in per.items():
+                w.u32(bid)
+                w.i32(lbl)
+        w.u64(len(c["ranged"]))
+        for s_, e_, lbl, bids in c["ranged"]:
+            w.u32(s_)
+            w.u32(e_)
+            w.i32(lbl)
+            w.raw(np.asarray(bids, "<u4").tobytes())
+    else:
+        w.u8(0)  # no categorize data
     w.u32(len(res.tags))
     for tid, dets in res.tags.items():
         w.u32(tid)
