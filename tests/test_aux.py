@@ -687,3 +687,42 @@ def test_results_categorize_block_roundtrip(tmp_path):
     p2 = tmp_path / "n.results"
     write_results(p2, res2)
     assert read_results(p2).categorize is None
+
+
+def test_results_category_store_save_load(tmp_path):
+    """Saving a tracker with an attached categorize DataStore writes
+    the block; loading restores it so `category` export fields
+    resolve (TrackingState::load_state + Output.cpp:1403)."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.export.results import (load_results_binary,
+                                         save_results_binary)
+    from trex_tpu.ml.categorize import DataStore
+    from trex_tpu.track import TrackBlob, Tracker
+
+    s = reset_global_settings()
+    s["track_max_individuals"] = 2
+    s["track_size_filter"] = [[1, 10000]]
+    s["track_background_subtraction"] = True
+    bg = np.full((64, 64), 200, np.uint8)
+    tracker = Tracker(s, background=bg)
+    for f in range(5):
+        lines = np.array([[20, 10 + f, 15 + f]], np.int32)
+        blob = TrackBlob(lines, np.full(6, 80, np.uint8))
+        pp = tracker.preprocess_frame(f, [blob], time=f / 25)
+        tracker.add(pp)
+    store = DataStore(["male", "female"])
+    store.set_ranged_label(0, 1, 3, "female")
+    tracker.category_store = store
+
+    p = tmp_path / "cat.results"
+    save_results_binary(tracker, s, p)
+
+    fresh = Tracker(s, background=bg)
+    load_results_binary(fresh, p)
+    restored = getattr(fresh, "category_store", None)
+    assert restored is not None
+    assert restored.categories == ["male", "female"]
+    assert restored.ranged_label(2, 0) == 1
+    assert restored.ranged_label(0, 0) is None

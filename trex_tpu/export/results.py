@@ -97,6 +97,24 @@ def save_results_binary(tracker, settings, path) -> Path:
                     first=tuple(map(float, first)), points=packed,
                     scale=float(scale))
         res.individuals.append(r)
+    store = getattr(tracker, "category_store", None)
+    if store is not None and store.labeled_ranges():
+        from ..track.blob import blob_id_from_lines
+
+        ranged = []
+        for rl in store.labeled_ranges():
+            ind = tracker.individuals.get(rl.fid)
+            bids = []
+            if ind is not None:
+                for f in range(rl.start, rl.end + 1):
+                    b = ind.basic_stuff(f)
+                    bids.append(int(blob_id_from_lines(np.asarray(
+                        b.blob.lines, np.int32))) if b else 0)
+            else:
+                bids = [0] * (rl.end - rl.start + 1)
+            ranged.append((rl.start, rl.end, rl.label, bids))
+        res.categorize = {"labels": list(store.categories),
+                          "probs": {}, "ranged": ranged}
     rb.write_results(path, res)
     return path
 
@@ -142,6 +160,28 @@ def load_results_binary(tracker, path):
         tracker.individuals[r.id] = ind
         tracker.active.add(r.id)
         tracker._next_id = max(tracker._next_id, r.id + 1)
+    if res.categorize:
+        # rebuild the Categorize DataStore so `category` export fields
+        # resolve after -load (TrackingState::load_state reads the
+        # DataStore block alongside the individuals)
+        from ..ml.categorize import DataStore
+
+        from ..track.blob import blob_id_from_lines
+
+        store = DataStore(res.categorize["labels"])
+        # ranged labels key on per-frame blob ids; the export lookup
+        # keys on (frame, individual) — resolve each range to the
+        # individual that owns its first blob id
+        bid_owner: dict[tuple, int] = {}
+        for r2 in res.individuals:
+            for i, f in enumerate(r2.frames):
+                bid_owner[(int(f), int(blob_id_from_lines(
+                    np.asarray(r2.blobs[i].lines, np.int32))))] = r2.id
+        for s_, e_, lbl, bids in res.categorize["ranged"]:
+            owner = bid_owner.get((s_, int(bids[0]))) if bids else None
+            if owner is not None:
+                store.set_ranged_label(owner, s_, e_, int(lbl))
+        tracker.category_store = store
     return tracker
 
 
