@@ -233,3 +233,22 @@ def test_learn_static_entry(tmp_path):
     assert (tmp_path / "tagmodel_weights.npz").exists()
     acc = trainer.per_class_accuracy(imgs, lbls)
     assert acc.mean() > 0.8
+
+
+def test_cli_auto_categorize_flow():
+    """auto_categorize (TrackingState.cpp:890): a tracker carrying a
+    labeled DataStore gets trained + applied after tracking."""
+    from trex_tpu.cli.trex import _auto_categorize
+    from trex_tpu.ml.categorize import DataStore
+
+    tracker, s = _toy_tracker()
+    s["categories_ordered"] = ["dark", "light"]
+    store = DataStore(["dark", "light"])
+    store.set_ranged_label(0, 0, 29, "dark")
+    store.set_ranged_label(2, 0, 29, "light")
+    tracker.category_store = store
+
+    _auto_categorize(tracker, s, state=None)
+    out = tracker.category_store
+    assert out.ranged_label(5, 0) == 0
+    assert out.ranged_label(5, 2) == 1

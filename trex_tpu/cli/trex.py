@@ -39,7 +39,7 @@ SHORTHAND = {
 }
 
 FLAG_ONLY = {"nowindow", "auto_quit", "auto_train", "load", "auto_apply",
-             "auto_no_results", "quiet"}
+             "auto_no_results", "auto_categorize", "quiet"}
 
 
 def parse_args(argv: list[str]) -> dict:
@@ -282,6 +282,8 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         if auto_train or auto_apply:
             _auto_train_apply(tracker, state, s, pv_path,
                               train=auto_train)
+        if s["auto_categorize"]:
+            _auto_categorize(tracker, s, state)
         if auto_quit:
             _export(tracker, s, data_dir, name, pv_file=state.pv)
             if not s["auto_no_results"]:
@@ -318,6 +320,33 @@ def _write_matching_log(tracker, path):
     p = Path(path)
     p.parent.mkdir(parents=True, exist_ok=True)
     p.write_text(html)
+
+
+def _auto_categorize(tracker, s, state):
+    """auto_categorize (TrackingState.cpp:890): after tracking ends,
+    train the category MLP from the labeled ranges in the attached
+    DataStore (loaded from .results or set programmatically) and apply
+    predictions to every sufficiently long tracklet."""
+    from ..ml.categorize import Categorizer, DataStore
+
+    cats = s["categories_ordered"] or []
+    if not cats:
+        print("[auto_categorize] categories_ordered is empty — nothing "
+              "to categorize", file=sys.stderr)
+        return
+    store = getattr(tracker, "category_store", None)
+    cat = Categorizer(s, list(cats))
+    if store is not None and store.labeled_ranges():
+        cat.store._ranged = list(store.labeled_ranges())
+    tracker.category_store = cat.store
+    try:
+        cat.train(tracker)
+    except ValueError as e:
+        print(f"[auto_categorize] cannot train: {e}", file=sys.stderr)
+        return
+    applied = cat.apply(tracker)
+    print(f"[auto_categorize] labeled {len(applied)} tracklets across "
+          f"{len(cats)} categories")
 
 
 def _auto_train_apply(tracker, state, s, pv_path, train: bool):
