@@ -61,3 +61,34 @@ def test_empty_and_manual_fallbacks():
     ref = inds[0].cache_for_frame(25, 1.0, frame_times, 0)
     assert batch[inds[0].identity].time_probability == pytest.approx(
         ref.time_probability)
+
+
+def test_distributed_helpers_single_host():
+    """parallel/distributed.py degrades gracefully on one host: no
+    coordinator -> initialize() returns False; hybrid_mesh builds a
+    host-local mesh usable with the standard shardings; the global
+    batch assembles from local data."""
+    import numpy as np
+
+    from trex_tpu.parallel.distributed import (global_batch_array,
+                                               hybrid_mesh, initialize,
+                                               process_batch_slice)
+
+    assert initialize() is False  # no coordinator configured
+
+    mesh = hybrid_mesh(("data", "model"), model_axis_size=2)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.size == 8  # conftest forces 8 virtual devices
+
+    sl = process_batch_slice(32)
+    assert sl == slice(0, 32)
+
+    x = np.arange(32 * 4, dtype=np.float32).reshape(32, 4)
+    arr = global_batch_array(mesh, x)
+    np.testing.assert_array_equal(np.asarray(arr), x)
+
+    # a jitted reduction over the sharded batch runs on the mesh
+    import jax
+
+    y = jax.jit(lambda a: a.sum())(arr)
+    assert float(y) == float(x.sum())
