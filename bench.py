@@ -219,6 +219,36 @@ def bench_device_detect():
     return best
 
 
+def bench_yolo_forward():
+    """Compute-only YOLOv8n forward at 640^2 batch 8 in bfloat16
+    (BASELINE.json config 4: YOLO detection with SAHI tiling — the
+    tile batches detect/yolo.py feeds the model)."""
+    import jax
+    import jax.numpy as jnp
+
+    from trex_tpu.models.yolo import YOLOv8
+
+    model = YOLOv8(num_classes=80, scale="n", task="detect")
+    rng = jax.random.PRNGKey(0)
+    x = jnp.zeros((8, 640, 640, 3), jnp.bfloat16)
+    variables = model.init(rng, jnp.zeros((1, 640, 640, 3), jnp.float32))
+
+    @jax.jit
+    def fwd(v, img):
+        return model.apply(v, img)
+
+    out = fwd(variables, x)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iters = 5
+        for _ in range(iters):
+            jax.block_until_ready(fwd(variables, x))
+        best = max(best, 8 * iters / (time.perf_counter() - t0))
+    return best
+
+
 def main():
     track_fps, n_tracked, engine = bench_tracking()
     fixture_fps = bench_fixture_convert()
@@ -228,6 +258,10 @@ def main():
         dev_fps = bench_device_detect()
     except Exception:
         dev_fps = None
+    try:
+        yolo_fps = bench_yolo_forward()
+    except Exception:
+        yolo_fps = None
     realtime_factor = track_fps / VIDEO_FPS
     detail = {
         "realtime_factor_at_25fps": round(realtime_factor, 3),
@@ -239,6 +273,8 @@ def main():
         "visual_field_256fish_sets_per_sec": round(vf_per_sec, 1),
         "device_detect_fps_32batch_compute": round(dev_fps, 1)
         if dev_fps else None,
+        "yolov8n_640_bf16_fps_compute": round(yolo_fps, 1)
+        if yolo_fps else None,
         "synthetic_video": f"{SIZE}x{SIZE}@{int(VIDEO_FPS)}fps "
                            f"{N_FISH} individuals",
     }
