@@ -978,6 +978,28 @@ int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
     return n;
 }
 
+// Dense rasterization of a blob's RLE lines into pre-zeroed crops
+// (TrackBlob.to_dense fast path): mask gets 1s, gray gets the pixel
+// values (when pixels != NULL). W/H are the padded crop dimensions.
+void trex_blob_dense(const int32_t* lines, int64_t K,
+                     const uint8_t* pixels,
+                     int32_t x, int32_t y, int32_t W, int32_t H,
+                     int32_t pad, uint8_t* mask, uint8_t* gray) {
+    int64_t i = 0;
+    for (int64_t k = 0; k < K; k++) {
+        const int32_t ly = lines[3 * k], x0 = lines[3 * k + 1],
+                      x1 = lines[3 * k + 2];
+        const int32_t n = x1 - x0 + 1;
+        const int32_t r = ly - y + pad, c = x0 - x + pad;
+        if (r >= 0 && r < H && c >= 0 && c + n <= W) {
+            std::memset(mask + (size_t)r * W + c, 1, n);
+            if (pixels)
+                std::memcpy(gray + (size_t)r * W + c, pixels + i, n);
+        }
+        i += n;
+    }
+}
+
 // Closed-polygon resampling (Outline::resample semantics, matching
 // track/posture.py resample() arithmetic: float32 points, float32
 // hypot widened to double for the walked-distance bookkeeping,

@@ -67,3 +67,38 @@ def test_outline_resample_reference_vectors():
     single = np.array([[0, 0]], np.float32)
     out = resample(single, 5.0)
     assert np.array_equal(out, single)
+
+
+def test_native_to_dense_bit_exact():
+    """trex_blob_dense == the python rasterizer for random multi-run
+    blobs at pads 0 and 3."""
+    from trex_tpu.track.blob import TrackBlob
+
+    rng = np.random.default_rng(11)
+    for _ in range(80):
+        K = int(rng.integers(1, 30))
+        y = int(rng.integers(0, 50))
+        rows = []
+        for j in range(K):
+            if j and rng.random() < 0.7:
+                y += 1
+            x0 = int(rng.integers(0, 80))
+            rows.append((y, x0, x0 + int(rng.integers(0, 20))))
+        lines = np.array(rows, np.int32)
+        npx = int(np.sum(lines[:, 2] - lines[:, 1] + 1))
+        px = rng.integers(1, 255, npx).astype(np.uint8)
+        b = TrackBlob(lines, px)
+        for pad in (0, 3):
+            m1, g1, o1 = b.to_dense(pad)
+            x, y_, w, h = b.bounds
+            m2 = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
+            g2 = np.zeros_like(m2)
+            i = 0
+            for ly, x0, x1 in lines:
+                n = x1 - x0 + 1
+                m2[ly - y_ + pad, x0 - x + pad:x0 - x + pad + n] = 1
+                g2[ly - y_ + pad, x0 - x + pad:x0 - x + pad + n] = \
+                    px[i:i + n]
+                i += n
+            assert np.array_equal(m1, m2) and np.array_equal(g1, g2)
+            assert o1 == (x - pad, y_ - pad)

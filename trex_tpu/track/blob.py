@@ -13,6 +13,29 @@ from typing import Optional
 
 import numpy as np
 
+_dense_configured = False
+
+
+def _dense_lib():
+    """ctypes binding for trex_blob_dense (native/labeling.cpp)."""
+    global _dense_configured
+    from ..io.lzo import _load
+
+    lib = _load()
+    if not _dense_configured:
+        import ctypes
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.trex_blob_dense.restype = None
+        lib.trex_blob_dense.argtypes = [
+            i32p, ctypes.c_int64, u8p,
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32, u8p, u8p,
+        ]
+        _dense_configured = True
+    return lib
+
 
 def blob_id_from_lines(lines: np.ndarray) -> int:
     """Position/size hash of a blob — the reference's pv::bid.
@@ -204,10 +227,31 @@ class TrackBlob:
 
     # -- mask/pixel utilities -------------------------------------------
     def to_dense(self, pad: int = 0):
-        """(mask, gray, (ox, oy)): dense uint8 crops of the blob."""
+        """(mask, gray, (ox, oy)): dense uint8 crops of the blob.
+        Rasterizes natively (trex_blob_dense); the python loop below is
+        the fallback."""
         x, y, w, h = self.bounds
-        mask = np.zeros((h + 2 * pad, w + 2 * pad), np.uint8)
+        H, W = h + 2 * pad, w + 2 * pad
+        mask = np.zeros((H, W), np.uint8)
         gray = np.zeros_like(mask)
+        try:
+            import ctypes
+
+            lib = _dense_lib()
+            lines = np.ascontiguousarray(self.lines, np.int32)
+            px = self.pixels
+            if px is not None:
+                px = np.ascontiguousarray(px, np.uint8)
+            u8p = ctypes.POINTER(ctypes.c_uint8)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            lib.trex_blob_dense(
+                lines.ctypes.data_as(i32p), len(lines),
+                px.ctypes.data_as(u8p) if px is not None else None,
+                int(x), int(y), W, H, int(pad),
+                mask.ctypes.data_as(u8p), gray.ctypes.data_as(u8p))
+            return mask, gray, (x - pad, y - pad)
+        except OSError:
+            pass
         i = 0
         for ly, x0, x1 in self.lines:
             n = x1 - x0 + 1
