@@ -978,6 +978,74 @@ int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
     return n;
 }
 
+// pixel::threshold_blob core: rasterize the blob's RLE lines +
+// pixels into a crop (background values outside the mask, like
+// prefilter.threshold_components), then run the standard labeler at
+// `threshold` over (crop, bg_crop). Returns a labeling ctx whose line
+// coordinates are already offset back to image space. The caller
+// materializes blobs from the ctx arrays exactly like label_blobs.
+void* trex_threshold_blob(const int32_t* lines, int64_t K,
+                          const uint8_t* pixels,
+                          const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+                          int32_t threshold, int32_t absolute) {
+    // bounds
+    int32_t y0 = INT32_MAX, y1 = INT32_MIN, x0 = INT32_MAX,
+            x1 = INT32_MIN;
+    for (int64_t k = 0; k < K; k++) {
+        y0 = std::min(y0, lines[3 * k]);
+        y1 = std::max(y1, lines[3 * k]);
+        x0 = std::min(x0, lines[3 * k + 1]);
+        x1 = std::max(x1, lines[3 * k + 2]);
+    }
+    if (K == 0) return trex_label_image2(nullptr, nullptr, 0, 0,
+                                         threshold, absolute, 0, 0);
+    const int32_t pad = 1;
+    const int32_t W = x1 - x0 + 1 + 2 * pad, H = y1 - y0 + 1 + 2 * pad;
+    const int32_t ox = x0 - pad, oy = y0 - pad;
+    std::vector<uint8_t> img((size_t)W * H, 0), bgc((size_t)W * H, 0);
+    for (int32_t r = 0; r < H; r++) {
+        const int32_t by = oy + r;
+        if (by < 0 || by >= bg_h) continue;
+        const int32_t cx0 = std::max(0, -ox),
+                      cx1 = std::min(W, bg_w - ox);
+        if (cx1 > cx0)
+            std::memcpy(bgc.data() + (size_t)r * W + cx0,
+                        bg + (size_t)by * bg_w + ox + cx0, cx1 - cx0);
+    }
+    std::memcpy(img.data(), bgc.data(), (size_t)W * H);
+    int64_t i = 0;
+    for (int64_t k = 0; k < K; k++) {
+        const int32_t ly = lines[3 * k], lx0 = lines[3 * k + 1],
+                      lx1 = lines[3 * k + 2];
+        const int32_t n = lx1 - lx0 + 1;
+        std::memcpy(img.data() + (size_t)(ly - oy) * W + (lx0 - ox),
+                    pixels + i, n);
+        i += n;
+    }
+    auto* res = reinterpret_cast<Result*>(trex_label_image2(
+        img.data(), bgc.data(), W, H, threshold, absolute, 0, 0));
+    // offset lines back into image coordinates
+    for (size_t j = 0; j + 2 < res->lines.size() + 1; j += 3) {
+        res->lines[j] += oy;
+        res->lines[j + 1] += ox;
+        res->lines[j + 2] += ox;
+    }
+    // stats sums were accumulated in crop space: shift centroid sums
+    for (size_t b = 0; b * 8 < res->stats.size(); b++) {
+        double* st = res->stats.data() + 8 * b;
+        const double n = st[0];
+        st[4] += 2.0 * ox * (st[2]) + (double)ox * ox * n;   // sum x^2
+        st[5] += 2.0 * oy * (st[3]) + (double)oy * oy * n;   // sum y^2
+        st[6] += ox * st[3] + oy * st[2] + (double)ox * oy * n;
+        st[2] += ox * n;                                      // sum x
+        st[3] += oy * n;                                      // sum y
+        double bx0 = std::floor(st[7] / 65536.0);
+        double bx1 = st[7] - bx0 * 65536.0;
+        st[7] = (bx0 + ox) * 65536.0 + (bx1 + ox);
+    }
+    return res;
+}
+
 // Dense rasterization of a blob's RLE lines into pre-zeroed crops
 // (TrackBlob.to_dense fast path): mask gets 1s, gray gets the pixel
 // values (when pixels != NULL). W/H are the padded crop dimensions.

@@ -116,3 +116,55 @@ def test_jax_bgsub_matches_native():
     np.testing.assert_array_equal(out, expect)
     blobs = label_blobs(img, bg, threshold=25, absolute=True)
     _assert_matches_scipy(out, blobs)
+
+
+def test_threshold_blob_native_matches_python_path():
+    """trex_threshold_blob == the python crop+label path of
+    prefilter.threshold_components (lines, pixels, and stat sums)."""
+    import numpy as np
+
+    from trex_tpu.ops.labeling import label_blobs, threshold_blob_native
+    from trex_tpu.track.blob import TrackBlob
+
+    rng = np.random.default_rng(3)
+    bg = np.full((120, 120), 200, np.uint8)
+    for trial in range(60):
+        K = int(rng.integers(2, 25))
+        y = int(rng.integers(2, 90))
+        rows = []
+        for j in range(K):
+            if j and rng.random() < 0.75:
+                y += 1
+            x0 = int(rng.integers(2, 80))
+            rows.append((y, x0, x0 + int(rng.integers(0, 25))))
+        lines = np.array(rows, np.int32)
+        npx = int(np.sum(lines[:, 2] - lines[:, 1] + 1))
+        px = rng.integers(150, 210, npx).astype(np.uint8)
+        blob = TrackBlob(lines, px)
+
+        native = threshold_blob_native(lines, px, bg, 20, False)
+
+        mask, gray, (ox, oy) = blob.to_dense(pad=1)
+        bg_crop = np.zeros_like(gray)
+        ys0, ys1 = max(0, oy), min(120, oy + gray.shape[0])
+        xs0, xs1 = max(0, ox), min(120, ox + gray.shape[1])
+        bg_crop[ys0 - oy:ys1 - oy, xs0 - ox:xs1 - ox] = \
+            bg[ys0:ys1, xs0:xs1]
+        img = np.where(mask > 0, gray, bg_crop)
+        ref = label_blobs(img, bg_crop, threshold=20, absolute=False)
+
+        assert len(native) == len(ref)
+        na = sorted(native, key=lambda c: (int(c.lines[0, 0]),
+                                           int(c.lines[0, 1])))
+        rf = sorted(ref, key=lambda c: (int(c.lines[0, 0]) + oy,
+                                        int(c.lines[0, 1]) + ox))
+        for a, b in zip(na, rf):
+            shifted = b.lines.copy()
+            shifted[:, 0] += oy
+            shifted[:, 1] += ox
+            shifted[:, 2] += ox
+            assert np.array_equal(a.lines, shifted)
+            assert np.array_equal(a.pixels, b.pixels)
+            assert a.stats[0] == b.stats[0]
+            assert a.stats[2] == b.stats[2] + b.stats[0] * ox
+            assert a.stats[3] == b.stats[3] + b.stats[0] * oy

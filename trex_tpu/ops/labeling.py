@@ -156,6 +156,12 @@ def _configure(lib):
             f64p, ctypes.c_int32,
             ctypes.c_int32, f64p,
         ]
+        lib.trex_threshold_blob.restype = ctypes.c_void_p
+        lib.trex_threshold_blob.argtypes = [
+            i32p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+        ]
         lib.trex_split_scan.restype = ctypes.c_int32
         lib.trex_split_scan.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -363,6 +369,29 @@ def label_blobs(
         w, h, int(threshold), 1 if absolute else 0,
         int(track_threshold), 1 if track_absolute else 0,
     )
+    return _blobs_from_ctx(lib, ctx)
+
+
+def threshold_blob_native(lines: np.ndarray, pixels: np.ndarray,
+                          background: np.ndarray, threshold: int,
+                          absolute: bool) -> list[Blob]:
+    """pixel::threshold_blob in one native call (trex_threshold_blob):
+    rasterize the blob crop with background fill, label at `threshold`,
+    return children with image-space lines and shifted stats."""
+    lines = np.ascontiguousarray(lines, np.int32)
+    pixels = np.ascontiguousarray(pixels, np.uint8)
+    background = np.ascontiguousarray(background, np.uint8)
+    lib = _lib()
+    ctx = lib.trex_threshold_blob(
+        lines.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), len(lines),
+        pixels.ctypes.data_as(ctypes.c_char_p),
+        background.ctypes.data_as(ctypes.c_char_p),
+        background.shape[1], background.shape[0],
+        int(threshold), 1 if absolute else 0)
+    return _blobs_from_ctx(lib, ctx)
+
+
+def _blobs_from_ctx(lib, ctx) -> list[Blob]:
     try:
         n_blobs = lib.trex_label_n_blobs(ctx)
         n_lines = lib.trex_label_n_lines(ctx)

@@ -110,6 +110,29 @@ def threshold_components(blob: TrackBlob, threshold: int,
             return [out]
         if not passed_any:
             return []
+    absolute = bool(settings["track_threshold_is_absolute"])
+    cm = settings["cm_per_pixel"] or 1.0
+    if blob.pixels is not None:
+        # one-shot native path: crop build + labeling + line/stat
+        # offsetting all inside trex_threshold_blob
+        try:
+            from ..ops.labeling import threshold_blob_native
+
+            comps = threshold_blob_native(blob.lines, blob.pixels,
+                                          background, threshold,
+                                          absolute)
+            out = []
+            for c in comps:
+                tb = TrackBlob(c.lines, c.pixels, flags=blob.flags,
+                               parent_id=blob.blob_id, split=True,
+                               stats=c.stats)
+                tb._recount_cache[threshold] = float(
+                    c.stats[0] if c.stats is not None
+                    else tb.num_pixels) * cm * cm
+                out.append(tb)
+            return out
+        except OSError:
+            pass
     mask, gray, (ox, oy) = blob.to_dense(pad=1)
     x, y, w, h = blob.bounds
     bg_crop = np.zeros_like(gray)
@@ -119,10 +142,8 @@ def threshold_components(blob: TrackBlob, threshold: int,
     bg_crop[ys0 - oy : ys1 - oy, xs0 - ox : xs1 - ox] = \
         background[ys0:ys1, xs0:xs1]
     # only pixels inside the original mask participate
-    absolute = bool(settings["track_threshold_is_absolute"])
     img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
     comps = label_blobs(img, bg_crop, threshold=threshold, absolute=absolute)
-    cm = settings["cm_per_pixel"] or 1.0
     out = []
     for c in comps:
         lines = c.lines.copy()
