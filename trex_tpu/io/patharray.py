@@ -18,7 +18,7 @@ from __future__ import annotations
 import os
 import re
 from pathlib import Path
-from typing import Iterable, Optional
+from typing import Iterable
 
 _PRINTF = re.compile(r"%(?:(\d+)\.)?(?:(\d+)\.)?0?(\d+)?d")
 
