@@ -252,3 +252,49 @@ def test_cli_auto_categorize_flow():
     out = tracker.category_store
     assert out.ranged_label(5, 0) == 0
     assert out.ranged_label(5, 2) == 1
+
+
+def test_auto_tags_votes_and_assignment():
+    from trex_tpu.ml.auto_tags import apply_tags, tag_tracklet_predictions
+
+    tracker, s = _toy_tracker()
+    # tag detections: tag (fid+1)%3 rides on fish fid's blob each frame
+    tags = {}
+    for fid, ind in tracker.individuals.items():
+        tid = (fid + 1) % 3
+        dets = {}
+        for f in range(0, 30, 2):
+            b = ind.basic_stuff(f)
+            if b is not None:
+                dets[f] = (int(b.blob.blob_id), 1.0)
+        tags[tid] = dets
+    preds = tag_tracklet_predictions(tracker, tags)
+    assert preds
+    for p in preds:
+        assert p.probs.argmax() == (p.fid + 1) % 3
+
+    matches, corrections = apply_tags(tracker, s, tags)
+    # every fish claims its tag identity over its tracklets
+    for tid, ranges in corrections.ranges.items():
+        for (t0, t1, fid) in ranges:
+            assert tid == (fid + 1) % 3
+    assert matches
+
+
+def test_auto_tags_roundtrip_through_results(tmp_path):
+    from trex_tpu.export.results import load_results, save_results
+    from trex_tpu.track import Tracker
+
+    tracker, s = _toy_tracker()
+    # pretend the Hungarian tag matcher assigned tag 2 to fish 0 at
+    # frames 3/5 (tracker.add's tags_recognize path)
+    tracker.tag_assignments = {3: {0: 2}, 5: {0: 2}}
+    path = tmp_path / "toy.results"
+    save_results(tracker, s, path)
+
+    bg = np.full((120, 120), 200, np.uint8)
+    t2 = Tracker(s, background=bg)
+    load_results(t2, path)
+    assert 2 in t2.loaded_tags
+    b3 = tracker.individuals[0].basic_stuff(3)
+    assert t2.loaded_tags[2][3] == (int(b3.blob.blob_id), 1.0)

@@ -284,6 +284,8 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                               train=auto_train)
         if s["auto_categorize"]:
             _auto_categorize(tracker, s, state)
+        if s["auto_tags"]:
+            _auto_tags(tracker, state, s, load)
         if auto_quit:
             _export(tracker, s, data_dir, name, pv_file=state.pv)
             if not s["auto_no_results"]:
@@ -347,6 +349,44 @@ def _auto_categorize(tracker, s, state):
     applied = cat.apply(tracker)
     print(f"[auto_categorize] labeled {len(applied)} tracklets across "
           f"{len(cats)} categories")
+
+
+def _auto_tags(tracker, state, s, load: bool):
+    """auto_tags (TrackingState.cpp:898-899): apply the tag detections
+    stored in the results file as identity ground truth and re-track.
+    Only usable with '-load' — the tag information lives in the results
+    file written during conversion (TrackingState.cpp:112-120)."""
+    tags = getattr(tracker, "loaded_tags", None)
+    if not load or tags is None:
+        print("Can currently only use auto_tags in combination with "
+              "'-load', when loading from a results file (where the "
+              "tag information is stored).", file=sys.stderr)
+        s.set("auto_tags", False, source="auto_tags")
+        return
+    if not tags:
+        print("[auto_tags] no tag detections in the results file")
+        return
+    from ..ml.auto_tags import apply_tags
+
+    matches, corrections = apply_tags(tracker, s, tags)
+    print(f"[auto_tags] reassigned={corrections.reassigned} "
+          f"skipped={corrections.skipped} "
+          f"identities={len(corrections.ranges)}")
+    if corrections.reassigned:
+        existing = s["manual_matches"] or {}
+        merged = dict(existing)
+        for f, m in matches.items():
+            merged.setdefault(f, {}).update(
+                {str(k): v for k, v in m.items()})
+        s.set("manual_matches", merged, source="auto_tags")
+        print("[auto_tags] re-tracking with tag corrections...")
+        tracker.individuals.clear()
+        tracker.active.clear()
+        tracker._next_id = 0
+        tracker.start_frame = -1
+        tracker.manual_matches = merged
+        state.tracker = tracker
+        state.run()
 
 
 def _auto_train_apply(tracker, state, s, pv_path, train: bool):

@@ -115,6 +115,17 @@ def save_results_binary(tracker, settings, path) -> Path:
             ranged.append((rl.start, rl.end, rl.label, bids))
         res.categorize = {"labels": list(store.categories),
                           "probs": {}, "ranged": ranged}
+    # physical-tag detections (reference: TGrabs stores these so TRex's
+    # auto_tags can replay them after -load, TrackingState.cpp:112-120):
+    # tag_id -> {frame: (blob id of the matched fish's blob, p)}
+    for f, per in sorted(getattr(tracker, "tag_assignments", {}).items()):
+        for fid, tag_id in per.items():
+            ind = tracker.individuals.get(fid)
+            b = ind.basic_stuff(f) if ind is not None else None
+            if b is None:
+                continue
+            res.tags.setdefault(int(tag_id), {})[int(f)] = (
+                int(b.blob.blob_id), 1.0)
     rb.write_results(path, res)
     return path
 
@@ -182,6 +193,10 @@ def load_results_binary(tracker, path):
             if owner is not None:
                 store.set_ranged_label(owner, s_, e_, int(lbl))
         tracker.category_store = store
+    # loaded tag detections feed ml.auto_tags.apply_tags (the reference
+    # only allows auto_tags after -load for the same reason,
+    # TrackingState.cpp:112-120)
+    tracker.loaded_tags = res.tags
     return tracker
 
 
