@@ -60,6 +60,53 @@ class V118_3(nn.Module):
         return x
 
 
+class V110(nn.Module):
+    """Shallow legacy CNN (v110): conv -> pool -> BN -> relu -> dropout
+    stages (the pool-before-BN ordering is the version's defining
+    difference, visual_identification_network_torch.py:262-325)."""
+    num_classes: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype) / 127.5 - 1.0
+        for feat in (16, 64, 100):
+            x = nn.Conv(feat, (5, 5), padding="SAME", dtype=self.dtype)(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=jnp.float32)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(100, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train,
+                         dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.25, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+class V100(nn.Module):
+    """The original layout (v100): conv -> relu -> pool -> dropout, no
+    normalization (visual_identification_network_torch.py:328-385)."""
+    num_classes: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = x.astype(self.dtype) / 127.5 - 1.0
+        for feat in (16, 64, 100):
+            x = nn.Conv(feat, (5, 5), padding="SAME", dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            x = nn.Dropout(0.25, deterministic=not train)(x)
+        x = x.reshape((x.shape[0], -1))
+        x = nn.Dense(100, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
 class V119(nn.Module):
     num_classes: int
     dtype: Dtype = jnp.bfloat16
@@ -244,29 +291,60 @@ def _vgg19(num_classes, dtype=jnp.bfloat16):
                dtype=dtype)
 
 
+def _mnv3_large(num_classes, dtype=jnp.bfloat16):
+    from .backbones import MobileNetV3
+
+    return MobileNetV3(num_classes=num_classes, small=False, dtype=dtype)
+
+
+def _lazy(name):
+    def make(num_classes, dtype=jnp.bfloat16):
+        from . import backbones
+
+        return getattr(backbones, name)(num_classes=num_classes,
+                                        dtype=dtype)
+    return make
+
+
+# Keys are normalized (lowercase, separators stripped), so both the
+# keras-era names ("efficientnetb0") and the current enum's names
+# ("efficient_net_b0" / "efficientnet_b0",
+# default_config.cpp:144-161) resolve. "current" follows the
+# reference's alias (visual_identification_network.py:548 -> v119).
 VERSIONS: dict[str, Callable[..., nn.Module]] = {
-    "v118_3": V118_3,
+    "v1183": V118_3,
     "v118": V118_3,
     "v119": V119,
     "v200": V200,
-    "vit_b_16": ViT,
+    "v110": V110,
+    "v100": V100,
+    "current": V119,
+    "vitb16": ViT,
     "vgg16": VGG,
     "vgg19": _vgg19,
     "resnet50v2": ResNet50V2,
+    "resnet18": _lazy("ResNet18"),
+    "efficientnetb0": _lazy("EfficientNetB0"),
+    "mobilenetv3small": _lazy("MobileNetV3"),
+    "mobilenetv3large": _mnv3_large,
+    "convnextbase": _lazy("ConvNeXtBase"),
+    "inceptionv3": _lazy("InceptionV3"),
+    "xception": _lazy("Xception"),
 }
 
-# reference zoo entries (visual_identification_network.py:205-410) not
-# implemented natively yet: requesting them raises instead of silently
-# substituting another architecture
-UNIMPLEMENTED_VERSIONS = (
-    "convnext_base", "efficientnetb0", "mobilenetv3small",
-    "inceptionv3", "xception", "nasnetmobile",
-)
+# keras-era-only zoo entries without a native implementation:
+# requesting them raises instead of silently substituting another
+# architecture
+UNIMPLEMENTED_VERSIONS = ("nasnetmobile",)
+
+
+def _normalize(version: str) -> str:
+    return str(version).lower().replace("_", "").replace("-", "")
 
 
 def build(version: str, num_classes: int,
           dtype: Dtype = None) -> nn.Module:
-    key = str(version).lower()
+    key = _normalize(version)
     if key in UNIMPLEMENTED_VERSIONS:
         raise NotImplementedError(
             f"visual_identification_version {version!r} is in the "
