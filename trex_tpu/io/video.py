@@ -9,6 +9,7 @@ Decode is host-side (OpenCV/ffmpeg); device transfer happens downstream.
 """
 from __future__ import annotations
 
+import ctypes as _c
 import glob
 import re
 from pathlib import Path
@@ -292,7 +293,24 @@ class AveragingAccumulator:
             return np.clip(np.round(mean), 0, 255).astype(np.uint8)
         if self.method in ("max", "min"):
             return self._acc.astype(np.uint8)
-        # mode: per-pixel most frequent value, chunked to bound memory
+        # mode: per-pixel most frequent value
+        try:
+            from ..ops.labeling import _lib
+
+            lib = _lib()
+            shape = self._samples[0].shape
+            samples = [np.ascontiguousarray(f) for f in self._samples]
+            p = int(np.prod(shape))
+            u8p = _c.POINTER(_c.c_uint8)
+            rows = (u8p * len(samples))(
+                *[f.ctypes.data_as(u8p) for f in samples])
+            out = np.empty(p, np.uint8)
+            lib.trex_mode_u8_rows(
+                rows, _c.c_int64(len(samples)), _c.c_int64(p),
+                out.ctypes.data_as(u8p))
+            return out.reshape(shape)
+        except (OSError, AttributeError):  # no native lib built
+            pass
         stack = np.stack(self._samples, axis=0)
         flat = stack.reshape(stack.shape[0], -1)
         out = np.empty(flat.shape[1], np.uint8)
