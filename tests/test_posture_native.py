@@ -102,3 +102,43 @@ def test_native_to_dense_bit_exact():
                 i += n
             assert np.array_equal(m1, m2) and np.array_equal(g1, g2)
             assert o1 == (x - pad, y_ - pad)
+
+
+def test_midline_chain_native_bit_exact():
+    """native/posture_chain.cpp trex_midline_chain must reproduce the
+    python calculate_midline_from_outline bit-for-bit (segments,
+    heights, indices, len, angle, inversion flag) — it replicates
+    numpy's pairwise summation and dtype flow, so any drift is a bug."""
+    import trex_tpu.track.posture as P
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    rng = np.random.default_rng(7)
+    checked = 0
+    for trial in range(60):
+        n = int(rng.integers(20, 300))
+        th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+        a, b = rng.uniform(5, 40), rng.uniform(3, 20)
+        r = 1 + 0.1 * np.sin(th * rng.integers(2, 6)) \
+            + rng.normal(0, 0.02, n)
+        pts = np.stack([a * np.cos(th) * r + 50,
+                        b * np.sin(th) * r + 50], 1).astype(np.float32)
+        mv = None if trial % 3 == 0 else rng.normal(0, 1, 2)
+        P._force_python_chain = True
+        try:
+            ref = P.calculate_midline_from_outline(pts, s, mv)
+        finally:
+            P._force_python_chain = False
+        got = P.calculate_midline_from_outline(pts, s, mv)
+        assert (ref is None) == (got is None), trial
+        if ref is None:
+            continue
+        checked += 1
+        assert np.array_equal(ref.segments, got.segments), trial
+        assert np.array_equal(ref.heights, got.heights), trial
+        assert ref.tail_index == got.tail_index, trial
+        assert ref.head_index == got.head_index, trial
+        assert ref.len == got.len and ref.angle == got.angle, trial
+        assert ref.inverted_because_previous == \
+            got.inverted_because_previous, trial
+    assert checked >= 40

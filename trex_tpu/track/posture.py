@@ -424,12 +424,97 @@ class PostureResult:
     offset: tuple  # blob-local -> image coordinates
 
 
+def _get_native_chain():
+    global _native_chain
+    if _native_chain is None:
+        import ctypes
+
+        from ..io.lzo import _load as _load_native
+
+        lib = _load_native()
+        f32p = ctypes.POINTER(ctypes.c_float)
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.trex_midline_chain.restype = ctypes.c_int32
+        lib.trex_midline_chain.argtypes = [
+            f32p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32,
+            f64p,
+            f64p, f64p, ctypes.c_int64,
+            i64p, i32p, i32p, f64p, f64p, i32p,
+        ]
+        _native_chain = lib.trex_midline_chain
+    return _native_chain
+
+
+_native_chain = None
+_force_python_chain = False  # differential tests flip this
+
+
+def _midline_chain_native(points, s, movement_direction):
+    import ctypes
+
+    fn = _get_native_chain()
+    pts = np.ascontiguousarray(points, np.float32)
+    L = len(pts)
+    cap = 4 * L + 16
+    segs = np.empty((cap, 2), np.float64)
+    heights = np.empty(cap, np.float64)
+    nseg = ctypes.c_int64(0)
+    tail = ctypes.c_int32(0)
+    head = ctypes.c_int32(0)
+    mlen = ctypes.c_double(0.0)
+    angle = ctypes.c_double(0.0)
+    inverted = ctypes.c_int32(0)
+    f64p = ctypes.POINTER(ctypes.c_double)
+    mv = None
+    if movement_direction is not None:
+        mv_arr = np.ascontiguousarray(movement_direction, np.float64)
+        if np.any(mv_arr != 0):
+            mv = mv_arr.ctypes.data_as(f64p)
+    rc = fn(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(L),
+        ctypes.c_double(float(s["outline_smooth_samples"])),
+        ctypes.c_int32(max(1, int(s["outline_smooth_step"]))),
+        ctypes.c_int32(int(s["outline_approximate"])),
+        ctypes.c_double(float(s["outline_curvature_range_ratio"])),
+        ctypes.c_int32(1 if s["midline_invert"] else 0),
+        ctypes.c_double(float(s["midline_walk_offset"])),
+        ctypes.c_double(float(s["midline_stiff_percentage"])),
+        ctypes.c_int32(1 if s["midline_start_with_head"] else 0),
+        ctypes.c_int32(int(s["midline_resolution"])),
+        mv,
+        segs.ctypes.data_as(f64p), heights.ctypes.data_as(f64p),
+        ctypes.c_int64(cap),
+        ctypes.byref(nseg), ctypes.byref(tail), ctypes.byref(head),
+        ctypes.byref(mlen), ctypes.byref(angle), ctypes.byref(inverted))
+    if rc > 0:
+        return None
+    if rc < 0:  # capacity overflow: python path handles it
+        raise OSError("native midline chain overflow")
+    m = nseg.value
+    return Midline(segments=segs[:m].copy(), heights=heights[:m].copy(),
+                   tail_index=tail.value, head_index=head.value,
+                   len=mlen.value, angle=angle.value,
+                   inverted_because_previous=bool(inverted.value))
+
+
 def calculate_midline_from_outline(points: np.ndarray, settings,
                                    movement_direction=None) -> Optional[Midline]:
     s = settings
     L0 = len(points)
     if L0 < 3:
         return None
+    if not _force_python_chain:
+        try:
+            return _midline_chain_native(points, s, movement_direction)
+        except (OSError, AttributeError):
+            pass  # no native lib: python reference path below
     # smoothing
     smooth_samples = s["outline_smooth_samples"]
     if smooth_samples > 0:
