@@ -7,6 +7,7 @@
 // (256 x P) histogram (GB-scale temporaries at 2304^2) or a python
 // chunk loop. Here: blocked per-pixel histograms that stay L2-resident.
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -101,6 +102,24 @@ void trex_mode_u8_rows(const uint8_t* const* rows, int64_t n, int64_t p,
                 out[s + i] = static_cast<uint8_t>(best);
             }
         }
+    }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// mean finalize: round(acc / count) clamped to u8 (np.round semantics
+// = rint's half-to-even).
+void trex_mean_u8(const uint32_t* acc, int64_t p, int64_t count,
+                  uint8_t* out) {
+    if (count <= 0) return;
+    const double inv = (double)count;
+    for (int64_t i = 0; i < p; i++) {
+        double v = std::rint((double)acc[i] / inv);
+        if (v < 0.0) v = 0.0;
+        if (v > 255.0) v = 255.0;
+        out[i] = (uint8_t)v;
     }
 }
 

@@ -289,6 +289,19 @@ class AveragingAccumulator:
         if self._count == 0:
             raise RuntimeError("no samples accumulated")
         if self.method == "mean":
+            try:
+                from ..ops.labeling import _lib
+
+                lib = _lib()
+                acc = np.ascontiguousarray(self._acc, np.uint32)
+                out = np.empty(acc.size, np.uint8)
+                lib.trex_mean_u8(
+                    acc.ctypes.data_as(_c.POINTER(_c.c_uint32)),
+                    _c.c_int64(acc.size), _c.c_int64(self._count),
+                    out.ctypes.data_as(_c.POINTER(_c.c_uint8)))
+                return out.reshape(self._acc.shape)
+            except (OSError, AttributeError):
+                pass
             mean = self._acc.astype(np.float64) / self._count
             return np.clip(np.round(mean), 0, 255).astype(np.uint8)
         if self.method in ("max", "min"):

@@ -181,6 +181,11 @@ def _configure(lib):
         lib.trex_mode_u8_rows.argtypes = [
             ctypes.POINTER(u8p), ctypes.c_int64, ctypes.c_int64, u8p,
         ]
+        lib.trex_mean_u8.restype = None
+        lib.trex_mean_u8.argtypes = [
+            ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+            ctypes.c_int64, u8p,
+        ]
         _configured = True
     return lib
 
