@@ -726,3 +726,42 @@ def test_results_category_store_save_load(tmp_path):
     assert restored.categories == ["male", "female"]
     assert restored.ranged_label(2, 0) == 1
     assert restored.ranged_label(0, 0) is None
+
+
+def test_multi_video_concatenated_ingest(tmp_path):
+    """A path array of video files plays back as one concatenated
+    stream (commons VideoSource over a multi-video PathArray; BASELINE
+    config 5 'batched multi-video ingest')."""
+    import cv2
+
+    from trex_tpu.io.video import VideoSource
+
+    paths = []
+    marks = []
+    for v in range(3):
+        p = str(tmp_path / f"part{v}.mp4")
+        w = cv2.VideoWriter(p, cv2.VideoWriter_fourcc(*"mp4v"), 25,
+                            (64, 48))
+        n = 4 + v
+        for f in range(n):
+            img = np.full((48, 64, 3), 30 * v + 10 * f, np.uint8)
+            w.write(img)
+            marks.append(30 * v + 10 * f)
+        w.release()
+        paths.append(p)
+
+    src = VideoSource(paths)
+    assert len(src) == 4 + 5 + 6
+    assert src.frame_rate == 25.0
+    # sequential read across the joins + a random backward seek
+    for i in [0, 1, 3, 4, 5, 8, 9, 14, 2]:
+        frame = src.get(i)
+        assert frame.shape == (48, 64)
+        # mp4 is lossy: compare against the stamped constant coarsely
+        assert abs(int(frame.mean()) - marks[i]) <= 3, i
+    # the ["a","b"] array string form resolves the same way
+    arr = "[" + ",".join(f'"{p}"' for p in paths) + "]"
+    src2 = VideoSource(arr)
+    assert len(src2) == 15
+    src.close()
+    src2.close()

@@ -40,12 +40,19 @@ class VideoSource:
     - a list of image paths
     """
 
+    VIDEO_EXTS = (".mp4", ".avi", ".mov", ".mkv", ".webm", ".m4v",
+                  ".mpg", ".mpeg", ".wmv")
+
     def __init__(self, source, color: bool = False):
         self.color = color
         self._cap = None
         self._files: Optional[list[str]] = None
         self._cap_pos = 0
         self._live = False
+        self._videos: Optional[list[str]] = None  # multi-video chain
+        self._video_caps: list = []
+        self._video_offsets: Optional[np.ndarray] = None
+        self._video_idx = -1
         if isinstance(source, (list, tuple)):
             self._files = [str(s) for s in source]
         else:
@@ -58,8 +65,10 @@ class VideoSource:
                 self._live = True
                 if not self._cap.isOpened():
                     raise RuntimeError("cannot open webcam device 0")
-            elif re.search(r"%(?:\d+\.)*\d*d", s):
+            elif re.search(r"%(?:\d+\.)*\d*d", s) or (
+                    s.strip().startswith("[") and s.strip().endswith("]")):
                 # printf patterns incl. %start.digits / %start.end.digits
+                # and explicit ["a","b"] path arrays
                 from .patharray import resolve_paths
 
                 self._files = resolve_paths(s)
@@ -78,8 +87,29 @@ class VideoSource:
                     raise FileNotFoundError(f"cannot open video source {s!r}")
         if self._files is not None and not self._files:
             raise FileNotFoundError(f"no frames found for {source!r}")
+        if self._files and all(
+                Path(f).suffix.lower() in self.VIDEO_EXTS
+                for f in self._files):
+            # a path array of VIDEO files plays back as one concatenated
+            # stream (commons VideoSource over a multi-video PathArray;
+            # BASELINE config 5 "batched multi-video ingest")
+            if cv2 is None:
+                raise RuntimeError("OpenCV is required for video decode")
+            self._videos = self._files
+            self._files = None
+            lengths = []
+            for f in self._videos:
+                cap = cv2.VideoCapture(f)
+                if not cap.isOpened():
+                    raise FileNotFoundError(f"cannot open video {f!r}")
+                lengths.append(int(cap.get(cv2.CAP_PROP_FRAME_COUNT)))
+                self._video_caps.append(cap)
+            self._video_offsets = np.concatenate(
+                [[0], np.cumsum(lengths)]).astype(np.int64)
 
     def __len__(self) -> int:
+        if self._videos is not None:
+            return int(self._video_offsets[-1])
         if self._files is not None:
             return len(self._files)
         if self._live:
@@ -88,8 +118,9 @@ class VideoSource:
 
     @property
     def frame_rate(self) -> float:
-        if self._cap is not None:
-            fps = self._cap.get(cv2.CAP_PROP_FPS)
+        cap = self._video_caps[0] if self._videos is not None else self._cap
+        if cap is not None:
+            fps = cap.get(cv2.CAP_PROP_FPS)
             return fps if fps and fps > 0 else 25.0
         return 25.0  # image sequences carry no timing; reference default
 
@@ -101,6 +132,23 @@ class VideoSource:
 
     def get(self, index: int) -> np.ndarray:
         """Fetch frame `index` as uint8 (h, w) gray or (h, w, 3) BGR."""
+        if self._videos is not None:
+            if not 0 <= index < len(self):
+                raise IndexError(index)
+            vi = int(np.searchsorted(self._video_offsets, index,
+                                     side="right")) - 1
+            local = index - int(self._video_offsets[vi])
+            cap = self._video_caps[vi]
+            if vi != self._video_idx or local != self._cap_pos:
+                cap.set(cv2.CAP_PROP_POS_FRAMES, local)
+            ok, img = cap.read()
+            if not ok:
+                raise IndexError(index)
+            self._video_idx = vi
+            self._cap_pos = local + 1
+            if not self.color and img.ndim == 3:
+                img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+            return img
         if self._files is not None:
             if not 0 <= index < len(self._files):
                 raise IndexError(index)
@@ -128,6 +176,9 @@ class VideoSource:
         if self._cap is not None:
             self._cap.release()
             self._cap = None
+        for cap in self._video_caps:
+            cap.release()
+        self._video_caps = []
 
 
 class BaslerVideoSource:
