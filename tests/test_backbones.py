@@ -61,6 +61,15 @@ def test_zoo_param_counts_large():
         assert abs(n - want) / want < 0.01, (name, n)
 
 
+def test_nasnetmobile_matches_keras_oracle():
+    # backbone param count pinned to keras.applications.NASNetMobile
+    # (weights=None, include_top=False, 80x80x1): 4,232,402 trainable
+    # params — an exact structural fingerprint of NASNet-A (4 @ 1056)
+    n = _n_params(build("nasnetmobile", 7))
+    head = 1056 * 7 + 7
+    assert n - head == 4_232_402, n
+
+
 def test_version_name_normalization():
     # torch-era enum names, keras-era names and internal names all
     # resolve to the same classes (default_config.cpp:144-161)
@@ -71,9 +80,8 @@ def test_version_name_normalization():
     assert type(build("resnet_50_v2", 3)) is type(build("resnet50v2", 3))
 
 
-def test_unimplemented_versions_raise():
-    for name in UNIMPLEMENTED_VERSIONS:
-        with pytest.raises(NotImplementedError):
-            build(name, 3)
+def test_zoo_complete_and_unknown_raises():
+    # every reference zoo entry now has a native implementation
+    assert UNIMPLEMENTED_VERSIONS == ()
     with pytest.raises(ValueError):
         build("definitely_not_a_network", 3)

@@ -506,3 +506,169 @@ class Xception(nn.Module):
         x = nn.relu(_SepConvBN(2048, dtype=d)(x, train))
         x = x.mean(axis=(1, 2))
         return nn.Dense(self.num_classes, dtype=jnp.float32)(x)
+
+
+# ------------------------------------------------------------ NASNetMobile
+def _correct_pad(h: int, w: int, k: int):
+    """keras imagenet_utils.correct_pad for stride-2 VALID convs."""
+    adj = (1 - h % 2, 1 - w % 2)
+    c = k // 2
+    return ((c - adj[0], c), (c - adj[1], c))
+
+
+class _NASSepConv(nn.Module):
+    """NASNet separable-conv block: two rounds of
+    relu -> depthwise+pointwise -> BN (keras _separable_conv_block)."""
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.relu(x)
+        if self.stride == 2:
+            ph, pw = _correct_pad(x.shape[1], x.shape[2], self.kernel)
+            x = jnp.pad(x, ((0, 0), ph, pw, (0, 0)))
+            pad = "VALID"
+        else:
+            pad = "SAME"
+        c = x.shape[-1]
+        x = nn.Conv(c, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=pad,
+                    feature_group_count=c, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.Conv(self.filters, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=jnp.float32)(x)
+        x = nn.relu(x)
+        c = x.shape[-1]
+        x = nn.Conv(c, (self.kernel, self.kernel), padding="SAME",
+                    feature_group_count=c, use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.Conv(self.filters, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=jnp.float32)(x)
+        return x
+
+
+class _NASAdjust(nn.Module):
+    """keras _adjust_block: match the previous path p to the current
+    input's spatial size / channel count (factorized reduction)."""
+    filters: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, p, ip, train: bool = False):
+        if p.shape[1] != ip.shape[1]:
+            p = nn.relu(p)
+            p1 = p[:, ::2, ::2, :]
+            p1 = nn.Conv(self.filters // 2, (1, 1), use_bias=False,
+                         dtype=self.dtype)(p1)
+            # pad bottom/right, crop top/left: one-pixel diagonal shift
+            p2 = jnp.pad(p, ((0, 0), (0, 1), (0, 1), (0, 0)))[:, 1:, 1:, :]
+            p2 = p2[:, ::2, ::2, :]
+            p2 = nn.Conv(self.filters // 2, (1, 1), use_bias=False,
+                         dtype=self.dtype)(p2)
+            p = jnp.concatenate([p1, p2], axis=-1)
+            p = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             dtype=jnp.float32)(p)
+        elif p.shape[-1] != self.filters:
+            p = nn.relu(p)
+            p = nn.Conv(self.filters, (1, 1), use_bias=False,
+                        dtype=self.dtype)(p)
+            p = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                             dtype=jnp.float32)(p)
+        return p
+
+
+class _NASNormalCell(nn.Module):
+    filters: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, p, train: bool = False):
+        d = self.dtype
+        ip = x
+        # keras _adjust_block: a None previous path passes through as
+        # ip itself, unprojected
+        p = ip if p is None else \
+            _NASAdjust(self.filters, dtype=d)(p, ip, train)
+        h = nn.relu(ip)
+        h = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=d)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=jnp.float32)(h)
+        x1 = _NASSepConv(self.filters, 5, dtype=d)(h, train) \
+            + _NASSepConv(self.filters, 3, dtype=d)(p, train)
+        x2 = _NASSepConv(self.filters, 5, dtype=d)(p, train) \
+            + _NASSepConv(self.filters, 3, dtype=d)(p, train)
+        x3 = nn.avg_pool(h, (3, 3), (1, 1), "SAME") + p
+        x4 = nn.avg_pool(p, (3, 3), (1, 1), "SAME") \
+            + nn.avg_pool(p, (3, 3), (1, 1), "SAME")
+        x5 = _NASSepConv(self.filters, 3, dtype=d)(h, train) + h
+        return jnp.concatenate([p, x1, x2, x3, x4, x5], axis=-1), ip
+
+
+class _NASReductionCell(nn.Module):
+    filters: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, p, train: bool = False):
+        d = self.dtype
+        ip = x
+        p = ip if p is None else \
+            _NASAdjust(self.filters, dtype=d)(p, ip, train)
+        h = nn.relu(ip)
+        h = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=d)(h)
+        h = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=jnp.float32)(h)
+        ph, pw = _correct_pad(h.shape[1], h.shape[2], 3)
+        h3 = jnp.pad(h, ((0, 0), ph, pw, (0, 0)))
+        x1 = _NASSepConv(self.filters, 5, 2, dtype=d)(h, train) \
+            + _NASSepConv(self.filters, 7, 2, dtype=d)(p, train)
+        x2 = nn.max_pool(h3, (3, 3), (2, 2), "VALID") \
+            + _NASSepConv(self.filters, 7, 2, dtype=d)(p, train)
+        x3 = nn.avg_pool(h3, (3, 3), (2, 2), "VALID") \
+            + _NASSepConv(self.filters, 5, 2, dtype=d)(p, train)
+        x4 = x2 + nn.avg_pool(x1, (3, 3), (1, 1), "SAME")
+        x5 = _NASSepConv(self.filters, 3, dtype=d)(x1, train) \
+            + nn.max_pool(h3, (3, 3), (2, 2), "VALID")
+        return jnp.concatenate([x2, x3, x4, x5], axis=-1), ip
+
+
+class NASNetMobile(nn.Module):
+    """nasnetmobile (keras-era zoo entry): NASNet-A (4 @ 1056),
+    penultimate 1056 -> filters 44, stem 32, filter multiplier 2
+    (keras/src/applications/nasnet.py structure; trained from scratch
+    with the zoo's GAP + Dense head)."""
+    num_classes: int
+    num_blocks: int = 4
+    filters: int = 44  # penultimate_filters // 24
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        d = self.dtype
+        f = self.filters
+        x = x.astype(d) / 127.5 - 1.0
+        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="VALID",
+                    use_bias=False, dtype=d)(x)
+        x = nn.BatchNorm(use_running_average=not train, epsilon=1e-3,
+                         dtype=jnp.float32)(x)
+        p = None  # keras: first cell's previous path is ip itself
+        x, p = _NASReductionCell(f // 4, dtype=d)(x, p, train)
+        x, p = _NASReductionCell(f // 2, dtype=d)(x, p, train)
+        for _ in range(self.num_blocks):
+            x, p = _NASNormalCell(f, dtype=d)(x, p, train)
+        x, p = _NASReductionCell(f * 2, dtype=d)(x, p, train)
+        for _ in range(self.num_blocks):
+            x, p = _NASNormalCell(f * 2, dtype=d)(x, p, train)
+        x, p = _NASReductionCell(f * 4, dtype=d)(x, p, train)
+        for _ in range(self.num_blocks):
+            x, p = _NASNormalCell(f * 4, dtype=d)(x, p, train)
+        x = nn.relu(x)
+        x = x.mean(axis=(1, 2))
+        return nn.Dense(self.num_classes, dtype=jnp.float32)(x)

@@ -330,12 +330,11 @@ VERSIONS: dict[str, Callable[..., nn.Module]] = {
     "convnextbase": _lazy("ConvNeXtBase"),
     "inceptionv3": _lazy("InceptionV3"),
     "xception": _lazy("Xception"),
+    "nasnetmobile": _lazy("NASNetMobile"),
 }
 
-# keras-era-only zoo entries without a native implementation:
-# requesting them raises instead of silently substituting another
-# architecture
-UNIMPLEMENTED_VERSIONS = ("nasnetmobile",)
+# every reference zoo entry now has a native implementation
+UNIMPLEMENTED_VERSIONS = ()
 
 
 def _normalize(version: str) -> str:
