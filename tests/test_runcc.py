@@ -177,3 +177,60 @@ def test_native_split_scan_matches_python():
             b = split_scan_py(img, bg, initial, absolute, expected, s)
             mismatches += a != b
     assert mismatches == 0
+
+
+def test_segmenter_device_engine_matches_host(tmp_path):
+    """detect_engine=device must produce the same pv objects and
+    tracking as the host labeler (batch shards over the 8-virtual-
+    device mesh; overflow frames fall back to the host path)."""
+    import cv2
+
+    from trex_tpu.pipeline import Segmenter
+
+    rng = np.random.default_rng(2)
+    frames = []
+    for f in range(12):
+        img = np.full((96, 128), 200, np.uint8)
+        for i in range(3):
+            x = 10 + 30 * i + f
+            y = 20 + 20 * i
+            img[y:y + 6, x:x + 10] = 80
+        frames.append(img)
+    src_dir = tmp_path / "frames"
+    src_dir.mkdir()
+    for i, fr in enumerate(frames):
+        cv2.imwrite(str(src_dir / f"f_{i:03d}.png"), fr)
+
+    outs = {}
+    for engine in ("host", "device"):
+        s = reset_global_settings()
+        s.set("track_max_individuals", 3)
+        s.set("track_threshold", 20)
+        s.set("track_threshold_is_absolute", False)
+        s.set("detect_threshold", 15)
+        s.set("detect_threshold_is_absolute", False)
+        s.set("track_size_filter", [[5, 400]])
+        s.set("calculate_posture", False)
+        s.set("frame_rate", 25)
+        s.set("cm_per_pixel", 1.0)
+        s.set("averaging_method", "max")
+        s.set("detect_engine", engine)
+        seg = Segmenter(s, str(src_dir / "f_%03d.png"),
+                        tmp_path / f"{engine}.pv", track=True)
+        tracker = seg.run()
+        pos = {fid: [(b.frame, b.centroid.x, b.centroid.y)
+                     for b in ind.basic]
+               for fid, ind in tracker.individuals.items()}
+        from trex_tpu.io.pv import PVFile
+
+        payload = []
+        with PVFile.open(tmp_path / f"{engine}.pv") as pv:
+            for i in range(len(pv)):
+                fr = pv.read_frame(i)
+                payload.append([
+                    (np.asarray(m).tobytes(), np.asarray(px).tobytes())
+                    for m, px in zip(fr.masks, fr.pixels)])
+        outs[engine] = (pos, payload)
+
+    assert outs["host"][0] == outs["device"][0]
+    assert outs["host"][1] == outs["device"][1]

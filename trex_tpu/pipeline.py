@@ -214,6 +214,120 @@ def _detect_frame_morph(image: np.ndarray, background: np.ndarray,
     return out
 
 
+class DeviceDetector:
+    """detect_engine=device: batched background-subtraction detection
+    on the accelerator (ops/runcc run-based CC, the device counterpart
+    of BackgroundSubtraction.cpp:126-347). Frames batch through ONE
+    jitted program; with several devices the batch shards over a data
+    mesh (SURVEY §5.8 DP-over-tiles). Outputs unpack to the same
+    TrackBlob lists the host `detect_frame` produces — including the
+    fused track-threshold recount — and any frame that overflows the
+    device capacity caps falls back to the host labeler, so results
+    are engine-independent."""
+
+    def __init__(self, settings: Settings, background: np.ndarray,
+                 batch_size: Optional[int] = None):
+        import jax
+
+        s = settings
+        self.settings = s
+        self.background = background
+        h, w = background.shape[:2]
+        self.kw = dict(
+            detect_threshold=int(s["detect_threshold"]),
+            detect_absolute=bool(s["detect_threshold_is_absolute"]),
+            track_threshold=int(s["track_threshold"])
+            if s["track_background_subtraction"] else 0,
+            track_absolute=bool(s["track_threshold_is_absolute"]),
+            max_runs=4096, max_pixels=min(h * w, 1 << 17),
+            max_blobs=1024, max_child_runs=4096, max_children=1024)
+        self.batch_size = int(batch_size or s["detect_batch_size"] or 8)
+        self._bg_dev = jax.numpy.asarray(background)
+        self.mesh = None
+        devs = jax.devices()
+        if len(devs) > 1:
+            from .parallel import make_mesh
+
+            # shard the batch across every device on the data axis
+            self.mesh = make_mesh(len(devs), axis_names=("data",))
+            self.batch_size = max(self.batch_size, len(devs))
+
+    def detect(self, images: list[np.ndarray]) -> list[list[TrackBlob]]:
+        import jax
+        import jax.numpy as jnp
+
+        from .ops.runcc import detect_batch_runs, \
+            detect_batch_runs_sharded
+
+        n = len(images)
+        B = self.batch_size
+        pad = (-n) % B
+        batch = np.stack(list(images) + [images[-1]] * pad)
+        if self.mesh is not None and batch.shape[0] % \
+                self.mesh.devices.size == 0:
+            out = detect_batch_runs_sharded(
+                batch, self.background, self.mesh, **self.kw)
+        else:
+            out = detect_batch_runs(jnp.asarray(batch), self._bg_dev,
+                                    **self.kw)
+        out = jax.device_get(out)
+        return [self._unpack(out, b, images[b]) for b in range(n)]
+
+    def _unpack(self, out, b: int, image: np.ndarray) -> list[TrackBlob]:
+        s = self.settings
+        if bool(out["overflow"][b]):
+            return detect_frame(image, self.background, s)
+        det = out["det"]
+        runs = out["det_runs"]
+        max_blobs = self.kw["max_blobs"]
+        y = runs["y"][b]
+        valid = (y >= 0) & (runs["slot"][b] < max_blobs)
+        y = y[valid].astype(np.int32)
+        x0 = runs["x0"][b][valid].astype(np.int32)
+        x1 = runs["x1"][b][valid].astype(np.int32)
+        slot = runs["slot"][b][valid]
+        order = np.lexsort((x0, y, slot))
+        y, x0, x1, slot = y[order], x0[order], x1[order], slot[order]
+        cm = s["cm_per_pixel"] or 1.0
+        sq = cm * cm
+        ranges = s["detect_size_filter"] or []
+        track_thr = self.kw["track_threshold"]
+        blobs = []
+        starts = np.searchsorted(slot, np.arange(
+            int(det["n_blobs"][b]) + 1))
+        for i in range(int(det["n_blobs"][b])):
+            size = float(det["count"][b, i]) * sq
+            if ranges and not any(lo <= size <= hi for lo, hi in ranges):
+                continue
+            lo, hi = starts[i], starts[i + 1]
+            lines = np.column_stack([y[lo:hi], x0[lo:hi], x1[lo:hi]])
+            px = np.concatenate(
+                [image[ly, lx0:lx1 + 1]
+                 for ly, lx0, lx1 in lines]) if hi > lo \
+                else np.zeros(0, np.uint8)
+            tb = TrackBlob(np.ascontiguousarray(lines, np.int32), px)
+            if track_thr > 0:
+                tb._recount_cache[track_thr] = \
+                    float(det["track_count"][b, i]) * sq
+            blobs.append(tb)
+        return blobs
+
+
+def select_detector(settings: Settings, background: np.ndarray):
+    """Pick the detection engine per the `detect_engine` setting
+    (None = per-frame host path)."""
+    mode = settings.get("detect_engine", "host") or "host"
+    if mode == "device":
+        if settings["use_closing"] or settings["dilation_size"]:
+            raise ValueError(
+                "detect_engine=device does not support morphology "
+                "(use_closing/dilation_size) — use detect_engine=host")
+        return DeviceDetector(settings, background)
+    if mode != "host":
+        raise ValueError(f"unknown detect_engine {mode!r}")
+    return None
+
+
 class LuminanceGrid:
     """Per-cell luminance correction (commons processing/LuminanceGrid):
     divides the arena into cells and normalizes each cell's brightness
@@ -330,6 +444,7 @@ class Segmenter:
         self.tracker = select_tracker(
             s, self.background, self.need_individuals) if self.track \
             else None
+        device_det = select_detector(s, self.background)
         frame_rate = float(s["frame_rate"] or 25)
         start_t = _time.perf_counter()
         n_frames = frame_range[1] - frame_range[0] + 1
@@ -349,7 +464,7 @@ class Segmenter:
 
             encoding = s["meta_encoding"]
 
-            def produce(idx):
+            def load(idx):
                 img = src.get(idx)
                 color = None
                 if img.ndim == 3:
@@ -358,7 +473,24 @@ class Segmenter:
                     color = img if self._color else None
                     img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
                 img = preprocess_video_frame(img, s, undistort)
+                return img, color
+
+            def produce(idx):
+                img, color = load(idx)
                 blobs = detect_frame(img, self.background, s)
+                attach_color(blobs, color)
+                return idx, img, blobs
+
+            def produce_batch(idxs):
+                # detect_engine=device: one device call for the batch
+                loaded = [load(i) for i in idxs]
+                blob_lists = device_det.detect([im for im, _ in loaded])
+                for (img, color), blobs in zip(loaded, blob_lists):
+                    attach_color(blobs, color)
+                return [(i, loaded[k][0], blob_lists[k])
+                        for k, i in enumerate(idxs)]
+
+            def attach_color(blobs, color):
                 if color is not None:
                     # store color pixels under each mask (detection and
                     # tracking stay grayscale)
@@ -373,14 +505,14 @@ class Segmenter:
                             b.store_pixels = bgr_to_r3g3b2(px)
                         else:  # rgb8: pv stores RGB byte order
                             b.store_pixels = px[:, ::-1].reshape(-1)
-                return idx, img, blobs
 
             with cf.ThreadPoolExecutor(max_workers=self.workers) as pool:
-                pending = {}
                 next_submit = frame_range[0]
                 next_write = frame_range[0]
                 window = self.workers * 2 + 2  # backpressure cap
                 futures = {}
+                ready = {}  # device path: frames unpacked from batches
+                step = device_det.batch_size if device_det else 1
                 while next_write <= frame_range[1]:
                     if self.terminate:
                         # graceful end: drop pending work, keep the pv
@@ -390,9 +522,27 @@ class Segmenter:
                         break
                     while (next_submit <= frame_range[1]
                            and len(futures) < window):
-                        futures[next_submit] = pool.submit(produce, next_submit)
-                        next_submit += 1
-                    idx, img, blobs = futures.pop(next_write).result()
+                        if device_det:
+                            idxs = list(range(
+                                next_submit,
+                                min(next_submit + step,
+                                    frame_range[1] + 1)))
+                            futures[next_submit] = pool.submit(
+                                produce_batch, idxs)
+                            next_submit = idxs[-1] + 1
+                        else:
+                            futures[next_submit] = pool.submit(
+                                produce, next_submit)
+                            next_submit += 1
+                    if device_det:
+                        if next_write not in ready:
+                            key = max(k for k in futures
+                                      if k <= next_write)
+                            for item in futures.pop(key).result():
+                                ready[item[0]] = item
+                        idx, img, blobs = ready.pop(next_write)
+                    else:
+                        idx, img, blobs = futures.pop(next_write).result()
                     virtual = idx - frame_range[0]
                     fr = PVFrame(
                         timestamp=int(round((virtual + 1) * 1e6 / frame_rate)),
