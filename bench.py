@@ -220,6 +220,33 @@ def bench_device_detect():
     return best
 
 
+def bench_device_track():
+    """Fused device pipeline (ops/device_tracker): batched run-CC
+    detection + lax.scan tracking under one jit, 64 frames of 1024^2 at
+    256 individuals per call (approximate match mode, no history split
+    — frames needing splits are flagged back to the host engine)."""
+    import jax
+
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    s = _settings()
+    s.set("match_mode", "approximate")
+    s.set("track_do_history_split", False)
+    bg, frames = synth_frames(64)
+    batch = np.stack(frames)
+    kw = dict(max_runs=8192, max_pixels=1 << 17, max_blobs=320,
+              max_child_runs=8192, max_children=320)
+    hist = track_video_device(batch, bg, s, **kw)
+    jax.block_until_ready(hist)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        hist = track_video_device(batch, bg, s, **kw)
+        jax.block_until_ready(hist)
+        best = max(best, len(frames) / (time.perf_counter() - t0))
+    return best
+
+
 def bench_yolo_forward():
     """Compute-only YOLOv8n forward at 640^2 batch 8 in bfloat16
     (BASELINE.json config 4: YOLO detection with SAHI tiling — the
@@ -260,6 +287,10 @@ def main():
     except Exception:
         dev_fps = None
     try:
+        device_track_fps = bench_device_track()
+    except Exception:
+        device_track_fps = None
+    try:
         yolo_fps = bench_yolo_forward()
     except Exception:
         yolo_fps = None
@@ -274,6 +305,8 @@ def main():
         "visual_field_256fish_sets_per_sec": round(vf_per_sec, 1),
         "device_detect_fps_32batch_compute": round(dev_fps, 1)
         if dev_fps else None,
+        "device_track_fused_fps": round(device_track_fps, 1)
+        if device_track_fps else None,
         "yolov8n_640_bf16_fps_compute": round(yolo_fps, 1)
         if yolo_fps else None,
         "synthetic_video": f"{SIZE}x{SIZE}@{int(VIDEO_FPS)}fps "

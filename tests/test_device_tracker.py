@@ -1,0 +1,145 @@
+"""Device-resident scan tracker (ops/device_tracker.py) vs the host
+FastTracker — same approximate-mode, no-history-split configuration.
+The device loop must reproduce the engine's assignments frame-exactly
+on dense and gap/reactivation scenarios."""
+import numpy as np
+
+from trex_tpu.config import reset_global_settings
+from trex_tpu.ops.labeling import label_blobs_raw
+
+
+def _settings(n_fish):
+    s = reset_global_settings()
+    s.set("track_max_individuals", n_fish)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_threshold", 20)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 400]])
+    s.set("calculate_posture", False)
+    s.set("match_mode", "approximate")
+    s.set("track_do_history_split", False)
+    return s
+
+
+def _render(positions, size=256):
+    """positions: (F, 2) or None entries -> one frame."""
+    img = np.full((size, size), 200, np.uint8)
+    for p in positions:
+        if p is None:
+            continue
+        x, y = int(p[0]), int(p[1])
+        img[y:y + 6, x:x + 10] = 80
+    return img
+
+
+def _host_track(frames, bg, s):
+    from trex_tpu.track.engine import FastTracker
+
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    tr = FastTracker(s, bg)
+    for i, fr in enumerate(frames):
+        tr.add_frame(i, i / 25.0, **label_blobs_raw(fr, bg, **det))
+    return tr
+
+
+def _compare(tr, hist, n_frames):
+    fx = np.asarray(hist["fish_x"])
+    fy = np.asarray(hist["fish_y"])
+    seen = np.asarray(hist["fish_seen"])
+    for f in range(n_frames):
+        h = tr.history.get(f)
+        host = {} if h is None else {
+            int(fid): (float(x), float(y))
+            for fid, x, y in zip(h["fish"], h["x"], h["y"])}
+        # creation assignments aren't in engine history; positions are
+        # still comparable through last_x at the final frame — here we
+        # compare the SEEN set plus positions for fish both report
+        dev = {int(i): (float(fx[f, i]), float(fy[f, i]))
+               for i in np.flatnonzero(seen[f])}
+        for fid, (x, y) in host.items():
+            assert fid in dev, (f, fid, host, dev)
+            assert abs(dev[fid][0] - x) < 1e-6, (f, fid)
+            assert abs(dev[fid][1] - y) < 1e-6, (f, fid)
+
+
+def test_device_scan_matches_engine_dense():
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    n_fish = 4
+    s = _settings(n_fish)
+    rng = np.random.default_rng(0)
+    pos = np.array([[30.0 + 50 * i, 40.0 + 40 * i] for i in range(n_fish)])
+    vel = rng.normal(0, 1.5, (n_fish, 2))
+    frames = []
+    for f in range(40):
+        vel += rng.normal(0, 0.4, vel.shape)
+        np.clip(vel, -3, 3, out=vel)
+        pos += vel
+        pos = np.clip(pos, 10, 230)
+        frames.append(_render(pos))
+    bg = np.full((256, 256), 200, np.uint8)
+
+    tr = _host_track(frames, bg, s)
+    hist = track_video_device(
+        np.stack(frames), bg, s,
+        max_runs=512, max_pixels=8192, max_blobs=32,
+        max_child_runs=512, max_children=32)
+    assert not np.asarray(hist["detect_overflow"]).any()
+    assert not np.asarray(hist["needs_host"]).any()
+    assert int(np.asarray(hist["n_fish"])) == n_fish
+    _compare(tr, hist, len(frames))
+
+
+def test_device_scan_matches_engine_reactivation():
+    """A fish vanishes for > track_max_reassign_time and returns: the
+    second-pass reactivation must pick the same identity."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    n_fish = 3
+    s = _settings(n_fish)
+    base = np.array([[40.0, 60.0], [120.0, 60.0], [200.0, 120.0]])
+    frames = []
+    gap = range(12, 12 + 20)  # 20 frames = 0.8 s > t_max (0.5 s)
+    for f in range(45):
+        pts = []
+        for i in range(n_fish):
+            if i == 1 and f in gap:
+                pts.append(None)
+            else:
+                pts.append(base[i] + [0.8 * f, 0.3 * f])
+        frames.append(_render(pts))
+    bg = np.full((256, 256), 200, np.uint8)
+
+    tr = _host_track(frames, bg, s)
+    hist = track_video_device(
+        np.stack(frames), bg, s,
+        max_runs=512, max_pixels=8192, max_blobs=32,
+        max_child_runs=512, max_children=32)
+    assert not np.asarray(hist["needs_host"]).any()
+    _compare(tr, hist, len(frames))
+    # identity 1 really came back as identity 1
+    seen = np.asarray(hist["fish_seen"])
+    assert not seen[tuple(gap)[2], 1]
+    assert seen[44, 1]
+    assert int(np.asarray(hist["n_fish"])) == n_fish
+
+
+def test_device_scan_flags_split_candidates():
+    """Oversized (merged) blobs flag needs_host for host splitting."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    s = _settings(2)
+    img = np.full((128, 128), 200, np.uint8)
+    img[40:70, 30:60] = 80  # 900 px > size_max 400
+    bg = np.full((128, 128), 200, np.uint8)
+    hist = track_video_device(
+        np.stack([img]), bg, s,
+        max_runs=512, max_pixels=8192, max_blobs=32,
+        max_child_runs=512, max_children=32)
+    assert bool(np.asarray(hist["needs_host"])[0])

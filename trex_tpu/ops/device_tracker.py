@@ -1,0 +1,249 @@
+"""Device-resident tracking loop (SURVEY §7 stage 3).
+
+The per-frame tracking recurrence runs as a `lax.scan` with the
+tracker state as carry, fused behind one jit with the batched run-CC
+detection (ops/runcc) — frames never round-trip to the host inside a
+chunk; the host consumes the stacked per-frame assignment history
+afterwards (the "host keeps archives" split).
+
+Semantics mirror track/engine.FastTracker's first/second pass exactly
+for the `match_mode=approximate`, `track_do_history_split=false`
+configuration (itself differential-tested against the object Tracker):
+
+- caches: tdelta/time-probability per Individual.cache_for_frame
+  (Individual.cpp:2061-2105), with the recent-samples window counted
+  over a seen-ring of the last `frame_rate` frames;
+- probability: p = tprob / (1 + d/global_td * cm/max_speed)^2 against
+  blob bbox centers (Individual.cpp:2109-2237 S*T with the global
+  one-frame delta of Individual.cpp:1753);
+- first pass: greedy per blob in index order, highest-p unused ACTIVE
+  fish (PairingGraph.cpp:1141-1193 approximate mode), p > p_min;
+- second pass: reactivation of INACTIVE fish (gap >= t_max) with
+  p = p_min + (1/sqdist/tdelta)(1-p_min) against blob centroids
+  (Tracker.cpp:1846-1975), then new-fish creation in blob order while
+  under track_max_individuals.
+
+Frames containing blobs above the size filter's maximum (split
+candidates, SplitBlob.cpp escalation) are flagged `needs_host`; a
+production consumer re-runs those frames through the host engine.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class TrackParams(NamedTuple):
+    """Static tracking configuration (hashable for jit)."""
+    max_fish: int
+    p_min: float
+    cm_per_pixel: float
+    max_speed: float
+    t_max: float             # track_max_reassign_time
+    frame_rate: int
+    time_prob_enabled: bool
+    minimum_frames: int      # min(frame_rate, 5)
+    size_min: float          # track_size_filter (recount, cm^2)
+    size_max: float
+
+
+def params_from_settings(s) -> TrackParams:
+    fr = int(s["frame_rate"] or 25)
+    ranges = s["track_size_filter"] or []
+    lo = min((r[0] for r in ranges), default=0.0)
+    hi = max((r[1] for r in ranges), default=float("inf"))
+    return TrackParams(
+        max_fish=int(s["track_max_individuals"]),
+        p_min=float(s["match_min_probability"]),
+        cm_per_pixel=float(s["cm_per_pixel"] or 1.0),
+        max_speed=float(s["track_max_speed"]),
+        t_max=float(s["track_max_reassign_time"]),
+        frame_rate=fr,
+        time_prob_enabled=bool(s["track_time_probability_enabled"]),
+        minimum_frames=min(fr, 5),
+        size_min=float(lo), size_max=float(hi))
+
+
+def _init_carry(P: TrackParams):
+    F = P.max_fish
+    return dict(
+        last_x=jnp.zeros(F), last_y=jnp.zeros(F),
+        last_time=jnp.zeros(F),
+        last_frame=jnp.full(F, -(10 ** 9), jnp.int32),
+        n_basic=jnp.zeros(F, jnp.int32),
+        seen=jnp.zeros((F, P.frame_rate), bool),  # ring, newest last
+        n_fish=jnp.asarray(0, jnp.int32))
+
+
+def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
+    """Per-blob greedy: highest-probability unused fish, first-max
+    (= lowest fish id) tie-break, blobs in index order."""
+    B = Pmat.shape[1]
+
+    def body(b, state):
+        taken, fob = state
+        col = jnp.where(taken, -1.0, Pmat[:, b])
+        f = jnp.argmax(col)
+        ok = valid_b[b] & (col[f] > threshold) & (fob[b] < 0)
+        taken = taken.at[f].set(taken[f] | ok)
+        fob = fob.at[b].set(jnp.where(ok, f.astype(jnp.int32), fob[b]))
+        return taken, fob
+
+    return jax.lax.fori_loop(0, B, body, (taken_f, fish_of_blob))
+
+
+@partial(jax.jit, static_argnames=("P",))
+def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
+               P: TrackParams) -> dict:
+    """Scan the tracking recurrence over detected frames.
+
+    det: stacked per-frame blob tables — dict with (T, B) arrays
+    "cx", "cy" (centroids), "bcx", "bcy" (bbox centers), "recount"
+    (track-threshold pixel count; cm^2 scaling applied here), "valid".
+    Returns per-frame history: fish_x/fish_y/fish_seen (T, F),
+    n_assigned (T,), needs_host (T,), plus the final n_fish.
+    """
+    sq = P.cm_per_pixel * P.cm_per_pixel
+    cms = P.cm_per_pixel / P.max_speed
+    t_delta_frame = 1.0 / P.frame_rate
+    F = P.max_fish
+    start_frame = frames_idx[0]
+
+    def step(carry, inp):
+        cx, cy, bcx, bcy, rec, bvalid, time, frame, prev_time = inp
+        created = jnp.arange(F) < carry["n_fish"]
+        has = (carry["last_frame"] > -(10 ** 8)) & created
+        tdelta = jnp.maximum(time - carry["last_time"], 1e-6)
+        size = rec * sq
+        in_range = (size >= P.size_min) & (size <= P.size_max)
+        needs_host = jnp.any(bvalid & (size > P.size_max))
+        bval = bvalid & in_range
+
+        # time probability (engine _caches_py)
+        if P.time_prob_enabled:
+            p = 1.0 - jnp.clip((tdelta - t_delta_frame) / P.t_max,
+                               0.0, 1.0)
+            R = carry["seen"].sum(axis=1)
+            needs = has & (carry["last_frame"]
+                           >= start_frame + P.minimum_frames)
+            scale = jnp.where(
+                needs,
+                jnp.minimum(1.0, (R - 1) / P.minimum_frames + P.p_min),
+                1.0)
+            tprob = jnp.where(tdelta > P.t_max, 0.0,
+                              (p * scale) * 0.75 + 0.25)
+            tprob = jnp.where(has, tprob, 0.0)
+        else:
+            tprob = jnp.where(has, 1.0, 0.0)
+
+        # the global one-frame delta divides position speeds
+        # (Individual.cpp:1753); zero -> inf like the engine
+        gt = time - prev_time
+        global_td = jnp.where(gt > 0, gt, jnp.inf)
+
+        # first pass over bbox centers, active fish only
+        d = jnp.hypot(bcx[None, :] - carry["last_x"][:, None],
+                      bcy[None, :] - carry["last_y"][:, None])
+        speed = d / global_td * cms
+        usable = has & (tprob > 0) & (tdelta < P.t_max)
+        Pmat = tprob[:, None] / (1.0 + speed) ** 2
+        Pmat = jnp.where(usable[:, None], Pmat, 0.0)
+        fob = jnp.full(bval.shape, -1, jnp.int32)
+        taken, fob = _greedy_pass(Pmat, bval, ~usable, fob, P.p_min)
+        n_first = (fob >= 0).sum()
+
+        # second pass: reactivation over centroids (engine
+        # _reactivate_py formula, unclamped)
+        inactive = created & ((~has) | (tdelta >= P.t_max))
+        sqd = (cx[None, :] - carry["last_x"][:, None]) ** 2 \
+            + (cy[None, :] - carry["last_y"][:, None]) ** 2
+        pre = jnp.where(sqd > 0, 1.0 / sqd / global_td, 1.0 / global_td)
+        pre = jnp.where(jnp.asarray(global_td) <= 0, 1.0, pre)
+        pre = P.p_min + pre * (1.0 - P.p_min)
+        pre = jnp.where((carry["n_basic"] > 0)[:, None], pre, P.p_min)
+        pre = jnp.where(inactive[:, None], pre, -1.0)
+        free = bval & (fob < 0)
+        _, fob = _greedy_pass(pre, free, ~inactive, fob, 0.0)
+        n_react = (fob >= 0).sum() - n_first
+
+        # creation: remaining free blobs claim new ids in blob order
+        still_free = bval & (fob < 0)
+        order = jnp.cumsum(still_free.astype(jnp.int32)) - 1
+        new_id = carry["n_fish"] + order
+        create = still_free & (new_id < F)
+        fob = jnp.where(create, new_id, fob)
+        n_fish = jnp.minimum(jnp.asarray(F, jnp.int32),
+                             carry["n_fish"] + create.sum(
+                                 dtype=jnp.int32))
+
+        # scatter per-fish updates (centroid positions)
+        fish_idx = jnp.where(fob >= 0, fob, F)  # F = drop slot
+        fx = jnp.zeros(F + 1).at[fish_idx].set(cx)[:F]
+        fy = jnp.zeros(F + 1).at[fish_idx].set(cy)[:F]
+        got = jnp.zeros(F + 1, bool).at[fish_idx].set(fob >= 0)[:F]
+
+        seen = jnp.concatenate(
+            [carry["seen"][:, 1:], got[:, None]], axis=1)
+        new_carry = dict(
+            last_x=jnp.where(got, fx, carry["last_x"]),
+            last_y=jnp.where(got, fy, carry["last_y"]),
+            last_time=jnp.where(got, time, carry["last_time"]),
+            last_frame=jnp.where(got, frame,
+                                 carry["last_frame"]).astype(jnp.int32),
+            n_basic=carry["n_basic"] + got.astype(jnp.int32),
+            seen=seen, n_fish=n_fish)
+        out = dict(fish_x=new_carry["last_x"],
+                   fish_y=new_carry["last_y"], fish_seen=got,
+                   n_assigned=n_first + n_react,
+                   needs_host=needs_host)
+        return new_carry, out
+
+    prev_times = jnp.concatenate([times[:1], times[:-1]])
+    inputs = (det["cx"], det["cy"], det["bcx"], det["bcy"],
+              det["recount"], det["valid"], times, frames_idx,
+              prev_times)
+    final, hist = jax.lax.scan(step, _init_carry(P), inputs)
+    hist["n_fish"] = final["n_fish"]
+    return hist
+
+
+def detections_from_runcc(out: dict) -> dict:
+    """Adapt detect_batch_runs output to track_scan's blob tables."""
+    det = out["det"]
+    n = det["count"]
+    valid = (jnp.arange(n.shape[1])[None, :] < det["n_blobs"][:, None]) \
+        & (n > 0)
+    safe = jnp.maximum(n, 1)
+    return dict(
+        cx=det["sum_x"] / safe, cy=det["sum_y"] / safe,
+        bcx=(det["x0"] + det["x1"] + 1) * 0.5,
+        bcy=(det["y0"] + det["y1"] + 1) * 0.5,
+        recount=det["track_count"], valid=valid)
+
+
+def track_video_device(frames, background, settings, **caps) -> dict:
+    """Fused device pipeline: batched run-CC detection + scan tracking
+    under jit; one host transfer for the whole chunk's history."""
+    from .runcc import detect_batch_runs
+
+    P = params_from_settings(settings)
+    kw = dict(
+        detect_threshold=int(settings["detect_threshold"]),
+        detect_absolute=bool(settings["detect_threshold_is_absolute"]),
+        track_threshold=int(settings["track_threshold"])
+        if settings["track_background_subtraction"] else 0,
+        track_absolute=bool(settings["track_threshold_is_absolute"]))
+    kw.update(caps)
+    T = frames.shape[0]
+    fr = float(settings["frame_rate"] or 25)
+    out = detect_batch_runs(jnp.asarray(frames),
+                            jnp.asarray(background), **kw)
+    det = detections_from_runcc(out)
+    times = jnp.arange(T) / fr
+    hist = track_scan(det, times, jnp.arange(T, dtype=jnp.int32), P)
+    hist["detect_overflow"] = out["overflow"]
+    return hist
