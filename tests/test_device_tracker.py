@@ -143,3 +143,45 @@ def test_device_scan_flags_split_candidates():
         max_runs=512, max_pixels=8192, max_blobs=32,
         max_child_runs=512, max_children=32)
     assert bool(np.asarray(hist["needs_host"])[0])
+
+
+def test_multi_video_tracking_sharded_over_mesh():
+    """(V, T, H, W) video batch: independent scan recurrences vmapped
+    and sharded one-video-per-device; each video's history must equal
+    its single-video result."""
+    import jax
+
+    from trex_tpu.ops.device_tracker import (track_video_device,
+                                             track_videos_sharded)
+    from trex_tpu.parallel import make_mesh
+
+    n_fish = 2
+    s = _settings(n_fish)
+    rng = np.random.default_rng(5)
+    videos = []
+    for v in range(8):
+        pos = np.array([[30.0 + 20 * v % 60, 40.0],
+                        [150.0, 100.0 + 10 * v]])
+        vel = rng.normal(0, 1.0, (n_fish, 2))
+        fr = []
+        for f in range(10):
+            vel += rng.normal(0, 0.3, vel.shape)
+            pos = np.clip(pos + vel, 10, 230)
+            fr.append(_render(pos))
+        videos.append(np.stack(fr))
+    batch = np.stack(videos)  # (8, 10, 256, 256)
+    bg = np.full((256, 256), 200, np.uint8)
+    caps = dict(max_runs=512, max_pixels=8192, max_blobs=32,
+                max_child_runs=512, max_children=32)
+
+    mesh = make_mesh(8, axis_names=("data",))
+    hist = jax.device_get(track_videos_sharded(
+        batch, bg, s, mesh=mesh, **caps))
+    for v in range(8):
+        single = jax.device_get(track_video_device(batch[v], bg, s,
+                                                   **caps))
+        np.testing.assert_array_equal(hist["fish_seen"][v],
+                                      single["fish_seen"])
+        np.testing.assert_allclose(
+            np.where(hist["fish_seen"][v], hist["fish_x"][v], 0),
+            np.where(single["fish_seen"], single["fish_x"], 0))

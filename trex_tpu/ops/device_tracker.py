@@ -247,3 +247,47 @@ def track_video_device(frames, background, settings, **caps) -> dict:
     hist = track_scan(det, times, jnp.arange(T, dtype=jnp.int32), P)
     hist["detect_overflow"] = out["overflow"]
     return hist
+
+
+def track_videos_sharded(frames, background, settings, mesh=None,
+                         axis: str = "data", **caps) -> dict:
+    """Multi-video device tracking: (V, T, H, W) video batch, one
+    independent detect+scan recurrence per video, vmapped and sharded
+    over the mesh's `axis` — each chip tracks its own videos end to
+    end (the scale-out mapping for BASELINE config 5's batched
+    multi-video ingest: tracking is sequential per video, so
+    parallelism comes from videos x chips, not frames x chips)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P_
+
+    from .runcc import detect_batch_runs
+
+    P = params_from_settings(settings)
+    kw = dict(
+        detect_threshold=int(settings["detect_threshold"]),
+        detect_absolute=bool(settings["detect_threshold_is_absolute"]),
+        track_threshold=int(settings["track_threshold"])
+        if settings["track_background_subtraction"] else 0,
+        track_absolute=bool(settings["track_threshold_is_absolute"]))
+    kw.update(caps)
+    V, T = frames.shape[:2]
+    fr = float(settings["frame_rate"] or 25)
+    times = jnp.broadcast_to(jnp.arange(T) / fr, (V, T))
+    fidx = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (V, T))
+
+    def one_video(video, t, fi):
+        out = detect_batch_runs(video, jnp.asarray(background), **kw)
+        det = detections_from_runcc(out)
+        hist = track_scan(det, t, fi, P)
+        hist["detect_overflow"] = out["overflow"]
+        return hist
+
+    fn = jax.vmap(one_video)
+    frames = jnp.asarray(frames)
+    if mesh is not None:
+        frames = jax.device_put(frames, NamedSharding(mesh, P_(axis)))
+        times = jax.device_put(times, NamedSharding(mesh, P_(axis)))
+        fidx = jax.device_put(fidx, NamedSharding(mesh, P_(axis)))
+        with mesh:
+            return fn(frames, times, fidx)
+    return fn(frames, times, fidx)
