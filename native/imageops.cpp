@@ -12,48 +12,7 @@
 #include <cstring>
 #include <vector>
 
-namespace {
-
-template <typename Count>
-void mode_u8_impl(const uint8_t* samples, int64_t n, int64_t p,
-                  uint8_t* out) {
-    constexpr int64_t B = 4096;  // 4096 px * 256 bins * sizeof(Count)
-    std::vector<Count> hist(B * 256);
-    for (int64_t s = 0; s < p; s += B) {
-        const int64_t b = std::min(B, p - s);
-        std::memset(hist.data(), 0, sizeof(Count) * b * 256);
-        const uint8_t* base = samples + s;
-        for (int64_t r = 0; r < n; ++r) {
-            const uint8_t* row = base + r * p;
-            for (int64_t i = 0; i < b; ++i)
-                ++hist[i * 256 + row[i]];
-        }
-        for (int64_t i = 0; i < b; ++i) {
-            const Count* h = hist.data() + i * 256;
-            int best = 0;
-            Count bc = h[0];
-            // first-max tie-break = lowest value, matching np.argmax
-            for (int v = 1; v < 256; ++v)
-                if (h[v] > bc) { bc = h[v]; best = v; }
-            out[s + i] = static_cast<uint8_t>(best);
-        }
-    }
-}
-
-}  // namespace
-
 extern "C" {
-
-// samples: (n, p) row-major uint8 (n frames flattened to p pixels
-// each); out: (p,) uint8 per-pixel modal value.
-void trex_mode_u8(const uint8_t* samples, int64_t n, int64_t p,
-                  uint8_t* out) {
-    if (n <= 0 || p <= 0) return;
-    if (n < 256)
-        mode_u8_impl<uint8_t>(samples, n, p, out);
-    else
-        mode_u8_impl<uint32_t>(samples, n, p, out);
-}
 
 // Same, but each frame stays in its own buffer (no (n, p) stack copy):
 // rows[r] points at frame r's p pixels.

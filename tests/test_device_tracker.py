@@ -185,3 +185,23 @@ def test_multi_video_tracking_sharded_over_mesh():
         np.testing.assert_allclose(
             np.where(hist["fish_seen"][v], hist["fish_x"][v], 0),
             np.where(single["fish_seen"], single["fish_x"], 0))
+
+
+def test_device_track_without_bgsub_recount():
+    """track_background_subtraction=false (the default) sends
+    track_threshold=0 to the detector, which then emits no
+    track_count — the size filter must use the detect count
+    (regression: KeyError under default settings)."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    s = _settings(2)
+    s.set("track_background_subtraction", False)
+    frames = [_render([(30.0 + f, 40.0), (90.0, 100.0)], size=128)
+              for f in range(5)]
+    bg = np.full((128, 128), 200, np.uint8)
+    hist = track_video_device(
+        np.stack(frames), bg, s,
+        max_runs=256, max_pixels=4096, max_blobs=16,
+        max_child_runs=256, max_children=16)
+    assert int(np.asarray(hist["n_fish"])) == 2
+    assert np.asarray(hist["fish_seen"])[1:].all()

@@ -10,12 +10,13 @@ Decode is host-side (OpenCV/ffmpeg); device transfer happens downstream.
 from __future__ import annotations
 
 import ctypes as _c
-import glob
-import re
+import threading
 from pathlib import Path
 from typing import Iterator, Optional
 
 import numpy as np
+
+from .patharray import has_pattern, resolve_paths
 
 try:
     import cv2
@@ -50,6 +51,9 @@ class VideoSource:
         self._cap_pos = 0
         self._live = False
         self._videos: Optional[list[str]] = None  # multi-video chain
+        # stateful decoder access (seek + read) must serialize: the
+        # Segmenter's worker pool calls get() concurrently
+        self._seek_lock = threading.Lock()
         self._video_caps: list = []
         self._video_offsets: Optional[np.ndarray] = None
         self._video_idx = -1
@@ -65,15 +69,11 @@ class VideoSource:
                 self._live = True
                 if not self._cap.isOpened():
                     raise RuntimeError("cannot open webcam device 0")
-            elif re.search(r"%(?:\d+\.)*\d*d", s) or (
-                    s.strip().startswith("[") and s.strip().endswith("]")):
-                # printf patterns incl. %start.digits / %start.end.digits
-                # and explicit ["a","b"] path arrays
-                from .patharray import resolve_paths
-
+            elif has_pattern(s):
+                # printf patterns (%start[.end].digits), star globs and
+                # explicit ["a","b"] path arrays — one predicate shared
+                # with commons PathArray (io/patharray.py)
                 self._files = resolve_paths(s)
-            elif any(ch in s for ch in "*?["):
-                self._files = sorted(glob.glob(s))
             elif Path(s).is_dir():
                 exts = (".jpg", ".jpeg", ".png", ".bmp", ".tiff", ".tif")
                 self._files = sorted(
@@ -139,13 +139,14 @@ class VideoSource:
                                      side="right")) - 1
             local = index - int(self._video_offsets[vi])
             cap = self._video_caps[vi]
-            if vi != self._video_idx or local != self._cap_pos:
-                cap.set(cv2.CAP_PROP_POS_FRAMES, local)
-            ok, img = cap.read()
+            with self._seek_lock:
+                if vi != self._video_idx or local != self._cap_pos:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, local)
+                ok, img = cap.read()
+                self._video_idx = vi
+                self._cap_pos = local + 1
             if not ok:
                 raise IndexError(index)
-            self._video_idx = vi
-            self._cap_pos = local + 1
             if not self.color and img.ndim == 3:
                 img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
             return img
@@ -157,13 +158,14 @@ class VideoSource:
             if img is None:
                 raise IOError(f"failed to decode {self._files[index]}")
             return img
-        if not self._live and index != self._cap_pos:
-            self._cap.set(cv2.CAP_PROP_POS_FRAMES, index)
-            self._cap_pos = index
-        ok, img = self._cap.read()
+        with self._seek_lock:
+            if not self._live and index != self._cap_pos:
+                self._cap.set(cv2.CAP_PROP_POS_FRAMES, index)
+                self._cap_pos = index
+            ok, img = self._cap.read()
+            self._cap_pos = index + 1
         if not ok:
             raise IndexError(index)
-        self._cap_pos = index + 1
         if not self.color and img.ndim == 3:
             img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
         return img

@@ -39,8 +39,11 @@ def tag_tracklet_predictions(tracker, tags: dict,
     by_frame: dict[int, dict[int, tuple]] = {}
     for tid, dets in tags.items():
         for f, (bid, p) in dets.items():
-            by_frame.setdefault(int(f), {})[int(bid)] = (int(tid),
-                                                         float(p))
+            per = by_frame.setdefault(int(f), {})
+            prev = per.get(int(bid))
+            # several tags claiming one blob: the most confident wins
+            if prev is None or float(p) > prev[1]:
+                per[int(bid)] = (int(tid), float(p))
     out = []
     for fid, ind in sorted(tracker.individuals.items()):
         for (t0, t1) in ind.tracklets:

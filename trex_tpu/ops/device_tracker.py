@@ -222,7 +222,21 @@ def detections_from_runcc(out: dict) -> dict:
         cx=det["sum_x"] / safe, cy=det["sum_y"] / safe,
         bcx=(det["x0"] + det["x1"] + 1) * 0.5,
         bcy=(det["y0"] + det["y1"] + 1) * 0.5,
-        recount=det["track_count"], valid=valid)
+        # runcc emits track_count only when a track threshold runs
+        # (track_background_subtraction); size-filter on the plain
+        # detect count otherwise, like the host engine
+        recount=det.get("track_count", n), valid=valid)
+
+
+def _detect_kwargs(settings, caps) -> dict:
+    kw = dict(
+        detect_threshold=int(settings["detect_threshold"]),
+        detect_absolute=bool(settings["detect_threshold_is_absolute"]),
+        track_threshold=int(settings["track_threshold"])
+        if settings["track_background_subtraction"] else 0,
+        track_absolute=bool(settings["track_threshold_is_absolute"]))
+    kw.update(caps)
+    return kw
 
 
 def track_video_device(frames, background, settings, **caps) -> dict:
@@ -231,13 +245,7 @@ def track_video_device(frames, background, settings, **caps) -> dict:
     from .runcc import detect_batch_runs
 
     P = params_from_settings(settings)
-    kw = dict(
-        detect_threshold=int(settings["detect_threshold"]),
-        detect_absolute=bool(settings["detect_threshold_is_absolute"]),
-        track_threshold=int(settings["track_threshold"])
-        if settings["track_background_subtraction"] else 0,
-        track_absolute=bool(settings["track_threshold_is_absolute"]))
-    kw.update(caps)
+    kw = _detect_kwargs(settings, caps)
     T = frames.shape[0]
     fr = float(settings["frame_rate"] or 25)
     out = detect_batch_runs(jnp.asarray(frames),
@@ -263,13 +271,7 @@ def track_videos_sharded(frames, background, settings, mesh=None,
     from .runcc import detect_batch_runs
 
     P = params_from_settings(settings)
-    kw = dict(
-        detect_threshold=int(settings["detect_threshold"]),
-        detect_absolute=bool(settings["detect_threshold_is_absolute"]),
-        track_threshold=int(settings["track_threshold"])
-        if settings["track_background_subtraction"] else 0,
-        track_absolute=bool(settings["track_threshold_is_absolute"]))
-    kw.update(caps)
+    kw = _detect_kwargs(settings, caps)
     V, T = frames.shape[:2]
     fr = float(settings["frame_rate"] or 25)
     times = jnp.broadcast_to(jnp.arange(T) / fr, (V, T))

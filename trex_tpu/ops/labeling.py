@@ -173,10 +173,6 @@ def _configure(lib):
             ctypes.POINTER(ctypes.c_double),
         ]
         u8p = ctypes.POINTER(ctypes.c_uint8)
-        lib.trex_mode_u8.restype = None
-        lib.trex_mode_u8.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, u8p,
-        ]
         lib.trex_mode_u8_rows.restype = None
         lib.trex_mode_u8_rows.argtypes = [
             ctypes.POINTER(u8p), ctypes.c_int64, ctypes.c_int64, u8p,
