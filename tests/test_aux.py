@@ -765,3 +765,48 @@ def test_multi_video_concatenated_ingest(tmp_path):
     assert len(src2) == 15
     src.close()
     src2.close()
+
+
+def test_memory_stats_accounting():
+    """MemoryStats equivalent (tracking/MemoryStats.{h,cpp}): per-
+    individual byte maps sum into the tracker-wide report."""
+    import io
+
+    from trex_tpu.utils.memstats import (individual_memory_stats,
+                                         tracker_memory_stats)
+
+    tracker = _small_tracker() if "_small_tracker" in dir() else None
+    if tracker is None:
+        from trex_tpu.config import reset_global_settings
+        from trex_tpu.track import TrackBlob, Tracker
+
+        s = reset_global_settings()
+        s.set("track_max_individuals", 2)
+        s.set("track_threshold", 10)
+        s.set("track_threshold_is_absolute", False)
+        s.set("track_size_filter", [[5, 400]])
+        s.set("calculate_posture", False)
+        s.set("cm_per_pixel", 1.0)
+        s.set("frame_rate", 25)
+        bg = np.full((64, 64), 200, np.uint8)
+        tracker = Tracker(s, background=bg)
+        for f in range(5):
+            blobs = []
+            for i in range(2):
+                x = 10 + 30 * i + f
+                lines = np.array([[20 + r, x, x + 7] for r in range(5)],
+                                 np.int32)
+                blobs.append(TrackBlob(lines, np.full(40, 80, np.uint8)))
+            tracker.add(tracker.preprocess_frame(f, blobs, time=f / 25))
+
+    per = [individual_memory_stats(ind)
+           for ind in tracker.individuals.values()]
+    assert all(st.bytes > 0 for st in per)
+    assert all("blobs" in st.sizes for st in per)
+    total = tracker_memory_stats(tracker)
+    assert total.bytes >= sum(st.bytes for st in per)
+    assert total.sizes["background"] == 64 * 64
+    buf = io.StringIO()
+    total.print(file=buf)
+    out = buf.getvalue()
+    assert "[memory]" in out and "blobs" in out and "background" in out

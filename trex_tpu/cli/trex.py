@@ -277,6 +277,10 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         tracker = state.run()
         print(f"\n[track] tracked {len(state.pv)} frames, "
               f"{len(tracker.individuals)} individuals")
+        if s["gui_show_memory_stats"]:
+            from ..utils.memstats import tracker_memory_stats
+
+            tracker_memory_stats(tracker).print()
         if matching_log:
             _write_matching_log(tracker, out_base / str(matching_log))
         if auto_train or auto_apply:
