@@ -810,3 +810,36 @@ def test_memory_stats_accounting():
     total.print(file=buf)
     out = buf.getvalue()
     assert "[memory]" in out and "blobs" in out and "background" in out
+
+
+def test_timing_stats_chrome_trace(tmp_path):
+    """timing_stats_file: the instrumented pipeline stages export as
+    Chrome trace-event JSON (TimingStatsCollector lane chart)."""
+    import json
+
+    import cv2
+
+    from trex_tpu.cli.trex import main
+
+    src_dir = tmp_path / "frames"
+    src_dir.mkdir()
+    for i in range(6):
+        img = np.full((64, 64), 200, np.uint8)
+        img[20:26, 10 + i:20 + i] = 80
+        cv2.imwrite(str(src_dir / f"t_{i:03d}.png"), img)
+    trace = tmp_path / "trace.json"
+    rc = main(["-i", str(src_dir / "t_%03d.png"), "-o", "tt",
+               "-d", str(tmp_path), "-task", "convert", "-nowindow",
+               "-auto_quit", "-track_max_individuals", "1",
+               "-track_threshold", "20", "-detect_threshold", "15",
+               "-track_size_filter", "[[5,400]]",
+               "-calculate_posture", "false",
+               "-averaging_method", "max",
+               "-timing_stats_file", str(trace)])
+    assert rc == 0 and trace.exists()
+    doc = json.loads(trace.read_text())
+    names = {e["name"] for e in doc["traceEvents"] if e["ph"] == "X"}
+    assert {"decode+preprocess", "detect", "serialize",
+            "track"} <= names
+    assert all("ts" in e and "dur" in e
+               for e in doc["traceEvents"] if e["ph"] == "X")

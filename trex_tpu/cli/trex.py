@@ -247,6 +247,7 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         tracker = seg.run()
         print(f"\n[convert] wrote {pv_path} "
               f"({seg.fps_stat:.1f} fps)")
+        _dump_timing(s)
         if matching_log and tracker is not None:
             _write_matching_log(tracker, out_base / str(matching_log))
         if auto_quit:
@@ -281,6 +282,7 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             from ..utils.memstats import tracker_memory_stats
 
             tracker_memory_stats(tracker).print()
+        _dump_timing(s)
         if matching_log:
             _write_matching_log(tracker, out_base / str(matching_log))
         if auto_train or auto_apply:
@@ -300,6 +302,22 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
 
     print(f"unsupported task {task!r}", file=sys.stderr)
     return 1
+
+
+def _dump_timing(s):
+    """timing_stats_file: per-stage pipeline timing as Chrome
+    trace-event JSON (the TimingStatsCollector lane chart)."""
+    path = str(s.get("timing_stats_file", "") or "").strip()
+    if not path:
+        return
+    from ..utils.timing import global_collector, to_chrome_trace
+
+    c = global_collector()
+    to_chrome_trace(c.records(), path)
+    summary = c.summary()
+    print(f"[timing] wrote {path} "
+          f"({sum(v['n'] for v in summary.values())} records, "
+          f"{len(summary)} lanes)")
 
 
 def _write_matching_log(tracker, path):

@@ -25,6 +25,9 @@ from .io.pv import PVFile, PVFrame, PVHeader
 from .io.video import AveragingAccumulator, VideoSource
 from .ops.labeling import label_blobs
 from .track import TrackBlob, Tracker
+from .utils.timing import global_collector as _global_collector
+
+_collector = _global_collector()
 from .track.posture import calculate_posture
 from .track.individual import PostureStuff
 
@@ -476,15 +479,20 @@ class Segmenter:
                 return img, color
 
             def produce(idx):
-                img, color = load(idx)
-                blobs = detect_frame(img, self.background, s)
+                with _collector.measure("decode+preprocess", idx):
+                    img, color = load(idx)
+                with _collector.measure("detect", idx):
+                    blobs = detect_frame(img, self.background, s)
                 attach_color(blobs, color)
                 return idx, img, blobs
 
             def produce_batch(idxs):
                 # detect_engine=device: one device call for the batch
-                loaded = [load(i) for i in idxs]
-                blob_lists = device_det.detect([im for im, _ in loaded])
+                with _collector.measure("decode+preprocess", idxs[0]):
+                    loaded = [load(i) for i in idxs]
+                with _collector.measure("detect(device)", idxs[0]):
+                    blob_lists = device_det.detect(
+                        [im for im, _ in loaded])
                 for (img, color), blobs in zip(loaded, blob_lists):
                     attach_color(blobs, color)
                 return [(i, loaded[k][0], blob_lists[k])
@@ -544,19 +552,24 @@ class Segmenter:
                     else:
                         idx, img, blobs = futures.pop(next_write).result()
                     virtual = idx - frame_range[0]
-                    fr = PVFrame(
-                        timestamp=int(round((virtual + 1) * 1e6 / frame_rate)),
-                        source_index=idx, index=virtual)
-                    for b in blobs:
-                        px = b.store_pixels if b.store_pixels is not None \
-                            else b.pixels
-                        fr.add_object(b.lines, px)
-                    pv.add_frame(fr)
+                    with _collector.measure("serialize", virtual):
+                        fr = PVFrame(
+                            timestamp=int(round(
+                                (virtual + 1) * 1e6 / frame_rate)),
+                            source_index=idx, index=virtual)
+                        for b in blobs:
+                            px = b.store_pixels \
+                                if b.store_pixels is not None \
+                                else b.pixels
+                            fr.add_object(b.lines, px)
+                        pv.add_frame(fr)
                     if s["save_raw_movie"]:
                         self._write_raw(img, frame_rate)
                     if self.tracker is not None:
-                        self._track_frame(virtual, blobs,
-                                          virtual / frame_rate, posture_pool)
+                        with _collector.measure("track", virtual):
+                            self._track_frame(virtual, blobs,
+                                              virtual / frame_rate,
+                                              posture_pool)
                     if self.progress:
                         self.progress(virtual + 1, n_frames)
                     next_write += 1

@@ -118,6 +118,29 @@ class TimingStatsCollector:
         return out
 
 
+def to_chrome_trace(records: list[TimingRecord], path,
+                    thread_names: Optional[dict] = None) -> None:
+    """Write records as Chrome trace-event JSON — the equivalent of the
+    reference's per-thread timing lane chart (core/TimingStatsCollector
+    consumed by the GUI's lane view); open in chrome://tracing or
+    Perfetto. Records carry no thread id, so lanes group by metric."""
+    import json
+
+    lanes: dict[str, int] = {}
+    events = []
+    for r in records:
+        tid = lanes.setdefault(r.metric, len(lanes))
+        events.append({
+            "name": r.metric, "ph": "X", "pid": 0, "tid": tid,
+            "ts": r.start * 1e6, "dur": r.duration * 1e6,
+            "args": ({"frame": r.frame} if r.frame >= 0 else {}),
+        })
+    meta = [{"name": "thread_name", "ph": "M", "pid": 0, "tid": t,
+             "args": {"name": m}} for m, t in lanes.items()]
+    with open(path, "w") as f:
+        json.dump({"traceEvents": meta + events}, f)
+
+
 _global_collector: Optional[TimingStatsCollector] = None
 
 
