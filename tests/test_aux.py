@@ -843,3 +843,104 @@ def test_timing_stats_chrome_trace(tmp_path):
             "track"} <= names
     assert all("ts" in e and "dur" in e
                for e in doc["traceEvents"] if e["ph"] == "X")
+
+
+def _tiny_convert(tmp_path, extra_args=()):
+    import cv2
+
+    from trex_tpu.cli.trex import main
+
+    src_dir = tmp_path / "lf"
+    src_dir.mkdir(exist_ok=True)
+    for i in range(8):
+        img = np.full((64, 64), 200, np.uint8)
+        img[20:26, 10 + i:20 + i] = 80
+        cv2.imwrite(str(src_dir / f"t_{i:03d}.png"), img)
+    args = ["-i", str(src_dir / "t_%03d.png"), "-o", "lf",
+            "-d", str(tmp_path), "-task", "convert", "-nowindow",
+            "-auto_quit", "-track_max_individuals", "1",
+            "-track_threshold", "20", "-detect_threshold", "15",
+            "-track_size_filter", "[[5,400]]",
+            "-calculate_posture", "true",
+            "-averaging_method", "max"] + list(extra_args)
+    assert main(args) == 0
+
+
+def test_load_uses_results_without_retracking(tmp_path):
+    """-load restores the results file and must NOT re-track on top
+    (regression: frames were duplicated into the loaded individuals)."""
+    from trex_tpu.cli.trex import main
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.export.results import load_results
+    from trex_tpu.track import Tracker
+
+    reset_global_settings()
+    _tiny_convert(tmp_path)
+    pv = tmp_path / "lf.pv"
+
+    # a first track run writes the .results checkpoint
+    reset_global_settings()
+    rc = main(["-i", str(pv), "-task", "track", "-nowindow",
+               "-auto_quit", "-d", str(tmp_path)])
+    assert rc == 0
+    assert (tmp_path / "lf.results").exists()
+
+    reset_global_settings()
+    rc = main(["-i", str(pv), "-task", "track", "-load", "-nowindow",
+               "-auto_quit", "-d", str(tmp_path)])
+    assert rc == 0
+    # the re-exported results still hold each frame exactly once
+    s = reset_global_settings()
+    s.set("track_max_individuals", 1)
+    t2 = Tracker(s, background=np.full((64, 64), 200, np.uint8))
+    load_results(t2, tmp_path / "lf.results")
+    for ind in t2.individuals.values():
+        frames = [b.frame for b in ind.basic]
+        assert frames == sorted(set(frames)), "duplicated frames"
+        assert len(frames) == 8
+        # posture survived the binary round trip (midline restored)
+        assert ind.posture and all(
+            p.midline is not None for p in ind.posture)
+        assert all(np.isfinite(p.midline_length) for p in ind.posture)
+
+
+def test_category_store_does_not_leak_between_contexts():
+    """One tracker's category DataStore must not resolve category
+    fields for a later tracker without a store (regression: module-
+    global FUNCTIONS rebinding)."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.export.library import INVALID, EvalContext, evaluate
+    from trex_tpu.ml.categorize import DataStore
+    from trex_tpu.track import TrackBlob, Tracker
+
+    s = reset_global_settings()
+    s.set("track_max_individuals", 1)
+    s.set("track_threshold", 10)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_size_filter", [[5, 400]])
+    s.set("calculate_posture", False)
+    s.set("cm_per_pixel", 1.0)
+    bg = np.full((64, 64), 200, np.uint8)
+
+    def tracked():
+        tr = Tracker(s, background=bg)
+        for f in range(3):
+            lines = np.array([[20 + r, 10, 17] for r in range(5)],
+                             np.int32)
+            blobs = [TrackBlob(lines, np.full(40, 80, np.uint8))]
+            tr.add(tr.preprocess_frame(f, blobs, time=f / 25))
+        return tr
+
+    t1 = tracked()
+    store = DataStore(["a", "b"])
+    fid = next(iter(t1.individuals))
+    store.set_ranged_label(fid, 0, 2, 1)
+    t1.category_store = store
+    ctx1 = EvalContext(t1, s)
+    ind1 = t1.individuals[fid]
+    assert evaluate(ctx1, ind1, 1, "category", []) == 1.0
+
+    t2 = tracked()  # no store attached
+    ctx2 = EvalContext(t2, s)
+    ind2 = next(iter(t2.individuals.values()))
+    assert evaluate(ctx2, ind2, 1, "category", []) == INVALID

@@ -269,15 +269,27 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         sig.targets.append(state)
         auto_train = bool(s["auto_train"])
         auto_apply = bool(s["auto_apply"])
+        loaded = False
         if load:
             from ..export.results import load_results
 
             results_path = pv_path.with_suffix(".results")
             if results_path.exists():
                 load_results(state.tracker, results_path)
-        tracker = state.run()
-        print(f"\n[track] tracked {len(state.pv)} frames, "
-              f"{len(tracker.individuals)} individuals")
+                loaded = True
+            else:
+                print(f"[load] no results at {results_path}; "
+                      f"tracking from scratch", file=sys.stderr)
+        if loaded:
+            # -load means USE the stored state (TrackingState::load_state)
+            # — re-tracking on top would duplicate every frame record
+            tracker = state.tracker
+            print(f"\n[track] loaded {len(tracker.individuals)} "
+                  f"individuals from {results_path}")
+        else:
+            tracker = state.run()
+            print(f"\n[track] tracked {len(state.pv)} frames, "
+                  f"{len(tracker.individuals)} individuals")
         if s["gui_show_memory_stats"]:
             from ..utils.memstats import tracker_memory_stats
 
@@ -361,7 +373,17 @@ def _auto_categorize(tracker, s, state):
     store = getattr(tracker, "category_store", None)
     cat = Categorizer(s, list(cats))
     if store is not None and store.labeled_ranges():
-        cat.store._ranged = list(store.labeled_ranges())
+        # remap label ids by NAME: the loaded store's category order
+        # (e.g. from an older .results) may differ from the session's
+        # categories_ordered
+        for rl in store.labeled_ranges():
+            try:
+                name = store.label_name(rl.label)
+            except IndexError:
+                continue
+            if name in cat.store.categories:
+                cat.store.set_ranged_label(rl.fid, rl.start, rl.end,
+                                           name)
     tracker.category_store = cat.store
     try:
         cat.train(tracker)

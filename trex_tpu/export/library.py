@@ -38,11 +38,10 @@ class EvalContext:
         self.cm = settings["cm_per_pixel"] or 1.0
         self._border = None
         self._pv = pv_file
-        # category fields resolve automatically when categorization
-        # attached its DataStore to the tracker
-        store = getattr(tracker, "category_store", None)
-        if store is not None:
-            set_category_lookup(self, store)
+        # category fields resolve through THIS context's tracker store
+        # (no module-global rebinding: a store from one export must not
+        # leak into the next tracker's context)
+        self.category_store = getattr(tracker, "category_store", None)
 
     @property
     def border(self):
@@ -371,22 +370,30 @@ FUNCTIONS.update({
     "amplitude": lambda ind, frame, source, smooth, ctx: (
         abs(v) if not math.isinf(
             v := _midline_offset_field(ind, frame)) else INVALID),
-    "average_category": lambda ind, frame, source, smooth, ctx: INVALID,
-    "category": lambda ind, frame, source, smooth, ctx: INVALID,
+    "average_category": lambda ind, frame, source, smooth, ctx:
+        _category(ind, frame, ctx),
+    "category": lambda ind, frame, source, smooth, ctx:
+        _category(ind, frame, ctx),
     "qr_id": lambda ind, frame, source, smooth, ctx: (
         float(t) if (t := ctx.tracker.tag_assignments.get(
             frame, {}).get(ind.identity)) is not None else INVALID),
 })
 
 
-def set_category_lookup(ctx: EvalContext, store):
-    """Attach a categorize.DataStore so category fields resolve."""
-    def category(ind, frame, source, smooth, _ctx):
-        lid = store.ranged_label(frame, ind.identity)
-        return float(lid) if lid is not None else INVALID
+def _category(ind, frame, ctx) -> float:
+    """category/average_category from the context's DataStore
+    (OutputLibrary category fields; INVALID without a store)."""
+    store = getattr(ctx, "category_store", None)
+    if store is None:
+        return INVALID
+    lid = store.ranged_label(frame, ind.identity)
+    return float(lid) if lid is not None else INVALID
 
-    FUNCTIONS["category"] = category
-    FUNCTIONS["average_category"] = category
+
+def set_category_lookup(ctx: EvalContext, store):
+    """Attach a categorize.DataStore to a context (kept for callers;
+    category fields read ctx.category_store)."""
+    ctx.category_store = store
 
 
 def evaluate(ctx: EvalContext, ind, frame: int, field: str,
@@ -394,7 +401,9 @@ def evaluate(ctx: EvalContext, ind, frame: int, field: str,
     fn = FUNCTIONS.get(field)
     if fn is None and len(field) > 5 and field[:5] in ("poseX", "poseY") \
             and field[5:].isdigit():
-        fn = _pose_field(field)
+        # cache the parsed closure like every other table entry (one
+        # per column, not one per (individual, frame) evaluation)
+        fn = FUNCTIONS[field] = _pose_field(field)
     if fn is None:
         return INVALID
     source = None

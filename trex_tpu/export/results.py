@@ -39,15 +39,18 @@ def save_results_binary(tracker, settings, path) -> Path:
     res.video_length = (tracker.end_frame + 1) if tracker.end_frame >= 0 \
         else 0
     res.settings = settings_to_text(settings)
+    # one pass over each individual's frames buckets the active ids;
+    # per-frame ind.has() scans are O(frames x individuals) twice over
+    active: dict[int, list] = {}
+    for ind in tracker.individuals.values():
+        for f in ind._frames:
+            active.setdefault(int(f), []).append(ind.identity)
     res.frame_properties = [
-        (int(f), int(round(t * 1e6)), sum(
-            1 for ind in tracker.individuals.values() if ind.has(f)))
+        (int(f), int(round(t * 1e6)), len(active.get(int(f), ())))
         for f, t in sorted(tracker.frame_times.items())
     ]
     for f, _, _ in res.frame_properties:
-        res.active[f] = [ind.identity
-                         for ind in tracker.individuals.values()
-                         if ind.has(f)]
+        res.active[f] = active.get(f, [])
     for fid in sorted(tracker.individuals):
         ind = tracker.individuals[fid]
         r = rb.ResultsIndividual(id=fid, name=f"fish{fid}")
@@ -138,7 +141,7 @@ def load_results_binary(tracker, path):
     (the reference also recomputes derivatives on load,
     Output.cpp:1058 'Derivates etc. can be calculated after loading')."""
     from ..track.blob import TrackBlob
-    from ..track.individual import BasicStuff, Individual
+    from ..track.individual import BasicStuff, Individual, PostureStuff
     from ..track.motion import MotionRecord
 
     res = rb.read_results(path)
@@ -168,6 +171,37 @@ def load_results_binary(tracker, path):
             ind._win[:-1] = ind._win[1:]
             ind._win[-1] = (f, x, y, t)
             ind._update_tracklets(f, t)
+        # posture: midlines and packed outlines round-trip
+        # (Output.cpp read_midline/read_outline; export columns and
+        # Accumulation's median midline length need these after -load)
+        from ..track.posture import Midline
+
+        for f, rm in r.midlines.items():
+            seg = np.asarray(rm.segments, np.float64)
+            ml = Midline(
+                segments=seg[:, 2:4] if seg.ndim == 2 and
+                seg.shape[1] >= 4 else np.zeros((0, 2)),
+                heights=seg[:, 0] if seg.ndim == 2 and seg.size
+                else np.zeros(0),
+                tail_index=int(rm.tail_index),
+                head_index=int(rm.head_index),
+                len=float(rm.len), angle=float(rm.angle),
+                offset=tuple(rm.offset))
+            outline = None
+            ro = r.outlines.get(f)
+            if ro is not None and len(ro.points):
+                q = np.asarray(ro.points, np.uint16)
+                dx = (q >> 8).astype(np.int8).astype(np.float64)
+                dy = (q & 0xFF).astype(np.int8).astype(np.float64)
+                deltas = np.column_stack([dx, dy]) * float(ro.scale)
+                outline = np.concatenate(
+                    [[ro.first], np.asarray(ro.first)
+                     + np.cumsum(deltas, axis=0)]).astype(np.float32)
+            ind.add_posture(PostureStuff(
+                frame=int(f), outline=outline, midline=ml,
+                midline_length=float(rm.len),
+                midline_angle=float(rm.angle),
+                outline_size=0 if outline is None else len(outline)))
         tracker.individuals[r.id] = ind
         tracker.active.add(r.id)
         tracker._next_id = max(tracker._next_id, r.id + 1)
@@ -189,7 +223,13 @@ def load_results_binary(tracker, path):
                 bid_owner[(int(f), int(blob_id_from_lines(
                     np.asarray(r2.blobs[i].lines, np.int32))))] = r2.id
         for s_, e_, lbl, bids in res.categorize["ranged"]:
-            owner = bid_owner.get((s_, int(bids[0]))) if bids else None
+            # the save side stores 0 for frames where the individual
+            # had no blob — resolve via the first frame that has one
+            owner = None
+            for k, bid in enumerate(bids or ()):
+                if bid:
+                    owner = bid_owner.get((s_ + k, int(bid)))
+                    break
             if owner is not None:
                 store.set_ranged_label(owner, s_, e_, int(lbl))
         tracker.category_store = store

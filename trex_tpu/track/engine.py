@@ -437,8 +437,12 @@ class FastTracker:
     def _apply_history_split(self, table: _CandTable,
                              fish_pos: np.ndarray) -> _CandTable:
         s = self.settings
-        max_d = (self.max_speed / self.cm) / max(
-            1.0, float(self.frame_rate)) * 0.5
+        # the split radius uses the RAW setting like HistorySplit
+        # (splitting.py:411) — an unset track_max_speed (0) means no
+        # history splits, not an infinite radius (self.max_speed's 1e9
+        # fallback is for the matching distance gate only)
+        max_d = (float(self.settings["track_max_speed"]) / self.cm) \
+            / max(1.0, float(self.frame_rate)) * 0.5
         expect = self._split_expectation(table, fish_pos, max_d)
         drop = np.zeros(table.n, bool)
         insert: dict[int, list] = {}
@@ -955,10 +959,15 @@ class FastTracker:
             else np.zeros(0, np.uint8)
         line_start = np.zeros(n + 1, np.int64)
         np.cumsum([len(b.lines) for b in blobs], out=line_start[1:])
-        pixel_start = np.zeros(n + 1, np.int64)
         if have_px:
+            pixel_start = np.zeros(n + 1, np.int64)
             np.cumsum([len(b.pixels) for b in blobs],
                       out=pixel_start[1:])
+        else:
+            # -1 sentinel: rows without pixel data (stats-only blobs)
+            # must not look like valid empty slices downstream
+            # (_CandTable.blob / _split_native check pixel_lo >= 0)
+            pixel_start = np.full(n + 1, -1, np.int64)
         if all(b.stats is not None for b in blobs):
             stats = np.stack([b.stats for b in blobs])
         else:
