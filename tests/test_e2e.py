@@ -278,3 +278,76 @@ def test_pvinfo_harness_frame_count_checks(tmp_path, capsys):
                "-p", "corrected", "-quiet", "-plain_text"])
     assert rc == 0
     assert "frames 5" in capsys.readouterr().out.splitlines()
+
+
+def test_color_pv_retrack_matches_convert(tmp_path):
+    """rgb8/r3g3b2 pvs re-track identically to their conversion-time
+    tracking: stored color pixels decode back to the conversion luma
+    and the header average rebuilds the same gray background
+    (regression: raw 3-byte pixels crashed recount; the encoded
+    average was used as the background)."""
+    import cv2
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.encoding import decode_background
+    from trex_tpu.io.pv import PVFile
+    from trex_tpu.pipeline import Segmenter, TrackingState
+
+    rng = np.random.default_rng(3)
+    src_dir = tmp_path / "cframes"
+    src_dir.mkdir()
+    for f in range(10):
+        img = np.full((96, 128, 3), (180, 200, 210), np.uint8)
+        for i in range(2):
+            x = 12 + 45 * i + 2 * f
+            img[30 + 25 * i:36 + 25 * i, x:x + 10] = (40 + 30 * i,
+                                                      60, 120)
+        cv2.imwrite(str(src_dir / f"c_{f:03d}.png"), img)
+
+    for enc in ("rgb8", "r3g3b2"):
+        s = reset_global_settings()
+        s.set("meta_encoding", enc)
+        s.set("track_max_individuals", 2)
+        s.set("track_threshold", 20)
+        s.set("track_threshold_is_absolute", False)
+        s.set("detect_threshold", 15)
+        s.set("track_size_filter", [[5, 400]])
+        s.set("calculate_posture", False)
+        s.set("frame_rate", 25)
+        s.set("cm_per_pixel", 1.0)
+        s.set("averaging_method", "max")
+        pv_path = tmp_path / f"color_{enc}.pv"
+        seg = Segmenter(s, str(src_dir / "c_%03d.png"), pv_path,
+                        track=True)
+        t_conv = seg.run()
+        conv = {fid: [(b.frame, b.centroid.x, b.centroid.y,
+                       b.blob.num_pixels)
+                      for b in ind.basic]
+                for fid, ind in t_conv.individuals.items()}
+        assert conv and all(len(v) == 10 for v in conv.values()), enc
+
+        # background rebuilds the conversion-time gray average (rgb8
+        # exactly; r3g3b2 through its 3/3/2-bit quantization)
+        with PVFile.open(pv_path) as pv:
+            bg = decode_background(pv.header.average, enc)
+        if enc == "rgb8":
+            np.testing.assert_array_equal(bg, seg.background,
+                                          err_msg=enc)
+        else:
+            assert np.abs(bg.astype(int)
+                          - seg.background.astype(int)).max() <= 32
+
+        state = TrackingState(s, pv_path)
+        t2 = state.run()
+        ret = {fid: [(b.frame, b.centroid.x, b.centroid.y,
+                      b.blob.num_pixels)
+                     for b in ind.basic]
+               for fid, ind in t2.individuals.items()}
+        if enc == "rgb8":
+            assert conv == ret, enc
+        else:
+            # r3g3b2 quantizes both background and pixels: the decoded
+            # re-track stays structurally identical even though exact
+            # thresholds may flip borderline pixels
+            assert set(ret) == set(conv)
+            assert all(len(v) == 10 for v in ret.values())

@@ -1,5 +1,7 @@
 """Visual-field kernel tests (reference VisualField semantics:
 512 bins, 130-deg symmetric FOV, 2 layers, fov falloff (1-d/max_d)^2)."""
+import math
+
 import numpy as np
 import pytest
 
@@ -89,3 +91,61 @@ def test_e2e_visual_fields_on_fixture(tmp_path):
     # each fish should see at least one other fish somewhere
     seen = (fields["id0"] >= 0).any(axis=(1, 2))
     assert seen.mean() > 0.5
+
+
+def test_visual_field_sparse_fish_ids():
+    """Fish ids need not be 0..F-1: the raycast kernel works on
+    positional indices and the id planes map back to real ids
+    (regression: tracker ids were compared against positional eye
+    indices, corrupting self/winner exclusion)."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.individual import (BasicStuff, Individual,
+                                           PostureStuff)
+    from trex_tpu.track.motion import MotionRecord
+    from trex_tpu.track.posture import Midline
+    from trex_tpu.track.visual_field import compute_visual_fields
+
+    s = reset_global_settings()
+    s.set("cm_per_pixel", 1.0)
+
+    def make_ind(fid, cx, angle=math.pi):
+        ind = Individual(fid, s)
+        lines = np.array([[48 + r, cx - 4, cx + 4] for r in range(8)],
+                         np.int32)
+        blob = TrackBlob(lines, np.full(72, 80, np.uint8))
+        rec = MotionRecord.create(None, 0.0, float(cx), 52.0, 0.0)
+        ind._frames[0] = 0
+        ind.basic.append(BasicStuff(frame=0, blob=blob, centroid=rec))
+        # a small head-first horizontal midline + square outline
+        segs = np.stack([np.linspace(cx + 3, cx - 3, 7),
+                         np.full(7, 4.0)], axis=1)
+        ml = Midline(segments=segs, heights=np.full(7, 4.0),
+                     len=6.0, angle=angle)  # tail->head direction
+        outline = np.array([[cx - 4, 48], [cx + 4, 48],
+                            [cx + 4, 55], [cx - 4, 55]], np.float32)
+        ind.add_posture(PostureStuff(frame=0, outline=outline,
+                                     midline=ml))
+        return ind
+
+    class _T:
+        pass
+
+    tracker = _T()
+    # fish 5 views +x (toward fish 9); fish 9 views -x (toward fish 5)
+    tracker.individuals = {5: make_ind(5, 30, angle=math.pi),
+                           9: make_ind(9, 70, angle=0.0)}
+    tracker.background = np.full((100, 100), 200, np.uint8)
+
+    res = compute_visual_fields(tracker, 0, s)
+    assert res is not None
+    ids, fields = res
+    assert ids == [5, 9]
+    seen0 = set(np.unique(fields["id0"]))
+    # only real fish ids (or -1 for no hit) appear in the planes
+    assert seen0 <= {-1, 5, 9}, seen0
+    # each eye must not see its own id in layer 0 at near-zero depth
+    # from its own body (self-exclusion happens per positional index):
+    # fish 5's field should contain fish 9 somewhere (and vice versa)
+    assert 9 in set(np.unique(fields["id0"][0]))
+    assert 5 in set(np.unique(fields["id0"][1]))

@@ -106,7 +106,8 @@ def test_boxes_to_blobs(settings):
     blobs = boxes_to_blobs(det, img, settings)
     assert len(blobs) == 1
     b = blobs[0]
-    assert b.bounds == (10, 10, 11, 8)
+    # xyxy [10,20) x [10,18): 10 columns x 8 rows (exclusive edges)
+    assert b.bounds == (10, 10, 10, 8)
     assert b.prediction["clid"] == 2
     assert (b.pixels == 100).all()
 
@@ -137,3 +138,32 @@ def test_detection_registry(settings):
     backend = create_detection(settings, background=np.full((3, 4), 10,
                                                             np.uint8))
     assert backend.apply(0, img) is not None
+
+
+def test_unpad_masks_letterbox_geometry():
+    """A proto-grid mask on a letterboxed non-square frame must map to
+    the right video rows after unpadding (regression: masks resized
+    straight from the padded square were shifted by the pad)."""
+    from trex_tpu.detect.yolo import letterbox_params, unpad_masks
+
+    h, w = 360, 640  # non-square video
+    inp = 640
+    gain, pad = letterbox_params((h, w), (inp, inp))
+    assert pad[1] > 0  # top/bottom letterbox bands
+    mh = mw = 160  # proto grid (inp/4)
+    # content occupies input rows pad[1] .. pad[1]+h*gain; paint a mask
+    # band at the video's vertical middle
+    masks = np.zeros((1, mh, mw), bool)
+    sy = mh / inp
+    mid_in = pad[1] + (h / 2) * gain
+    r = int(mid_in * sy)
+    masks[0, r - 2:r + 2, :] = True
+    out = unpad_masks(masks, pad, gain, (h, w), inp)
+    import cv2
+
+    m = cv2.resize(out[0].astype(np.uint8), (w, h),
+                   interpolation=cv2.INTER_NEAREST)
+    rows = np.nonzero(m.any(axis=1))[0]
+    assert rows.size
+    center = rows.mean()
+    assert abs(center - h / 2) < 12, center  # lands mid-frame, not shifted

@@ -122,12 +122,14 @@ class PrecomputedBackend(DetectionBackend):
         for (x, y, w, h) in self.cache.get(frame_index, []):
             x0 = int(max(0, min(iw - 1, x)))
             y0 = int(max(0, min(ih - 1, y)))
-            x1 = int(max(0, min(iw - 1, x + w)))
+            x1 = int(max(0, min(iw, x + w)))
             y1 = int(max(0, min(ih, y + h)))
             if x1 <= x0 or y1 <= y0:
                 continue
-            lines = np.array([[yy, x0, x1] for yy in range(y0, y1)], np.int32)
-            px = image[y0:y1, x0 : x1 + 1].reshape(-1)
+            # exclusive box edges -> inclusive RLE x1
+            lines = np.array([[yy, x0, x1 - 1] for yy in range(y0, y1)],
+                             np.int32)
+            px = image[y0:y1, x0:x1].reshape(-1)
             blobs.append(TrackBlob(lines, px))
         return blobs
 

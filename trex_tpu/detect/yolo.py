@@ -81,6 +81,22 @@ def process_mask(proto: np.ndarray, coeffs: np.ndarray,
     return masks > 0.5
 
 
+def unpad_masks(masks: np.ndarray, pad, gain, hw,
+                input_size: int) -> np.ndarray:
+    """Crop letterbox padding off proto-grid masks so a direct resize
+    to the video frame maps content correctly (ultralytics
+    scale_masks; without this every mask on a non-square video is
+    shifted by the pad and scaled wrong)."""
+    h, w = hw
+    n, mh, mw = masks.shape
+    sx, sy = mw / input_size, mh / input_size
+    px0 = int(round(pad[0] * sx))
+    py0 = int(round(pad[1] * sy))
+    px1 = int(round((pad[0] + w * gain) * sx))
+    py1 = int(round((pad[1] + h * gain) * sy))
+    return masks[:, py0:max(py0 + 1, py1), px0:max(px0 + 1, px1)]
+
+
 class YOLODetector:
     """Runs the flax YOLOv8 model over letterboxed frames or SAHI tiles."""
 
@@ -258,6 +274,8 @@ class YOLODetector:
             input_boxes[:, [1, 3]] += pad[1]
             masks = process_mask(proto, coeffs, input_boxes,
                                  (self.input_size, self.input_size))
+            masks = unpad_masks(masks, pad, gain, (h, w),
+                                self.input_size)
         return Detections(boxes, conf, clid, keypoints=kp, masks=masks)
 
 
@@ -308,14 +326,17 @@ def boxes_to_blobs(det: Detections, image: np.ndarray,
         if only is not None and not only.allowed(int(det.clid[i])):
             continue
         x0, y0, x1, y1 = det.boxes[i]
+        # xyxy edges are exclusive on both axes; RLE line x1 is
+        # inclusive, so the last column is x1 - 1
         x0 = int(max(0, min(w - 1, x0)))
-        x1 = int(max(0, min(w - 1, x1)))
+        x1 = int(max(0, min(w, x1)))
         y0 = int(max(0, min(h - 1, y0)))
         y1 = int(max(0, min(h, y1)))
         if x1 <= x0 or y1 <= y0:
             continue
-        lines = np.array([[y, x0, x1] for y in range(y0, y1)], np.int32)
-        px = image[y0:y1, x0 : x1 + 1].reshape(-1)
+        lines = np.array([[y, x0, x1 - 1] for y in range(y0, y1)],
+                         np.int32)
+        px = image[y0:y1, x0:x1].reshape(-1)
         blob = TrackBlob(lines, px)
         blob.prediction = {"clid": int(det.clid[i]),
                            "p": float(det.conf[i]),

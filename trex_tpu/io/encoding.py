@@ -79,7 +79,26 @@ def storage_to_gray(pixels: np.ndarray, encoding: str) -> np.ndarray:
     if encoding == "r3g3b2":
         return r3g3b2_to_gray(pixels)
     if encoding == "rgb8":
+        # stored byte order is RGB (pv V_14 encodings)
         flat = pixels.reshape(-1, 3)
-        return _bgr_luma(flat[:, 0], flat[:, 1], flat[:, 2]).reshape(
-            pixels.shape[:-1])
+        return _bgr_luma(flat[:, 2], flat[:, 1], flat[:, 0]).reshape(
+            pixels.shape[:-1] if pixels.ndim > 1 else
+            (pixels.size // 3,))
     raise ValueError(f"unknown encoding {encoding!r}")
+
+
+def decode_background(average: np.ndarray, encoding: str) -> np.ndarray:
+    """Header average image -> the grayscale tracking background the
+    conversion-time Segmenter used (RGB luma for rgb8, shift expansion
+    + luma for r3g3b2)."""
+    if average is None:
+        return None
+    if encoding == "rgb8" and average.ndim == 3:
+        return _bgr_luma(average[..., 2], average[..., 1],
+                         average[..., 0])
+    if encoding == "r3g3b2":
+        avg = average[..., 0] if average.ndim == 3 else average
+        return r3g3b2_to_gray(avg.reshape(-1)).reshape(avg.shape)
+    if average.ndim == 3:
+        return average[..., 0]
+    return average

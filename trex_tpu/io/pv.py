@@ -366,7 +366,9 @@ def parse_frame(data: bytes, version: int, encoding: str,
         if n_pred > 0:
             from .predictions import unpack_prediction
 
-            for _ in range(n):
+            # the stored count governs the loop (normally == n objects;
+            # trusting n instead mis-reads short/corrupt trailers)
+            for _ in range(n_pred):
                 pred, r.pos = unpack_prediction(data, r.pos, version)
                 f.predictions.append(pred)
     return f
@@ -737,6 +739,11 @@ def fix_file(path, output=None) -> tuple:
             if fr.timestamp <= last_ts:
                 fr.timestamp = last_ts + 1
             last_ts = fr.timestamp
+            if kept == 0 and fr.source_index >= 0 \
+                    and fr.source_index != dst.header.conversion_start:
+                # the original first frame was dropped: re-anchor the
+                # conversion range so add_frame accepts the survivor
+                dst.header.conversion_start = fr.source_index
             dst.add_frame(fr)
             kept += 1
     src.close()
@@ -765,7 +772,7 @@ def merge_files(output, inputs: list) -> int:
         dst.header.metadata = h0.metadata
         offset_ts = 0
         for s in sources:
-            last = 0
+            last = None
             for i in range(s.header.num_frames):
                 fr = s.read_frame(i)
                 fr.timestamp += offset_ts
@@ -773,7 +780,8 @@ def merge_files(output, inputs: list) -> int:
                 dst.add_frame(fr)
                 last = fr.timestamp
                 n += 1
-            offset_ts = last + 1
+            if last is not None:  # empty inputs keep the offset
+                offset_ts = last + 1
     for s in sources:
         s.close()
     return n

@@ -259,12 +259,12 @@ class PVVideoSource:
     background average."""
 
     def __init__(self, path):
+        from .encoding import decode_background
         from .pv import PVFile
 
         self._file = PVFile.open(path)
         h = self._file.header
-        avg = h.average
-        self._bg = avg[:, :, 0] if avg is not None and avg.ndim == 3 else avg
+        self._bg = decode_background(h.average, h.encoding)
 
     def __len__(self):
         return self._file.header.num_frames
@@ -280,13 +280,20 @@ class PVVideoSource:
         return (h.width, h.height)
 
     def get(self, index: int) -> np.ndarray:
+        from .encoding import storage_to_gray
+
         fr = self._file.read_frame(index)
         img = self._bg.copy() if self._bg is not None else np.zeros(
             (self._file.header.height, self._file.header.width), np.uint8)
+        enc = self._file.header.encoding
         for i in range(fr.n):
             px = fr.pixels[i]
             if px is None:
                 continue
+            if enc in ("rgb8", "r3g3b2"):
+                px = storage_to_gray(np.asarray(px).reshape(-1, 3)
+                                     if enc == "rgb8"
+                                     else np.asarray(px), enc)
             off = 0
             for y, x0, x1 in fr.masks[i]:
                 n = x1 - x0 + 1

@@ -423,6 +423,9 @@ class Segmenter:
                 # r3g3b2 stores a 1-channel encoded average
                 from .io.encoding import bgr_to_r3g3b2
                 average = bgr_to_r3g3b2(average)
+            elif s["meta_encoding"] == "rgb8":
+                # pv stores RGB byte order (like the blob pixels)
+                average = np.ascontiguousarray(average[..., ::-1])
         else:
             self.background = average
         w, h = src.size
@@ -676,13 +679,23 @@ def run_postures(tracker: Tracker, frame: int, settings: Settings,
             stuff.outline_size = len(res.outline)
         if res.midline is not None:
             stuff.midline = res.midline
+            # the midline's coordinate frame is the posture crop: keep
+            # the crop offset with it (consumers add blob bounds + this)
+            res.midline.offset = (float(ox), float(oy))
             stuff.midline_length = res.midline.len * cm
             stuff.midline_angle = res.midline.angle
             from .track.motion import MotionRecord
 
             segs = res.midline.segments
-            head_pt = segs[-1] + np.array([bx + ox, by + oy])
-            cen_pt = segs.mean(axis=0) + np.array([bx + ox, by + oy])
+            # head = the segment posture_head_percentage into the
+            # (head-first) midline; posture centroid = the middle
+            # segment (Individual.cpp:1459-1503 real_point indices)
+            hp = settings["posture_head_percentage"]
+            hi = min(len(segs) - 1, int(round(len(segs) * hp)))
+            ci = min(len(segs) // 2, len(segs) - 1)
+            off = np.array([bx + ox, by + oy])
+            head_pt = segs[hi] + off
+            cen_pt = segs[ci] + off
             prev_post = ind.posture[-1] if ind.posture else None
             stuff.head = MotionRecord.create(
                 prev_post.head if prev_post else None,
@@ -733,9 +746,12 @@ class TrackingState:
         self.progress = progress
         self.terminate = False  # two-stage SIGINT sets this
         self.workers = workers
-        bg = self.pv.header.average
-        self.background = bg[:, :, 0] if bg is not None and bg.ndim == 3 \
-            else bg
+        from .io.encoding import decode_background
+
+        # rebuild the conversion-time grayscale background from the
+        # stored average (RGB luma / r3g3b2 expansion for color pvs)
+        self.background = decode_background(self.pv.header.average,
+                                            self.pv.header.encoding)
         # apply pv metadata below explicit settings layers
         from .config import apply_dict
 
@@ -760,9 +776,23 @@ class TrackingState:
 
         fast = isinstance(self.tracker, FastTracker)
 
+        enc = self.pv.header.encoding
+        if enc in ("rgb8", "r3g3b2"):
+            from .io.encoding import storage_to_gray
+
+            def _px(raw):
+                return storage_to_gray(raw, enc) if raw is not None \
+                    else None
+        else:
+            def _px(raw):
+                return raw
+
         def load(idx):
             fr = self.pv.read_frame(idx)
-            blobs = [TrackBlob(fr.masks[i], fr.pixels[i], flags=fr.flags[i])
+            # tracking thresholds run on grayscale: decode stored color
+            # pixel values (storage_to_gray) like the conversion did
+            blobs = [TrackBlob(fr.masks[i], _px(fr.pixels[i]),
+                               flags=fr.flags[i])
                      for i in range(fr.n)]
             t = fr.timestamp / 1e6
             if fast:

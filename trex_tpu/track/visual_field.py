@@ -58,12 +58,14 @@ def generate_eyes(ind, frame: int, settings) -> Optional[EyeSet]:
     seg = mid.segments[idx]
     height = mid.heights[idx] if idx < len(mid.heights) else 4.0
     bx, by = basic.blob.bounds[:2]
-    # midline points are blob-local; angle points tail->head; view
+    ox, oy = (mid.offset if mid.offset else (0.0, 0.0))
+    # midline points are posture-crop-local (blob bounds + the posture
+    # threshold-escalation crop offset); angle points tail->head; view
     # direction is the reversed midline direction (angle + pi)
     angle = mid.angle + math.pi
     nx, ny = -math.sin(angle), math.cos(angle)  # left normal
     half = height * 0.5 + 1.0
-    p = np.array([seg[0] + bx, seg[1] + by])
+    p = np.array([seg[0] + bx + ox, seg[1] + by + oy])
     pos = np.stack([p + np.array([nx, ny]) * half,
                     p - np.array([nx, ny]) * half]).astype(np.float32)
     angles = np.array([angle - sep / 2, angle + sep / 2], np.float32)
@@ -103,7 +105,9 @@ def compute_visual_fields(tracker, frame: int, settings,
             ol = ol[sel]
             n = P
         pts[i * P : i * P + n] = ol[:n]
-        pids[i * P : i * P + n] = ids[i]
+        # POSITIONAL index: the raycast kernel's self/winner exclusion
+        # compares point ids against arange(F) eye indices
+        pids[i * P : i * P + n] = i
         valid[i * P : i * P + n] = True
     eye_pos = np.stack([e.pos for e in eyes])
     eye_angle = np.stack([e.angle for e in eyes])
@@ -111,7 +115,16 @@ def compute_visual_fields(tracker, frame: int, settings,
     max_d = float(np.hypot(*bg.shape[:2])) if bg is not None else 1000.0
     out = visual_field(pts, pids, valid, eye_pos, eye_angle,
                        np.float32(max_d))
-    return ids, {k: np.asarray(v) for k, v in out.items()}
+    out = {k: np.asarray(v) for k, v in out.items()}
+    # id planes come back as positional indices: map to real fish ids
+    ids_arr = np.asarray(ids, np.int64)
+    for k in out:
+        if k.startswith("id"):
+            plane = out[k].astype(np.int64)
+            hit = (plane >= 0) & (plane < F)
+            out[k] = np.where(hit, ids_arr[np.clip(plane, 0, F - 1)],
+                              -1)
+    return ids, out
 
 
 def export_visual_fields(tracker, settings, output_dir, video_name: str):
