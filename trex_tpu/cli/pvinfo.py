@@ -41,8 +41,15 @@ def main(argv=None) -> int:
             i += 2
         elif a == "-merge":
             merge_out = argv[i + 1] if i + 1 < len(argv) else None
-            merge_in = [x for x in argv[i + 2 :] if not x.startswith("-")]
-            break
+            # inputs run until the next -flag (its value must not be
+            # swallowed into the merge list)
+            merge_in = []
+            j = i + 2
+            while j < len(argv) and not argv[j].startswith("-"):
+                merge_in.append(argv[j])
+                j += 1
+            i = j
+            continue
         elif not a.startswith("-") and path is None:
             path = a
             i += 1
@@ -68,6 +75,10 @@ def main(argv=None) -> int:
     if merge_out:
         from ..io.pv import merge_files
 
+        if not merge_in:
+            print("usage: pvinfo -merge <output.pv> <in1.pv> "
+                  "[in2.pv ...]", file=sys.stderr)
+            return 1
         n = merge_files(merge_out, merge_in)
         print(f"merged {len(merge_in)} files into {merge_out} ({n} frames)")
         return 0

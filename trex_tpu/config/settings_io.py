@@ -46,6 +46,13 @@ def load_settings_file(settings: Settings, path: str | Path,
             applied[name] = value
         except PermissionError:
             pass
+        except (ValueError, TypeError, KeyError) as e:
+            # one bad line must not abort the load mid-file (the
+            # reference SettingsInitializer warns and continues)
+            import sys
+
+            print(f"[settings] cannot apply {name!r} from {path}: {e}",
+                  file=sys.stderr)
     return applied
 
 

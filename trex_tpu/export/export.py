@@ -30,10 +30,12 @@ def _fmt(value: float, decimals: int) -> str:
 
 
 def _interpolate_positions(rows: np.ndarray, titles: list[str]):
-    """output_interpolate_positions: linearly fill missing X/Y columns
-    between tracked frames (other fields stay inf)."""
+    """output_interpolate_positions: linearly fill missing X/Y and
+    SPEED columns between tracked frames (default_config.cpp:1048
+    'interpolate X/Y, and SPEED values'; other fields stay invalid)."""
     for c, t in enumerate(titles):
-        if not (t.startswith("X") or t.startswith("Y")):
+        if not (t.startswith("X") or t.startswith("Y")
+                or t.startswith("SPEED")):
             continue
         col = rows[:, c]
         good = np.isfinite(col)
@@ -92,6 +94,9 @@ def export_data(tracker, settings, output_dir, video_name: str,
                 col += 1
         if settings["output_interpolate_positions"]:
             _interpolate_positions(rows, titles)
+        if str(settings.get("output_invalid_value", "inf")) == "nan":
+            # output_invalid_value: untracked cells print as nan
+            rows[np.isinf(rows)] = float("nan")
         name = f"{video_name}_{prefix}{fid}"
         if write_csv:
             path = output_dir / f"{name}.csv"

@@ -116,20 +116,26 @@ class Accumulation:
         frames = np.unique(np.linspace(start, end,
                                        min(n_frames, end - start + 1))
                            .astype(int))
+        ids = sorted(self.tracker.individuals.keys())
+        frame_set = {int(f) for f in frames}
+        # one pass per individual (crops_for_individual scans the whole
+        # basic list; per-(frame, individual) calls were O(F x I x N))
+        per_fish: dict[int, dict[int, np.ndarray]] = {}
+        for fid in ids:
+            ind = self.tracker.individuals[fid]
+            crops, got = crops_for_individual(
+                ind, self.tracker, self.settings, frames=frame_set,
+                median_midline_length=self._median_lengths[fid])
+            per_fish[fid] = {int(g): crops[k]
+                             for k, g in enumerate(got)}
         images = []
         map_indexes = {}
-        ids = sorted(self.tracker.individuals.keys())
         for f in frames:
             row_start = len(images)
             for fid in ids:
-                ind = self.tracker.individuals[fid]
-                if not ind.has(int(f)):
-                    continue
-                crops, _ = crops_for_individual(
-                    ind, self.tracker, self.settings, frames={int(f)},
-                    median_midline_length=self._median_lengths[fid])
-                if len(crops):
-                    images.append(crops[0])
+                crop = per_fish[fid].get(int(f))
+                if crop is not None:
+                    images.append(crop)
             if len(images) > row_start:
                 map_indexes[int(f)] = (row_start, len(images))
         if not images:
@@ -161,6 +167,8 @@ class Accumulation:
 
         trained: list[tuple] = []
         images = labels = None
+        best_uniqueness = -1.0
+        best_state = None
         for step_i, rq in enumerate(ranges[:max_steps]):
             rng = (rq.start, rq.end)
             imgs, labs = self._collect(rng)
@@ -169,6 +177,7 @@ class Accumulation:
                     rng, AccumulationStatus.Failed,
                     AccumulationReason.NotEnoughImages))
                 continue
+            prev_n = 0 if images is None else len(images)
             images = imgs if images is None else np.concatenate(
                 [images, imgs])
             labels = labs if labels is None else np.concatenate(
@@ -178,6 +187,24 @@ class Accumulation:
                                         s["gpu_min_iterations"]))
             good, per_frame, mean_p = self.step_uniqueness(
                 disc_images, map_indexes)
+            # accept/reject (Accumulation.cpp end_a_step): a range whose
+            # training WORSENS uniqueness is rejected — weights restore
+            # from the pre-step cache and its images leave the set
+            if best_state is not None and mean_p < best_uniqueness * 0.95:
+                self.trainer.state = best_state
+                images = images[:prev_n]
+                labels = labels[:prev_n]
+                step = AccumulationStep(
+                    rng, AccumulationStatus.Failed,
+                    AccumulationReason.UniquenessTooLow,
+                    uniqueness=mean_p)
+                result.steps.append(step)
+                if self.status_callback:
+                    self.status_callback(step_i, step)
+                continue
+            if mean_p >= best_uniqueness:
+                best_uniqueness = mean_p
+                best_state = self.trainer.state
             result.uniqueness_map = per_frame
             result.final_uniqueness = mean_p
             trained.append(rng)
@@ -194,13 +221,19 @@ class Accumulation:
         # final overfit step over everything collected
         if s["accumulation_enable_final_step"] and images is not None \
                 and len(images):
+            pre_state = self.trainer.state
             self.trainer.train(images, labels,
                                max_epochs=max(5, max_epochs // 4),
                                min_iterations=int(s["gpu_min_iterations"]))
             good, per_frame, mean_p = self.step_uniqueness(
                 disc_images, map_indexes)
-            result.final_uniqueness = max(result.final_uniqueness, mean_p)
-            result.uniqueness_map = per_frame
+            if mean_p >= result.final_uniqueness:
+                result.final_uniqueness = mean_p
+                result.uniqueness_map = per_frame
+            else:
+                # the overfit step hurt: keep the better network so the
+                # reported uniqueness and the weights agree
+                self.trainer.state = pre_state
         result.trained_ranges = trained
         if result.final_uniqueness >= sufficient:
             result.success = True

@@ -28,6 +28,8 @@ try:
 except ImportError:  # pragma: no cover
     cv2 = None
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -121,7 +123,7 @@ def crops_for_individual(ind, tracker, settings, frames=None,
 # device path: batched affine sampling for crops already on the TPU
 # ---------------------------------------------------------------------------
 
-@jax.jit
+@partial(jax.jit, static_argnames=("out_hw",))
 def warp_crops_device(images: jax.Array, centers: jax.Array,
                       angles: jax.Array, scales: jax.Array,
                       out_hw: tuple = (80, 80)) -> jax.Array:
