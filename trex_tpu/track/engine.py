@@ -1198,5 +1198,4 @@ def _bulk_paired(fish_ids: np.ndarray, blob_ids: np.ndarray,
     for fi in range(len(uf)):
         lo, hi = bounds[fi], bounds[fi + 1]
         pp.edges[fi] = list(zip(bs[lo:hi], ps[lo:hi]))
-    pp._edge_arrays = (f_inv, b_slot)
     return pp

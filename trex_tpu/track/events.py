@@ -39,7 +39,21 @@ def midline_offset(ind, frame: int) -> float:
     if post is None or post.midline is None or len(post.midline.segments) < 2:
         return float("nan")
     mid = post.midline
-    # median midline length sanity check (fixed_midline ratio >= 0.6)
+    # fixed-midline sanity check (EventAnalysis.cpp:207-211): a frame
+    # whose midline length deviates >40% from the individual's median
+    # carries a degenerate posture — its offset would fabricate events
+    median_len = getattr(ind, "_median_midline_cache", None)
+    if median_len is None:
+        lengths = [q.midline_length for q in ind.posture
+                   if not math.isnan(q.midline_length)]
+        median_len = float(np.median(lengths)) if lengths else 0.0
+        ind._median_midline_cache = median_len
+    if median_len > 0 and not math.isnan(post.midline_length):
+        ratio = post.midline_length / median_len
+        if ratio > 1:
+            ratio = 1 / ratio
+        if ratio < 0.6:
+            return float("nan")
     segs = mid.segments
     v = segs[-1] - segs[0]
     n = math.hypot(*v)
@@ -98,9 +112,12 @@ def detect_events(ind, settings, max_gap: Optional[int] = None) -> list[Event]:
             b0 = ind.basic_stuff(cur_start)
             b1 = ind.basic_stuff(cur_end)
             if b0 and b1:
+                da = (math.atan2(b1.centroid.vy, b1.centroid.vx)
+                      - math.atan2(b0.centroid.vy, b0.centroid.vx))
+                # wrap to [-pi, pi]: headings straddling +-pi are small
+                # turns, not ~2*pi
                 ev.direction_change = abs(
-                    math.atan2(b1.centroid.vy, b1.centroid.vx)
-                    - math.atan2(b0.centroid.vy, b0.centroid.vx))
+                    math.atan2(math.sin(da), math.cos(da)))
                 dt = b1.centroid.time - b0.centroid.time
                 if dt > 0:
                     ev.acceleration = (ev.speed_after - ev.speed_before) / dt

@@ -47,7 +47,8 @@ class FOIStore:
             # merge with the previous entry when contiguous with the same ids
             if lst and lst[-1].end + 1 >= foi.start \
                     and lst[-1].fdx == foi.fdx:
-                merged = FOI(lst[-1].start, max(lst[-1].end, foi.end), name,
+                merged = FOI(min(lst[-1].start, foi.start),
+                             max(lst[-1].end, foi.end), name,
                              foi.fdx, lst[-1].bdx | foi.bdx)
                 lst[-1] = merged
                 foi = merged

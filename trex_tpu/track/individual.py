@@ -377,7 +377,10 @@ class Individual:
             vy = (position[1] - cache.estimated_px[1]) / cache.local_tdelta
         else:
             vx = vy = 0.0
-        speed = math.hypot(vx, vy) / s["track_max_speed"] * cm_per_pixel
+        ms = s["track_max_speed"]
+        # C++ divides by the raw setting; /0 yields inf -> p -> 0
+        speed = (math.hypot(vx, vy) / ms * cm_per_pixel) if ms > 0 \
+            else float("inf")
         speed = 1.0 / (1.0 + speed) ** 2
         if not cache.valid_frame:
             return speed

@@ -38,9 +38,6 @@ class PairedProbabilities:
         self._blobs: list[Hashable] = []
         self._blob_index: dict[Hashable, int] = {}
         self.edges: dict[int, list[tuple[int, float]]] = defaultdict(list)
-        # optional parallel edge arrays (fish slot, blob slot) set by
-        # bulk builders; cliques() uses them to skip Python union-find
-        self._edge_arrays = None
 
     def add(self, fish: Hashable, blob: Hashable, p: float):
         fi = self._fish_index.setdefault(fish, len(self._fish))
@@ -111,27 +108,6 @@ class PairedProbabilities:
         for bi in range(self.n_blobs):
             groups[find(nf + bi)][1].append(bi)
         return list(groups.values())
-
-    def _cliques_sparse(self) -> list[tuple[list[int], list[int]]]:
-        from scipy.sparse import coo_matrix
-        from scipy.sparse.csgraph import connected_components
-
-        f_idx, b_idx = self._edge_arrays
-        nf, nb = self.n_fish, self.n_blobs
-        n = nf + nb
-        g = coo_matrix(
-            (np.ones(len(f_idx), np.int8), (f_idx, nf + b_idx)),
-            shape=(n, n))
-        _, labels = connected_components(g, directed=False)
-        order = np.argsort(labels, kind="stable")
-        splits = np.flatnonzero(np.diff(labels[order])) + 1
-        out = []
-        for grp in np.split(order, splits):
-            fish = grp[grp < nf]
-            blobs = grp[grp >= nf] - nf
-            out.append((fish.tolist(), blobs.tolist()))
-        return out
-
 
 @dataclass
 class MatchResult:

@@ -81,7 +81,11 @@ def threshold_components(blob: TrackBlob, threshold: int,
     # fast path: if every mask pixel passes the threshold, the component
     # set is exactly the original (connected) blob
     if blob.pixels is not None:
-        cached = blob._recount_cache.get(threshold)
+        # the cached recount matches the diff-based component test only
+        # under background subtraction (without it the cache counts raw
+        # pixel values, a different predicate)
+        cached = blob._recount_cache.get(threshold) \
+            if settings["track_background_subtraction"] else None
         passed = None
         if cached is not None:
             # counts fused into the native labeling pass (in cm^2)

@@ -249,6 +249,16 @@ class Tracker:
             bi = blob_by_bid.get(bid)
             if bi is None or bi in assigned_blobs:
                 continue
+            cap = int(s["track_max_individuals"] or 0)
+            if cap and fid >= max(cap, self._next_id) + 1024:
+                # a runaway manual id (typo/generated) must not allocate
+                # millions of individuals
+                import sys as _sys
+
+                print(f"[warn] manual match id {fid} far beyond "
+                      f"track_max_individuals ({cap}); ignored",
+                      file=_sys.stderr)
+                continue
             while fid >= self._next_id:
                 self._new_individual()
             ind = self.individuals[fid]
@@ -313,8 +323,11 @@ class Tracker:
                         p = 1.0 / sqdist / tdelta
                     else:
                         p = 1.0 / tdelta
-                    # key blobs by bid so the greedy matcher iterates in
-                    # the reference's pv::bid order
+                    # blob keys carry (bid, index); greedy iteration
+                    # follows insertion order — the reference's own
+                    # second-pass map is a robin_hood UNORDERED map
+                    # (PairingGraph.h:172), so no deterministic
+                    # reference order exists to replicate
                     second.add(ind.identity,
                                (blobs[bi].blob_id, bi),
                                p_min + p * (1.0 - p_min))
