@@ -944,3 +944,29 @@ def test_category_store_does_not_leak_between_contexts():
     ctx2 = EvalContext(t2, s)
     ind2 = next(iter(t2.individuals.values()))
     assert evaluate(ctx2, ind2, 1, "category", []) == INVALID
+
+
+def test_border_circle_type_uses_pv_mask(tmp_path):
+    """recognition_border=circle reads the binary arena mask stored in
+    the pv header (cam_circle_mask recordings, Border.cpp:554-599)."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.border import Border
+
+    s = reset_global_settings()
+    s.set("recognition_border", "circle")
+    h = w = 60
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((xx - 30) ** 2 + (yy - 30) ** 2 <= 20 ** 2).astype(np.uint8)
+
+    class _PV:
+        class header:
+            pass
+
+    _PV.header.mask = mask
+    b = Border(s, background=np.full((h, w), 200, np.uint8))
+    b.update_from_video(_PV)
+    assert b.in_recognition_bounds(30, 30)
+    assert not b.in_recognition_bounds(2, 2)
+    # distance: center is ~20px from the circular wall, not ~30 from
+    # the frame edge
+    assert 15 <= b.distance(30, 30) <= 21

@@ -280,7 +280,7 @@ def _read_blob(r: _Reader, version: int) -> ResultsBlob:
 
 
 def _write_blob(w: _Writer, blob: ResultsBlob):
-    byte = blob.flags
+    byte = blob.flags & ~0x2  # the parent bit reflects parent_id only
     if blob.parent_id >= 0:
         byte |= 0x2
     w.u8(byte)

@@ -9,8 +9,7 @@ Re-creates the reference's Categorize subsystem:
 """
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -108,6 +108,14 @@ def _build_forward(layers: list[_Layer]) -> Callable:
             strides = tuple(cfg.get("strides", (1, 1)))
             padding = cfg.get("padding", "valid").upper()
             act = _activation(cfg.get("activation"))
+            dil = tuple(cfg.get("dilation_rate", (1, 1)))
+            if dil != (1, 1) or int(cfg.get("groups", 1)) != 1:
+                # silently convolving with dilation 1 would produce
+                # wrong predictions — reject like other unsupported
+                # layer options
+                raise ValueError(
+                    f"unsupported Conv2D options: dilation_rate={dil}, "
+                    f"groups={cfg.get('groups', 1)}")
 
             def conv(x, kernel=kernel, bias=bias, strides=strides,
                      padding=padding, act=act):

@@ -44,8 +44,16 @@ class Border:
 
     # ------------------------------------------------------------------
     def update_from_video(self, pv_file) -> None:
-        """Build the heatmap mask from a pv file (Border::update_heatmap
-        sampling & thresholds)."""
+        """Build the mask from a pv file: heatmap sampling
+        (Border::update_heatmap) or the stored binary mask for the
+        circle type (Border.cpp:554-599 — cam_circle_mask recordings
+        carry the arena mask in the file header)."""
+        if self.type == "circle" and self._mask is None:
+            m = getattr(pv_file.header, "mask", None)
+            if m is not None:
+                m = np.asarray(m)
+                self._mask = (m[..., 0] if m.ndim == 3 else m) > 0
+            return
         if self.type != "heatmap" or self._mask is not None:
             return
         from .blob import TrackBlob
@@ -74,8 +82,11 @@ class Border:
                                               s) if thr > 0 else [blob]
                 for p in pieces:
                     size = p.num_pixels * cm_sqr
+                    # commons SizeFilters::in_range_of_one(v, scale):
+                    # the scale shrinks the lower and expands the upper
+                    # bound (Border.cpp:161 rescale = 1 - setting)
                     ok = not fish_size or any(
-                        lo * rescale <= size <= hi
+                        lo * rescale <= size <= hi / rescale
                         for lo, hi in fish_size.ranges)
                     if not ok:
                         continue

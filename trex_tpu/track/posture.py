@@ -179,9 +179,12 @@ def biggest_component(blob: TrackBlob, threshold: int,
     if closing_steps > 0:
         import cv2
 
+        # dilate xN then erode xN (the reference's closing; repeated
+        # MORPH_CLOSE is near-idempotent and cannot bridge wider gaps
+        # or shed extremities as the parameter doc describes)
         kernel = np.ones((closing_size, closing_size), np.uint8)
-        for _ in range(closing_steps):
-            m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, kernel)
+        m = cv2.dilate(m, kernel, iterations=closing_steps)
+        m = cv2.erode(m, kernel, iterations=closing_steps)
     comps = label_blobs(m * 255)
     if not comps:
         return None, (ox, oy)
@@ -219,7 +222,7 @@ def resample(points: np.ndarray, distance: float) -> np.ndarray:
             # than the input (Outline.cpp:726-766; pinned by
             # OutlineResampleTest.VeryLargeResamplingDistance)
             return buf[:n].copy()
-    except OSError:
+    except (OSError, AttributeError):
         pass
     return _resample_py(points, distance)
 
@@ -237,7 +240,7 @@ def _midline_walk(points: np.ndarray, max_offset: int) -> np.ndarray:
             points.ctypes.data_as(f32p), L, int(max_offset),
             buf.ctypes.data_as(f32p), len(buf))
         return buf[:n].copy()
-    except OSError:
+    except (OSError, AttributeError):
         return _midline_walk_py(points, max_offset)
 
 
