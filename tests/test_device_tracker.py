@@ -205,3 +205,39 @@ def test_device_track_without_bgsub_recount():
         max_child_runs=256, max_children=16)
     assert int(np.asarray(hist["n_fish"])) == 2
     assert np.asarray(hist["fish_seen"])[1:].all()
+
+
+def test_hybrid_picks_device_or_host():
+    """track_video_hybrid runs the device scan for clean chunks and
+    falls back to the full host engine (splits) when merged blobs flag
+    needs_host — both in the same output schema."""
+    from trex_tpu.ops.device_tracker import track_video_hybrid
+
+    caps = dict(max_runs=512, max_pixels=8192, max_blobs=32,
+                max_child_runs=512, max_children=32)
+
+    # clean video: separated fish -> device engine
+    s = _settings(2)
+    frames = [_render([(30.0 + f, 40.0), (90.0, 100.0)], size=128)
+              for f in range(6)]
+    bg = np.full((128, 128), 200, np.uint8)
+    hist = track_video_hybrid(np.stack(frames), bg, s, **caps)
+    assert hist["engine"] == "device"
+    assert int(hist["n_fish"]) == 2
+
+    # merged oversized blob -> host engine with history splits
+    s = _settings(2)
+    s.set("track_max_speed", 300)
+    merged = []
+    for f in range(6):
+        img = np.full((128, 128), 200, np.uint8)
+        if f < 3:
+            img[40:46, 20 + 2 * f:30 + 2 * f] = 80
+            img[60:66, 20 + 2 * f:30 + 2 * f] = 80
+        else:  # the two fish merge into one 60x30 oversized blob
+            img[40:70, 30:60] = 80
+        merged.append(img)
+    hist = track_video_hybrid(np.stack(merged), bg, s, **caps)
+    assert hist["engine"] == "host"
+    assert hist["fish_seen"].shape == (6, 2)
+    assert hist["fish_seen"][0].sum() == 2

@@ -293,3 +293,70 @@ def track_videos_sharded(frames, background, settings, mesh=None,
         with mesh:
             return fn(frames, times, fidx)
     return fn(frames, times, fidx)
+
+
+def _history_from_fast_tracker(tracker, n_frames: int,
+                               max_fish: int) -> dict:
+    """FastTracker per-frame history -> the track_scan output schema."""
+    fx = np.zeros((n_frames, max_fish))
+    fy = np.zeros((n_frames, max_fish))
+    seen = np.zeros((n_frames, max_fish), bool)
+    n_assigned = np.zeros(n_frames, np.int64)
+    for f in range(n_frames):
+        h = tracker.history.get(f)
+        if not h:
+            continue
+        fid = np.asarray(h["fish"], np.int64)
+        ok = fid < max_fish
+        fx[f, fid[ok]] = np.asarray(h["x"])[ok]
+        fy[f, fid[ok]] = np.asarray(h["y"])[ok]
+        seen[f, fid[ok]] = True
+        n_assigned[f] = int(
+            tracker.statistics[f].number_fish) if f in \
+            tracker.statistics else ok.sum()
+    # carry last positions forward like the scan does
+    for f in range(1, n_frames):
+        hold = ~seen[f] & (seen[:f].any(axis=0))
+        fx[f, hold] = fx[f - 1, hold]
+        fy[f, hold] = fy[f - 1, hold]
+    return dict(fish_x=fx, fish_y=fy, fish_seen=seen,
+                n_assigned=n_assigned,
+                needs_host=np.zeros(n_frames, bool),
+                n_fish=np.int32(tracker.n_fish))
+
+
+def track_video_hybrid(frames, background, settings, **caps) -> dict:
+    """Device-first tracking with a host-engine safety net: run the
+    fused detect+scan chunk; when any frame flagged needs_host (split
+    candidates) or overflowed the detection caps, re-run the chunk
+    through the full host FastTracker (history splits, automatic
+    matching) and return its history in the same schema. The returned
+    dict carries `engine`: "device" or "host"."""
+    import jax
+
+    from ..ops.labeling import label_blobs_raw
+    from ..track.engine import FastTracker
+
+    hist = jax.device_get(track_video_device(
+        np.asarray(frames), background, settings, **caps))
+    if not (np.asarray(hist["needs_host"]).any()
+            or np.asarray(hist["detect_overflow"]).any()):
+        hist["engine"] = "device"
+        return hist
+
+    s = settings
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"])
+               if s["track_background_subtraction"] else 0,
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    fr = float(s["frame_rate"] or 25)
+    tracker = FastTracker(s, np.asarray(background))
+    for i, frame in enumerate(np.asarray(frames)):
+        tracker.add_frame(i, i / fr, **label_blobs_raw(frame, background,
+                                                       **det))
+    out = _history_from_fast_tracker(tracker, len(frames),
+                                     int(s["track_max_individuals"]))
+    out["engine"] = "host"
+    out["detect_overflow"] = np.asarray(hist["detect_overflow"])
+    return out
