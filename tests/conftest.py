@@ -22,6 +22,18 @@ if not os.environ.get("TREX_TEST_TPU"):
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True)
+def _fresh_global_settings():
+    """Every test starts from default global settings — the CLI and
+    many helpers read the process-global registry, so one test's
+    s.set() must not leak into the next (a leaked averaging_method
+    once silently changed the golden fixture's background)."""
+    from trex_tpu.config import reset_global_settings
+
+    reset_global_settings()
+    yield
+
+
 @pytest.fixture()
 def settings():
     """A fresh global settings registry per test."""

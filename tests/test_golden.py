@@ -42,6 +42,11 @@ def converted(tmp_path_factory):
     if not FIXTURE.exists():
         pytest.skip("fixture not available")
     out = tmp_path_factory.mktemp("golden")
+    # module-scoped fixtures instantiate BEFORE the function-scoped
+    # autouse settings reset: start from defaults explicitly
+    from trex_tpu.config import reset_global_settings
+
+    reset_global_settings()
     from trex_tpu.cli.trex import main
 
     rc = main([

@@ -142,3 +142,61 @@ def test_midline_chain_native_bit_exact():
         assert ref.inverted_because_previous == \
             got.inverted_because_previous, trial
     assert checked >= 40
+
+
+def test_posture_from_pose_skeleton():
+    """Pose keypoints -> outline -> midline (Posture.cpp generateOutline
+    + calculate_posture(pose)): a straight 5-point skeleton yields a
+    posture whose midline follows the skeleton axis."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.posture import (calculate_posture_from_pose,
+                                        generate_outline_from_pose)
+
+    s = reset_global_settings()
+    # blob roughly covering the skeleton
+    lines = np.array([[y, 18, 62] for y in range(24, 37)], np.int32)
+    blob = TrackBlob(lines, np.full((37 - 24) * 45, 80, np.uint8))
+    kp = np.array([[20.0, 30.0], [30.0, 30.0], [40.0, 30.0],
+                   [50.0, 30.0], [60.0, 30.0]])
+    res = calculate_posture_from_pose(blob, kp, s)
+    assert res is not None and res.midline is not None
+    segs = res.midline.segments
+    assert len(segs) > 5
+    # midline spans the skeleton horizontally (blob-local coords)
+    assert res.midline.len > 25
+    assert np.ptp(segs[:, 1]) < np.ptp(segs[:, 0])
+
+    # pose_midline_indexes selects a subset
+    s.set("pose_midline_indexes", [0, 2, 4])
+    res2 = calculate_posture_from_pose(blob, kp, s)
+    assert res2 is not None and res2.midline is not None
+
+    # invalid (0,0) points are skipped
+    kp2 = np.vstack([[0.0, 0.0], kp])
+    out = generate_outline_from_pose(kp2, [], lambda t: 5.0)
+    assert len(out) > 0
+    assert out[:, 0].min() > 5  # nothing near the (0,0) sentinel
+
+
+def test_posture_from_detection_outline():
+    """Detection original-outline -> midline (Posture.cpp:277-304),
+    incl. outline_compression vertex reduction."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.posture import calculate_posture_from_outline
+
+    s = reset_global_settings()
+    lines = np.array([[y, 10, 70] for y in range(20, 41)], np.int32)
+    blob = TrackBlob(lines, np.full(21 * 61, 80, np.uint8))
+    t = np.linspace(0, 2 * np.pi, 80, endpoint=False)
+    outline = np.stack([40 + 28 * np.cos(t), 30 + 8 * np.sin(t)],
+                       axis=1)
+    res = calculate_posture_from_outline(blob, outline, s)
+    assert res is not None and res.midline is not None
+    assert res.midline.len > 30
+
+    s.set("outline_compression", 2.0)
+    res2 = calculate_posture_from_outline(blob, outline, s)
+    assert res2 is not None
+    assert len(res2.outline) <= len(res.outline)

@@ -661,8 +661,27 @@ def run_postures(tracker: Tracker, frame: int, settings: Settings,
 
     def work(job):
         ind, basic, direction = job
-        res = calculate_posture(basic.blob, settings, tracker.background,
-                                movement_direction=direction)
+        # posture source precedence (TrackingHelper::process_postures):
+        # pose skeleton > detection outline > pixels
+        pred = getattr(basic.blob, "prediction", None) or {}
+        kp = pred.get("keypoints") if isinstance(pred, dict) else None
+        orig = pred.get("original_outline") \
+            if isinstance(pred, dict) else None
+        if kp is not None and len(np.asarray(kp).reshape(-1, 2)):
+            from .track.posture import calculate_posture_from_pose
+
+            res = calculate_posture_from_pose(
+                basic.blob, np.asarray(kp, np.float64).reshape(-1, 2)[:, :2],
+                settings, movement_direction=direction)
+        elif orig is not None and len(orig):
+            from .track.posture import calculate_posture_from_outline
+
+            res = calculate_posture_from_outline(
+                basic.blob, orig, settings, movement_direction=direction)
+        else:
+            res = calculate_posture(basic.blob, settings,
+                                    tracker.background,
+                                    movement_direction=direction)
         return ind, basic, res
 
     results = pool.map(work, jobs) if pool else map(work, jobs)
@@ -794,6 +813,16 @@ class TrackingState:
             blobs = [TrackBlob(fr.masks[i], _px(fr.pixels[i]),
                                flags=fr.flags[i])
                      for i in range(fr.n)]
+            # stored blob::Prediction records (class/pose/outlines)
+            # feed the pose/outline posture paths on re-track
+            for i, pr in enumerate(fr.predictions[:len(blobs)]):
+                if pr is None:
+                    continue
+                blobs[i].prediction = {
+                    "clid": int(pr.clid), "p": float(pr.p),
+                    "keypoints": pr.pose,
+                    "original_outline": pr.original_outline,
+                }
             t = fr.timestamp / 1e6
             if fast:
                 return idx, t, blobs
