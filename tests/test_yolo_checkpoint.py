@@ -191,3 +191,110 @@ def test_pt_conversion_matches_torch_forward(tmp_path):
             f"box level {lvl}: max diff {np.max(np.abs(fb - tb))}"
         assert np.max(np.abs(fc - tc)) < 2e-3, \
             f"cls level {lvl}: max diff {np.max(np.abs(fc - tc))}"
+
+
+class TProto(tnn.Module):
+    """ultralytics Proto: Conv3 -> ConvTranspose2x -> Conv3 -> Conv1."""
+
+    def __init__(self, c1, c_, c2):
+        super().__init__()
+        self.cv1 = TConv(c1, c_, 3)
+        self.upsample = tnn.ConvTranspose2d(c_, c_, 2, 2, 0, bias=True)
+        self.cv2 = TConv(c_, c_, 3)
+        self.cv3 = TConv(c_, c2, 1)
+
+    def forward(self, x):
+        return self.cv3(self.cv2(self.upsample(self.cv1(x))))
+
+
+class TSegment(TDetect):
+    def __init__(self, nc, ch, nm=32, npr=64):
+        super().__init__(nc, ch)
+        c4 = max(ch[0] // 4, nm)
+        self.cv4 = tnn.ModuleList(
+            tnn.Sequential(TConv(c, c4, 3), TConv(c4, c4, 3),
+                           tnn.Conv2d(c4, nm, 1)) for c in ch)
+        self.proto = TProto(ch[0], npr, nm)
+
+    def forward(self, feats):
+        det = super().forward(feats)
+        mc = [self.cv4[i](f) for i, f in enumerate(feats)]
+        return det, mc, self.proto(feats[0])
+
+
+def test_pt_segment_conversion_matches_torch_forward(tmp_path):
+    """yolov8n-seg: cv4 mask coefficients + Proto (incl. the learned
+    ConvTranspose upsample) convert 1:1 from a torch checkpoint."""
+    nc = 5
+    tm = TYolo8n(nc)
+    tm.model[22] = TSegment(nc, [64, 128, 256])
+    _randomize(tm)
+    tm.eval()
+    path = tmp_path / "yolov8n_seg_test.pt"
+    torch.save({"model": tm}, path)
+
+    conv = load_ultralytics_checkpoint(path)
+    assert conv["task"] == "segment"
+
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+    with torch.no_grad():
+        (det, mc, proto) = tm(torch.from_numpy(
+            img.transpose(0, 3, 1, 2).astype(np.float32) / 255.0))
+
+    model = YOLOv8(num_classes=nc, scale="n", task="segment",
+                   dtype=jnp.float32)
+    out = model.apply({"params": conv["params"],
+                       "batch_stats": conv["batch_stats"]},
+                      jnp.asarray(img.astype(np.float32)))
+    for lvl in range(3):
+        t = mc[lvl].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(out["mask_coeffs"][lvl], np.float32)
+        assert np.max(np.abs(f - t)) < 2e-3, lvl
+    tp = proto.numpy().transpose(0, 2, 3, 1)
+    fp = np.asarray(out["proto"], np.float32)
+    assert fp.shape == tp.shape
+    assert np.max(np.abs(fp - tp)) < 2e-3, np.max(np.abs(fp - tp))
+
+
+class TPose(TDetect):
+    def __init__(self, nc, ch, nk=51):
+        super().__init__(nc, ch)
+        c4 = max(ch[0] // 4, nk)
+        self.cv4 = tnn.ModuleList(
+            tnn.Sequential(TConv(c, c4, 3), TConv(c4, c4, 3),
+                           tnn.Conv2d(c4, nk, 1)) for c in ch)
+
+    def forward(self, feats):
+        det = super().forward(feats)
+        return det, [self.cv4[i](f) for i, f in enumerate(feats)]
+
+
+def test_pt_pose_conversion_matches_torch_forward(tmp_path):
+    nc = 2
+    tm = TYolo8n(nc)
+    tm.model[22] = TPose(nc, [64, 128, 256])
+    _randomize(tm)
+    tm.eval()
+    path = tmp_path / "yolov8n_pose_test.pt"
+    torch.save({"model": tm}, path)
+
+    conv = load_ultralytics_checkpoint(path)
+    assert conv["task"] == "pose"
+    assert conv["num_keypoints"] == 17 and conv["kpt_dims"] == 3
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+    with torch.no_grad():
+        (det, kp) = tm(torch.from_numpy(
+            img.transpose(0, 3, 1, 2).astype(np.float32) / 255.0))
+
+    model = YOLOv8(num_classes=nc, scale="n", task="pose",
+                   dtype=jnp.float32)
+    out = model.apply({"params": conv["params"],
+                       "batch_stats": conv["batch_stats"]},
+                      jnp.asarray(img.astype(np.float32)))
+    for lvl in range(3):
+        t = kp[lvl].numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(out["keypoints"][lvl], np.float32)
+        assert np.max(np.abs(f - t)) < 2e-3, lvl

@@ -71,6 +71,18 @@ class VINetwork:
             self._ensure(num_classes)
             self.trainer.load_weights(self.weights_path(weights_file))
             return None
+        if mode == TrainingMode.Apply:
+            # Apply evaluates the existing network — no weight updates
+            # (the reference's TrainingMode::Apply); loads weights when
+            # a file is given and none are in memory
+            if self.trainer is None and weights_file:
+                self._ensure(num_classes)
+                self.trainer.load_weights(self.weights_path(weights_file))
+            if self.trainer is None:
+                raise RuntimeError(
+                    "TrainingMode.Apply without a trained network or "
+                    "weights_file")
+            return None
         if mode == TrainingMode.Restart:
             self.trainer = None
         self._ensure(num_classes)

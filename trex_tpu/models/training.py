@@ -10,7 +10,9 @@ Semantics mirrored from the reference:
 - predict(): batched softmax probabilities (:984)
 - checkpoints saved as <filename>_weights.npz (save_model_files :93)
 
-TPU design: one jitted train step (donated state) over sharded batches;
+TPU design: one jitted train step over sharded batches (state is NOT
+donated: accumulation snapshots TrainState references for its
+accept/reject rollback, which donation would invalidate);
 the step runs identically on a Mesh via data-parallel sharding
 (trex_tpu.parallel.mesh).
 """
@@ -18,7 +20,6 @@ from __future__ import annotations
 
 import json
 from dataclasses import dataclass, field
-from pathlib import Path
 from typing import Callable, Optional
 
 import jax
@@ -209,11 +210,25 @@ class VITrainer:
                 stacklevel=2)
         n = len(images)
         if val_images is None:
-            # stratified-ish 25% validation split like the reference loader
+            # stratified 25% split: every class keeps at least one
+            # validation sample (a plain permutation can drop a rare
+            # class from validation entirely, pinning its per-class
+            # accuracy at 0 and blocking early stopping forever)
             rng = np.random.default_rng(seed)
-            order = rng.permutation(n)
-            cut = max(1, n // 4)
-            val_idx, train_idx = order[:cut], order[cut:]
+            val_idx = []
+            train_idx = []
+            for c in np.unique(labels):
+                rows = np.flatnonzero(labels == c)
+                rows = rows[rng.permutation(len(rows))]
+                k = max(1, len(rows) // 4) if len(rows) > 1 else 0
+                val_idx.extend(rows[:k])
+                train_idx.extend(rows[k:])
+            val_idx = np.asarray(val_idx, np.int64)
+            train_idx = np.asarray(train_idx, np.int64)
+            if not len(val_idx):  # single tiny class: fall back
+                cut = max(1, n // 4)
+                order = rng.permutation(n)
+                val_idx, train_idx = order[:cut], order[cut:]
             val_images, val_labels = images[val_idx], labels[val_idx]
             images, labels = images[train_idx], labels[train_idx]
             n = len(images)
@@ -224,6 +239,9 @@ class VITrainer:
         rng = np.random.default_rng(seed + 1)
         steps_done = 0
         steps_per_epoch = max(1, n // batch_size)
+        worst_backlog: list = []
+        patience = 5  # reference backlog length
+
         for epoch in range(max_epochs):
             order = rng.permutation(n)
             if n < batch_size:
@@ -267,8 +285,16 @@ class VITrainer:
             result.epochs = epoch + 1
             if callbacks:
                 callbacks(epoch, entry)
+            worst_backlog.append(worst)
+            # reference ValidationCallback (visual_recognition_torch.py
+            # :607): stop when the WORST class accuracy stayed above
+            # 0.97 for `patience` consecutive epochs, or instantly at
+            # worst >= 0.99 (an instantaneous all-classes check stops
+            # one lucky epoch too early)
+            backlog = worst_backlog[-patience:]
             if steps_done >= min_iterations and (
-                    np.all(per_class > accuracy_stop_all)
+                    (len(backlog) >= patience
+                     and all(v > accuracy_stop_all for v in backlog))
                     or worst >= accuracy_stop_worst):
                 result.stopped_early = True
                 break

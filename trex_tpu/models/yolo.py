@@ -15,7 +15,6 @@ merge + blob conversion behave like the reference (YOLO.cpp:754-1190).
 """
 from __future__ import annotations
 
-import math
 from typing import Any, Optional, Sequence
 
 import flax.linen as nn
@@ -247,51 +246,51 @@ class YOLOv8(nn.Module):
                                       name="detect")(feats, train)
         out = {"boxes": box_out, "classes": cls_out,
                "shapes": tuple(f.shape[1:3] for f in feats)}
-        if self.task == "segment":
-            mc = []
-            proto_in = feats[0]
+        # task heads use the ultralytics cv4 layout exactly —
+        # Sequential(Conv(x, c4, 3), Conv(c4, c4, 3), Conv2d(c4, out, 1))
+        # with c4 = max(ch[0]//4, out) shared across levels — so real
+        # .pt checkpoints convert 1:1 (ultralytics nn/modules/head.py)
+        ch0 = feats[0].shape[-1]
+
+        def cv4(prefix, c4, n_out):
+            outs = []
             for i, f in enumerate(feats):
-                m = ConvBNSiLU(max(self.num_masks, f.shape[-1] // 4), 3,
-                               dtype=self.dtype, name=f"mask{i}_0")(f, train)
-                m = nn.Conv(self.num_masks, (1, 1), dtype=jnp.float32,
-                            name=f"mask{i}_1")(m)
-                mc.append(m)
-            p = ConvBNSiLU(proto_in.shape[-1], 3, dtype=self.dtype,
-                           name="proto_cv1")(proto_in, train)
-            b, h, w, c = p.shape
-            p = jax.image.resize(p, (b, h * 2, w * 2, c), "nearest")
-            p = ConvBNSiLU(proto_in.shape[-1], 3, dtype=self.dtype,
+                m = ConvBNSiLU(c4, 3, dtype=self.dtype,
+                               name=f"{prefix}{i}_0")(f, train)
+                m = ConvBNSiLU(c4, 3, dtype=self.dtype,
+                               name=f"{prefix}{i}_1")(m, train)
+                m = nn.Conv(n_out, (1, 1), dtype=jnp.float32,
+                            name=f"{prefix}{i}_2")(m)
+                outs.append(m)
+            return outs
+
+        if self.task == "segment":
+            out["mask_coeffs"] = cv4(
+                "mask", max(ch0 // 4, self.num_masks), self.num_masks)
+            # Proto(ch[0], npr, nm): npr = 256 scaled by the model width
+            c_ = max(8, int(round(256 * width / 8)) * 8)
+            p = ConvBNSiLU(c_, 3, dtype=self.dtype,
+                           name="proto_cv1")(feats[0], train)
+            p = nn.ConvTranspose(c_, (2, 2), strides=(2, 2),
+                                 dtype=jnp.float32, name="proto_up")(p)
+            p = ConvBNSiLU(c_, 3, dtype=self.dtype,
                            name="proto_cv2")(p, train)
-            p = nn.Conv(self.num_masks, (1, 1), dtype=jnp.float32,
-                        name="proto_out")(p)
-            out["mask_coeffs"] = mc
+            p = ConvBNSiLU(self.num_masks, 1, dtype=self.dtype,
+                           name="proto_cv3")(p, train)
             out["proto"] = p
         elif self.task == "pose":
-            kp = []
             nk = self.num_keypoints * self.kpt_dims
-            for i, f in enumerate(feats):
-                k = ConvBNSiLU(max(nk, f.shape[-1] // 4), 3,
-                               dtype=self.dtype, name=f"kpt{i}_0")(f, train)
-                k = nn.Conv(nk, (1, 1), dtype=jnp.float32,
-                            name=f"kpt{i}_1")(k)
-                kp.append(k)
-            out["keypoints"] = kp
+            out["keypoints"] = cv4("kpt", max(ch0 // 4, nk), nk)
         elif self.task == "obb":
-            ao = []
-            for i, f in enumerate(feats):
-                a = ConvBNSiLU(max(16, f.shape[-1] // 4), 3,
-                               dtype=self.dtype, name=f"ang{i}_0")(f, train)
-                a = nn.Conv(1, (1, 1), dtype=jnp.float32,
-                            name=f"ang{i}_1")(a)
-                ao.append(a)
-            out["angles"] = ao
+            out["angles"] = cv4("ang", max(ch0 // 4, 1), 1)
         return out
 
 
 def decode_predictions(out: dict, num_classes: int, reg_max: int = 16,
-                       conf_threshold: float = 0.1,
                        strides=(8, 16, 32)) -> dict:
-    """Flatten per-level outputs into (B, N, ...) decoded predictions."""
+    """Flatten per-level outputs into (B, N, ...) decoded predictions.
+    Confidence filtering happens downstream (YOLODetector
+    ._postprocess), not here."""
     shapes = out["shapes"]
     anchors, strd = make_anchors(shapes, strides)
     B = out["boxes"][0].shape[0]

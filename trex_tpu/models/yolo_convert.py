@@ -189,6 +189,31 @@ def convert_state_dict(sd: dict[str, np.ndarray], scale: str,
             "kernel": _conv(sd, pre + f"22.cv3.{i}.2.weight"),
             "bias": sd[pre + f"22.cv3.{i}.2.bias"],
         }
+
+    # task heads (ultralytics Segment/Pose/OBB share the cv4 layout;
+    # flax places them at the model's top level)
+    head_prefix = {"segment": "mask", "pose": "kpt", "obb": "ang"}
+    if task in head_prefix and pre + "22.cv4.0.0.conv.weight" in sd:
+        hp = head_prefix[task]
+        for i in range(3):
+            for j in range(2):
+                put(params, stats, f"{hp}{i}_{j}",
+                    _convbn(sd, pre + f"22.cv4.{i}.{j}"))
+            params[f"{hp}{i}_2"] = {
+                "kernel": _conv(sd, pre + f"22.cv4.{i}.2.weight"),
+                "bias": sd[pre + f"22.cv4.{i}.2.bias"],
+            }
+    if task == "segment" and pre + "22.proto.cv1.conv.weight" in sd:
+        for name in ("cv1", "cv2", "cv3"):
+            put(params, stats, f"proto_{name}",
+                _convbn(sd, pre + f"22.proto.{name}"))
+        w = sd[pre + "22.proto.upsample.weight"]  # (in, out, kh, kw)
+        # flax ConvTranspose mirrors the spatial taps relative to
+        # torch's ConvTranspose2d: flip kh/kw when converting
+        params["proto_up"] = {
+            "kernel": np.transpose(w, (2, 3, 0, 1))[::-1, ::-1].copy(),
+            "bias": sd[pre + "22.proto.upsample.bias"],
+        }
     return {"params": params, "batch_stats": stats}
 
 
@@ -205,12 +230,20 @@ def load_ultralytics_checkpoint(path) -> dict:
     width = stem.shape[0] / 64 if stem is not None else 0.25
     scale = min(SCALE_BY_WIDTH, key=lambda w: abs(w - width))
     task = "detect"
+    kpt_out = None
     if any(k.startswith("model.22.cv4") for k in sd):
-        task = "segment" if "model.22.proto.cv1.conv.weight" in sd else "pose"
+        if "model.22.proto.cv1.conv.weight" in sd:
+            task = "segment"
+        else:
+            kpt_out = int(sd["model.22.cv4.0.2.bias"].shape[0])
+            task = "obb" if kpt_out == 1 else "pose"
     converted = convert_state_dict(sd, SCALE_BY_WIDTH[scale], task)
     converted["num_classes"] = num_classes
     converted["task"] = task
     converted["scale"] = SCALE_BY_WIDTH[scale]
+    if task == "pose" and kpt_out is not None:
+        converted["kpt_dims"] = 3 if kpt_out % 3 == 0 else 2
+        converted["num_keypoints"] = kpt_out // converted["kpt_dims"]
     return converted
 
 

@@ -47,7 +47,20 @@ def initialize(coordinator_address: Optional[str] = None,
         p = os.environ.get("JAX_PROCESS_ID")
         process_id = int(p) if p else None
     if not coordinator_address and num_processes in (None, 1):
-        return False  # single-process session
+        # Cloud-TPU pod slices need no explicit coordinator — a bare
+        # jax.distributed.initialize() discovers it from TPU metadata.
+        # Only attempt that when the environment says we ARE a pod
+        # worker, since on plain hosts it raises.
+        hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        multi_host = len([h for h in hostnames.split(",") if h]) > 1 \
+            or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+        if not multi_host:
+            return False  # single-process session
+        try:
+            jax.distributed.initialize()
+        except (ValueError, RuntimeError):
+            return False  # metadata incomplete: stay single-process
+        return jax.process_count() > 1
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
@@ -67,7 +80,11 @@ def hybrid_mesh(axis_names: Sequence[str] = ("data", "model"),
     n_total = jax.device_count()
     n_hosts = max(1, n_total // max(1, n_local))
     if model_axis_size is None:
-        model_axis_size = n_local if len(axis_names) > 1 else 1
+        # every consumer in this repo shards batches over 'data' and
+        # replicates params: default to pure data parallelism (a
+        # model axis of n_local would leave the data axis at size 1
+        # per host — all chips redundantly computing one batch)
+        model_axis_size = 1
     model_axis_size = max(1, min(model_axis_size, n_local))
     if len(axis_names) == 1:
         return Mesh(np.array(jax.devices()), axis_names)
@@ -90,13 +107,16 @@ def hybrid_mesh(axis_names: Sequence[str] = ("data", "model"),
 def process_batch_slice(global_batch: int) -> slice:
     """Each host feeds only its slice of the global batch (per-host
     data loading; jax.make_array_from_process_local_data assembles the
-    global array)."""
+    global array). Every host must contribute the SAME number of rows
+    (the sharded assembly needs even shards), so the global batch is
+    truncated to a multiple of the process count — callers pick
+    global batches divisible by the host count to avoid dropping
+    samples."""
     n = jax.process_count()
     i = jax.process_index()
     per = global_batch // n
     lo = i * per
-    hi = lo + per if i < n - 1 else global_batch
-    return slice(lo, hi)
+    return slice(lo, lo + per)
 
 
 def global_batch_array(mesh: Mesh, local_data, axis: str = "data"):
