@@ -183,8 +183,8 @@ class Accumulation:
             labels = labs if labels is None else np.concatenate(
                 [labels, labs])
             tr = self.trainer.train(images, labels, max_epochs=max_epochs,
-                                    min_iterations=int(
-                                        s["gpu_min_iterations"]))
+                                    min_iterations=int(s["gpu_min_iterations"]),
+                augment=bool(s.get("vi_train_augment", False)))
             good, per_frame, mean_p = self.step_uniqueness(
                 disc_images, map_indexes)
             # accept/reject (Accumulation.cpp end_a_step): a range whose
@@ -224,7 +224,8 @@ class Accumulation:
             pre_state = self.trainer.state
             self.trainer.train(images, labels,
                                max_epochs=max(5, max_epochs // 4),
-                               min_iterations=int(s["gpu_min_iterations"]))
+                               min_iterations=int(s["gpu_min_iterations"]),
+                augment=bool(s.get("vi_train_augment", False)))
             good, per_frame, mean_p = self.step_uniqueness(
                 disc_images, map_indexes)
             if mean_p >= result.final_uniqueness:

@@ -90,7 +90,8 @@ class VINetwork:
         res = self.trainer.train(
             images, labels,
             max_epochs=max_epochs or int(s["gpu_max_epochs"]),
-            min_iterations=int(s["gpu_min_iterations"]))
+            min_iterations=int(s["gpu_min_iterations"]),
+            augment=bool(s.get("vi_train_augment", False)))
         if weights_file:
             self.trainer.save_weights(self.weights_path(weights_file))
         return res
