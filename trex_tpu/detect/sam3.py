@@ -447,13 +447,24 @@ class SamSegmenter:
 
         resized = cv2.resize(image, (nw, nh),
                              interpolation=cv2.INTER_LINEAR)
-        padded = np.zeros((size, size, 3), image.dtype)
+        # pad with the normalization MEAN so the padded region is 0 in
+        # normalized space (official SAM normalizes then zero-pads)
+        from ..models.sam import SAM
+
+        padded = np.empty((size, size, 3), np.uint8)
+        padded[:] = np.round(SAM.PIXEL_MEAN).astype(np.uint8)
         padded[:nh, :nw] = resized
 
         pts_list, lbl_list, ids = [], [], []
         for obj in prompts:
-            box = getattr(obj, "seed_box", None) \
-                or getattr(obj, "box", None)
+            box = getattr(obj, "seed_box", None)
+            if box is None:
+                # fall back to the object's stored box prompts
+                for pr in getattr(obj, "positive_prompts", []):
+                    b = getattr(pr, "box", None)
+                    if b is not None:
+                        box = b
+                        break
             if box is None:
                 continue
             p, l = box_to_prompt([c * scale for c in box])
@@ -470,7 +481,10 @@ class SamSegmenter:
         iou = np.asarray(iou)
         out = {}
         for k, oid in enumerate(ids):
-            best = int(iou[k].argmax())
+            # multimask selection considers tokens 1..3 only (token 0
+            # is the single-mask-mode output in official SAM)
+            best = 1 + int(iou[k, 1:].argmax()) if iou.shape[1] > 1 \
+                else 0
             m = masks[k, best]
             m = cv2.resize(m, (size, size),
                            interpolation=cv2.INTER_LINEAR)

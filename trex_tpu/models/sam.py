@@ -264,15 +264,17 @@ class TwoWayBlock(nn.Module):
     def __call__(self, queries, keys, q_pe, k_pe):
         d = self.dtype
         if self.skip_first_pe:
-            q = TwoWayAttention(self.dim, self.num_heads, dtype=d,
-                                name="self_attn")(queries, queries,
-                                                  queries)
+            # official SAM first layer REPLACES queries with the
+            # self-attention output (no residual)
+            queries = TwoWayAttention(self.dim, self.num_heads, dtype=d,
+                                      name="self_attn")(queries, queries,
+                                                        queries)
         else:
             qq = queries + q_pe
-            q = TwoWayAttention(self.dim, self.num_heads, dtype=d,
-                                name="self_attn")(qq, qq, queries)
-        queries = nn.LayerNorm(dtype=jnp.float32, name="norm1")(
-            queries + q)
+            a0 = TwoWayAttention(self.dim, self.num_heads, dtype=d,
+                                 name="self_attn")(qq, qq, queries)
+            queries = queries + a0
+        queries = nn.LayerNorm(dtype=jnp.float32, name="norm1")(queries)
         a = TwoWayAttention(self.dim, self.num_heads, 2, dtype=d,
                             name="cross_attn_t2i")(
             queries + q_pe, keys + k_pe, keys)
@@ -323,7 +325,8 @@ class MaskDecoder(nn.Module):
                                skip_first_pe=(i == 0),
                                dtype=self.dtype, name=f"block{i}")(
                 q, k, tokens, pe)
-        q = q + tokens
+        # official final attention: query = queries + prompt tokens
+        # (once); the residual adds onto queries, not query+tokens
         attn = TwoWayAttention(self.dim, self.num_heads, 2,
                                dtype=self.dtype,
                                name="final_attn")(q + tokens, k + pe, k)

@@ -216,11 +216,14 @@ class TrackBlob:
         self._last_recount = threshold
         return self._recount_cache[threshold]
 
-    def force_set_recount(self, threshold: int, value_cm2: Optional[float] = None,
+    def force_set_recount(self, threshold: int,
+                          value_px2: Optional[float] = None,
                           settings=None):
+        """Cache a recount from a PIXEL count (scaled to cm^2 here) —
+        pv::Blob::force_set_recount takes raw pixels too."""
         cm = (settings["cm_per_pixel"] if settings else 1.0) or 1.0
         self._recount_cache[threshold] = (
-            value_cm2 * cm * cm if value_cm2 is not None
+            value_px2 * cm * cm if value_px2 is not None
             else self.num_pixels * cm * cm
         )
         self._last_recount = threshold

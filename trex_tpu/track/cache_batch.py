@@ -164,8 +164,11 @@ def compute_caches(individuals: list, frame: int, time: float,
         # common case: prev == frame-1 -> single extrapolation step with
         # weight (1+lam)/(1+lam) == 1
         lu = lookup_time(prev_frames - 1)
+        # missing t(prev-1) already trips the per-fish scalar
+        # fallback (invalid_any); keep the dead branch harmless — an
+        # absolute timestamp here would extrapolate by video-age
         step = np.where(np.isfinite(lu),
-                        lookup_time(prev_frames) - lu, oldest_time)
+                        lookup_time(prev_frames) - lu, 0.0)
         ok = simple & (counts > 0) & np.isfinite(step)
         est_x = np.where(ok, est_x + step * speed
                          * (dir_x + step * accd_x), est_x)

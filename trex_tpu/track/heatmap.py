@@ -36,10 +36,27 @@ def compute_heatmaps(tracker, settings, frames=None,
     context = int(s["heatmap_frames"]) or 0
     source = source or (s["heatmap_source"] or "")
 
+    # value sources resolve through the output library, so any
+    # exported field name works (the reference's heatmap_source uses
+    # the same registry); '' defaults to SPEED
+    from ..export.library import INVALID, EvalContext, evaluate
+
+    ctx = EvalContext(tracker, s)
+    field_name = source or "SPEED"
+
+    def source_value(ind, b, f):
+        if field_name == "SPEED":
+            return b.centroid.speed(s["cm_per_pixel"] or 1.0)
+        v = evaluate(ctx, ind, f, field_name, [])
+        return v if np.isfinite(v) else None
+
     per_frame = np.zeros((len(frames), 2, gh, gw), np.float32)
+    sq_accum = np.zeros((gh, gw), np.float32)
+    variance_mode = (s["heatmap_normalization"] or "") == "variance"
     for i, f in enumerate(frames):
         counts = per_frame[i, 0]
         values = per_frame[i, 1]
+        sq = np.zeros((gh, gw), np.float32) if variance_mode else None
         for ind in tracker.individuals.values():
             b = ind.basic_stuff(f)
             if b is None:
@@ -48,10 +65,18 @@ def compute_heatmaps(tracker, settings, frames=None,
             gx = min(gw - 1, max(0, int(cx // res)))
             gy = min(gh - 1, max(0, int(cy // res)))
             counts[gy, gx] += 1
-            if source in ("", "SPEED"):
-                values[gy, gx] += b.centroid.speed(s["cm_per_pixel"] or 1.0)
+            v = source_value(ind, b, f)
+            if v is not None:
+                values[gy, gx] += v
+                if sq is not None:
+                    sq[gy, gx] += v * v
         nz = counts > 0
-        values[nz] /= counts[nz]
+        if sq is not None:
+            # per-cell sample variance E[x^2] - E[x]^2 as the value
+            mean = np.where(nz, values / np.maximum(counts, 1), 0.0)
+            values[nz] = (sq[nz] / counts[nz]) - mean[nz] ** 2
+        else:
+            values[nz] /= counts[nz]
     if context > 1:
         # sliding-window accumulation over `heatmap_frames`
         csum = np.cumsum(per_frame, axis=0)

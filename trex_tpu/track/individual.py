@@ -174,6 +174,10 @@ class Individual:
 
     def remove_after(self, frame: int):
         """Drop all data at frames >= frame (used by re-tracking)."""
+        # formerly-manual frames past the cut must not keep forcing the
+        # manual-match cache semantics on re-tracked frames
+        self.manual_frames = {f for f in self.manual_frames
+                              if f < frame}
         keep = [b for b in self.basic if b.frame < frame]
         self.basic = keep
         self._frames = {b.frame: i for i, b in enumerate(keep)}
@@ -377,10 +381,12 @@ class Individual:
             vy = (position[1] - cache.estimated_px[1]) / cache.local_tdelta
         else:
             vx = vy = 0.0
-        ms = s["track_max_speed"]
-        # C++ divides by the raw setting; /0 yields inf -> p -> 0
-        speed = (math.hypot(vx, vy) / ms * cm_per_pixel) if ms > 0 \
-            else float("inf")
+        # the vectorized path substitutes 1e9 for an unset
+        # track_max_speed (tracker.py:197 'no speed limit'); the scalar
+        # path must score by the same rule or manual-history fish get
+        # probability 0 while everyone else gets ~1
+        ms = s["track_max_speed"] or 1e9
+        speed = math.hypot(vx, vy) / ms * cm_per_pixel
         speed = 1.0 / (1.0 + speed) ** 2
         if not cache.valid_frame:
             return speed
