@@ -28,12 +28,12 @@ import pytest
 FIXTURE = Path("/root/reference/videos")
 GOLDEN = FIXTURE / "compare_data_automatic"
 
-FLOORS = {
-    "SPEED": 0.84,
-    "X": 0.985,
-    "blobid": 0.975,
-    "midline_length": 0.81,
-    "num_pixels": 0.85,
+FLOORS = {  # measured 2026-08-17: 0.867/0.993/0.983/0.838/0.879
+    "SPEED": 0.86,
+    "X": 0.99,
+    "blobid": 0.98,
+    "midline_length": 0.83,
+    "num_pixels": 0.87,
 }
 
 
