@@ -33,7 +33,9 @@ def test_single_object_straight_ahead():
     # bins far outside the target's angular extent are empty
     assert i0[5] == -1 and i0[-5] == -1
     fov0 = np.asarray(out["fov0"])[0, 0]
-    expect = (1 - 95.0 / 1000.0) ** 2 * 255
+    # VisualField.cpp fov: (1 - (dist/diag)^2)^2 * 255 (the
+    # reference works in squared distances)
+    expect = (1 - (95.0 / 1000.0) ** 2) ** 2 * 255
     assert abs(int(fov0[mid]) - int(expect)) <= 3
 
 

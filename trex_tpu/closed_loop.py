@@ -54,17 +54,32 @@ class ClosedLoop:
         p = self._module_path
         if p is None:
             return
-        mtime = p.stat().st_mtime
-        if not force and mtime == self._module_mtime:
+        # a half-written file mid-save (or a user syntax error) must
+        # not kill the tracking loop (ClosedLoop.cpp:50 catches and
+        # warns); keep the previous module on any failure
+        try:
+            mtime = p.stat().st_mtime
+            if not force and mtime == self._module_mtime:
+                return
+            spec = importlib.util.spec_from_file_location(
+                "trex_closed_loop", p)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        except Exception as e:
+            import sys
+
+            print(f"[closed_loop] cannot (re)load {p}: {e}",
+                  file=sys.stderr)
             return
-        spec = importlib.util.spec_from_file_location("trex_closed_loop", p)
-        mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(mod)
         self._module = mod
         self._module_mtime = mtime
         if hasattr(mod, "request_features"):
             feats = mod.request_features()
-            self.features = [f.strip() for f in str(feats).split(",") if f]
+            if isinstance(feats, (list, tuple, set)):
+                parts = [str(f) for f in feats]
+            else:
+                parts = str(feats).split(",")
+            self.features = [f.strip() for f in parts if f.strip()]
 
     # -- per-frame update -------------------------------------------------
     def update(self, frame: int):
@@ -103,5 +118,25 @@ class ClosedLoop:
             self.callback(data)
         if self._module is not None and hasattr(self._module,
                                                 "update_tracking"):
-            self._module.update_tracking(data)
+            # reference user modules define update_tracking() with NO
+            # parameters and read injected globals (closed_loop.py:26)
+            import inspect
+
+            fn = self._module.update_tracking
+            try:
+                takes_arg = len(inspect.signature(
+                    fn).parameters) >= 1
+            except (TypeError, ValueError):
+                takes_arg = True
+            try:
+                if takes_arg:
+                    fn(data)
+                else:
+                    self._module.frame_data = data
+                    fn()
+            except Exception as e:
+                import sys
+
+                print(f"[closed_loop] update_tracking failed: {e}",
+                      file=sys.stderr)
         return data

@@ -40,7 +40,20 @@ def parse_value(text: str) -> Any:
         f = float(s)
         return int(f) if f.is_integer() and ("." not in s and "e" not in low) else f
     if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
-        return s[1:-1]
+        # process backslash escapes like the container tokenizer so the
+        # same literal parses identically at top level and nested
+        body = s[1:-1]
+        if "\\" in body:
+            out, i = [], 0
+            while i < len(body):
+                if body[i] == "\\" and i + 1 < len(body):
+                    out.append(body[i + 1])
+                    i += 2
+                else:
+                    out.append(body[i])
+                    i += 1
+            body = "".join(out)
+        return body
     if s.startswith("[") or s.startswith("{"):
         return _parse_container(s)
     # bare word: enum value / unquoted string

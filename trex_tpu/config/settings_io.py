@@ -91,6 +91,13 @@ def apply_dict(settings: Settings, values: dict[str, Any], source: str,
             applied[name] = value
         except PermissionError:
             pass
+        except (ValueError, TypeError, KeyError) as e:
+            # one malformed pv-metadata value must not abort the whole
+            # layered resolution (SettingsInitializer warns + continues)
+            import sys
+
+            print(f"[settings] cannot apply {name!r} from {source}: "
+                  f"{e}", file=sys.stderr)
     return applied
 
 

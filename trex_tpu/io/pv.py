@@ -556,8 +556,9 @@ class PVFile:
         self._fh.seek(offset)
         compressed = self._fh.read(1) == b"\x01"
         if compressed:
-            comp_len, _ = struct.unpack("<II", self._fh.read(8))
-            payload = lzo.decompress(self._fh.read(comp_len))
+            comp_len, uncomp_len = struct.unpack("<II", self._fh.read(8))
+            payload = lzo.decompress(self._fh.read(comp_len),
+                                     uncomp_len)
         else:
             payload = self._fh.read(16)
         ts = struct.unpack("<Q", payload[:8])[0]

@@ -36,7 +36,11 @@ def calculate_uniqueness(predictions: np.ndarray,
         rows = predictions[start:end]
         n = end - start
         if n <= 0:
+            # the reference counts an empty range as a GOOD frame
+            # (unique_ids.size() == range.length() == 0,
+            # Accumulation.cpp:822)
             unique_percent[frame] = 0.0
+            good += 1
             continue
         max_p = rows.max(axis=1)
         max_id = rows.argmax(axis=1)

@@ -44,7 +44,9 @@ def foreground_mask(frames: jax.Array, background: jax.Array,
     fi = frames.astype(jnp.int16)
     bi = background.astype(jnp.int16)
     d = jnp.where(absolute, jnp.abs(fi - bi), bi - fi)
-    return d >= threshold
+    # zero pixels never count as foreground (native labeling.cpp and
+    # the device pipeline both apply row[x] != 0)
+    return (d >= threshold) & (frames > 0)
 
 
 @jax.jit

@@ -120,7 +120,11 @@ def _visual_field(points: jax.Array, point_ids: jax.Array,
     d1, i1 = layer(excluded)
 
     def fov_value(dd):
-        v = (1.0 - jnp.clip(dd / max_d, 0.0, 1.0)) ** 2 * 255.0
+        # VisualField.cpp: fov = (1 - d/max_d)^2 * 255 with d the
+        # SQUARED distance and max_d = cols^2 + rows^2, i.e.
+        # (1 - (dist/diag)^2)^2 here (dd and max_d are linear)
+        r2 = jnp.clip((dd / max_d) ** 2, 0.0, 1.0)
+        v = (1.0 - r2) ** 2 * 255.0
         return jnp.where(dd >= INVALID, 0.0, v).astype(jnp.uint8)
 
     return {

@@ -94,6 +94,11 @@ def compute_visual_fields(tracker, frame: int, settings,
     if not ids:
         return None
     F = len(ids)
+    if F > 511:
+        # the raycast packs (depth, id) into (13 + 9)-bit keys
+        raise ValueError(
+            f"visual fields support at most 511 concurrent individuals "
+            f"(got {F}): the segment-min key packs ids into 9 bits")
     P = max_points_per_fish
     pts = np.zeros((F * P, 2), np.float32)
     pids = np.full(F * P, -1, np.int32)
