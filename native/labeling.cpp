@@ -20,6 +20,7 @@
 #include <functional>
 #include <cstdlib>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -565,12 +566,15 @@ int32_t trex_split_execute(
     const double* ranges, int32_t n_ranges,
     int32_t max_pieces, double* out) {
     if (n_lines <= 0) return 0;
-    // bbox + padded crop (to_dense(pad=1))
+    // bbox + padded crop (to_dense(pad=1)); scan y too — unsorted
+    // line arrays must not produce negative row offsets (heap writes)
     int32_t bx0 = lines[1], bx1 = lines[2];
-    const int32_t by0 = lines[0], by1 = lines[3 * (n_lines - 1)];
+    int32_t by0 = lines[0], by1 = lines[0];
     for (int64_t i = 0; i < n_lines; i++) {
         bx0 = std::min(bx0, lines[3 * i + 1]);
         bx1 = std::max(bx1, lines[3 * i + 2]);
+        by0 = std::min(by0, lines[3 * i]);
+        by1 = std::max(by1, lines[3 * i]);
     }
     const int32_t ox = bx0 - 1, oy = by0 - 1;
     const int32_t w = bx1 - bx0 + 3, h = by1 - by0 + 3;

@@ -171,9 +171,11 @@ int trex_lzo1x_decompress(const uint8_t* in, size_t in_len,
             ip += 2;
             size_t dist = 16384 + (((t >> 3) & 1) << 14) + (d16 >> 2);
             if (dist == 16384) {
-                // end of stream (length must be 3: opcode 17,0,0)
+                // end of stream: a well-formed EOS is opcode 17 with no
+                // run-length extension and d16 == 0; trailing bytes
+                // after EOS mean corruption, not success
                 *out_len = (size_t)(op - out);
-                return (ip == in_end) ? 0 : 0;  // trailing bytes tolerated
+                return (ip == in_end) ? 0 : -4;
             }
             if ((size_t)(op - out) < dist) return -3;
             NEED_OUT(len);

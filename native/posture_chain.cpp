@@ -64,6 +64,8 @@ std::vector<P32> smooth_points(const std::vector<P32>& pts,
     const int64_t L = (int64_t)pts.size();
     if ((double)L <= samples || samples <= 0) return pts;
     const int step_row = (int)(samples * (double)step);
+    if (step_row < 1) return pts;  // 0 < samples*step < 1: no smoothing
+                                   // (a 0 step_row NaN-poisons weights)
     std::vector<int> offs;
     for (int o = -step_row; o <= step_row; o += step) offs.push_back(o);
     const int64_t K = (int64_t)offs.size();

@@ -59,8 +59,7 @@ void trex_track_caches(
             int64_t previous = cur_frame;
             // tracklets newest-last: current, then ring reversed
             int64_t cs = trk_start[f], ce = prev;
-            bool stop = false;
-            for (int32_t k = trk_ring_n[f]; k >= 0 && !stop; k--) {
+            for (int32_t k = trk_ring_n[f]; k >= 0; k--) {
                 int64_t t0, t1;
                 if (k == trk_ring_n[f]) { t0 = cs; t1 = ce; }
                 else {

@@ -227,7 +227,7 @@ def split_execute(lines: np.ndarray, pixels: np.ndarray,
     lines = np.ascontiguousarray(lines, np.int32)
     pixels = np.ascontiguousarray(pixels, np.uint8)
     background = np.ascontiguousarray(background, np.uint8)
-    r = np.ascontiguousarray(ranges or [], np.float64).reshape(-1, 2)
+    r = np.ascontiguousarray(ranges if ranges is not None and len(ranges) else [], np.float64).reshape(-1, 2)
     out = np.zeros((max_pieces, 7))
     h, w = background.shape
     n = _lib().trex_split_execute(
@@ -254,7 +254,7 @@ def split_scan(image: np.ndarray, background: Optional[np.ndarray],
     if background is not None:
         background = np.ascontiguousarray(background, dtype=np.uint8)
         bg_ptr = background.ctypes.data_as(ctypes.c_char_p)
-    r = np.ascontiguousarray(ranges or [], np.float64).reshape(-1, 2)
+    r = np.ascontiguousarray(ranges if ranges is not None and len(ranges) else [], np.float64).reshape(-1, 2)
     first_size = ctypes.c_double(0.0)
     thr = _lib().trex_split_scan(
         image.ctypes.data_as(ctypes.c_char_p), bg_ptr, w, h,

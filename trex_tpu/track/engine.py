@@ -558,6 +558,12 @@ class FastTracker:
         start = self.trk_start[fids]
         n = np.minimum(prev, frame) - np.maximum(start, lower) + 1
         n = np.maximum(n, 0)
+        # the reference walk breaks immediately when the gap to the
+        # newest tracklet exceeds frame_rate*t_max
+        # (Individual.cpp:1802-1838); the native path applies this —
+        # without it the fast path diverges under non-uniform
+        # timestamps
+        n = np.where(frame - prev > time_limit, 0, n)
         fallback = (start > lower) & (self.prev_trk_end[fids] >= lower) \
             & (start - self.prev_trk_end[fids] <= time_limit)
         for k in np.flatnonzero(fallback).tolist():

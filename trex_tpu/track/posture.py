@@ -305,6 +305,8 @@ def smooth_points(points: np.ndarray, samples: float, step: int) -> np.ndarray:
     if L <= samples or samples <= 0:
         return points
     step_row = int(samples * step)
+    if step_row < 1:  # 0 < samples*step < 1 would divide by zero
+        return points
     offs = np.arange(-step_row, step_row + 1, step)
     weights = (step_row - np.abs(offs)) / step_row
     weights = weights / weights.sum()
