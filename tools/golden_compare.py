@@ -24,6 +24,12 @@ def word_diff_lines(a: Path, b: Path) -> int:
 def compare_folders(golden_dir, produced_dir, verbose=False):
     golden = sorted(Path(golden_dir).glob("*.csv"))
     produced = sorted(Path(produced_dir).glob("*.csv"))
+    if not golden:
+        print(f"ERROR: no golden CSVs in {golden_dir}")
+        return False, -1, []
+    if not produced:
+        print(f"ERROR: no produced CSVs in {produced_dir}")
+        return False, -1, [(g, None, 10 ** 9) for g in golden]
     produced_content = {p: p.read_bytes() for p in produced}
     unmatched = []
     used = set()

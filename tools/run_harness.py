@@ -29,8 +29,14 @@ FRAMES = VIDEOS / "test_frames"
 
 
 def run_cli(args, log):
+    # the reference harness runs each step in a fresh process: reset
+    # the process-global settings so one run's mutations (auto-correct
+    # manual_matches, auto_tags flag resets, ...) don't leak into the
+    # next mode's run
     from trex_tpu.cli.trex import main
+    from trex_tpu.config import reset_global_settings
 
+    reset_global_settings()
     rc = main(args)
     log.write_text(" ".join(str(a) for a in args) + f"\nrc={rc}\n")
     return rc
@@ -80,12 +86,22 @@ def compare(golden, produced):
     from scipy.optimize import linear_sum_assignment
 
     FLOORS = {1: 0.84, 2: 0.985, 3: 0.975, 4: 0.81, 5: 0.85}
+    produced_files = sorted(Path(produced).glob("*fish*.csv"))
+    if len(produced_files) != 8:
+        print(f"  ratchet FAIL: expected 8 produced fish CSVs, "
+              f"found {len(produced_files)}")
+        return False
     gold = {i: np.genfromtxt(Path(golden) / f"test_fish{i}.csv",
                              delimiter=",", skip_header=1)
             for i in range(8)}
-    ours = {i: np.genfromtxt(sorted(Path(produced).glob("*.csv"))[i],
+    ours = {i: np.genfromtxt(produced_files[i],
                              delimiter=",", skip_header=1)
             for i in range(8)}
+    rows = {g.shape[0] for g in gold.values()} \
+        | {o.shape[0] for o in ours.values()}
+    if len(rows) != 1:
+        print(f"  ratchet FAIL: row counts differ across files: {rows}")
+        return False
     cost = np.zeros((8, 8))
     for a in range(8):
         for b in range(8):

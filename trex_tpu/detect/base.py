@@ -117,11 +117,17 @@ class PrecomputedBackend(DetectionBackend):
             self.cache.setdefault(int(frame), []).append((x, y, w, h))
 
     def apply(self, frame_index, image):
+        if image.ndim == 3:  # blob pixels are grayscale
+            import cv2
+
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
         blobs = []
         ih, iw = image.shape[:2]
         for (x, y, w, h) in self.cache.get(frame_index, []):
-            x0 = int(max(0, min(iw - 1, x)))
-            y0 = int(max(0, min(ih - 1, y)))
+            # symmetric clamp: boxes fully off ANY edge drop out
+            # (min(iw-1, x) turned off-right boxes into 1-px slivers)
+            x0 = int(max(0, min(iw, x)))
+            y0 = int(max(0, min(ih, y)))
             x1 = int(max(0, min(iw, x + w)))
             y1 = int(max(0, min(ih, y + h)))
             if x1 <= x0 or y1 <= y0:
@@ -141,6 +147,10 @@ class NoDetection(DetectionBackend):
         return self
 
     def apply(self, frame_index, image):
+        if image.ndim == 3:  # blob pixels are grayscale
+            import cv2
+
+            image = cv2.cvtColor(image, cv2.COLOR_BGR2GRAY)
         h, w = image.shape[:2]
         lines = np.stack([np.arange(h), np.zeros(h, int),
                           np.full(h, w - 1)], 1).astype(np.int32)

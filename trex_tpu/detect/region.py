@@ -89,7 +89,14 @@ def region_proposal_detect(image: np.ndarray,
             all_kp.append(kp)
     if not all_boxes:
         return Detections(np.zeros((0, 4)), np.zeros(0), np.zeros(0, int))
-    det = Detections(np.concatenate(all_boxes), np.concatenate(all_conf),
+    boxes_cat = np.concatenate(all_boxes)
+    # keypoints stay aligned with boxes only when EVERY crop reported
+    # them — a mixed set would silently pair keypoints with the wrong
+    # boxes downstream
+    kp_cat = np.concatenate(all_kp) \
+        if all_kp and sum(len(k) for k in all_kp) == len(boxes_cat) \
+        else None
+    det = Detections(boxes_cat, np.concatenate(all_conf),
                      np.concatenate(all_clid).astype(int),
-                     keypoints=np.concatenate(all_kp) if all_kp else None)
+                     keypoints=kp_cat)
     return merge_tile_detections(det, settings)

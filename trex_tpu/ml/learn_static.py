@@ -38,7 +38,10 @@ def train_static(images: np.ndarray, labels: np.ndarray,
     labels = np.asarray(labels, np.int32)
     if images.ndim == 3:
         images = images[..., None]
-    num_classes = int(labels.max()) + 1
+    # remap sparse/1-based label sets densely (tag ids commonly start
+    # at 1; phantom empty classes would pin worst-class accuracy at 0)
+    uniq, labels = np.unique(labels, return_inverse=True)
+    num_classes = len(uniq)
     model = build(version, num_classes)
     trainer = VITrainer(model, num_classes, images.shape[1:], mesh=mesh)
     result = trainer.train(images, labels, max_epochs=max_epochs,

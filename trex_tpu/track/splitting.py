@@ -36,7 +36,11 @@ def _split_crop(blob: TrackBlob, background: np.ndarray, settings):
     xs0, xs1 = max(0, ox), min(bw, ox + gray.shape[1])
     bg_crop[ys0 - oy: ys1 - oy, xs0 - ox: xs1 - ox] = \
         background[ys0:ys1, xs0:xs1]
-    img = np.where(mask > 0, gray, bg_crop.astype(np.uint8))
+    # pixel value 0 is the scan's outside-mask sentinel (native
+    # trex_split_scan; the reference reserves 0 as "no pixel" too):
+    # clamp genuine zeros inside the mask to 1
+    img = np.where(mask > 0, np.maximum(gray, 1),
+                   bg_crop.astype(np.uint8))
     return img, bg_crop
 
 
@@ -203,32 +207,6 @@ class HistorySplit:
 
     def __init__(self, settings):
         self.settings = settings
-
-    def expected_per_blob(self, blobs: list[TrackBlob],
-                          fish_positions: list[tuple],
-                          max_distance_px: float) -> list[int]:
-        """Reference semantics (PPFrame::init_cache :214, :379-419):
-        each fish maps to EVERY blob whose extent lies within
-        max_d = track_max_speed * tdelta / cm_per_pixel * 0.5 of the
-        fish's estimated position; a blob's expectation is the number
-        of distinct fish mapped to it."""
-        if not fish_positions or not blobs:
-            return [0] * len(blobs)
-        pos = np.asarray(fish_positions, np.float64)  # (F, 2)
-        counts = [0] * len(blobs)
-        bounds = np.array([b.bounds for b in blobs], np.float64)  # x,y,w,h
-        x0 = bounds[:, 0]
-        y0 = bounds[:, 1]
-        x1 = bounds[:, 0] + bounds[:, 2] - 1
-        y1 = bounds[:, 1] + bounds[:, 3] - 1
-        for fx, fy in pos:
-            # distance from the estimate to each blob's bounding box
-            dx = np.maximum(0, np.maximum(x0 - fx, fx - x1))
-            dy = np.maximum(0, np.maximum(y0 - fy, fy - y1))
-            d = np.hypot(dx, dy)
-            for bi in np.flatnonzero(d <= max_distance_px):
-                counts[bi] += 1
-        return counts
 
     def split_expectation(self, blobs: list[TrackBlob],
                           fish_positions: list[tuple],
