@@ -42,10 +42,19 @@ def load_settings_file(settings: Settings, path: str | Path,
     applied = {}
     for name, value in values.items():
         try:
+            if name not in settings and name not in \
+                    settings._deprecations:
+                import sys
+
+                print(f"[settings] unknown parameter {name!r} in "
+                      f"{path} (typo?)", file=sys.stderr)
             settings.set(name, value, source=source or str(path), max_access=max_access)
             applied[name] = value
-        except PermissionError:
-            pass
+        except PermissionError as e:
+            import sys
+
+            print(f"[settings] {name!r} not applied from {path}: {e}",
+                  file=sys.stderr)
         except (ValueError, TypeError, KeyError) as e:
             # one bad line must not abort the load mid-file (the
             # reference SettingsInitializer warns and continues)
@@ -89,8 +98,11 @@ def apply_dict(settings: Settings, values: dict[str, Any], source: str,
         try:
             settings.set(name, value, source=source, max_access=max_access)
             applied[name] = value
-        except PermissionError:
-            pass
+        except PermissionError as e:
+            import sys
+
+            print(f"[settings] {name!r} not applied from {source}: "
+                  f"{e}", file=sys.stderr)
         except (ValueError, TypeError, KeyError) as e:
             # one malformed pv-metadata value must not abort the whole
             # layered resolution (SettingsInitializer warns + continues)

@@ -19,7 +19,7 @@ from .library import EvalContext, column_title, evaluate
 
 def _fmt(value: float, decimals: int) -> str:
     if math.isinf(value):
-        return "inf"
+        return "inf" if value > 0 else "-inf"
     if math.isnan(value):
         return "nan"
     if decimals <= 0:
@@ -85,8 +85,7 @@ def export_data(tracker, settings, output_dir, video_name: str,
             col = 1
             missing = not ind.has(frame)
             for field, mods in fields:
-                if field == "frame":
-                    continue
+                # (frame entries were filtered out of `fields` above)
                 if missing and field not in ("missing",):
                     rows[i, col] = float("inf")
                 else:

@@ -68,7 +68,9 @@ def convert_to_storage(image: np.ndarray, encoding: str,
     if encoding == "rgb8":
         if image.ndim == 2:
             return np.repeat(image[..., None], 3, axis=-1)
-        return image
+        # BGR (OpenCV) input -> pv stores RGB byte order, like the
+        # Segmenter's blob pixels and header average
+        return np.ascontiguousarray(image[..., ::-1])
     raise ValueError(f"unknown encoding {encoding!r}")
 
 
