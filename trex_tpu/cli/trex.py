@@ -183,9 +183,13 @@ def main(argv=None) -> int:
 
         p = Path(log_path)
         p.parent.mkdir(parents=True, exist_ok=True)
-        fh = open(p, "a", buffering=1)
-        sys.stdout = _Tee(sys.stdout, fh)
-        sys.stderr = _Tee(sys.stderr, fh)
+        _log_fh = open(p, "a", buffering=1)
+        _saved_streams = (sys.stdout, sys.stderr)
+        sys.stdout = _Tee(sys.stdout, _log_fh)
+        sys.stderr = _Tee(sys.stderr, _log_fh)
+    else:
+        _log_fh = None
+        _saved_streams = None
 
     def progress(done, total):
         if done % 50 == 0 or done == total:
@@ -207,6 +211,11 @@ def main(argv=None) -> int:
         print(f"[rst] wrote {out}")
         return 0
 
+    # a fresh run must not inherit stage-timing records from earlier
+    # in-process runs (tests/run_harness invoke main() repeatedly)
+    from ..utils.timing import global_collector as _gc
+    _gc().clear()
+
     try:
         return _run_task(task, source, name, out_base, data_dir, s,
                          sig, args, auto_quit, load, matching_log,
@@ -219,6 +228,13 @@ def main(argv=None) -> int:
         if s.get("error_terminate", True):
             return 1
         raise
+    finally:
+        if _saved_streams is not None:
+            sys.stdout, sys.stderr = _saved_streams
+            try:
+                _log_fh.close()
+            except OSError:
+                pass
 
 
 def _run_task(task, source, name, out_base, data_dir, s, sig, args,

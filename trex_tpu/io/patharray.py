@@ -49,8 +49,24 @@ def has_pattern(source: str) -> bool:
 def resolve_paths(source: str, fs=REAL_FS) -> list[str]:
     s = str(source).strip()
     if s.startswith("[") and s.endswith("]"):
-        parts = [p.strip().strip('"').strip("'")
-                 for p in s[1:-1].split(",") if p.strip()]
+        # quote-aware split: a quoted path may itself contain commas
+        parts, cur, quote = [], [], None
+        for ch in s[1:-1]:
+            if quote:
+                if ch == quote:
+                    quote = None
+                else:
+                    cur.append(ch)
+            elif ch in "'\"":
+                quote = ch
+            elif ch == ",":
+                if "".join(cur).strip():
+                    parts.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if "".join(cur).strip():
+            parts.append("".join(cur).strip())
         return parts
     m = _PRINTF.search(s)
     if m:

@@ -51,7 +51,6 @@ def compute_heatmaps(tracker, settings, frames=None,
         return v if np.isfinite(v) else None
 
     per_frame = np.zeros((len(frames), 2, gh, gw), np.float32)
-    sq_accum = np.zeros((gh, gw), np.float32)
     variance_mode = (s["heatmap_normalization"] or "") == "variance"
     for i, f in enumerate(frames):
         counts = per_frame[i, 0]

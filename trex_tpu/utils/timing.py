@@ -99,6 +99,10 @@ class TimingStatsCollector:
         with self._lock:
             self._records.append(record)
 
+    def clear(self):
+        with self._lock:
+            self._records.clear()
+
     def records(self, metric: Optional[str] = None) -> list[TimingRecord]:
         with self._lock:
             rs = list(self._records)
