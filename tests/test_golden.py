@@ -28,13 +28,10 @@ import pytest
 FIXTURE = Path("/root/reference/videos")
 GOLDEN = FIXTURE / "compare_data_automatic"
 
-FLOORS = {  # measured 2026-08-17: 0.867/0.993/0.983/0.838/0.879
-    "SPEED": 0.86,
-    "X": 0.99,
-    "blobid": 0.98,
-    "midline_length": 0.83,
-    "num_pixels": 0.87,
-}
+# single source of truth for the agreement bar (shared with
+# tools/run_harness.py): trex_tpu/utils/goldenbar.py
+from trex_tpu.utils.goldenbar import (CONDITIONAL_FLOORS, FLOORS,
+                                      agreement_report)
 
 
 @pytest.fixture(scope="module")
@@ -80,23 +77,24 @@ def _optimal_mapping(gold, ours):
 
 
 def test_full_fixture_column_agreement(converted):
-    gold = _load_all(GOLDEN, "test")
-    ours = _load_all(converted / "data", "test")
-    mapping = _optimal_mapping(gold, ours)
-    cols = ["SPEED", "X", "blobid", "midline_length", "num_pixels"]
-    agree = {c: 0 for c in cols}
-    n = 0
-    for g, o in mapping.items():
-        A, B = gold[g], ours[o]
-        n += len(A)
-        for ci, c in enumerate(cols, start=1):
-            agree[c] += ((A[:, ci] == B[:, ci])
-                         | (np.isinf(A[:, ci])
-                            & np.isinf(B[:, ci]))).sum()
-    for c in cols:
-        frac = agree[c] / n
-        assert frac >= FLOORS[c], \
-            f"{c} golden agreement dropped to {frac:.3f} (floor {FLOORS[c]})"
+    report = agreement_report(GOLDEN, converted / "data")
+    for c, floor in FLOORS.items():
+        frac = report["agreement"][c]
+        assert frac >= floor, \
+            f"{c} golden agreement dropped to {frac:.3f} (floor {floor})"
+
+
+def test_conditional_agreement(converted):
+    """On rows whose blob matches the golden byte-exactly (same blobid
+    AND num_pixels), the derived columns must be (nearly) exact: SPEED
+    100% (given the previous row's blob also matched), X >= 99.5%.
+    This pins the motion/export math independently of the +-1-pixel
+    input divergence (see goldenbar.py module docstring)."""
+    report = agreement_report(GOLDEN, converted / "data")
+    for c, floor in CONDITIONAL_FLOORS.items():
+        frac = report["conditional"][c]
+        assert frac >= floor, \
+            f"{c} conditional agreement {frac:.4f} < floor {floor}"
 
 
 def test_frame0_byte_exact(converted):

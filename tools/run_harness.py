@@ -82,48 +82,15 @@ def compare(golden, produced):
         return True
     print(f"  strict rule FAILED ({len(unmatched)} unmatched, worst "
           f"word-diff {worst}); checking agreement ratchet...")
-    import numpy as np
-    from scipy.optimize import linear_sum_assignment
+    # single source of truth shared with tests/test_golden.py
+    from trex_tpu.utils.goldenbar import agreement_report, check_floors
 
-    FLOORS = {1: 0.84, 2: 0.985, 3: 0.975, 4: 0.81, 5: 0.85}
-    produced_files = sorted(Path(produced).glob("*fish*.csv"))
-    if len(produced_files) != 8:
-        print(f"  ratchet FAIL: expected 8 produced fish CSVs, "
-              f"found {len(produced_files)}")
+    try:
+        report = agreement_report(golden, produced)
+    except (FileNotFoundError, ValueError) as e:
+        print(f"  ratchet FAIL: {e}")
         return False
-    gold = {i: np.genfromtxt(Path(golden) / f"test_fish{i}.csv",
-                             delimiter=",", skip_header=1)
-            for i in range(8)}
-    ours = {i: np.genfromtxt(produced_files[i],
-                             delimiter=",", skip_header=1)
-            for i in range(8)}
-    rows = {g.shape[0] for g in gold.values()} \
-        | {o.shape[0] for o in ours.values()}
-    if len(rows) != 1:
-        print(f"  ratchet FAIL: row counts differ across files: {rows}")
-        return False
-    cost = np.zeros((8, 8))
-    for a in range(8):
-        for b in range(8):
-            ga, ob = gold[a][:, 2], ours[b][:, 2]
-            m = np.isfinite(ga) & np.isfinite(ob)
-            cost[a, b] = np.nanmean(np.abs(ga[m] - ob[m])) if m.any() else 1e9
-    r, c = linear_sum_assignment(cost)
-    ok = True
-    for col, floor in FLOORS.items():
-        tot = n = 0
-        for a in range(8):
-            ga = gold[a][:, col]
-            ob = ours[c[a]][:, col]
-            eq = (ga == ob) | ((~np.isfinite(ga)) & (~np.isfinite(ob)))
-            tot += eq.sum()
-            n += len(eq)
-        frac = tot / n
-        status = "ok" if frac >= floor else "FAIL"
-        print(f"    column {col}: agreement {frac:.3f} "
-              f"(floor {floor}) {status}")
-        ok &= frac >= floor
-    return ok
+    return check_floors(report)
 
 
 def main():
