@@ -281,7 +281,10 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             name = pv_path.stem
         from ..pipeline import TrackingState
 
-        state = TrackingState(s, pv_path, progress=progress)
+        engine_mode = (s.get("track_engine", "auto") or "auto")
+        history_engine = engine_mode in ("fast", "device")
+        state = TrackingState(s, pv_path, progress=progress,
+                              need_individuals=not history_engine)
         sig.targets.append(state)
         auto_train = bool(s["auto_train"])
         auto_apply = bool(s["auto_apply"])
@@ -304,8 +307,10 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                   f"individuals from {results_path}")
         else:
             tracker = state.run()
+            n_ind = len(tracker.individuals) \
+                if hasattr(tracker, "individuals") else tracker.n_fish
             print(f"\n[track] tracked {len(state.pv)} frames, "
-                  f"{len(tracker.individuals)} individuals")
+                  f"{n_ind} individuals")
         if s["gui_show_memory_stats"]:
             from ..utils.memstats import tracker_memory_stats
 
@@ -321,11 +326,22 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         if s["auto_tags"]:
             _auto_tags(tracker, state, s, load)
         if auto_quit:
-            _export(tracker, s, data_dir, name, pv_file=state.pv)
-            if not s["auto_no_results"]:
-                from ..export.results import save_results
+            if hasattr(tracker, "individuals"):
+                _export(tracker, s, data_dir, name, pv_file=state.pv)
+                if not s["auto_no_results"]:
+                    from ..export.results import save_results
 
-                save_results(tracker, s, pv_path.with_suffix(".results"))
+                    save_results(tracker, s,
+                                 pv_path.with_suffix(".results"))
+            else:
+                # history engines (fast/device): positional npz
+                from ..track.device_engine import export_positions
+
+                data_dir.mkdir(parents=True, exist_ok=True)
+                out = data_dir / f"{name}_positions.npz"
+                export_positions(tracker, out)
+                print(f"[export] wrote {out} "
+                      f"(engine={engine_mode})")
         return 0
 
     print(f"unsupported task {task!r}", file=sys.stderr)

@@ -49,6 +49,11 @@ class TrackParams(NamedTuple):
     minimum_frames: int      # min(frame_rate, 5)
     size_min: float          # track_size_filter (recount, cm^2)
     size_max: float
+    do_history_split: bool = False
+    split_radius: float = 0.0  # HistorySplit max_d in px (0 = off)
+    detect_size_min: float = 0.0   # detect_size_filter (cm^2)
+    detect_size_max: float = float("inf")
+    has_size_filter: bool = False  # track_size_filter set at all
 
 
 def params_from_settings(s) -> TrackParams:
@@ -56,19 +61,31 @@ def params_from_settings(s) -> TrackParams:
     ranges = s["track_size_filter"] or []
     lo = min((r[0] for r in ranges), default=0.0)
     hi = max((r[1] for r in ranges), default=float("inf"))
+    cm = float(s["cm_per_pixel"] or 1.0)
+    # split radius uses the RAW track_max_speed like HistorySplit
+    # (0 -> no history splits, see engine._apply_history_split)
+    radius = (float(s["track_max_speed"]) / cm) / max(1.0, float(fr)) \
+        * 0.5
+    dranges = s["detect_size_filter"] or []
+    dlo = min((r[0] for r in dranges), default=0.0)
+    dhi = max((r[1] for r in dranges), default=float("inf"))
     return TrackParams(
         max_fish=int(s["track_max_individuals"]),
         p_min=float(s["match_min_probability"]),
-        cm_per_pixel=float(s["cm_per_pixel"] or 1.0),
+        cm_per_pixel=cm,
         max_speed=float(s["track_max_speed"]),
         t_max=float(s["track_max_reassign_time"]),
         frame_rate=fr,
         time_prob_enabled=bool(s["track_time_probability_enabled"]),
         minimum_frames=min(fr, 5),
-        size_min=float(lo), size_max=float(hi))
+        size_min=float(lo), size_max=float(hi),
+        do_history_split=bool(s["track_do_history_split"]),
+        split_radius=radius,
+        detect_size_min=float(dlo), detect_size_max=float(dhi),
+        has_size_filter=bool(ranges))
 
 
-def _init_carry(P: TrackParams):
+def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
     F = P.max_fish
     return dict(
         last_x=jnp.zeros(F), last_y=jnp.zeros(F),
@@ -76,7 +93,9 @@ def _init_carry(P: TrackParams):
         last_frame=jnp.full(F, -(10 ** 9), jnp.int32),
         n_basic=jnp.zeros(F, jnp.int32),
         seen=jnp.zeros((F, P.frame_rate), bool),  # ring, newest last
-        n_fish=jnp.asarray(0, jnp.int32))
+        n_fish=jnp.asarray(0, jnp.int32),
+        start_frame=jnp.asarray(start_frame).astype(jnp.int32),
+        prev_time=jnp.asarray(t0).astype(jnp.float32))
 
 
 def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
@@ -97,31 +116,75 @@ def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
 
 
 @partial(jax.jit, static_argnames=("P",))
-def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
-               P: TrackParams) -> dict:
+def _track_scan_carry(det: dict, times: jax.Array,
+                      frames_idx: jax.Array, P: TrackParams,
+                      carry0: dict) -> tuple[dict, dict]:
     """Scan the tracking recurrence over detected frames.
 
     det: stacked per-frame blob tables — dict with (T, B) arrays
     "cx", "cy" (centroids), "bcx", "bcy" (bbox centers), "recount"
-    (track-threshold pixel count; cm^2 scaling applied here), "valid".
-    Returns per-frame history: fish_x/fish_y/fish_seen (T, F),
-    n_assigned (T,), needs_host (T,), plus the final n_fish.
+    (track-threshold pixel count; cm^2 scaling applied here), "valid",
+    and optionally (T, R) track-mask run tables "runs_y", "runs_x0",
+    "runs_x1", "runs_slot" (slot = det row index, B for padding) used
+    for the on-device HistorySplit contested-blob flag.
+    Returns (per-frame history, final carry): fish_x/fish_y/fish_seen
+    (T, F), n_assigned (T,), needs_host (T,). Resume a chunk by
+    passing the previous chunk's final carry as carry0.
     """
     sq = P.cm_per_pixel * P.cm_per_pixel
     cms = P.cm_per_pixel / P.max_speed
     t_delta_frame = 1.0 / P.frame_rate
     F = P.max_fish
-    start_frame = frames_idx[0]
+    has_runs = "runs_slot" in det
+    B = det["cx"].shape[1]
 
     def step(carry, inp):
-        cx, cy, bcx, bcy, rec, bvalid, time, frame, prev_time = inp
+        (cx, cy, bcx, bcy, rec, bvalid, time, frame, runs,
+         flag_size) = inp
+        start_frame = carry["start_frame"]
+        prev_time = carry["prev_time"]
         created = jnp.arange(F) < carry["n_fish"]
         has = (carry["last_frame"] > -(10 ** 8)) & created
         tdelta = jnp.maximum(time - carry["last_time"], 1e-6)
         size = rec * sq
         in_range = (size >= P.size_min) & (size <= P.size_max)
         needs_host = jnp.any(bvalid & (size > P.size_max))
+        if flag_size.shape[0]:
+            # `huge` parents (engine force_set_recount path) never
+            # appear as child rows: escalate to the host
+            needs_host = needs_host | jnp.any(
+                flag_size * sq > P.size_max * 100)
         bval = bvalid & in_range
+
+        # on-device HistorySplit trigger: frames where >= 2 active
+        # fish estimates lie within the split radius of ONE blob's
+        # track mask (a conservative superset of
+        # engine._split_expectation: exact point-to-run distances
+        # instead of the sampled grid, no clique resolution) are
+        # flagged for the host assist which computes the true
+        # expectation and split (SplitBlob escalation).
+        if P.do_history_split and P.split_radius > 0 and has_runs:
+            ry, rx0, rx1, rslot = runs
+            recent = has & (carry["last_frame"].astype(jnp.float32)
+                            >= frame - P.frame_rate * P.t_max)
+            fx = carry["last_x"]
+            fy = carry["last_y"]
+            dxr = jnp.clip(fx[:, None], rx0[None, :].astype(jnp.float32),
+                           rx1[None, :].astype(jnp.float32)) \
+                - fx[:, None]
+            dyr = ry[None, :].astype(jnp.float32) - fy[:, None]
+            d2 = dxr * dxr + dyr * dyr          # (F, R)
+            slot = jnp.minimum(rslot, B)
+
+            def min_per_blob(row):
+                return jnp.full(B + 1, jnp.inf).at[slot].min(row)
+
+            mind2 = jax.vmap(min_per_blob)(d2)[:, :B]   # (F, B)
+            r2 = P.split_radius * P.split_radius
+            near = (mind2 <= r2) & recent[:, None]
+            contested = (near.sum(axis=0) >= 2) & bvalid
+            needs_host = needs_host | (
+                jnp.any(contested) & (frame != start_frame))
 
         # time probability (engine _caches_py)
         if P.time_prob_enabled:
@@ -195,37 +258,108 @@ def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
             last_frame=jnp.where(got, frame,
                                  carry["last_frame"]).astype(jnp.int32),
             n_basic=carry["n_basic"] + got.astype(jnp.int32),
-            seen=seen, n_fish=n_fish)
+            seen=seen, n_fish=n_fish,
+            start_frame=carry["start_frame"],
+            prev_time=time.astype(jnp.float32))
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
                    n_assigned=n_first + n_react,
                    needs_host=needs_host)
         return new_carry, out
 
-    prev_times = jnp.concatenate([times[:1], times[:-1]])
+    if has_runs:
+        runs_in = (det["runs_y"], det["runs_x0"], det["runs_x1"],
+                   det["runs_slot"])
+    else:
+        z = jnp.zeros(times.shape + (0,), jnp.int32)
+        runs_in = (z, z, z, z)
+    flag_in = det.get("flag_size")
+    if flag_in is None:
+        flag_in = jnp.zeros(times.shape + (0,), jnp.float32)
     inputs = (det["cx"], det["cy"], det["bcx"], det["bcy"],
               det["recount"], det["valid"], times, frames_idx,
-              prev_times)
-    final, hist = jax.lax.scan(step, _init_carry(P), inputs)
+              runs_in, flag_in)
+    final, hist = jax.lax.scan(step, carry0, inputs)
     hist["n_fish"] = final["n_fish"]
+    return hist, final
+
+
+def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
+               P: TrackParams, carry0: dict = None) -> dict:
+    """Public scan entry: builds the initial carry when none is given
+    and attaches the final carry under "final_carry" (resume support
+    for the splice replay; see track/device_engine.py)."""
+    if carry0 is None:
+        carry0 = _init_carry(P, frames_idx[0], times[0])
+    hist, final = _track_scan_carry(det, times, frames_idx, P, carry0)
+    hist["final_carry"] = final
     return hist
 
 
-def detections_from_runcc(out: dict) -> dict:
-    """Adapt detect_batch_runs output to track_scan's blob tables."""
+def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:
+    """Adapt detect_batch_runs output to track_scan's blob tables.
+
+    With a track threshold, the tracked rows are the track-threshold
+    CHILDREN (pixel::threshold_blob components) — for all-pass parents
+    the child is geometrically identical to its parent, and for
+    partially-passing parents the engine's candidate table holds the
+    children too (engine.build_candidates `slow` path), so the child
+    table reproduces the host table row-for-row except `huge` parents
+    (count > 100x the size maximum, force_set_recount semantics) —
+    those raise the needs_host flag via `flag_size` instead.
+    """
     det = out["det"]
     n = det["count"]
-    valid = (jnp.arange(n.shape[1])[None, :] < det["n_blobs"][:, None]) \
-        & (n > 0)
+    pvalid = (jnp.arange(n.shape[1])[None, :]
+              < det["n_blobs"][:, None]) & (n > 0)
+    sq = (P.cm_per_pixel * P.cm_per_pixel) if P is not None else 1.0
+
+    if "child" in out:
+        ch = out["child"]
+        cn = ch["count"]
+        cvalid = (jnp.arange(cn.shape[1])[None, :]
+                  < ch["n_blobs"][:, None]) & (cn > 0)
+        if P is not None and (P.detect_size_min > 0
+                              or P.detect_size_max != float("inf")):
+            psize = n * sq
+            pok = pvalid & (psize >= P.detect_size_min) \
+                & (psize <= P.detect_size_max)
+            Bp = n.shape[1]
+            parent = jnp.minimum(ch["parent"], Bp)
+            pok_pad = jnp.concatenate(
+                [pok, jnp.zeros((pok.shape[0], 1), bool)], axis=1)
+            cvalid = cvalid & jnp.take_along_axis(pok_pad, parent,
+                                                  axis=1)
+        safe = jnp.maximum(cn, 1)
+        d = dict(
+            cx=ch["sum_x"] / safe, cy=ch["sum_y"] / safe,
+            bcx=(ch["x0"] + ch["x1"] + 1) * 0.5,
+            bcy=(ch["y0"] + ch["y1"] + 1) * 0.5,
+            recount=cn, valid=cvalid)
+        if "child_runs" in out:
+            cr = out["child_runs"]
+            d.update(runs_y=cr["y"], runs_x0=cr["x0"],
+                     runs_x1=cr["x1"], runs_slot=cr["slot"])
+        # huge parents never reach the child rows in the host table:
+        # flag them (scan: any flag_size*cm^2 > size_max*100)
+        if P is not None and P.has_size_filter:
+            d["flag_size"] = jnp.where(pvalid, n, 0)
+        return d
+
     safe = jnp.maximum(n, 1)
-    return dict(
+    d = dict(
         cx=det["sum_x"] / safe, cy=det["sum_y"] / safe,
         bcx=(det["x0"] + det["x1"] + 1) * 0.5,
         bcy=(det["y0"] + det["y1"] + 1) * 0.5,
         # runcc emits track_count only when a track threshold runs
         # (track_background_subtraction); size-filter on the plain
         # detect count otherwise, like the host engine
-        recount=det.get("track_count", n), valid=valid)
+        recount=det.get("track_count", n), valid=pvalid)
+    if "det_runs" in out:
+        dr = out["det_runs"]
+        d.update(runs_y=dr["y"], runs_x0=dr["x0"],
+                 runs_x1=dr["x1"], runs_slot=dr["slot"])
+    return d
 
 
 def _detect_kwargs(settings, caps) -> dict:
@@ -250,7 +384,7 @@ def track_video_device(frames, background, settings, **caps) -> dict:
     fr = float(settings["frame_rate"] or 25)
     out = detect_batch_runs(jnp.asarray(frames),
                             jnp.asarray(background), **kw)
-    det = detections_from_runcc(out)
+    det = detections_from_runcc(out, P)
     times = jnp.arange(T) / fr
     hist = track_scan(det, times, jnp.arange(T, dtype=jnp.int32), P)
     hist["detect_overflow"] = out["overflow"]
@@ -279,7 +413,7 @@ def track_videos_sharded(frames, background, settings, mesh=None,
 
     def one_video(video, t, fi):
         out = detect_batch_runs(video, jnp.asarray(background), **kw)
-        det = detections_from_runcc(out)
+        det = detections_from_runcc(out, P)
         hist = track_scan(det, t, fi, P)
         hist["detect_overflow"] = out["overflow"]
         return hist

@@ -49,14 +49,18 @@ def select_tracker(settings: Settings, background,
     mode = settings.get("track_engine", "auto") or "auto"
     if mode == "object":
         return Tracker(settings, background=background)
-    if mode == "fast":
+    if mode in ("fast", "device"):
         if need_individuals:
             raise EngineUnsupported(
-                "the fast engine keeps positional history only; this "
-                "task needs per-individual archives (export/posture/"
-                ".results) — use track_engine=object")
+                f"the {mode} engine keeps positional history only; "
+                "this task needs per-individual archives (export/"
+                "posture/.results) — use track_engine=object")
         if not gray_pixels:
             raise EngineUnsupported("non-gray blob pixels")
+        if mode == "device":
+            from .track.device_engine import DeviceTracker
+
+            return DeviceTracker(settings, background)
         return FastTracker(settings, background)
     # auto
     if not need_individuals and gray_pixels:
@@ -581,6 +585,8 @@ class Segmenter:
         if self._raw_writer is not None:
             self._raw_writer.release()
             self._raw_writer = None
+        if hasattr(self.tracker, "finalize"):
+            self.tracker.finalize()  # device engine: flush chunk buffer
         elapsed = _time.perf_counter() - start_t
         self.fps_stat = n_frames / elapsed if elapsed > 0 else 0.0
         return self.tracker
@@ -632,9 +638,7 @@ class Segmenter:
 
     def _track_frame(self, index: int, blobs, time: float, posture_pool):
         tracker = self.tracker
-        from .track.engine import FastTracker
-
-        if isinstance(tracker, FastTracker):
+        if not isinstance(tracker, Tracker):  # fast/device engines
             tracker.add_frame_blobs(index, time, blobs)
             return
         pp = tracker.preprocess_frame(index, blobs, time=time)
@@ -791,9 +795,7 @@ class TrackingState:
         posture_pool = cf.ThreadPoolExecutor(max_workers=self.workers) \
             if s["calculate_posture"] else None
 
-        from .track.engine import FastTracker
-
-        fast = isinstance(self.tracker, FastTracker)
+        fast = not isinstance(self.tracker, Tracker)
 
         enc = self.pv.header.encoding
         if enc in ("rgb8", "r3g3b2"):
@@ -859,4 +861,6 @@ class TrackingState:
                 next_track += 1
         if posture_pool:
             posture_pool.shutdown(wait=True)
+        if hasattr(self.tracker, "finalize"):
+            self.tracker.finalize()  # device engine: flush chunk buffer
         return self.tracker

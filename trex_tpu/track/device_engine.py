@@ -1,0 +1,493 @@
+"""DeviceTracker — the TPU-resident product tracking engine.
+
+`track_engine=device` routes the per-frame tracking recurrence through
+ops/device_tracker.track_scan (a jitted `lax.scan` on the accelerator)
+while keeping FastTracker byte-compatibility: frames the scan flags
+`needs_host` (split candidates per the on-device HistorySplit trigger,
+oversized blobs, detection-cap overflow) are replayed ONE FRAME AT A
+TIME through a host FastTracker whose per-fish state is spliced in
+from the device carry, and the scan resumes from the corrected carry
+at the next frame (VERDICT r2 "per-frame host replay", not the
+whole-chunk fallback).
+
+Two ingestion paths:
+
+- `add_frame_blobs` / `finalize`: the TrackingState pull loop (pv
+  re-track). Host builds the engine's candidate table per frame
+  (engine.build_candidates — exact semantics incl. track-threshold
+  children), ships compact blob tables to the device, chunk-scans.
+- `track_frames`: raw frame batches (convert/bench path). Detection
+  runs fused on-device (ops/runcc) and only flagged frames are
+  labeled on the host.
+
+The per-fish state splice reconstructs the FastTracker's tracklet
+bookkeeping from the scan's seen-ring: `Individual.recent_number_
+samples` (Individual.cpp:1802-1838) only reads tracklet spans clipped
+to the last `frame_rate` frames, which the ring covers exactly, so
+the walk and the ring agree wherever the scan itself is exact (the
+differential guarantee of tests/test_device_tracker.py).
+"""
+from __future__ import annotations
+
+import time as _time
+
+import numpy as np
+
+from .engine import EngineUnsupported, FastTracker
+from .tracker import FrameStatistics
+
+
+def check_device_supported(settings) -> None:
+    s = settings
+    if s["match_mode"] not in ("approximate",):
+        raise EngineUnsupported(
+            "device engine implements match_mode=approximate "
+            "(automatic/hungarian/tree need the host engines)")
+    if s["calculate_posture"]:
+        raise EngineUnsupported(
+            "posture needs per-individual archives (track_engine="
+            "object)")
+
+
+class DeviceTracker:
+    """FastTracker-compatible surface backed by the device scan."""
+
+    CHUNK = 256
+
+    def __init__(self, settings, background: np.ndarray,
+                 chunk: int = None):
+        from ..ops.device_tracker import params_from_settings
+
+        check_device_supported(settings)
+        self.settings = settings
+        self.background = np.asarray(background)
+        self.P = params_from_settings(settings)
+        self.F = self.P.max_fish
+        self.chunk = chunk or self.CHUNK
+        # host helper: candidate tables + history split + replay
+        self._helper = FastTracker(settings, self.background)
+        self._helper_dirty = True
+        self.frame_rate = self._helper.frame_rate
+
+        self.start_frame = -1
+        self.end_frame = -1
+        self.n_fish = 0
+        self.history: dict[int, dict] = {}
+        self.statistics: dict[int, FrameStatistics] = {}
+        self.frame_times: dict[int, float] = {}
+        self.assist_frames: list[int] = []
+
+        self._carry = None
+        self._buf: list[tuple[int, float, list]] = []  # pv path
+
+    # -- carry helpers ---------------------------------------------------
+
+    def _ensure_carry(self, frame: int, time: float):
+        if self._carry is None:
+            from ..ops.device_tracker import _init_carry
+
+            self.start_frame = frame
+            self._carry = _init_carry(self.P, frame, time)
+
+    # -- pv / blob-list ingestion ---------------------------------------
+
+    def add_frame_blobs(self, frame: int, time: float, blobs: list):
+        self._buf.append((frame, time, blobs))
+        self.frame_times[frame] = time
+        if len(self._buf) >= self.chunk:
+            self._flush()
+
+    def finalize(self):
+        if self._buf:
+            self._flush()
+        return self
+
+    def _tables_from_blobs(self, blobs: list):
+        """engine.build_candidates over TrackBlob-likes -> (table,
+        big_rows, raw arrays for the assist replay)."""
+        import ctypes
+
+        eng = self._helper
+        n = len(blobs)
+        if n == 0:
+            z = (np.zeros((0, 3), np.int32), np.zeros(0, np.uint8),
+                 np.zeros(1, np.int64), np.zeros(1, np.int64),
+                 np.zeros((0, 8)))
+            t, big = eng.build_candidates(*z)
+            return t, big, z
+        lines = np.concatenate([np.asarray(b.lines, np.int32)
+                                for b in blobs])
+        have_px = all(b.pixels is not None for b in blobs)
+        pixels = np.concatenate([b.pixels for b in blobs]) \
+            if have_px else np.zeros(0, np.uint8)
+        line_start = np.zeros(n + 1, np.int64)
+        np.cumsum([len(b.lines) for b in blobs], out=line_start[1:])
+        if have_px:
+            pixel_start = np.zeros(n + 1, np.int64)
+            np.cumsum([len(b.pixels) for b in blobs],
+                      out=pixel_start[1:])
+        else:
+            pixel_start = np.full(n + 1, -1, np.int64)
+        if all(b.stats is not None for b in blobs):
+            stats = np.stack([b.stats for b in blobs])
+        else:
+            if not have_px:
+                raise EngineUnsupported("blobs without pixels or stats")
+            from ..ops.labeling import _lib
+
+            eng = self._helper
+            stats = np.zeros((n, 8))
+            f64p = ctypes.POINTER(ctypes.c_double)
+            i64p = ctypes.POINTER(ctypes.c_int64)
+            i32p = ctypes.POINTER(ctypes.c_int32)
+            h, w = self.background.shape[:2]
+            _lib().trex_blob_stats(
+                np.ascontiguousarray(lines).ctypes.data_as(i32p),
+                line_start.ctypes.data_as(i64p),
+                np.ascontiguousarray(pixels).ctypes.data_as(
+                    ctypes.c_char_p),
+                pixel_start.ctypes.data_as(i64p), n,
+                np.ascontiguousarray(
+                    self.background).ctypes.data_as(ctypes.c_char_p),
+                w, h, eng.track_thr, 1 if eng.absolute else 0,
+                stats.ctypes.data_as(f64p))
+        raw = (lines, pixels, line_start, pixel_start, stats)
+        table, big = self._helper.build_candidates(*raw)
+        return table, big, raw
+
+    def _det_from_tables(self, tables: list):
+        """Pad per-frame _CandTables into track_scan det arrays."""
+        import jax.numpy as jnp
+
+        T = len(tables)
+        B = max(1, max((t.n for t, _, _ in tables), default=1))
+        R = 1
+        for t, _, _ in tables:
+            tot = 0
+            for r in range(t.n):
+                if t.objs[r] is not None:
+                    tot += len(t.objs[r].lines)
+                else:
+                    tot += int(t.line_hi[r] - t.line_lo[r])
+            R = max(R, tot)
+        cx = np.zeros((T, B), np.float32)
+        cy = np.zeros((T, B), np.float32)
+        bcx = np.zeros((T, B), np.float32)
+        bcy = np.zeros((T, B), np.float32)
+        rec = np.zeros((T, B), np.float32)
+        valid = np.zeros((T, B), bool)
+        ry = np.full((T, R), -1, np.int32)
+        rx0 = np.zeros((T, R), np.int32)
+        rx1 = np.zeros((T, R), np.int32)
+        rslot = np.full((T, R), B, np.int32)
+        sq = self.P.cm_per_pixel * self.P.cm_per_pixel
+        for i, (t, _, _) in enumerate(tables):
+            n = t.n
+            if not n:
+                continue
+            cx[i, :n] = t.cx
+            cy[i, :n] = t.cy
+            bcx[i, :n] = (t.bx0 + t.bx1 + 1) * 0.5
+            bcy[i, :n] = (t.by0 + t.by1 + 1) * 0.5
+            rec[i, :n] = t.recount / sq   # scan multiplies cm^2 back
+            valid[i, :n] = True
+            if self.P.do_history_split and self.P.split_radius > 0:
+                off = 0
+                for r in range(n):
+                    L = np.asarray(t.objs[r].lines) \
+                        if t.objs[r] is not None \
+                        else t.lines[t.line_lo[r]:t.line_hi[r]]
+                    m = len(L)
+                    ry[i, off:off + m] = L[:, 0]
+                    rx0[i, off:off + m] = L[:, 1]
+                    rx1[i, off:off + m] = L[:, 2]
+                    rslot[i, off:off + m] = r
+                    off += m
+        det = dict(cx=jnp.asarray(cx), cy=jnp.asarray(cy),
+                   bcx=jnp.asarray(bcx), bcy=jnp.asarray(bcy),
+                   recount=jnp.asarray(rec), valid=jnp.asarray(valid))
+        if self.P.do_history_split and self.P.split_radius > 0:
+            det.update(runs_y=jnp.asarray(ry),
+                       runs_x0=jnp.asarray(rx0),
+                       runs_x1=jnp.asarray(rx1),
+                       runs_slot=jnp.asarray(rslot))
+        return det
+
+    def _flush(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.device_tracker import track_scan
+
+        buf, self._buf = self._buf, []
+        frames = [f for f, _, _ in buf]
+        times = [t for _, t, _ in buf]
+        self._ensure_carry(frames[0], times[0])
+        tables = [self._tables_from_blobs(blobs)
+                  for _, _, blobs in buf]
+
+        i = 0
+        while i < len(buf):
+            det = self._det_from_tables(tables[i:])
+            hist = track_scan(
+                det, jnp.asarray(times[i:], jnp.float32),
+                jnp.asarray(frames[i:], jnp.int32), self.P,
+                carry0=self._carry)
+            hist = jax.device_get(hist)
+            flags = np.asarray(hist["needs_host"])
+            stop = int(np.argmax(flags)) if flags.any() else len(flags)
+            self._commit_history(frames[i:i + stop],
+                                 times[i:i + stop], hist, stop)
+            if stop == len(flags):
+                self._carry = jax.tree.map(
+                    jnp.asarray, hist["final_carry"])
+                break
+            # carry at the flagged frame = state after stop frames:
+            # rebuild by replaying the committed prefix onto the carry
+            if stop > 0:
+                # resume scan not needed — commit already advanced; the
+                # carry after `stop` frames is the scan's carry there:
+                # recompute cheaply by scanning exactly the prefix
+                hist_pre = track_scan(
+                    det={k: v[:stop] for k, v in det.items()},
+                    times=jnp.asarray(times[i:i + stop], jnp.float32),
+                    frames_idx=jnp.asarray(frames[i:i + stop],
+                                           jnp.int32),
+                    P=self.P, carry0=self._carry)
+                self._carry = jax.tree.map(jnp.asarray,
+                                           hist_pre["final_carry"])
+            j = i + stop
+            self._assist(frames[j], times[j], tables[j], buf[j][2])
+            i = j + 1
+
+        self.end_frame = frames[-1]
+
+    # -- fused raw-frame ingestion ---------------------------------------
+
+    def track_frames(self, frames: np.ndarray, start_frame: int = 0):
+        """Device-fused detection + tracking over a raw frame batch."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..ops.device_tracker import (_detect_kwargs,
+                                          detections_from_runcc,
+                                          track_scan)
+        from ..ops.labeling import label_blobs_raw
+        from ..ops.runcc import detect_batch_runs
+
+        s = self.settings
+        fr = float(s["frame_rate"] or 25)
+        frames = np.asarray(frames)
+        T = len(frames)
+        idx = np.arange(start_frame, start_frame + T)
+        times = idx / fr
+        self._ensure_carry(int(idx[0]), float(times[0]))
+        for k, t in zip(idx.tolist(), times.tolist()):
+            self.frame_times[k] = float(t)
+        kw = _detect_kwargs(s, {})
+        i = 0
+        while i < T:
+            j = min(T, i + self.chunk)
+            out = detect_batch_runs(jnp.asarray(frames[i:j]),
+                                    jnp.asarray(self.background), **kw)
+            det = detections_from_runcc(out, self.P)
+            hist = jax.device_get(track_scan(
+                det, jnp.asarray(times[i:j], jnp.float32),
+                jnp.asarray(idx[i:j], jnp.int32), self.P,
+                carry0=self._carry))
+            flags = np.asarray(hist["needs_host"]) \
+                | np.asarray(jax.device_get(out["overflow"]))
+            stop = int(np.argmax(flags)) if flags.any() else len(flags)
+            self._commit_history(idx[i:i + stop], times[i:i + stop],
+                                 hist, stop)
+            if stop == len(flags):
+                self._carry = jax.tree.map(jnp.asarray,
+                                           hist["final_carry"])
+                i = j
+                continue
+            if stop > 0:
+                hist_pre = track_scan(
+                    {kk: jnp.asarray(v)[:stop]
+                     for kk, v in det.items()},
+                    jnp.asarray(times[i:i + stop], jnp.float32),
+                    jnp.asarray(idx[i:i + stop], jnp.int32), self.P,
+                    carry0=self._carry)
+                self._carry = jax.tree.map(jnp.asarray,
+                                           hist_pre["final_carry"])
+            fi = i + stop
+            ddet = dict(threshold=int(s["detect_threshold"]),
+                        absolute=bool(
+                            s["detect_threshold_is_absolute"]),
+                        track_threshold=int(s["track_threshold"])
+                        if s["track_background_subtraction"] else 0,
+                        track_absolute=bool(
+                            s["track_threshold_is_absolute"]))
+            raw = label_blobs_raw(frames[fi], self.background, **ddet)
+            raw_t = (raw["lines"], raw["pixels"], raw["line_start"],
+                     raw["pixel_start"], raw["stats"])
+            self._assist(int(idx[fi]), float(times[fi]),
+                         (None, None, raw_t), None)
+            i = fi + 1
+        self.end_frame = int(idx[-1])
+        return self
+
+    # -- host assist (per-frame replay) ----------------------------------
+
+    def _sync_helper_state(self, frame: int, time: float):
+        """Inject the device carry into the host FastTracker."""
+        import jax
+
+        eng = self._helper
+        c = jax.device_get(self._carry)
+        F = self.F
+        eng.n_fish = int(c["n_fish"])
+        eng.start_frame = self.start_frame
+        eng.last_x[:] = np.asarray(c["last_x"], np.float64)
+        eng.last_y[:] = np.asarray(c["last_y"], np.float64)
+        eng.last_time[:] = np.asarray(c["last_time"], np.float64)
+        eng.last_frame[:] = np.asarray(c["last_frame"], np.int64)
+        eng.n_basic[:] = np.asarray(c["n_basic"], np.int64)
+        eng.frame_times = {frame - 1: float(c["prev_time"]),
+                           frame: time}
+        # tracklet bookkeeping from the seen-ring: runs of consecutive
+        # seen bits, absolute frames; spans reaching the ring edge are
+        # clipped to -inf (recent_number_samples clips at the window
+        # lower bound anyway)
+        seen = np.asarray(c["seen"])
+        W = seen.shape[1]
+        NEG = -(10 ** 9)
+        eng.trk_start[:] = NEG
+        eng.prev_trk_end[:] = NEG
+        eng.trk_ring[:] = 0
+        eng.trk_ring_n[:] = 0
+        eng.closed_tracklets = [[] for _ in range(F)]
+        for fid in range(int(c["n_fish"])):
+            bits = seen[fid]
+            if not bits.any():
+                continue
+            # bit k == seen at frame (frame - W + k)
+            runs = []
+            in_run = False
+            for k in range(W):
+                if bits[k] and not in_run:
+                    s0 = frame - W + k
+                    in_run = True
+                elif not bits[k] and in_run:
+                    runs.append([s0, frame - W + k - 1])
+                    in_run = False
+            if in_run:
+                runs.append([s0, frame - 1])
+            if runs and runs[0][0] == frame - W:
+                runs[0][0] = NEG  # may extend past the ring
+            cur = runs[-1]
+            eng.trk_start[fid] = cur[0]
+            closed = runs[:-1]
+            if closed:
+                eng.prev_trk_end[fid] = closed[-1][1]
+                eng.closed_tracklets[fid] = [list(r) for r in closed]
+                m = min(len(closed), eng.RING)
+                eng.trk_ring[fid, :m] = np.asarray(closed[-m:],
+                                                   np.int64)
+                eng.trk_ring_n[fid] = m
+
+    def _assist(self, frame: int, time: float, table_big_raw,
+                blobs):
+        """Replay one flagged frame through the host engine."""
+        import jax.numpy as jnp
+
+        t0 = _time.perf_counter()
+        self._sync_helper_state(frame, time)
+        eng = self._helper
+        _, _, raw = table_big_raw
+        eng.add_frame(frame, time, *raw)
+        self.assist_frames.append(frame)
+        # harvest history + rebuild the carry
+        got = eng.last_frame[:self.F] == frame
+        h = eng.history.get(frame)
+        fish = np.flatnonzero(got)
+        xs = eng.last_x[fish]
+        ys = eng.last_y[fish]
+        self.history[frame] = {
+            "fish": fish.astype(np.int64), "x": xs.copy(),
+            "y": ys.copy(),
+            "prob": (h["prob"] if h is not None
+                     and len(h["prob"]) == len(fish)
+                     else np.zeros(len(fish))),
+        }
+        self.statistics[frame] = eng.statistics[frame]
+        self.n_fish = max(self.n_fish, eng.n_fish)
+        seen = np.asarray(self._carry["seen"])
+        seen = np.concatenate([seen[:, 1:], got[:, None]], axis=1)
+        self._carry = dict(
+            last_x=jnp.asarray(eng.last_x[:self.F], jnp.float32),
+            last_y=jnp.asarray(eng.last_y[:self.F], jnp.float32),
+            last_time=jnp.asarray(eng.last_time[:self.F],
+                                  jnp.float32),
+            last_frame=jnp.asarray(eng.last_frame[:self.F],
+                                   jnp.int32),
+            n_basic=jnp.asarray(eng.n_basic[:self.F], jnp.int32),
+            seen=jnp.asarray(seen),
+            n_fish=jnp.asarray(eng.n_fish, jnp.int32),
+            start_frame=jnp.asarray(self.start_frame, jnp.int32),
+            prev_time=jnp.asarray(time, jnp.float32))
+        st = self.statistics[frame]
+        self.statistics[frame] = FrameStatistics(
+            number_fish=st.number_fish,
+            adding_seconds=_time.perf_counter() - t0,
+            match_improvements=st.match_improvements)
+
+    # -- result harvesting ------------------------------------------------
+
+    def _commit_history(self, frames, times, hist, stop: int):
+        fx = np.asarray(hist["fish_x"])
+        fy = np.asarray(hist["fish_y"])
+        seen = np.asarray(hist["fish_seen"])
+        n_assigned = np.asarray(hist["n_assigned"])
+        for k in range(stop):
+            f = int(frames[k])
+            fid = np.flatnonzero(seen[k])
+            self.history[f] = {
+                "fish": fid.astype(np.int64),
+                "x": fx[k, fid].astype(np.float64),
+                "y": fy[k, fid].astype(np.float64),
+                "prob": np.zeros(len(fid)),
+            }
+            self.statistics[f] = FrameStatistics(
+                number_fish=int(n_assigned[k]))
+        if stop:
+            self.n_fish = max(self.n_fish, int(hist["n_fish"]))
+
+    def positions(self) -> dict:
+        """Dense history arrays: fish_x/fish_y (T, F), fish_seen."""
+        return positions_of(self)
+
+
+def positions_of(tracker) -> dict:
+    """Dense (T, F) position history from any history engine
+    (FastTracker or DeviceTracker share the history-dict schema)."""
+    F = tracker.F
+    if tracker.start_frame < 0:
+        return dict(frames=np.zeros(0, np.int64),
+                    fish_x=np.zeros((0, F)),
+                    fish_y=np.zeros((0, F)),
+                    fish_seen=np.zeros((0, F), bool))
+    frames = np.arange(tracker.start_frame, tracker.end_frame + 1)
+    T = len(frames)
+    fx = np.zeros((T, F))
+    fy = np.zeros((T, F))
+    seen = np.zeros((T, F), bool)
+    for i, f in enumerate(frames):
+        h = tracker.history.get(int(f))
+        if not h:
+            continue
+        fid = np.asarray(h["fish"], np.int64)
+        ok = fid < F
+        fx[i, fid[ok]] = np.asarray(h["x"])[ok]
+        fy[i, fid[ok]] = np.asarray(h["y"])[ok]
+        seen[i, fid[ok]] = True
+    return dict(frames=frames, fish_x=fx, fish_y=fy, fish_seen=seen)
+
+
+def export_positions(tracker, path) -> None:
+    """Position-history npz for the history engines (fast/device)."""
+    np.savez_compressed(path, **positions_of(tracker))
