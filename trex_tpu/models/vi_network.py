@@ -30,7 +30,7 @@ class ConvBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         x = nn.Conv(self.features, (self.kernel, self.kernel),
                     padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(x)
         x = nn.relu(x)
         if self.pool > 1:
             x = nn.max_pool(x, (self.pool, self.pool),
@@ -73,13 +73,13 @@ class V110(nn.Module):
         for feat in (16, 64, 100):
             x = nn.Conv(feat, (5, 5), padding="SAME", dtype=self.dtype)(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-            x = nn.BatchNorm(use_running_average=not train,
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              dtype=jnp.float32)(x)
             x = nn.relu(x)
             x = nn.Dropout(0.25, deterministic=not train)(x)
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(100, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.25, deterministic=not train)(x)
@@ -118,7 +118,7 @@ class V119(nn.Module):
             x = ConvBlock(feat, 5, 2, 0.05, self.dtype)(x, train)
         x = x.reshape((x.shape[0], -1))
         x = nn.Dense(1024, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = nn.Dense(self.num_classes, dtype=jnp.float32)(x)
         return x
@@ -138,7 +138,7 @@ class V200(nn.Module):
         x = ConvBlock(512, 3, 3, 0.05, self.dtype)(x, train)
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         x = nn.Dense(1024, dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, dtype=jnp.float32)(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = nn.Dropout(0.05, deterministic=not train)(x)
         x = nn.Dense(self.num_classes, dtype=jnp.float32)(x)
@@ -236,7 +236,7 @@ class _BottleneckV2(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        pre = nn.BatchNorm(use_running_average=not train,
+        pre = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                            dtype=jnp.float32)(x)
         pre = nn.relu(pre)
         if self.stride > 1 or x.shape[-1] != self.features * 4:
@@ -247,13 +247,13 @@ class _BottleneckV2(nn.Module):
             shortcut = x
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     dtype=self.dtype)(pre)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3),
                     strides=(self.stride, self.stride), padding="SAME",
                     use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train,
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Conv(self.features * 4, (1, 1), dtype=self.dtype)(y)
@@ -278,7 +278,7 @@ class ResNet50V2(nn.Module):
             for i in range(n):
                 x = _BottleneckV2(f, s if i == 0 else 1,
                                   dtype=self.dtype)(x, train)
-        x = nn.BatchNorm(use_running_average=not train,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=jnp.float32)(x)
         x = nn.relu(x)
         x = x.mean(axis=(1, 2))

@@ -55,12 +55,13 @@ class DeviceTracker:
     CHUNK = 256
 
     def __init__(self, settings, background: np.ndarray,
-                 chunk: int = None):
+                 chunk: int = None, caps: dict = None):
         from ..ops.device_tracker import params_from_settings
 
         check_device_supported(settings)
         self.settings = settings
         self.background = np.asarray(background)
+        self.caps = caps
         self.P = params_from_settings(settings)
         self.F = self.P.max_fish
         self.chunk = chunk or self.CHUNK
@@ -284,7 +285,15 @@ class DeviceTracker:
         self._ensure_carry(int(idx[0]), float(times[0]))
         for k, t in zip(idx.tolist(), times.tolist()):
             self.frame_times[k] = float(t)
-        kw = _detect_kwargs(s, {})
+        caps = self.caps
+        if caps is None:
+            # capacity heuristic: runs scale with resolution; a frame
+            # that still overflows falls back per-frame to the host
+            hw = frames.shape[1] * frames.shape[2]
+            caps = dict(max_runs=max(4096, hw // 128),
+                        max_child_runs=max(4096, hw // 128),
+                        max_pixels=max(1 << 16, hw // 8))
+        kw = _detect_kwargs(s, caps)
         i = 0
         while i < T:
             j = min(T, i + self.chunk)
