@@ -148,6 +148,38 @@ def bench_tracking_device():
     return best, n_tracked, assists, type(tracker).__name__
 
 
+def bench_tracking_posture():
+    """256 individuals WITH posture (the reference's e2e config runs
+    posture on): native labeling + FastTracker + the one-call batched
+    native posture chain per frame (VERDICT r2 item 5)."""
+    from trex_tpu.ops.labeling import label_blobs_raw
+    from trex_tpu.track.engine import FastTracker
+
+    s = _settings()
+    s.set("calculate_posture", True)
+    s.set("track_posture_threshold", 15)
+    s.set("outline_resample", 0.5)
+    bg, frames = synth_frames(N_FRAMES)
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    best = 0.0
+    for _ in range(3):
+        tracker = FastTracker(s, bg)
+        tracker.add_frame(0, 0.0,
+                          **label_blobs_raw(frames[0], bg, **det))
+        t0 = time.perf_counter()
+        for i in range(1, len(frames)):
+            raw = label_blobs_raw(frames[i], bg, **det)
+            tracker.add_frame(i, i / VIDEO_FPS, **raw)
+        best = max(best, (len(frames) - 1)
+                   / (time.perf_counter() - t0))
+    n_post = sum(int(np.sum(p["ok"]))
+                 for p in tracker.posture_history.values())
+    return best, n_post
+
+
 def bench_fixture_convert():
     """Real 8-guppy fixture convert through the CLI: detection + pv
     write + tracking + posture + CSV export (the reference's e2e
@@ -324,6 +356,10 @@ def main():
         track_fps, n_tracked, engine = host_fps, host_tracked, \
             host_engine
         assists = None
+    try:
+        posture_fps, n_postures = bench_tracking_posture()
+    except Exception:
+        posture_fps, n_postures = None, 0
     fixture_fps = bench_fixture_convert()
     crops_per_sec = bench_vi_crops()
     vf_per_sec = bench_visual_fields()
@@ -346,6 +382,9 @@ def main():
         "tracking_engine": engine,
         "host_assist_frames": assists,
         "host_engine_fps": round(host_fps, 1),
+        "256fish_posture_fps": round(posture_fps, 1)
+        if posture_fps else None,
+        "256fish_postures_computed": n_postures,
         "fixture_convert_fps_posture_export": round(fixture_fps, 2)
         if fixture_fps else None,
         "vi_crops_per_sec_v118_3_b1024": round(crops_per_sec, 1),

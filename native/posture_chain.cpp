@@ -450,3 +450,289 @@ int32_t trex_midline_chain(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched full posture (engine throughput path): per blob, the whole
+// chain from RLE lines+pixels to midline length/angle — crop build,
+// posture-threshold escalation with biggest-component selection
+// (track/posture.py calculate_posture + biggest_component semantics),
+// 4x supersampled boundary trace, resample, midline chain — run
+// natively with an internal thread pool (every step releases the GIL;
+// the per-blob work is independent). Reference: Posture.cpp:305-410,
+// TrackingHelper::process_postures thread pool.
+// ---------------------------------------------------------------------------
+#include <atomic>
+#include <thread>
+
+extern "C" {
+void* trex_label_image2(const uint8_t* img, const uint8_t* bg,
+                        int32_t width, int32_t height,
+                        int32_t threshold, int32_t absolute,
+                        int32_t track_threshold, int32_t track_absolute);
+const double* trex_label_stats(void* ctx);
+int64_t trex_label_n_blobs(void* ctx);
+const int32_t* trex_label_lines(void* ctx);
+const uint32_t* trex_label_blob_line_start(void* ctx);
+void trex_label_free(void* ctx);
+int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
+                            int32_t height, float* out,
+                            int64_t max_points);
+int64_t trex_outline_resample(const float* pts, int64_t n,
+                              double distance, float* out, int64_t cap);
+int32_t trex_midline_chain(
+    const float* points_in, int64_t n_in,
+    double smooth_samples, int32_t smooth_step, int32_t n_approx,
+    double curvature_range_ratio, int32_t midline_invert,
+    double walk_offset, double stiff_percentage,
+    int32_t start_with_head, int32_t resolution,
+    const double* movement_dir,
+    double* out_segments, double* out_heights, int64_t max_seg,
+    int64_t* out_nseg, int32_t* out_tail, int32_t* out_head,
+    double* out_len, double* out_angle, int32_t* out_inverted);
+}
+
+namespace {
+
+struct PostureParams {
+    int32_t posture_threshold;
+    int32_t absolute;
+    double outline_resample;
+    double smooth_samples;
+    int32_t smooth_step;
+    int32_t n_approx;
+    double curvature_range_ratio;
+    int32_t midline_invert;
+    double walk_offset;
+    double stiff_percentage;
+    int32_t start_with_head;
+    int32_t resolution;
+};
+
+// one blob end-to-end; returns true on success
+bool posture_one(const int32_t* lines, int64_t K,
+                 const uint8_t* pixels, int64_t n_px,
+                 const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+                 const PostureParams& p, const double* mdir,
+                 double* out_len, double* out_angle,
+                 double* out_dirx, double* out_diry) {
+    if (K == 0) return false;
+    int32_t y0 = INT32_MAX, y1 = INT32_MIN, x0 = INT32_MAX,
+            x1 = INT32_MIN;
+    for (int64_t k = 0; k < K; k++) {
+        y0 = std::min(y0, lines[3 * k]);
+        y1 = std::max(y1, lines[3 * k]);
+        x0 = std::min(x0, lines[3 * k + 1]);
+        x1 = std::max(x1, lines[3 * k + 2]);
+    }
+    const int32_t pad = 1;
+    const int32_t W = x1 - x0 + 1 + 2 * pad, H = y1 - y0 + 1 + 2 * pad;
+    const int32_t ox = x0 - pad, oy = y0 - pad;
+    std::vector<uint8_t> mask((size_t)W * H, 0), gray((size_t)W * H, 0),
+        bgc((size_t)W * H, 0);
+    for (int32_t r = 0; r < H; r++) {
+        const int32_t by = oy + r;
+        if (by < 0 || by >= bg_h) continue;
+        const int32_t cx0 = std::max(0, -ox),
+                      cx1 = std::min(W, bg_w - ox);
+        if (cx1 > cx0)
+            std::memcpy(bgc.data() + (size_t)r * W + cx0,
+                        bg + (size_t)by * bg_w + ox + cx0, cx1 - cx0);
+    }
+    int64_t i = 0;
+    for (int64_t k = 0; k < K; k++) {
+        const int32_t ly = lines[3 * k], lx0 = lines[3 * k + 1],
+                      lx1 = lines[3 * k + 2];
+        const int32_t n = lx1 - lx0 + 1;
+        std::memset(mask.data() + (size_t)(ly - oy) * W + (lx0 - ox),
+                    1, n);
+        std::memcpy(gray.data() + (size_t)(ly - oy) * W + (lx0 - ox),
+                    pixels + i, n);
+        i += n;
+    }
+    const int64_t num_pixels = n_px;
+    const int64_t minimum_pixels = std::max<int64_t>(1, num_pixels / 10);
+    int32_t base = p.posture_threshold, threshold = base;
+
+    std::vector<uint8_t> keep((size_t)W * H);
+    std::vector<uint8_t> dense((size_t)W * H);
+    std::vector<uint8_t> mask4;
+    std::vector<float> pts, rp;
+    std::vector<double> segbuf, hbuf;
+
+    while (true) {
+        // biggest_component at `threshold` (posture.py:157-195,
+        // closing_steps == 0 path)
+        int64_t kept = 0;
+        for (size_t q = 0; q < (size_t)W * H; q++) {
+            int32_t d = (int32_t)bgc[q] - (int32_t)gray[q];
+            if (p.absolute) d = std::abs(d);
+            keep[q] = (threshold > 0)
+                ? (uint8_t)((d >= threshold && mask[q]) ? 255 : 0)
+                : (uint8_t)(mask[q] ? 255 : 0);
+            kept += keep[q] ? 1 : 0;
+        }
+        int64_t dense_sum = 0;
+        if (kept > 0) {
+            void* ctx = trex_label_image2(keep.data(), nullptr, W, H,
+                                          0, 0, 0, 0);
+            const int64_t nb = trex_label_n_blobs(ctx);
+            if (nb > 0) {
+                const double* st = trex_label_stats(ctx);
+                int64_t big = 0;
+                for (int64_t b = 1; b < nb; b++)
+                    if (st[8 * b] > st[8 * big]) big = b;  // first max
+                const int32_t* bl = trex_label_lines(ctx);
+                const uint32_t* ls = trex_label_blob_line_start(ctx);
+                std::fill(dense.begin(), dense.end(), 0);
+                for (uint32_t li = ls[big]; li < ls[big + 1]; li++) {
+                    const int32_t ly = bl[3 * li], a = bl[3 * li + 1],
+                                  b2 = bl[3 * li + 2];
+                    std::memset(dense.data() + (size_t)ly * W + a, 1,
+                                b2 - a + 1);
+                    dense_sum += b2 - a + 1;
+                }
+            }
+            trex_label_free(ctx);
+        }
+        if (dense_sum < 1) break;
+
+        // 4x supersample + trace (posture.py:724-727)
+        const int32_t W4 = W * 4, H4 = H * 4;
+        mask4.assign((size_t)W4 * H4, 0);
+        for (int32_t r = 0; r < H; r++)
+            for (int32_t c = 0; c < W; c++)
+                if (dense[(size_t)r * W + c])
+                    for (int32_t rr = 0; rr < 4; rr++)
+                        std::memset(mask4.data()
+                                        + (size_t)(r * 4 + rr) * W4
+                                        + c * 4, 1, 4);
+        const int64_t cap = 8LL * (H4 + W4) + 64;
+        pts.resize(2 * std::max<int64_t>(cap, 8LL * W4 * H4 + 8));
+        int64_t n = trex_trace_boundary(mask4.data(), W4, H4,
+                                        pts.data(), cap);
+        if (n >= cap)
+            n = trex_trace_boundary(mask4.data(), W4, H4, pts.data(),
+                                    8LL * W4 * H4 + 8);
+        if (n >= 3) {
+            for (int64_t q = 0; q < 2 * n; q++) pts[q] *= 0.25f;
+            int64_t m = n;
+            if (p.outline_resample > 0 && n > 1) {
+                const int64_t rcap = 8 * n + 16;
+                rp.resize(2 * rcap);
+                const int64_t rn = trex_outline_resample(
+                    pts.data(), n, p.outline_resample, rp.data(),
+                    rcap);
+                if (rn >= 0) {
+                    m = rn;
+                } else {
+                    rp.assign(pts.begin(), pts.begin() + 2 * n);
+                    m = n;
+                }
+            } else {
+                rp.assign(pts.begin(), pts.begin() + 2 * n);
+            }
+            if (m >= 3) {
+                const int64_t max_seg = m + 8;
+                segbuf.resize(2 * max_seg);
+                hbuf.resize(max_seg);
+                int64_t nseg = 0;
+                int32_t tail = 0, head = 0, inverted = 0;
+                double len = 0, angle = 0;
+                const int32_t rc = trex_midline_chain(
+                    rp.data(), m, p.smooth_samples, p.smooth_step,
+                    p.n_approx, p.curvature_range_ratio,
+                    p.midline_invert, p.walk_offset,
+                    p.stiff_percentage, p.start_with_head,
+                    p.resolution, mdir, segbuf.data(), hbuf.data(),
+                    max_seg, &nseg, &tail, &head, &len, &angle,
+                    &inverted);
+                if (rc == 0) {
+                    *out_len = len;
+                    *out_angle = angle;
+                    // midline_direction over the final segments for
+                    // the next frame's movement direction
+                    std::vector<P64> segs(nseg);
+                    for (int64_t q = 0; q < nseg; q++) {
+                        segs[q].x = segbuf[2 * q];
+                        segs[q].y = segbuf[2 * q + 1];
+                    }
+                    const P64 dir = midline_direction(
+                        segs, p.stiff_percentage);
+                    *out_dirx = dir.x;
+                    *out_diry = dir.y;
+                    return true;
+                }
+            }
+        }
+        threshold += 2;
+        if (dense_sum < minimum_pixels || threshold >= base + 100)
+            break;
+    }
+    return false;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Batched posture over one frame's assigned blobs. movement_dirs is
+// (n, 2) with has_movement flags (0 -> nullptr semantics). Outputs
+// len/angle/dir per blob; ok[i] = 1 on success. n_threads <= 0 picks
+// hardware_concurrency (capped 8).
+void trex_posture_batch(
+    const int32_t* lines, const int64_t* line_start,
+    const uint8_t* pixels, const int64_t* pixel_start,
+    int64_t n_blobs,
+    const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+    int32_t posture_threshold, int32_t absolute,
+    double outline_resample, double smooth_samples,
+    int32_t smooth_step, int32_t n_approx,
+    double curvature_range_ratio, int32_t midline_invert,
+    double walk_offset, double stiff_percentage,
+    int32_t start_with_head, int32_t resolution,
+    const double* movement_dirs, const uint8_t* has_movement,
+    double* out_len, double* out_angle,
+    double* out_dirx, double* out_diry, int32_t* out_ok,
+    int32_t n_threads) {
+    PostureParams p{posture_threshold, absolute, outline_resample,
+                    smooth_samples, smooth_step, n_approx,
+                    curvature_range_ratio, midline_invert, walk_offset,
+                    stiff_percentage, start_with_head, resolution};
+    std::atomic<int64_t> next{0};
+    auto work = [&]() {
+        while (true) {
+            const int64_t b = next.fetch_add(1);
+            if (b >= n_blobs) return;
+            const int64_t K = (line_start[b + 1] - line_start[b]);
+            const double* mdir = (movement_dirs && has_movement
+                                  && has_movement[b])
+                ? movement_dirs + 2 * b : nullptr;
+            const bool ok = posture_one(
+                lines + 3 * line_start[b], K,
+                pixels + pixel_start[b],
+                pixel_start[b + 1] - pixel_start[b],
+                bg, bg_w, bg_h, p, mdir,
+                out_len + b, out_angle + b, out_dirx + b,
+                out_diry + b);
+            out_ok[b] = ok ? 1 : 0;
+            if (!ok) {
+                out_len[b] = out_angle[b] = 0.0;
+                out_dirx[b] = out_diry[b] = 0.0;
+            }
+        }
+    };
+    int32_t nt = n_threads > 0
+        ? n_threads
+        : std::min(8u, std::max(1u,
+              std::thread::hardware_concurrency()));
+    nt = (int32_t)std::min<int64_t>(nt, std::max<int64_t>(1, n_blobs));
+    if (nt <= 1) {
+        work();
+        return;
+    }
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+}
+
+}  // extern "C"

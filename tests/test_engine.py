@@ -201,8 +201,11 @@ def test_fast_engine_through_tracking_state(tmp_path):
 
 
 def test_engine_rejects_unsupported():
+    # posture is now supported via the native batch chain — but only
+    # without closing steps
     s = _settings(8)
     s.set("calculate_posture", True)
+    s.set("posture_closing_steps", 2)
     with pytest.raises(EngineUnsupported):
         FastTracker(s, background=np.zeros((16, 16), np.uint8))
     s = _settings(8)

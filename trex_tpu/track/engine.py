@@ -49,7 +49,11 @@ def check_supported(settings) -> None:
     want(not (s["track_ignore"] or []), "track_ignore")
     want(not (s["track_include"] or []), "track_include")
     want(not (s["track_ignore_bdx"] or {}), "track_ignore_bdx")
-    want(not s["calculate_posture"], "calculate_posture")
+    if s["calculate_posture"]:
+        # the batched native posture chain covers the closing-free
+        # configuration; closing steps keep the object tracker
+        want(int(s["posture_closing_steps"]) == 0,
+             "posture closing steps (use track_engine=object)")
     want(float(s["track_speed_decay"]) >= 1.0, "track_speed_decay < 1")
     want(int(s["track_threshold"]) > 0, "track_threshold == 0")
     want(int(s["track_threshold_2"]) <= 0, "track_threshold_2")
@@ -162,6 +166,20 @@ class FastTracker:
         self.statistics: dict[int, FrameStatistics] = {}
         # archives: per frame arrays (fish ids, blob row, x, y, prob)
         self.history: dict[int, dict] = {}
+        # batched native posture (TrackingHelper::process_postures):
+        # per-frame {fish, midline_len, angle, ok} + per-fish last
+        # midline direction for the next frame's orientation fix
+        self.do_posture = bool(s["calculate_posture"])
+        self.posture_history: dict[int, dict] = {}
+        self._posture_dir = np.zeros((F, 2))
+        if self.do_posture:
+            from .posture import _get_native_posture
+
+            try:
+                _get_native_posture()
+            except (OSError, AttributeError) as e:
+                raise EngineUnsupported(
+                    f"posture needs the native batch chain: {e}")
 
     # -- candidate construction (Tracker::prefilter) --------------------
     def build_candidates(self, lines: np.ndarray, pixels: np.ndarray,
@@ -755,6 +773,7 @@ class FastTracker:
         assigned_blob = np.zeros(B, bool)
         result = MatchResult(mode=self.mode)
         probs_of: dict[int, float] = {}
+        posture_rows: list[tuple[int, int]] = []
 
         if F and B:
             # active set only: fish seen less than t_max ago
@@ -773,6 +792,8 @@ class FastTracker:
                     fids = fob[bs]
                     assigned_blob[bs] = True
                     assigned_fish.update(fids.tolist())
+                    posture_rows.extend(
+                        zip(fids.tolist(), bs.tolist()))
                     self._assign(fids, frame, time,
                                  table.cx[bs], table.cy[bs])
                     self.history[frame] = {
@@ -789,7 +810,11 @@ class FastTracker:
         if len(free):
             inactive_ok = (~has) | (tdelta >= self.t_max)
             self._second_pass(table, free, frame, time, speed_td,
-                              assigned_fish, assigned_blob, inactive_ok)
+                              assigned_fish, assigned_blob, inactive_ok,
+                              posture_rows)
+
+        if self.do_posture and posture_rows:
+            self._run_posture_batch(frame, table, posture_rows)
 
         self.end_frame = frame
         self.statistics[frame] = FrameStatistics(
@@ -855,7 +880,8 @@ class FastTracker:
     def _second_pass(self, table: _CandTable, free: np.ndarray,
                      frame: int, time: float, tdelta: np.ndarray,
                      assigned_fish: set, assigned_blob: np.ndarray,
-                     inactive_ok: np.ndarray = None):
+                     inactive_ok: np.ndarray = None,
+                     posture_rows: list = None):
         """Reactivation (Tracker.cpp:1846-1975): greedy over free blobs
         in index order; p = p_min + (1/sqdist/tdelta)(1-p_min). Only
         INACTIVE fish (gap >= t_max, or never assigned) take part."""
@@ -878,6 +904,8 @@ class FastTracker:
             if newly:
                 fids = np.asarray([f for f, _ in newly])
                 rows = np.asarray([r for _, r in newly])
+                if posture_rows is not None:
+                    posture_rows.extend(newly)
                 self._assign(fids, frame, time, table.cx[rows],
                              table.cy[rows])
                 for f in fids.tolist():
@@ -897,6 +925,8 @@ class FastTracker:
                 break
             fid = self.n_fish
             self.n_fish += 1
+            if posture_rows is not None:
+                posture_rows.append((fid, bi))
             self._assign(np.asarray([fid]), frame, time,
                          table.cx[[bi]], table.cy[[bi]])
             # brand-new individuals don't count into number_fish
@@ -910,6 +940,49 @@ class FastTracker:
             h["x"] = np.concatenate([h["x"], table.cx[[bi]]])
             h["y"] = np.concatenate([h["y"], table.cy[[bi]]])
             h["prob"] = np.concatenate([h["prob"], [0.0]])
+
+    def _run_posture_batch(self, frame: int, table: _CandTable,
+                           pairs: list):
+        """Posture for this frame's assignments via the one-call native
+        batch chain (track/posture.posture_batch); per-fish previous
+        midline direction feeds the orientation fix like
+        run_postures' movement_direction."""
+        from .posture import posture_batch
+
+        line_arrays = []
+        pixel_arrays = []
+        fids = []
+        dirs = []
+        for fid, r in pairs:
+            if table.objs[r] is not None:
+                b = table.objs[r]
+                if b.lines is None or getattr(b, "pixels", None) is None:
+                    continue
+                line_arrays.append(np.asarray(b.lines, np.int32))
+                pixel_arrays.append(b.pixels)
+            else:
+                if table.pixel_lo[r] < 0:
+                    continue
+                line_arrays.append(
+                    table.lines[table.line_lo[r]:table.line_hi[r]])
+                pixel_arrays.append(
+                    table.pixels[table.pixel_lo[r]:table.pixel_hi[r]])
+            fids.append(fid)
+            # head-pointing movement direction = -previous direction
+            dirs.append(-self._posture_dir[fid])
+        if not fids:
+            return
+        ok, lens, angles, out_dirs = posture_batch(
+            line_arrays, pixel_arrays, self.background, self.settings,
+            movement_dirs=np.asarray(dirs))
+        fid_arr = np.asarray(fids, np.int64)
+        self.posture_history[frame] = {
+            "fish": fid_arr, "ok": ok,
+            "midline_length": lens, "angle": angles,
+        }
+        good = np.flatnonzero(ok)
+        if len(good):
+            self._posture_dir[fid_arr[good]] = out_dirs[good]
 
     def _split_big_start(self, table: _CandTable,
                          big_rows: np.ndarray) -> _CandTable:

@@ -881,3 +881,96 @@ def calculate_posture_from_outline(blob: TrackBlob, outline_points,
     if mid is None:
         return None
     return PostureResult(outline=pts, midline=mid, offset=(0, 0))
+
+
+# ---------------------------------------------------------------------------
+# batched native posture (engine throughput path)
+# ---------------------------------------------------------------------------
+
+def posture_batch(line_arrays: list, pixel_arrays: list,
+                  background: np.ndarray, settings,
+                  movement_dirs: Optional[np.ndarray] = None,
+                  n_threads: int = 0):
+    """Full posture for a batch of blobs in one native call
+    (native/posture_chain.cpp trex_posture_batch): crop + threshold
+    escalation + biggest component + supersampled trace + resample +
+    midline chain, with an internal C++ thread pool. Returns
+    (ok (N,) bool, midline_len (N,), angle (N,), dir (N, 2)).
+    Requires posture_closing_steps == 0 (the closing path stays on
+    the per-blob python chain)."""
+    import ctypes
+
+    s = settings
+    if int(s["posture_closing_steps"]) != 0:
+        raise ValueError("posture_batch: closing steps unsupported")
+    n = len(line_arrays)
+    if n == 0:
+        z = np.zeros(0)
+        return z.astype(bool), z, z, np.zeros((0, 2))
+    lib = _get_native_posture()
+    if not hasattr(lib, "_posture_batch_ready"):
+        f64p = ctypes.POINTER(ctypes.c_double)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        u8p = ctypes.c_char_p
+        lib.trex_posture_batch.restype = None
+        lib.trex_posture_batch.argtypes = [
+            i32p, i64p, u8p, i64p, ctypes.c_int64,
+            u8p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32,
+            ctypes.c_int32, f64p, u8p,
+            f64p, f64p, f64p, f64p, i32p, ctypes.c_int32,
+        ]
+        lib._posture_batch_ready = True
+    lines = np.ascontiguousarray(
+        np.concatenate([np.asarray(a, np.int32) for a in line_arrays]))
+    pixels = np.ascontiguousarray(
+        np.concatenate([np.asarray(a, np.uint8)
+                        for a in pixel_arrays]))
+    line_start = np.zeros(n + 1, np.int64)
+    np.cumsum([len(a) for a in line_arrays], out=line_start[1:])
+    pixel_start = np.zeros(n + 1, np.int64)
+    np.cumsum([len(a) for a in pixel_arrays], out=pixel_start[1:])
+    bg = np.ascontiguousarray(background, np.uint8)
+    out_len = np.zeros(n)
+    out_angle = np.zeros(n)
+    out_dx = np.zeros(n)
+    out_dy = np.zeros(n)
+    out_ok = np.zeros(n, np.int32)
+    if movement_dirs is None:
+        md = np.zeros((n, 2))
+        has = np.zeros(n, np.uint8)
+    else:
+        md = np.ascontiguousarray(movement_dirs, np.float64)
+        has = np.ascontiguousarray(
+            np.any(md != 0, axis=1).astype(np.uint8))
+    f64p = ctypes.POINTER(ctypes.c_double)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    lib.trex_posture_batch(
+        lines.ctypes.data_as(i32p), line_start.ctypes.data_as(i64p),
+        pixels.ctypes.data_as(ctypes.c_char_p),
+        pixel_start.ctypes.data_as(i64p), n,
+        bg.ctypes.data_as(ctypes.c_char_p), bg.shape[1], bg.shape[0],
+        int(s["track_posture_threshold"]),
+        1 if s["track_threshold_is_absolute"] else 0,
+        float(s["outline_resample"]),
+        float(s["outline_smooth_samples"]),
+        max(1, int(s["outline_smooth_step"])),
+        int(s["outline_approximate"]),
+        float(s["outline_curvature_range_ratio"]),
+        1 if s["midline_invert"] else 0,
+        float(s["midline_walk_offset"]),
+        float(s["midline_stiff_percentage"]),
+        1 if s["midline_start_with_head"] else 0,
+        int(s["midline_resolution"]),
+        md.ctypes.data_as(f64p),
+        has.ctypes.data_as(ctypes.c_char_p),
+        out_len.ctypes.data_as(f64p), out_angle.ctypes.data_as(f64p),
+        out_dx.ctypes.data_as(f64p), out_dy.ctypes.data_as(f64p),
+        out_ok.ctypes.data_as(i32p), int(n_threads))
+    return (out_ok.astype(bool), out_len, out_angle,
+            np.stack([out_dx, out_dy], axis=1))
