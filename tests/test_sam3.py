@@ -197,8 +197,9 @@ def test_sam_checkpoint_conversion_roundtrip(tmp_path):
         md["final_norm"]["scale"].shape)
     sd["mask_decoder.transformer.norm_final_attn.bias"] = t(
         md["final_norm"]["bias"].shape)
+    # torch ConvTranspose2d weight is (in, out, kH, kW)
     sd["mask_decoder.output_upscaling.0.weight"] = t(
-        np.transpose(md["upscale0"]["kernel"], (3, 2, 0, 1)).shape)
+        np.transpose(md["upscale0"]["kernel"], (2, 3, 0, 1)).shape)
     sd["mask_decoder.output_upscaling.0.bias"] = t(
         md["upscale0"]["bias"].shape)
     sd["mask_decoder.output_upscaling.1.weight"] = t(
@@ -206,7 +207,7 @@ def test_sam_checkpoint_conversion_roundtrip(tmp_path):
     sd["mask_decoder.output_upscaling.1.bias"] = t(
         md["upscale_norm"]["bias"].shape)
     sd["mask_decoder.output_upscaling.3.weight"] = t(
-        np.transpose(md["upscale1"]["kernel"], (3, 2, 0, 1)).shape)
+        np.transpose(md["upscale1"]["kernel"], (2, 3, 0, 1)).shape)
     sd["mask_decoder.output_upscaling.3.bias"] = t(
         md["upscale1"]["bias"].shape)
     for ti in range(4):

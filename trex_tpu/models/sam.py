@@ -196,9 +196,13 @@ class PromptEncoder(nn.Module):
             (1, self.embed_dim), jnp.float32)
 
     def _pe(self, coords):
-        """Random-fourier positional encoding of [0,1] coords."""
+        """Random-fourier positional encoding of [0,1] coords. The
+        tiny (.., 2) x (2, D) contraction runs at HIGHEST precision:
+        the default matmul precision truncates the sin/cos arguments
+        to ~1e-2, visibly warping the positional code."""
         c = coords * 2 - 1
-        c = c @ self.pe_gaussian.astype(coords.dtype)
+        c = jnp.dot(c, self.pe_gaussian.astype(coords.dtype),
+                    precision=jax.lax.Precision.HIGHEST)
         c = 2 * jnp.pi * c
         return jnp.concatenate([jnp.sin(c), jnp.cos(c)], axis=-1)
 
@@ -507,14 +511,20 @@ def convert_sam_checkpoint(sd: dict) -> dict:
     at = twoway("mask_decoder.transformer")
     md["final_attn"] = at(".final_attn_token_to_image")
     md["final_norm"] = ln("mask_decoder.transformer.norm_final_attn")
+    # torch ConvTranspose2d weight is (in, out, kH, kW); flax
+    # nn.ConvTranspose expects (kH, kW, in, out) and correlates the
+    # UNflipped kernel where torch's transposed conv places w[di,dj]
+    # at output offset (di,dj) — i.e. the flax kernel must be the
+    # spatial mirror (validated numerically vs tests/sam_torch_ref.py)
+    def convt(key):
+        return t(key).transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+
     md["upscale0"] = {
-        "kernel": t("mask_decoder.output_upscaling.0.weight"
-                    ).transpose(2, 3, 1, 0),
+        "kernel": convt("mask_decoder.output_upscaling.0.weight"),
         "bias": t("mask_decoder.output_upscaling.0.bias")}
     md["upscale_norm"] = ln("mask_decoder.output_upscaling.1")
     md["upscale1"] = {
-        "kernel": t("mask_decoder.output_upscaling.3.weight"
-                    ).transpose(2, 3, 1, 0),
+        "kernel": convt("mask_decoder.output_upscaling.3.weight"),
         "bias": t("mask_decoder.output_upscaling.3.bias")}
     for ti in range(4):
         p = f"mask_decoder.output_hypernetworks_mlps.{ti}.layers"
