@@ -21,14 +21,23 @@ def build(force: bool = False) -> pathlib.Path:
         newest = max(s.stat().st_mtime for s in SOURCES)
         if target.stat().st_mtime >= newest:
             return target
+    import os
+
+    # portable baseline by default (x86-64-v2-ish via -O3 alone);
+    # opt into host tuning with TREX_NATIVE_MARCH=native — the
+    # reference ships portable conda binaries the same way
+    march = os.environ.get("TREX_NATIVE_MARCH", "")
     cmd = [
         # -ffp-contract=off: kernels that mirror numpy float32 math
         # (posture resample/walk) must not fuse mul+add into FMA, or
         # results drift 1 ulp from the python reference paths
-        "g++", "-O3", "-march=native", "-ffp-contract=off",
+        "g++", "-O3", "-ffp-contract=off",
         "-std=c++20", "-shared", "-fPIC",
         "-fvisibility=default", "-o", str(target),
-    ] + [str(s) for s in SOURCES] + ["-lpthread"]
+    ]
+    if march:
+        cmd.insert(2, f"-march={march}")
+    cmd += [str(s) for s in SOURCES] + ["-lpthread"]
     subprocess.run(cmd, check=True)
     return target
 

@@ -141,6 +141,17 @@ def main(argv=None) -> int:
     return 0
 
 
+def cli_entry():
+    """console_scripts entry point (pyproject [project.scripts])."""
+    try:
+        sys.exit(main())
+    except BrokenPipeError:
+        import os
+
+        os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        sys.exit(0)
+
+
 if __name__ == "__main__":
     try:
         sys.exit(main())

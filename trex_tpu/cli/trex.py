@@ -521,5 +521,10 @@ def _export(tracker, s, data_dir, name, pv_file=None):
     print(f"[export] wrote {len(paths)} files to {data_dir}")
 
 
+def cli_entry():
+    """console_scripts entry point (pyproject [project.scripts])."""
+    sys.exit(main())
+
+
 if __name__ == "__main__":
     sys.exit(main())
