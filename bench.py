@@ -344,13 +344,56 @@ def bench_yolo_forward():
     return best
 
 
+def _device_section():
+    """Everything that needs the accelerator, run as a subprocess so a
+    stalled device tunnel (observed on the axon relay: compute fine,
+    device->host transfers hang for minutes) cannot wedge the whole
+    benchmark — the parent times out and reports host numbers."""
+    out = {}
+    try:
+        fps, n_tracked, assists, engine = bench_tracking_device()
+        out["device_product"] = [fps, float(n_tracked), assists, engine]
+    except Exception as e:
+        out["device_product_error"] = str(e)[:200]
+    for name, fn in (("device_detect", bench_device_detect),
+                     ("device_track", bench_device_track),
+                     ("vi_crops", bench_vi_crops),
+                     ("visual_fields", bench_visual_fields),
+                     ("yolo", bench_yolo_forward)):
+        try:
+            out[name] = fn()
+        except Exception as e:
+            out[name + "_error"] = str(e)[:200]
+    print("DEVICE_JSON:" + json.dumps(out))
+
+
+def _run_device_section(timeout_s=1500):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
+        + env.get("PYTHONPATH", "")
+    try:
+        proc = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--device-section"],
+            env=env, capture_output=True, text=True,
+            timeout=timeout_s)
+        for line in proc.stdout.splitlines():
+            if line.startswith("DEVICE_JSON:"):
+                return json.loads(line[len("DEVICE_JSON:"):])
+    except subprocess.TimeoutExpired:
+        return {"error": "device section timed out (tunnel stall)"}
+    except Exception as e:
+        return {"error": str(e)[:200]}
+    return {"error": "device section produced no output"}
+
+
 def main():
     host_fps, host_tracked, host_engine = bench_tracking()
-    try:
-        track_fps, n_tracked, assists, engine = bench_tracking_device()
-    except Exception:
-        track_fps = None
-    if not track_fps or track_fps < host_fps:
+    dev = _run_device_section()
+    prod = dev.get("device_product")
+    if prod and prod[0] and prod[0] > host_fps:
+        track_fps, n_tracked, assists, engine = prod
+    else:
         # the host engine is the fallback headline (also what a
         # CPU-only deployment gets)
         track_fps, n_tracked, engine = host_fps, host_tracked, \
@@ -361,20 +404,11 @@ def main():
     except Exception:
         posture_fps, n_postures = None, 0
     fixture_fps = bench_fixture_convert()
-    crops_per_sec = bench_vi_crops()
-    vf_per_sec = bench_visual_fields()
-    try:
-        dev_fps = bench_device_detect()
-    except Exception:
-        dev_fps = None
-    try:
-        device_track_fps = bench_device_track()
-    except Exception:
-        device_track_fps = None
-    try:
-        yolo_fps = bench_yolo_forward()
-    except Exception:
-        yolo_fps = None
+    crops_per_sec = dev.get("vi_crops")
+    vf_per_sec = dev.get("visual_fields")
+    dev_fps = dev.get("device_detect")
+    device_track_fps = dev.get("device_track")
+    yolo_fps = dev.get("yolo")
     realtime_factor = track_fps / VIDEO_FPS
     detail = {
         "realtime_factor_at_25fps": round(realtime_factor, 3),
@@ -408,4 +442,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--device-section" in sys.argv:
+        _device_section()
+    else:
+        main()

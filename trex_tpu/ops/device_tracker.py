@@ -115,10 +115,9 @@ def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
     return jax.lax.fori_loop(0, B, body, (taken_f, fish_of_blob))
 
 
-@partial(jax.jit, static_argnames=("P",))
-def _track_scan_carry(det: dict, times: jax.Array,
-                      frames_idx: jax.Array, P: TrackParams,
-                      carry0: dict) -> tuple[dict, dict]:
+def _scan_impl(det: dict, times: jax.Array,
+               frames_idx: jax.Array, P: TrackParams,
+               carry0: dict) -> tuple[dict, dict]:
     """Scan the tracking recurrence over detected frames.
 
     det: stacked per-frame blob tables — dict with (T, B) arrays
@@ -264,7 +263,12 @@ def _track_scan_carry(det: dict, times: jax.Array,
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
                    n_assigned=n_first + n_react,
-                   needs_host=needs_host)
+                   needs_host=needs_host,
+                   # packed per-frame carry: the splice replay resumes
+                   # from the row before a flagged frame without a
+                   # second scan (and without extra transfers — it
+                   # rides the one packed result array)
+                   carry_vec=_carry_to_vec_jnp(new_carry))
         return new_carry, out
 
     if has_runs:
@@ -284,6 +288,9 @@ def _track_scan_carry(det: dict, times: jax.Array,
     return hist, final
 
 
+_track_scan_carry = partial(jax.jit, static_argnames=("P",))(_scan_impl)
+
+
 def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
                P: TrackParams, carry0: dict = None) -> dict:
     """Public scan entry: builds the initial carry when none is given
@@ -294,6 +301,209 @@ def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
     hist, final = _track_scan_carry(det, times, frames_idx, P, carry0)
     hist["final_carry"] = final
     return hist
+
+
+# ---------------------------------------------------------------------------
+# packed transfer layer: the production host<->device link moves ONE
+# array per direction per chunk. The accelerator tunnel on this class
+# of deployment has multi-second PER-TRANSFer latency; a dict of ~17
+# small arrays costs ~50s while the same bytes in one array move in
+# one round trip (measured on the axon relay, round 3).
+# ---------------------------------------------------------------------------
+
+def carry_vec_size(P: TrackParams) -> int:
+    F = P.max_fish
+    return 5 * F + F * P.frame_rate + 3
+
+
+def _carry_to_vec_jnp(c: dict) -> jax.Array:
+    """In-graph counterpart of carry_to_vec (same layout)."""
+    return jnp.concatenate([
+        c["last_x"].astype(jnp.float32),
+        c["last_y"].astype(jnp.float32),
+        c["last_time"].astype(jnp.float32),
+        c["last_frame"].astype(jnp.float32),
+        c["n_basic"].astype(jnp.float32),
+        c["seen"].astype(jnp.float32).reshape(-1),
+        jnp.stack([c["n_fish"].astype(jnp.float32),
+                   c["start_frame"].astype(jnp.float32),
+                   c["prev_time"].astype(jnp.float32)])])
+
+
+def carry_to_vec(carry) -> np.ndarray:
+    """Host-side carry dict (numpy/jax) -> 1-D float32 vector."""
+    c = {k: np.asarray(v) for k, v in carry.items()}
+    return np.concatenate([
+        c["last_x"].astype(np.float32),
+        c["last_y"].astype(np.float32),
+        c["last_time"].astype(np.float32),
+        c["last_frame"].astype(np.float32),
+        c["n_basic"].astype(np.float32),
+        c["seen"].astype(np.float32).reshape(-1),
+        np.asarray([float(c["n_fish"]), float(c["start_frame"]),
+                    float(c["prev_time"])], np.float32)])
+
+
+def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
+    """Host-side inverse of carry_to_vec."""
+    F = P.max_fish
+    W = P.frame_rate
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = vec[o:o + n]
+        o += n
+        return out
+
+    return dict(
+        last_x=take(F).astype(np.float64),
+        last_y=take(F).astype(np.float64),
+        last_time=take(F).astype(np.float64),
+        last_frame=take(F).astype(np.int64),
+        n_basic=take(F).astype(np.int64),
+        seen=take(F * W).reshape(F, W) > 0.5,
+        n_fish=int(vec[o]), start_frame=int(vec[o + 1]),
+        prev_time=float(vec[o + 2]))
+
+
+def _carry_from_vec(vec: jax.Array, P: TrackParams) -> dict:
+    F = P.max_fish
+    W = P.frame_rate
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = vec[o:o + n]
+        o += n
+        return out
+
+    lx = take(F)
+    ly = take(F)
+    lt = take(F)
+    lf = take(F)
+    nb = take(F)
+    seen = take(F * W).reshape(F, W)
+    tail = take(3)
+    return dict(
+        last_x=lx, last_y=ly, last_time=lt,
+        last_frame=lf.astype(jnp.int32),
+        n_basic=nb.astype(jnp.int32), seen=seen > 0.5,
+        n_fish=tail[0].astype(jnp.int32),
+        start_frame=tail[1].astype(jnp.int32),
+        prev_time=tail[2])
+
+
+def _pack_result(hist: dict, final: dict, overflow) -> jax.Array:
+    parts = [
+        hist["fish_x"].astype(jnp.float32).reshape(-1),
+        hist["fish_y"].astype(jnp.float32).reshape(-1),
+        hist["fish_seen"].astype(jnp.float32).reshape(-1),
+        hist["n_assigned"].astype(jnp.float32),
+        (hist["needs_host"].astype(jnp.float32)
+         + 2.0 * overflow.astype(jnp.float32)),
+        hist["carry_vec"].reshape(-1),
+    ]
+    return jnp.concatenate(parts)
+
+
+def unpack_result(vec: np.ndarray, T: int, P: TrackParams):
+    """1-D result vector -> (hist dict numpy, per-frame carry rows
+    (T, carry_vec_size))."""
+    F = P.max_fish
+    o = 0
+
+    def take(n):
+        nonlocal o
+        out = vec[o:o + n]
+        o += n
+        return out
+
+    fx = take(T * F).reshape(T, F).astype(np.float64)
+    fy = take(T * F).reshape(T, F).astype(np.float64)
+    seen = take(T * F).reshape(T, F) > 0.5
+    n_assigned = take(T).astype(np.int64)
+    flags = take(T)
+    cs = carry_vec_size(P)
+    carry_rows = take(T * cs).reshape(T, cs)
+    hist = dict(fish_x=fx, fish_y=fy, fish_seen=seen,
+                n_assigned=n_assigned,
+                needs_host=(flags % 2) >= 1,
+                detect_overflow=flags >= 2,
+                n_fish=np.int32(carry_rows[-1, 5 * F
+                                           + F * P.frame_rate]))
+    return hist, carry_rows
+
+
+def _aux_split(aux: jax.Array, T: int, P: TrackParams):
+    cs = carry_vec_size(P)
+    carry0 = _carry_from_vec(aux[:cs], P)
+    times = aux[cs:cs + T]
+    fidx = aux[cs + T:cs + 2 * T].astype(jnp.int32)
+    return carry0, times, fidx
+
+
+def make_aux(carry_vec: np.ndarray, times, frames_idx) -> np.ndarray:
+    return np.concatenate([
+        np.asarray(carry_vec, np.float32),
+        np.asarray(times, np.float32),
+        np.asarray(frames_idx, np.float32)])
+
+
+@partial(jax.jit, static_argnames=("P", "B", "R"))
+def scan_packed(det_packed: jax.Array, aux: jax.Array,
+                P: TrackParams, B: int, R: int) -> jax.Array:
+    """One-array-in / one-array-out scan for host-built det tables
+    (the pv re-track path). det_packed is (T, 6B [+4R]) float32:
+    [cx, cy, bcx, bcy, recount, valid (+runs_y, x0, x1, slot)];
+    aux = make_aux(carry_vec, times, frame indices)."""
+    T = det_packed.shape[0]
+    det = dict(
+        cx=det_packed[:, 0 * B:1 * B],
+        cy=det_packed[:, 1 * B:2 * B],
+        bcx=det_packed[:, 2 * B:3 * B],
+        bcy=det_packed[:, 3 * B:4 * B],
+        recount=det_packed[:, 4 * B:5 * B],
+        valid=det_packed[:, 5 * B:6 * B] > 0.5)
+    if R:
+        base = 6 * B
+        det.update(
+            runs_y=det_packed[:, base:base + R].astype(jnp.int32),
+            runs_x0=det_packed[:, base + R:base + 2 * R].astype(
+                jnp.int32),
+            runs_x1=det_packed[:, base + 2 * R:base + 3 * R].astype(
+                jnp.int32),
+            runs_slot=det_packed[:, base + 3 * R:base + 4 * R].astype(
+                jnp.int32))
+    carry0, times, fidx = _aux_split(aux, T, P)
+    hist, final = _scan_impl(det, times, fidx, P, carry0)
+    return _pack_result(hist, final, jnp.zeros(T, bool))
+
+
+def _fused_impl(frames, background, aux, P: TrackParams, **kw):
+    from .runcc import detect_batch_runs
+
+    out = detect_batch_runs(frames, background, **kw)
+    det = detections_from_runcc(out, P)
+    carry0, times, fidx = _aux_split(aux, frames.shape[0], P)
+    hist, final = _scan_impl(det, times, fidx, P, carry0)
+    return _pack_result(hist, final, out["overflow"])
+
+
+_fused_jit_cache: dict = {}
+
+
+def fused_scan_packed(frames, background, aux,
+                      P: TrackParams, **kw) -> jax.Array:
+    """Fused detect+scan with one packed output array (the raw-frames
+    product path: the host->device transfers are the frame batch and
+    one aux vector)."""
+    key = (P, tuple(sorted(kw.items())))
+    fn = _fused_jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(partial(_fused_impl, P=P, **kw))
+        _fused_jit_cache[key] = fn
+    return fn(frames, background, aux)
 
 
 def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:

@@ -78,17 +78,29 @@ class DeviceTracker:
         self.frame_times: dict[int, float] = {}
         self.assist_frames: list[int] = []
 
-        self._carry = None
+        self._carry_vec = None
         self._buf: list[tuple[int, float, list]] = []  # pv path
 
     # -- carry helpers ---------------------------------------------------
+    # the carry lives HOST-side as one packed float32 vector
+    # (ops/device_tracker.carry_to_vec layout); the device link moves
+    # exactly one array per direction per chunk — the accelerator
+    # tunnel's per-transfer latency makes a dict of small arrays ~17x
+    # more expensive than the same bytes packed (measured round 3).
 
     def _ensure_carry(self, frame: int, time: float):
-        if self._carry is None:
-            from ..ops.device_tracker import _init_carry
+        if self._carry_vec is None:
+            from ..ops.device_tracker import carry_to_vec
 
             self.start_frame = frame
-            self._carry = _init_carry(self.P, frame, time)
+            F = self.F
+            self._carry_vec = carry_to_vec(dict(
+                last_x=np.zeros(F), last_y=np.zeros(F),
+                last_time=np.zeros(F),
+                last_frame=np.full(F, -(10 ** 9), np.float64),
+                n_basic=np.zeros(F),
+                seen=np.zeros((F, self.P.frame_rate)),
+                n_fish=0, start_frame=frame, prev_time=time))
 
     # -- pv / blob-list ingestion ---------------------------------------
 
@@ -156,69 +168,62 @@ class DeviceTracker:
         table, big = self._helper.build_candidates(*raw)
         return table, big, raw
 
-    def _det_from_tables(self, tables: list):
-        """Pad per-frame _CandTables into track_scan det arrays."""
-        import jax.numpy as jnp
-
+    def _det_packed_from_tables(self, tables: list):
+        """Pad per-frame _CandTables into the packed det array
+        (T, 6B [+4R]) consumed by ops/device_tracker.scan_packed."""
         T = len(tables)
         B = max(1, max((t.n for t, _, _ in tables), default=1))
-        R = 1
-        for t, _, _ in tables:
-            tot = 0
-            for r in range(t.n):
-                if t.objs[r] is not None:
-                    tot += len(t.objs[r].lines)
-                else:
-                    tot += int(t.line_hi[r] - t.line_lo[r])
-            R = max(R, tot)
-        cx = np.zeros((T, B), np.float32)
-        cy = np.zeros((T, B), np.float32)
-        bcx = np.zeros((T, B), np.float32)
-        bcy = np.zeros((T, B), np.float32)
-        rec = np.zeros((T, B), np.float32)
-        valid = np.zeros((T, B), bool)
-        ry = np.full((T, R), -1, np.int32)
-        rx0 = np.zeros((T, R), np.int32)
-        rx1 = np.zeros((T, R), np.int32)
-        rslot = np.full((T, R), B, np.int32)
+        use_runs = self.P.do_history_split and self.P.split_radius > 0
+        R = 0
+        if use_runs:
+            R = 1
+            for t, _, _ in tables:
+                tot = 0
+                for r in range(t.n):
+                    if t.objs[r] is not None:
+                        tot += len(t.objs[r].lines)
+                    else:
+                        tot += int(t.line_hi[r] - t.line_lo[r])
+                R = max(R, tot)
+        packed = np.zeros((T, 6 * B + 4 * R), np.float32)
+        if use_runs:
+            packed[:, 6 * B:6 * B + R] = -1          # runs_y pad
+            packed[:, 6 * B + 3 * R:] = B            # runs_slot pad
         sq = self.P.cm_per_pixel * self.P.cm_per_pixel
         for i, (t, _, _) in enumerate(tables):
             n = t.n
             if not n:
                 continue
-            cx[i, :n] = t.cx
-            cy[i, :n] = t.cy
-            bcx[i, :n] = (t.bx0 + t.bx1 + 1) * 0.5
-            bcy[i, :n] = (t.by0 + t.by1 + 1) * 0.5
-            rec[i, :n] = t.recount / sq   # scan multiplies cm^2 back
-            valid[i, :n] = True
-            if self.P.do_history_split and self.P.split_radius > 0:
+            packed[i, 0 * B:0 * B + n] = t.cx
+            packed[i, 1 * B:1 * B + n] = t.cy
+            packed[i, 2 * B:2 * B + n] = (t.bx0 + t.bx1 + 1) * 0.5
+            packed[i, 3 * B:3 * B + n] = (t.by0 + t.by1 + 1) * 0.5
+            packed[i, 4 * B:4 * B + n] = t.recount / sq
+            packed[i, 5 * B:5 * B + n] = 1.0
+            if use_runs:
                 off = 0
                 for r in range(n):
                     L = np.asarray(t.objs[r].lines) \
                         if t.objs[r] is not None \
                         else t.lines[t.line_lo[r]:t.line_hi[r]]
                     m = len(L)
-                    ry[i, off:off + m] = L[:, 0]
-                    rx0[i, off:off + m] = L[:, 1]
-                    rx1[i, off:off + m] = L[:, 2]
-                    rslot[i, off:off + m] = r
+                    base = 6 * B
+                    packed[i, base + off:base + off + m] = L[:, 0]
+                    packed[i, base + R + off:base + R + off + m] = \
+                        L[:, 1]
+                    packed[i, base + 2 * R + off:
+                           base + 2 * R + off + m] = L[:, 2]
+                    packed[i, base + 3 * R + off:
+                           base + 3 * R + off + m] = r
                     off += m
-        det = dict(cx=jnp.asarray(cx), cy=jnp.asarray(cy),
-                   bcx=jnp.asarray(bcx), bcy=jnp.asarray(bcy),
-                   recount=jnp.asarray(rec), valid=jnp.asarray(valid))
-        if self.P.do_history_split and self.P.split_radius > 0:
-            det.update(runs_y=jnp.asarray(ry),
-                       runs_x0=jnp.asarray(rx0),
-                       runs_x1=jnp.asarray(rx1),
-                       runs_slot=jnp.asarray(rslot))
-        return det
+        return packed, B, R
 
     def _flush(self):
         import jax
         import jax.numpy as jnp
 
-        from ..ops.device_tracker import track_scan
+        from ..ops.device_tracker import (make_aux, scan_packed,
+                                          unpack_result)
 
         buf, self._buf = self._buf, []
         frames = [f for f, _, _ in buf]
@@ -229,34 +234,22 @@ class DeviceTracker:
 
         i = 0
         while i < len(buf):
-            det = self._det_from_tables(tables[i:])
-            hist = track_scan(
-                det, jnp.asarray(times[i:], jnp.float32),
-                jnp.asarray(frames[i:], jnp.int32), self.P,
-                carry0=self._carry)
-            hist = jax.device_get(hist)
-            flags = np.asarray(hist["needs_host"])
+            packed, B, R = self._det_packed_from_tables(tables[i:])
+            aux = make_aux(self._carry_vec, times[i:], frames[i:])
+            vec = np.asarray(jax.device_get(scan_packed(
+                jnp.asarray(packed), jnp.asarray(aux), self.P, B, R)))
+            hist, carry_rows = unpack_result(vec, len(buf) - i, self.P)
+            flags = hist["needs_host"]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
             self._commit_history(frames[i:i + stop],
                                  times[i:i + stop], hist, stop)
             if stop == len(flags):
-                self._carry = jax.tree.map(
-                    jnp.asarray, hist["final_carry"])
+                self._carry_vec = carry_rows[-1]
                 break
-            # carry at the flagged frame = state after stop frames:
-            # rebuild by replaying the committed prefix onto the carry
             if stop > 0:
-                # resume scan not needed — commit already advanced; the
-                # carry after `stop` frames is the scan's carry there:
-                # recompute cheaply by scanning exactly the prefix
-                hist_pre = track_scan(
-                    det={k: v[:stop] for k, v in det.items()},
-                    times=jnp.asarray(times[i:i + stop], jnp.float32),
-                    frames_idx=jnp.asarray(frames[i:i + stop],
-                                           jnp.int32),
-                    P=self.P, carry0=self._carry)
-                self._carry = jax.tree.map(jnp.asarray,
-                                           hist_pre["final_carry"])
+                # per-frame carries ride the packed result: resume
+                # from the row before the flagged frame directly
+                self._carry_vec = carry_rows[stop - 1]
             j = i + stop
             self._assist(frames[j], times[j], tables[j], buf[j][2])
             i = j + 1
@@ -266,15 +259,16 @@ class DeviceTracker:
     # -- fused raw-frame ingestion ---------------------------------------
 
     def track_frames(self, frames: np.ndarray, start_frame: int = 0):
-        """Device-fused detection + tracking over a raw frame batch."""
+        """Device-fused detection + tracking over a raw frame batch.
+        Per chunk the link moves: frames up, aux vector up, one packed
+        result down."""
         import jax
         import jax.numpy as jnp
 
         from ..ops.device_tracker import (_detect_kwargs,
-                                          detections_from_runcc,
-                                          track_scan)
+                                          fused_scan_packed, make_aux,
+                                          unpack_result)
         from ..ops.labeling import label_blobs_raw
-        from ..ops.runcc import detect_batch_runs
 
         s = self.settings
         fr = float(s["frame_rate"] or 25)
@@ -294,35 +288,40 @@ class DeviceTracker:
                         max_child_runs=max(4096, hw // 128),
                         max_pixels=max(1 << 16, hw // 8))
         kw = _detect_kwargs(s, caps)
+        bg_dev = jnp.asarray(self.background)
         i = 0
         while i < T:
             j = min(T, i + self.chunk)
-            out = detect_batch_runs(jnp.asarray(frames[i:j]),
-                                    jnp.asarray(self.background), **kw)
-            det = detections_from_runcc(out, self.P)
-            hist = jax.device_get(track_scan(
-                det, jnp.asarray(times[i:j], jnp.float32),
-                jnp.asarray(idx[i:j], jnp.int32), self.P,
-                carry0=self._carry))
-            flags = np.asarray(hist["needs_host"]) \
-                | np.asarray(jax.device_get(out["overflow"]))
+            # fixed chunk shape: pad the tail chunk so the fused jit
+            # compiles exactly once
+            span = j - i
+            fr_chunk = frames[i:j]
+            t_chunk = times[i:j]
+            x_chunk = idx[i:j]
+            if span < self.chunk:
+                pad = self.chunk - span
+                fr_chunk = np.concatenate(
+                    [fr_chunk, np.repeat(fr_chunk[-1:], pad, axis=0)])
+                t_chunk = np.concatenate(
+                    [t_chunk, t_chunk[-1] + (np.arange(pad) + 1) / fr])
+                x_chunk = np.concatenate(
+                    [x_chunk, x_chunk[-1] + np.arange(pad) + 1])
+            aux = make_aux(self._carry_vec, t_chunk, x_chunk)
+            vec = np.asarray(jax.device_get(fused_scan_packed(
+                jnp.asarray(fr_chunk), bg_dev, jnp.asarray(aux),
+                self.P, **kw)))
+            hist, carry_rows = unpack_result(vec, self.chunk, self.P)
+            flags = (hist["needs_host"]
+                     | hist["detect_overflow"])[:span]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
             self._commit_history(idx[i:i + stop], times[i:i + stop],
                                  hist, stop)
             if stop == len(flags):
-                self._carry = jax.tree.map(jnp.asarray,
-                                           hist["final_carry"])
+                self._carry_vec = carry_rows[span - 1]
                 i = j
                 continue
             if stop > 0:
-                hist_pre = track_scan(
-                    {kk: jnp.asarray(v)[:stop]
-                     for kk, v in det.items()},
-                    jnp.asarray(times[i:i + stop], jnp.float32),
-                    jnp.asarray(idx[i:i + stop], jnp.int32), self.P,
-                    carry0=self._carry)
-                self._carry = jax.tree.map(jnp.asarray,
-                                           hist_pre["final_carry"])
+                self._carry_vec = carry_rows[stop - 1]
             fi = i + stop
             ddet = dict(threshold=int(s["detect_threshold"]),
                         absolute=bool(
@@ -344,10 +343,10 @@ class DeviceTracker:
 
     def _sync_helper_state(self, frame: int, time: float):
         """Inject the device carry into the host FastTracker."""
-        import jax
+        from ..ops.device_tracker import carry_from_vec_np
 
         eng = self._helper
-        c = jax.device_get(self._carry)
+        c = carry_from_vec_np(self._carry_vec, self.P)
         F = self.F
         eng.n_fish = int(c["n_fish"])
         eng.start_frame = self.start_frame
@@ -425,20 +424,19 @@ class DeviceTracker:
         }
         self.statistics[frame] = eng.statistics[frame]
         self.n_fish = max(self.n_fish, eng.n_fish)
-        seen = np.asarray(self._carry["seen"])
-        seen = np.concatenate([seen[:, 1:], got[:, None]], axis=1)
-        self._carry = dict(
-            last_x=jnp.asarray(eng.last_x[:self.F], jnp.float32),
-            last_y=jnp.asarray(eng.last_y[:self.F], jnp.float32),
-            last_time=jnp.asarray(eng.last_time[:self.F],
-                                  jnp.float32),
-            last_frame=jnp.asarray(eng.last_frame[:self.F],
-                                   jnp.int32),
-            n_basic=jnp.asarray(eng.n_basic[:self.F], jnp.int32),
-            seen=jnp.asarray(seen),
-            n_fish=jnp.asarray(eng.n_fish, jnp.int32),
-            start_frame=jnp.asarray(self.start_frame, jnp.int32),
-            prev_time=jnp.asarray(time, jnp.float32))
+        from ..ops.device_tracker import carry_from_vec_np, carry_to_vec
+
+        prev = carry_from_vec_np(self._carry_vec, self.P)
+        seen = np.concatenate([prev["seen"][:, 1:], got[:, None]],
+                              axis=1)
+        self._carry_vec = carry_to_vec(dict(
+            last_x=eng.last_x[:self.F], last_y=eng.last_y[:self.F],
+            last_time=eng.last_time[:self.F],
+            last_frame=np.clip(eng.last_frame[:self.F],
+                               -(10 ** 9), None),
+            n_basic=eng.n_basic[:self.F], seen=seen,
+            n_fish=eng.n_fish, start_frame=self.start_frame,
+            prev_time=time))
         st = self.statistics[frame]
         self.statistics[frame] = FrameStatistics(
             number_fish=st.number_fish,
