@@ -148,6 +148,57 @@ def bench_tracking_device():
     return best, n_tracked, assists, type(tracker).__name__
 
 
+def bench_tracking_device_crowded():
+    """Merge-heavy configuration: denser arena, history splits ON —
+    measures the hybrid device+per-frame-assist product path where
+    crowding actually triggers HistorySplit (VERDICT r2 item 3's
+    rare-path claim, quantified). Returns (fps, assist_frames,
+    host_fps on the same video)."""
+    from trex_tpu.ops.labeling import label_blobs_raw
+    from trex_tpu.pipeline import select_tracker
+
+    def cfg():
+        s = _settings()
+        s.set("match_mode", "approximate")
+        s.set("track_do_history_split", True)
+        return s
+
+    bg, frames = synth_frames(64, n_fish=N_FISH, size=640, seed=2)
+    bg = np.full((640, 640), 200, np.uint8)
+    batch = np.stack(frames)
+
+    s = cfg()
+    s.set("track_engine", "device")
+
+    def run():
+        tracker = select_tracker(s, bg, need_individuals=False)
+        tracker.chunk = len(frames)
+        t0 = time.perf_counter()
+        tracker.track_frames(batch)
+        return time.perf_counter() - t0, tracker
+
+    run()
+    best, assists = 0.0, 0
+    for _ in range(2):
+        dt, tracker = run()
+        if len(frames) / dt > best:
+            best = len(frames) / dt
+            assists = len(tracker.assist_frames)
+
+    sh = cfg()
+    det = dict(threshold=int(sh["detect_threshold"]),
+               absolute=bool(sh["detect_threshold_is_absolute"]),
+               track_threshold=int(sh["track_threshold"]),
+               track_absolute=bool(sh["track_threshold_is_absolute"]))
+    host = select_tracker(sh, bg, need_individuals=False)
+    t0 = time.perf_counter()
+    for i, fr in enumerate(frames):
+        host.add_frame(i, i / VIDEO_FPS, **label_blobs_raw(fr, bg,
+                                                           **det))
+    host_fps = len(frames) / (time.perf_counter() - t0)
+    return best, assists, host_fps
+
+
 def bench_tracking_posture():
     """256 individuals WITH posture (the reference's e2e config runs
     posture on): native labeling + FastTracker + the one-call batched
@@ -355,6 +406,11 @@ def _device_section():
         out["device_product"] = [fps, float(n_tracked), assists, engine]
     except Exception as e:
         out["device_product_error"] = str(e)[:200]
+    try:
+        fps, assists, host_fps = bench_tracking_device_crowded()
+        out["device_crowded"] = [fps, assists, host_fps]
+    except Exception as e:
+        out["device_crowded_error"] = str(e)[:200]
     for name, fn in (("device_detect", bench_device_detect),
                      ("device_track", bench_device_track),
                      ("vi_crops", bench_vi_crops),
@@ -418,6 +474,7 @@ def main():
         "host_engine_fps": round(host_fps, 1),
         "256fish_posture_fps": round(posture_fps, 1)
         if posture_fps else None,
+        "device_crowded_fps_assists_hostfps": dev.get("device_crowded"),
         "256fish_postures_computed": n_postures,
         "fixture_convert_fps_posture_export": round(fixture_fps, 2)
         if fixture_fps else None,

@@ -241,6 +241,11 @@ class DeviceTracker:
             hist, carry_rows = unpack_result(vec, len(buf) - i, self.P)
             flags = hist["needs_host"]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
+            if 0 < stop < len(flags):
+                # report n_fish as of the commit horizon, not chunk end
+                hist["n_fish"] = np.int32(
+                    carry_rows[stop - 1][5 * self.F
+                                         + self.F * self.P.frame_rate])
             self._commit_history(frames[i:i + stop],
                                  times[i:i + stop], hist, stop)
             if stop == len(flags):
@@ -314,6 +319,10 @@ class DeviceTracker:
             flags = (hist["needs_host"]
                      | hist["detect_overflow"])[:span]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
+            if stop:
+                hist["n_fish"] = np.int32(
+                    carry_rows[stop - 1][5 * self.F
+                                         + self.F * self.P.frame_rate])
             self._commit_history(idx[i:i + stop], times[i:i + stop],
                                  hist, stop)
             if stop == len(flags):
