@@ -478,8 +478,10 @@ def main():
         "256fish_postures_computed": n_postures,
         "fixture_convert_fps_posture_export": round(fixture_fps, 2)
         if fixture_fps else None,
-        "vi_crops_per_sec_v118_3_b1024": round(crops_per_sec, 1),
-        "visual_field_256fish_sets_per_sec": round(vf_per_sec, 1),
+        "vi_crops_per_sec_v118_3_b1024": round(crops_per_sec, 1)
+        if crops_per_sec else None,
+        "visual_field_256fish_sets_per_sec": round(vf_per_sec, 1)
+        if vf_per_sec else None,
         "device_detect_fps_32batch_compute": round(dev_fps, 1)
         if dev_fps else None,
         "device_track_fused_fps": round(device_track_fps, 1)
