@@ -168,10 +168,14 @@ class DeviceTracker:
         table, big = self._helper.build_candidates(*raw)
         return table, big, raw
 
-    def _det_packed_from_tables(self, tables: list):
+    def _det_packed_from_tables(self, tables: list, pad_rows=None,
+                                pad_frames: int = 0):
         """Pad per-frame _CandTables into the packed det array
-        (T, 6B [+4R]) consumed by ops/device_tracker.scan_packed."""
-        T = len(tables)
+        (T, 6B [+4R]) consumed by ops/device_tracker.scan_packed.
+        pad_rows (callable) buckets B and R (e.g. next power of two)
+        and pad_frames pads T — fixed shapes keep the jit cache to a
+        handful of entries across splice iterations."""
+        T = max(len(tables), pad_frames)
         B = max(1, max((t.n for t, _, _ in tables), default=1))
         use_runs = self.P.do_history_split and self.P.split_radius > 0
         R = 0
@@ -185,6 +189,10 @@ class DeviceTracker:
                     else:
                         tot += int(t.line_hi[r] - t.line_lo[r])
                 R = max(R, tot)
+        if pad_rows is not None:
+            B = pad_rows(B)
+            if use_runs:
+                R = pad_rows(R)
         packed = np.zeros((T, 6 * B + 4 * R), np.float32)
         if use_runs:
             packed[:, 6 * B:6 * B + R] = -1          # runs_y pad
@@ -232,14 +240,25 @@ class DeviceTracker:
         tables = [self._tables_from_blobs(blobs)
                   for _, _, blobs in buf]
 
+        def pow2(n):
+            return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
+
         i = 0
         while i < len(buf):
-            packed, B, R = self._det_packed_from_tables(tables[i:])
-            aux = make_aux(self._carry_vec, times[i:], frames[i:])
+            span = len(buf) - i
+            packed, B, R = self._det_packed_from_tables(
+                tables[i:], pad_rows=pow2, pad_frames=pow2(span))
+            T = packed.shape[0]
+            t_pad = list(times[i:]) + [
+                times[-1] + (k + 1) / max(1.0, self.frame_rate)
+                for k in range(T - span)]
+            f_pad = list(frames[i:]) + [
+                frames[-1] + k + 1 for k in range(T - span)]
+            aux = make_aux(self._carry_vec, t_pad, f_pad)
             vec = np.asarray(jax.device_get(scan_packed(
                 jnp.asarray(packed), jnp.asarray(aux), self.P, B, R)))
-            hist, carry_rows = unpack_result(vec, len(buf) - i, self.P)
-            flags = hist["needs_host"]
+            hist, carry_rows = unpack_result(vec, T, self.P)
+            flags = hist["needs_host"][:span]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
             if 0 < stop < len(flags):
                 # report n_fish as of the commit horizon, not chunk end
@@ -249,7 +268,7 @@ class DeviceTracker:
             self._commit_history(frames[i:i + stop],
                                  times[i:i + stop], hist, stop)
             if stop == len(flags):
-                self._carry_vec = carry_rows[-1]
+                self._carry_vec = carry_rows[span - 1]
                 break
             if stop > 0:
                 # per-frame carries ride the packed result: resume
