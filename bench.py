@@ -423,10 +423,35 @@ def _device_section():
     print("DEVICE_JSON:" + json.dumps(out))
 
 
+def _device_probe():
+    """Tiny device round trip: compute + device_get."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    y = (x @ x).block_until_ready()
+    _ = jax.device_get(y)
+    print("PROBE_OK")
+
+
 def _run_device_section(timeout_s=1500):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
         + env.get("PYTHONPATH", "")
+    # the accelerator tunnel sporadically stalls on device->host
+    # transfers for tens of minutes; probe with a tiny round trip
+    # first so a dead tunnel costs 90s, not the full section timeout
+    try:
+        probe = subprocess.run(
+            [sys.executable, str(Path(__file__).resolve()),
+             "--device-probe"],
+            env=env, capture_output=True, text=True, timeout=90)
+        if "PROBE_OK" not in probe.stdout:
+            return {"error": "device probe failed (tunnel stall)"}
+    except subprocess.TimeoutExpired:
+        return {"error": "device probe timed out (tunnel stall)"}
+    except Exception as e:
+        return {"error": f"device probe: {e}"[:200]}
     try:
         proc = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()),
@@ -501,7 +526,9 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--device-section" in sys.argv:
+    if "--device-probe" in sys.argv:
+        _device_probe()
+    elif "--device-section" in sys.argv:
         _device_section()
     else:
         main()

@@ -23,9 +23,18 @@ configuration (itself differential-tested against the object Tracker):
   (Tracker.cpp:1846-1975), then new-fish creation in blob order while
   under track_max_individuals.
 
-Frames containing blobs above the size filter's maximum (split
-candidates, SplitBlob.cpp escalation) are flagged `needs_host`; a
-production consumer re-runs those frames through the host engine.
+`needs_host` flags frames the scan cannot finish on-chip: blobs above
+the size maximum, `huge` parents (engine force_set_recount path), and
+— with track_do_history_split on — the on-device HistorySplit trigger
+(>= 2 active fish within the split radius of one blob's track-mask
+runs, a conservative superset of engine._split_expectation). The
+production consumer (track/device_engine.DeviceTracker) replays
+exactly those frames through a state-spliced host FastTracker and
+resumes the scan from the corrected carry.
+
+The packed-transfer layer at the bottom of this module moves one
+array per direction per chunk (see its comment block for the measured
+tunnel-latency rationale).
 """
 from __future__ import annotations
 
