@@ -48,9 +48,13 @@ import jax
 import jax.numpy as jnp
 
 INF = jnp.float32(jnp.inf)
-EPS_D = 1e-2     # px: distance comparisons (f32 vs host f64 ordering)
-EPS_STEP = 1e-4  # width*0.1 integer-boundary guard
-EPS_S = 1e-5     # relative: size*cm_sqr comparisons
+# px guard on distance comparisons: covers the f32-vs-host-f64 gap.
+# Worst-case f32 error chain (centroid sums ~1e5 -> position error
+# <= ~1e-4 px at 4k coordinates -> distance error ~2e-4) leaves 5x
+# headroom; looser values flood crowded frames with false deferrals
+# (26/32 frames at 1e-2 on the 64-fish bench scene).
+EPS_D = 1e-3
+EPS_S = 1e-5     # relative: dynamic-bound size comparisons
 
 
 def _run_sample_min_d2(fish_x, fish_y, runs_y, runs_x0, runs_x1,
@@ -217,13 +221,12 @@ def expectation_counts(fish_x, fish_y, fish_valid,
     involved = jnp.any(near & contested[None, :], axis=1)
     any_contested = jnp.any(contested)
 
-    # sampled-point distances (only meaningful rows are consumed)
-    width = (bx1 - bx0 + 1.0)
-    stepf = jnp.maximum(1.0, width * 0.1)
-    step_b = jnp.floor(stepf).astype(jnp.int32)
-    marginal = marginal | jnp.any(
-        bvalid & (jnp.abs(stepf - jnp.round(stepf)) <= EPS_STEP)
-        & (stepf >= 4.5))
+    # sampled-point distances (only meaningful rows are consumed);
+    # the interior-sample step floor(max(1, width*0.1)) equals
+    # max(1, width // 10) for every integer width (verified for all
+    # w <= 2e5), so it is computed EXACTLY — no epsilon guard
+    width_i = (bx1 - bx0).astype(jnp.int32) + 1
+    step_b = jnp.maximum(1, width_i // 10)
     valid_run = runs_slot < B
     count_b = jax.ops.segment_sum(
         valid_run.astype(jnp.int32), jnp.minimum(runs_slot, B),
@@ -284,11 +287,11 @@ class SplitSpec(NamedTuple):
     shrink_limit: float     # blob_split_global_shrink_limit
     ranges: tuple           # track_size_filter ((lo, hi), ...)
     enabled: bool = True    # blob_split_algorithm != "none"
-    crop_h: int = 96
-    crop_w: int = 96
+    crop_h: int = 64
+    crop_w: int = 64
     max_runs: int = 256     # runs per crop at one threshold
     max_pieces: int = 8     # kept child rows per split blob
-    max_splits: int = 4     # split blobs handled per frame
+    max_splits: int = 8     # split blobs handled per frame
 
 
 def spec_from_settings(s, **caps) -> SplitSpec:
@@ -507,9 +510,15 @@ def split_execute_device(frame, background, bi, bx0i, by0i,
         n_first = jnp.where(thr == spec.initial, sizes_desc[0], n_first)
         keep, abort, _, m2 = decide(sizes_desc, total, n_first,
                                     expected)
-        done = keep | abort | (thr >= 255) | (total == 0)
+        # threshold jump: the mask (diff >= t) is constant for t in
+        # [thr, min present value], so the native scan's per-1
+        # escalation (trex_split_scan) decides identically there —
+        # evaluate only at thresholds where the mask changes
+        min_in = jnp.min(jnp.where(diff >= thr, diff, 256))
+        nxt = (min_in + 1).astype(jnp.int32)
+        done = keep | abort | (nxt > 255) | (total == 0)
         best = jnp.where(keep, thr, -1)
-        return (thr + 1, best, n_first, marg | m1 | m2, done,
+        return (nxt, best, n_first, marg | m1 | m2, done,
                 nry, nrx0, nrx1, nvalid, nlabels, nsizes)
 
     z = jnp.zeros((R,), jnp.int32)

@@ -23,14 +23,22 @@ configuration (itself differential-tested against the object Tracker):
   (Tracker.cpp:1846-1975), then new-fish creation in blob order while
   under track_max_individuals.
 
-`needs_host` flags frames the scan cannot finish on-chip: blobs above
-the size maximum, `huge` parents (engine force_set_recount path), and
-— with track_do_history_split on — the on-device HistorySplit trigger
-(>= 2 active fish within the split radius of one blob's track-mask
-runs, a conservative superset of engine._split_expectation). The
-production consumer (track/device_engine.DeviceTracker) replays
-exactly those frames through a state-spliced host FastTracker and
-resumes the scan from the corrected carry.
+With track_do_history_split on and a SplitSpec (the fused frames
+path), history splits run IN-GRAPH: ops/device_split's exact
+expectation kernel picks the blobs the host would split, the
+vmapped threshold-escalation executor splits them from the frame
+pixels, and the child pieces replace their parents at the parent's
+table position. `needs_host` then only flags what genuinely needs the
+host: marginal float decisions (the device defers instead of
+guessing), capacity overflows, start-frame big-blob splits
+(_split_big_start), and `huge` parents (engine force_set_recount
+path). Without a SplitSpec (no pixel data on device, e.g. the packed
+pv path), any contested frame is flagged via the conservative
+trigger (>= 2 active fish within the split radius of one blob's
+track-mask runs). The production consumer
+(track/device_engine.DeviceTracker) replays flagged frames through a
+state-spliced host FastTracker and resumes the scan from the
+corrected carry.
 
 The packed-transfer layer at the bottom of this module moves one
 array per direction per chunk (see its comment block for the measured
@@ -126,7 +134,9 @@ def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
 
 def _scan_impl(det: dict, times: jax.Array,
                frames_idx: jax.Array, P: TrackParams,
-               carry0: dict) -> tuple[dict, dict]:
+               carry0: dict, frames: jax.Array = None,
+               background: jax.Array = None,
+               split_spec=None) -> tuple[dict, dict]:
     """Scan the tracking recurrence over detected frames.
 
     det: stacked per-frame blob tables — dict with (T, B) arrays
@@ -134,7 +144,20 @@ def _scan_impl(det: dict, times: jax.Array,
     (track-threshold pixel count; cm^2 scaling applied here), "valid",
     and optionally (T, R) track-mask run tables "runs_y", "runs_x0",
     "runs_x1", "runs_slot" (slot = det row index, B for padding) used
-    for the on-device HistorySplit contested-blob flag.
+    for the on-device HistorySplit path, plus (T, B) int bbox tables
+    "bx0"/"by0"/"bx1"/"by1".
+
+    With `frames`/`background`/`split_spec` (the fused path), history
+    splits run ON DEVICE: the exact expectation
+    (ops/device_split.expectation_counts) picks the blobs the host
+    would split, the threshold-escalation executor splits them from
+    the frame pixels, and the child pieces replace their parents at
+    the parent's table position (engine._rebuild_with_splits order).
+    needs_host then only flags what genuinely needs the host: marginal
+    float decisions, capacity overflows, start-frame big-blob splits,
+    and `huge` parents. Without split_spec, any contested frame is
+    flagged (the conservative superset trigger).
+
     Returns (per-frame history, final carry): fish_x/fish_y/fish_seen
     (T, F), n_assigned (T,), needs_host (T,). Resume a chunk by
     passing the previous chunk's final carry as carry0.
@@ -145,10 +168,13 @@ def _scan_impl(det: dict, times: jax.Array,
     F = P.max_fish
     has_runs = "runs_slot" in det
     B = det["cx"].shape[1]
+    use_dev_split = (split_spec is not None and P.do_history_split
+                     and P.split_radius > 0 and has_runs
+                     and frames is not None and "bx0" in det)
 
     def step(carry, inp):
         (cx, cy, bcx, bcy, rec, bvalid, time, frame, runs,
-         flag_size) = inp
+         flag_size, bbox, frame_img) = inp
         start_frame = carry["start_frame"]
         prev_time = carry["prev_time"]
         created = jnp.arange(F) < carry["n_fish"]
@@ -156,22 +182,123 @@ def _scan_impl(det: dict, times: jax.Array,
         tdelta = jnp.maximum(time - carry["last_time"], 1e-6)
         size = rec * sq
         in_range = (size >= P.size_min) & (size <= P.size_max)
-        needs_host = jnp.any(bvalid & (size > P.size_max))
+        at_start = frame == start_frame
+        if use_dev_split:
+            # with on-device splits, oversize rows are handled exactly
+            # like the host (split when expected, dropped by the final
+            # size filter otherwise); only the start frame's big-blob
+            # split (_split_big_start) still needs the host
+            needs_host = jnp.any(bvalid & (size > P.size_max)) \
+                & at_start
+        else:
+            needs_host = jnp.any(bvalid & (size > P.size_max))
         if flag_size.shape[0]:
             # `huge` parents (engine force_set_recount path) never
             # appear as child rows: escalate to the host
             needs_host = needs_host | jnp.any(
                 flag_size * sq > P.size_max * 100)
+
+        if use_dev_split:
+            # exact on-device HistorySplit: expectation picks the
+            # blobs the host would split; the escalation executor
+            # splits them from the frame pixels; pieces replace their
+            # parents at the parent's table position
+            # (engine._apply_history_split + _rebuild_with_splits)
+            from .device_split import (expectation_counts,
+                                       split_execute_device)
+            S = split_spec
+            ry, rx0, rx1, rslot = runs
+            bx0i, by0i, bx1i, by1i = bbox
+            recent = has & (carry["last_frame"].astype(jnp.float32)
+                            >= frame - P.frame_rate * P.t_max)
+            # the host candidate table drops `small` rows before the
+            # expectation sees it (build_candidates classification)
+            exp_ok = bvalid
+            if P.has_size_filter:
+                exp_ok = exp_ok & (size >= P.size_min)
+            expect, marg = expectation_counts(
+                carry["last_x"].astype(jnp.float32),
+                carry["last_y"].astype(jnp.float32), recent,
+                ry, rx0, rx1, rslot,
+                bx0i.astype(jnp.float32), by0i.astype(jnp.float32),
+                bx1i.astype(jnp.float32), by1i.astype(jnp.float32),
+                exp_ok, jnp.float32(P.split_radius), B)
+            split_rows = (expect >= 2) & exp_ok & ~at_start
+            n_split = jnp.sum(split_rows)
+            too_big = split_rows & ((bx1i - bx0i + 3 > S.crop_w)
+                                    | (by1i - by0i + 3 > S.crop_h))
+            needs_host = needs_host | (marg & ~at_start) \
+                | jnp.any(too_big)
+            order = jnp.argsort(
+                jnp.where(split_rows, jnp.arange(B), B))
+            MP = S.max_pieces
+            SM = min(S.max_splits, B)
+            needs_host = needs_host | (n_split > SM)
+            tgts = order[:SM].astype(jnp.int32)
+            live_s = jnp.arange(SM) < n_split
+
+            def run_all(_):
+                # one vmapped executor pass over the split targets
+                # (lanes run the bounded escalation together; frames
+                # without splits skip via the outer cond)
+                rows_v, np_v, m_v = jax.vmap(
+                    lambda t, e: split_execute_device(
+                        frame_img, background, t, bx0i[t], by0i[t],
+                        ry, rx0, rx1, rslot, e, S))(tgts, expect[tgts])
+                np_v = jnp.where(live_s, np_v, 0)
+                return rows_v, np_v, jnp.any(m_v & live_s)
+
+            def run_none(_):
+                return (jnp.zeros((SM, MP, 7), jnp.float32),
+                        jnp.zeros((SM,), jnp.int32), jnp.bool_(False))
+
+            if S.enabled:
+                rows_v, np_v, m_any = jax.lax.cond(
+                    n_split > 0, run_all, run_none, 0)
+                needs_host = needs_host | m_any
+            else:
+                # blob_split_algorithm=none: parents drop with no
+                # pieces, like engine._split_native returning []
+                rows_v, np_v, _ = run_none(0)
+            pr = rows_v.reshape(SM * MP, 7)
+            pn = pr[:, 0]
+            psafe = jnp.maximum(pn, 1.0)
+            k = jnp.arange(MP)[None, :]
+            # fractional sort key keeps pieces in order at the
+            # parent's place (engine._rebuild_with_splits)
+            p_keys = jnp.where(
+                k < np_v[:, None],
+                tgts[:, None].astype(jnp.float32)
+                + (k + 1).astype(jnp.float32)
+                / (np_v[:, None] + 2).astype(jnp.float32), jnp.inf)
+            p_val = (k < np_v[:, None]).reshape(-1)
+            keys = jnp.concatenate([
+                jnp.where(bvalid & ~split_rows,
+                          jnp.arange(B, dtype=jnp.float32), jnp.inf),
+                p_keys.reshape(-1)])
+            perm = jnp.argsort(keys)
+            cx = jnp.concatenate([cx, pr[:, 5] / psafe])[perm]
+            cy = jnp.concatenate([cy, pr[:, 6] / psafe])[perm]
+            bcx = jnp.concatenate([bcx,
+                                   (pr[:, 1] + pr[:, 3] + 1) * 0.5])[perm]
+            bcy = jnp.concatenate([bcy,
+                                   (pr[:, 2] + pr[:, 4] + 1) * 0.5])[perm]
+            rec = jnp.concatenate([rec, pn])[perm]
+            bvalid = jnp.concatenate(
+                [bvalid & ~split_rows, p_val])[perm]
+            size = rec * sq
+            in_range = (size >= P.size_min) & (size <= P.size_max)
         bval = bvalid & in_range
 
-        # on-device HistorySplit trigger: frames where >= 2 active
-        # fish estimates lie within the split radius of ONE blob's
-        # track mask (a conservative superset of
+        # on-device HistorySplit trigger (no split executor): frames
+        # where >= 2 active fish estimates lie within the split radius
+        # of ONE blob's track mask (a conservative superset of
         # engine._split_expectation: exact point-to-run distances
         # instead of the sampled grid, no clique resolution) are
         # flagged for the host assist which computes the true
         # expectation and split (SplitBlob escalation).
-        if P.do_history_split and P.split_radius > 0 and has_runs:
+        if not use_dev_split and P.do_history_split \
+                and P.split_radius > 0 and has_runs:
             ry, rx0, rx1, rslot = runs
             recent = has & (carry["last_frame"].astype(jnp.float32)
                             >= frame - P.frame_rate * P.t_max)
@@ -289,25 +416,35 @@ def _scan_impl(det: dict, times: jax.Array,
     flag_in = det.get("flag_size")
     if flag_in is None:
         flag_in = jnp.zeros(times.shape + (0,), jnp.float32)
+    if use_dev_split:
+        bbox_in = (det["bx0"], det["by0"], det["bx1"], det["by1"])
+        frames_in = frames
+    else:
+        zb = jnp.zeros(times.shape + (0,), jnp.int32)
+        bbox_in = (zb, zb, zb, zb)
+        frames_in = jnp.zeros(times.shape + (1, 1), jnp.uint8)
     inputs = (det["cx"], det["cy"], det["bcx"], det["bcy"],
               det["recount"], det["valid"], times, frames_idx,
-              runs_in, flag_in)
+              runs_in, flag_in, bbox_in, frames_in)
     final, hist = jax.lax.scan(step, carry0, inputs)
     hist["n_fish"] = final["n_fish"]
     return hist, final
 
 
-_track_scan_carry = partial(jax.jit, static_argnames=("P",))(_scan_impl)
+_track_scan_carry = partial(
+    jax.jit, static_argnames=("P", "split_spec"))(_scan_impl)
 
 
 def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
-               P: TrackParams, carry0: dict = None) -> dict:
+               P: TrackParams, carry0: dict = None, frames=None,
+               background=None, split_spec=None) -> dict:
     """Public scan entry: builds the initial carry when none is given
     and attaches the final carry under "final_carry" (resume support
     for the splice replay; see track/device_engine.py)."""
     if carry0 is None:
         carry0 = _init_carry(P, frames_idx[0], times[0])
-    hist, final = _track_scan_carry(det, times, frames_idx, P, carry0)
+    hist, final = _track_scan_carry(det, times, frames_idx, P, carry0,
+                                    frames, background, split_spec)
     hist["final_carry"] = final
     return hist
 
@@ -489,13 +626,16 @@ def scan_packed(det_packed: jax.Array, aux: jax.Array,
     return _pack_result(hist, final, jnp.zeros(T, bool))
 
 
-def _fused_impl(frames, background, aux, P: TrackParams, **kw):
+def _fused_impl(frames, background, aux, P: TrackParams,
+                split_spec=None, **kw):
     from .runcc import detect_batch_runs
 
     out = detect_batch_runs(frames, background, **kw)
     det = detections_from_runcc(out, P)
     carry0, times, fidx = _aux_split(aux, frames.shape[0], P)
-    hist, final = _scan_impl(det, times, fidx, P, carry0)
+    hist, final = _scan_impl(det, times, fidx, P, carry0,
+                             frames=frames, background=background,
+                             split_spec=split_spec)
     return _pack_result(hist, final, out["overflow"])
 
 
@@ -503,14 +643,16 @@ _fused_jit_cache: dict = {}
 
 
 def fused_scan_packed(frames, background, aux,
-                      P: TrackParams, **kw) -> jax.Array:
+                      P: TrackParams, split_spec=None, **kw) -> jax.Array:
     """Fused detect+scan with one packed output array (the raw-frames
     product path: the host->device transfers are the frame batch and
-    one aux vector)."""
-    key = (P, tuple(sorted(kw.items())))
+    one aux vector). split_spec (ops/device_split.SplitSpec) turns on
+    the in-graph HistorySplit executor."""
+    key = (P, split_spec, tuple(sorted(kw.items())))
     fn = _fused_jit_cache.get(key)
     if fn is None:
-        fn = jax.jit(partial(_fused_impl, P=P, **kw))
+        fn = jax.jit(partial(_fused_impl, P=P, split_spec=split_spec,
+                             **kw))
         _fused_jit_cache[key] = fn
     return fn(frames, background, aux)
 
@@ -554,6 +696,10 @@ def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:
             cx=ch["sum_x"] / safe, cy=ch["sum_y"] / safe,
             bcx=(ch["x0"] + ch["x1"] + 1) * 0.5,
             bcy=(ch["y0"] + ch["y1"] + 1) * 0.5,
+            bx0=ch["x0"].astype(jnp.int32),
+            by0=ch["y0"].astype(jnp.int32),
+            bx1=ch["x1"].astype(jnp.int32),
+            by1=ch["y1"].astype(jnp.int32),
             recount=cn, valid=cvalid)
         if "child_runs" in out:
             cr = out["child_runs"]
@@ -570,6 +716,10 @@ def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:
         cx=det["sum_x"] / safe, cy=det["sum_y"] / safe,
         bcx=(det["x0"] + det["x1"] + 1) * 0.5,
         bcy=(det["y0"] + det["y1"] + 1) * 0.5,
+        bx0=det["x0"].astype(jnp.int32),
+        by0=det["y0"].astype(jnp.int32),
+        bx1=det["x1"].astype(jnp.int32),
+        by1=det["y1"].astype(jnp.int32),
         # runcc emits track_count only when a track threshold runs
         # (track_background_subtraction); size-filter on the plain
         # detect count otherwise, like the host engine
@@ -592,20 +742,39 @@ def _detect_kwargs(settings, caps) -> dict:
     return kw
 
 
-def track_video_device(frames, background, settings, **caps) -> dict:
+def default_split_spec(settings, P: TrackParams = None,
+                       split_caps: dict = None):
+    """SplitSpec for the on-device HistorySplit executor, or None when
+    history splits are off (spec_from_settings + capacity defaults)."""
+    from .device_split import spec_from_settings
+
+    if P is None:
+        P = params_from_settings(settings)
+    if not (P.do_history_split and P.split_radius > 0):
+        return None
+    return spec_from_settings(settings, **(split_caps or {}))
+
+
+def track_video_device(frames, background, settings,
+                       split_caps: dict = None, **caps) -> dict:
     """Fused device pipeline: batched run-CC detection + scan tracking
-    under jit; one host transfer for the whole chunk's history."""
+    under jit; one host transfer for the whole chunk's history. With
+    track_do_history_split on, splits run in-graph (device_split)."""
     from .runcc import detect_batch_runs
 
     P = params_from_settings(settings)
     kw = _detect_kwargs(settings, caps)
     T = frames.shape[0]
     fr = float(settings["frame_rate"] or 25)
-    out = detect_batch_runs(jnp.asarray(frames),
-                            jnp.asarray(background), **kw)
+    frames = jnp.asarray(frames)
+    background = jnp.asarray(background)
+    out = detect_batch_runs(frames, background, **kw)
     det = detections_from_runcc(out, P)
     times = jnp.arange(T) / fr
-    hist = track_scan(det, times, jnp.arange(T, dtype=jnp.int32), P)
+    hist = track_scan(det, times, jnp.arange(T, dtype=jnp.int32), P,
+                      frames=frames, background=background,
+                      split_spec=default_split_spec(settings, P,
+                                                    split_caps))
     hist["detect_overflow"] = out["overflow"]
     return hist
 

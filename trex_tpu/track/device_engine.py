@@ -3,12 +3,14 @@
 `track_engine=device` routes the per-frame tracking recurrence through
 ops/device_tracker.track_scan (a jitted `lax.scan` on the accelerator)
 while keeping FastTracker byte-compatibility: frames the scan flags
-`needs_host` (split candidates per the on-device HistorySplit trigger,
-oversized blobs, detection-cap overflow) are replayed ONE FRAME AT A
-TIME through a host FastTracker whose per-fish state is spliced in
-from the device carry, and the scan resumes from the corrected carry
-at the next frame (VERDICT r2 "per-frame host replay", not the
-whole-chunk fallback).
+`needs_host` are replayed ONE FRAME AT A TIME through a host
+FastTracker whose per-fish state is spliced in from the device carry,
+and the scan resumes from the corrected carry at the next frame
+(VERDICT r2 "per-frame host replay", not the whole-chunk fallback).
+On the fused raw-frames path, history splits themselves run ON DEVICE
+(ops/device_split: exact expectation + threshold-escalation executor),
+so the assist is reserved for marginal float decisions, capacity
+overflows, start-frame big-blob splits, and `huge` parents.
 
 Two ingestion paths:
 
@@ -55,14 +57,21 @@ class DeviceTracker:
     CHUNK = 256
 
     def __init__(self, settings, background: np.ndarray,
-                 chunk: int = None, caps: dict = None):
-        from ..ops.device_tracker import params_from_settings
+                 chunk: int = None, caps: dict = None,
+                 split_caps: dict = None):
+        from ..ops.device_tracker import (default_split_spec,
+                                          params_from_settings)
 
         check_device_supported(settings)
         self.settings = settings
         self.background = np.asarray(background)
         self.caps = caps
         self.P = params_from_settings(settings)
+        # on-device HistorySplit executor for the fused frames path
+        # (the pv/blob path ships no pixel data to the device, so its
+        # splits stay host-assisted)
+        self.split_spec = default_split_spec(settings, self.P,
+                                             split_caps)
         self.F = self.P.max_fish
         self.chunk = chunk or self.CHUNK
         # host helper: candidate tables + history split + replay
@@ -333,7 +342,7 @@ class DeviceTracker:
             aux = make_aux(self._carry_vec, t_chunk, x_chunk)
             vec = np.asarray(jax.device_get(fused_scan_packed(
                 jnp.asarray(fr_chunk), bg_dev, jnp.asarray(aux),
-                self.P, **kw)))
+                self.P, split_spec=self.split_spec, **kw)))
             hist, carry_rows = unpack_result(vec, self.chunk, self.P)
             flags = (hist["needs_host"]
                      | hist["detect_overflow"])[:span]
