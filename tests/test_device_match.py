@@ -1,0 +1,276 @@
+"""On-device optimal matching (ops/device_match) vs the host matchers.
+
+The auction must reproduce track/matching.match(mode="automatic")
+(the reference PairingGraph's per-clique optimum,
+PairingGraph.cpp:1017-1275) on every frame it does NOT flag marginal;
+flagged frames defer to the host engine, so parity is unconditional —
+these tests measure both the equality on unflagged instances and that
+the deferral rate stays a rare-path.
+"""
+import numpy as np
+import pytest
+
+from trex_tpu.config import reset_global_settings
+
+
+def _fuzz_instances(n_trials, seed, quantize=False):
+    rng = np.random.default_rng(seed)
+    FP, BP = 32, 40
+    for _ in range(n_trials):
+        F = int(rng.integers(1, FP + 1))
+        B = int(rng.integers(1, BP + 1))
+        density = rng.uniform(0.05, 0.5)
+        Pm = np.zeros((FP, BP), np.float32)
+        mask = np.zeros((FP, BP), bool)
+        mask[:F, :B] = rng.random((F, B)) < density
+        Pm[mask] = rng.uniform(0.0, 1.0, mask.sum()).astype(np.float32)
+        if quantize:
+            Pm = (np.round(Pm * 8) / 8).astype(np.float32)
+        yield Pm
+
+
+def _host_assign(Pm, p_min):
+    from trex_tpu.track.matching import PairedProbabilities, match
+
+    pp = PairedProbabilities()
+    fi, bi = np.nonzero(Pm > p_min)
+    for f, b in zip(fi.tolist(), bi.tolist()):
+        pp.add(("f", f), ("b", b), float(np.float64(Pm[f, b])))
+    res = match(pp, mode="automatic")
+    return {b[1]: f[1] for b, f in res.pairings.items()}
+
+
+@pytest.mark.parametrize("quantize", [False, True])
+def test_auction_matches_host_optimum(quantize):
+    """Unflagged instances equal the host matcher exactly; continuous
+    (realistic) values rarely flag, tie-laden grids flag instead of
+    guessing."""
+    import jax
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_match import auction_match
+
+    fn = jax.jit(auction_match)
+    p_min = 0.1
+    total = flagged = 0
+    for Pm in _fuzz_instances(60, seed=7 + quantize, quantize=quantize):
+        edge_ok = Pm > p_min
+        fob, marg = fn(jnp.asarray(Pm), jnp.asarray(edge_ok))
+        total += 1
+        if bool(marg):
+            flagged += 1
+            continue
+        fob = np.asarray(fob)
+        dev = {j: int(fob[j]) for j in range(len(fob)) if fob[j] >= 0}
+        host = _host_assign(Pm, p_min)
+        assert dev == host, (dev, host)
+    if quantize:
+        assert flagged < total  # some instances still resolve
+    else:
+        # continuous values: near-tied optima are rare (fuzz measured
+        # ~1%); a regression in the guards would spike this
+        assert flagged <= max(2, total // 10), (flagged, total)
+
+
+def test_auction_prefers_weight_over_cardinality():
+    """Max-weight matching is not max-cardinality: a dominant edge
+    must win over two weak ones (PairingGraph maximizes sum of p)."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_match import auction_match
+
+    Pm = np.array([[0.9, 0.15],
+                   [0.16, 0.0]], np.float32)
+    fob, marg = auction_match(jnp.asarray(Pm), jnp.asarray(Pm > 0.1))
+    assert not bool(marg)
+    # optimum: fish0->blob0 (0.9) + fish1 unassigned... but fish1 can
+    # take blob0? no - taken; fish1->blob1 edge is 0.0 (no edge).
+    # Alternative: fish1->blob0 (0.16) + fish0->blob1 (0.15) = 0.31.
+    assert int(fob[0]) == 0 and int(fob[1]) == -1
+
+
+def test_auction_flags_exact_tie():
+    """Two equal-value fish contesting one blob is a tied optimum —
+    the device must defer, not guess."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_match import auction_match
+
+    Pm = np.array([[0.5], [0.5]], np.float32)
+    _, marg = auction_match(jnp.asarray(Pm), jnp.asarray(Pm > 0.1))
+    assert bool(marg)
+
+
+# --- engine-level differential ------------------------------------------
+
+def _settings(n_fish, split=False):
+    s = reset_global_settings()
+    s.set("track_max_individuals", n_fish)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_threshold", 20)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 90]])
+    s.set("calculate_posture", False)
+    s.set("match_mode", "automatic")
+    s.set("track_do_history_split", split)
+    return s
+
+
+def _render(positions, size=256):
+    img = np.full((size, size), 200, np.uint8)
+    for p in positions:
+        x, y = int(p[0]), int(p[1])
+        img[y:y + 6, x:x + 10] = 80
+    return img
+
+
+def _host(frames, bg, s):
+    from trex_tpu.ops.labeling import label_blobs_raw
+    from trex_tpu.track.engine import FastTracker
+
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    tr = FastTracker(s, bg)
+    for i, fr in enumerate(frames):
+        tr.add_frame(i, i / 25.0, **label_blobs_raw(fr, bg, **det))
+    return tr
+
+
+def _device(frames, bg, s, chunk=16):
+    from trex_tpu.ops.labeling import label_blobs
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.device_engine import DeviceTracker
+
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    dev = DeviceTracker(s, bg, chunk=chunk)
+    for i, fr in enumerate(frames):
+        blobs = label_blobs(fr, bg, **det)
+        tbs = [TrackBlob(b.lines, b.pixels, stats=b.stats)
+               for b in blobs]
+        dev.add_frame_blobs(i, i / 25.0, tbs)
+    dev.finalize()
+    return dev
+
+
+def _compare_history(host, dev, n_frames):
+    for f in range(n_frames):
+        hh = host.history.get(f)
+        hd = dev.history.get(f)
+        hmap = {} if hh is None else {
+            int(i): (float(x), float(y))
+            for i, x, y in zip(hh["fish"], hh["x"], hh["y"])}
+        dmap = {} if hd is None else {
+            int(i): (float(x), float(y))
+            for i, x, y in zip(hd["fish"], hd["x"], hd["y"])}
+        for fid, (x, y) in hmap.items():
+            assert fid in dmap, (f, fid, hmap, dmap)
+            assert abs(dmap[fid][0] - x) < 1e-4, (f, fid)
+            assert abs(dmap[fid][1] - y) < 1e-4, (f, fid)
+
+
+def test_device_engine_automatic_separated():
+    """match_mode=automatic on well-separated fish: pure device path
+    (no assists), frame-exact vs the host engine."""
+    n = 4
+    s = _settings(n)
+    rng = np.random.default_rng(11)
+    pos = np.array([[30.0 + 50 * i, 40.0 + 40 * i] for i in range(n)])
+    vel = rng.normal(0, 1.5, (n, 2))
+    frames = []
+    for _ in range(40):
+        frames.append(_render(pos))
+        pos = np.clip(pos + vel, 5, 230)
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    dev = _device(frames, bg, _settings(n))
+    assert not dev.assist_frames, dev.assist_frames
+    _compare_history(host, dev, len(frames))
+    assert dev.n_fish == host.n_fish
+
+
+def test_device_engine_automatic_contested():
+    """Fish holding ~16-22px separation form real multi-fish matching
+    cliques (the probability radius at these settings is ~26px)
+    without ever merging blobs; the optimal matcher must stay
+    frame-exact vs the host with only rare-path deferrals."""
+    n = 6
+    s = _settings(n)
+    rng = np.random.default_rng(1)
+    # confined random walk, 15px minimum separation (blobs never
+    # merge), 7px steps: fish regularly end up closer to a
+    # neighbour's blob than their own -> greedy diverges from the
+    # optimum on ~2/3 of the frames (probed over seeds)
+    lo, hi, mind = 90.0, 170.0, 15.0
+    pos = rng.uniform(lo, hi, (n, 2))
+    for _ in range(200):
+        d = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+        np.fill_diagonal(d, 1e9)
+        if d.min() >= mind:
+            break
+        i = np.unravel_index(d.argmin(), d.shape)[0]
+        pos[i] = rng.uniform(lo, hi, 2)
+    frames = [_render(pos)]
+    for _ in range(59):
+        for _try in range(50):
+            cand = np.clip(pos + rng.normal(0, 7.0, (n, 2)), lo, hi)
+            d = np.linalg.norm(cand[:, None] - cand[None, :], axis=-1)
+            np.fill_diagonal(d, 1e9)
+            if d.min() >= mind:
+                break
+        pos = cand
+        frames.append(_render(pos))
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    dev = _device(frames, bg, _settings(n))
+    _compare_history(host, dev, len(frames))
+    # deferral must stay a rare path, not a whole-chunk fallback
+    assert len(dev.assist_frames) < len(frames) // 4, \
+        len(dev.assist_frames)
+    assert dev.n_fish == host.n_fish
+    # the geometry must actually exercise multi-fish cliques: the
+    # optimal matcher's answer differs from greedy somewhere
+    sg = _settings(n)
+    sg.set("match_mode", "approximate")
+    greedy = _host(frames, bg, sg)
+    diff = 0
+    for f in range(len(frames)):
+        hh = host.history.get(f)
+        hg = greedy.history.get(f)
+        hm = {} if hh is None else dict(
+            zip(hh["fish"].tolist(),
+                zip(hh["x"].tolist(), hh["y"].tolist())))
+        gm = {} if hg is None else dict(
+            zip(hg["fish"].tolist(),
+                zip(hg["x"].tolist(), hg["y"].tolist())))
+        if hm != gm:
+            diff += 1
+    assert diff > 0, "geometry never produced a contested clique"
+
+
+def test_device_engine_automatic_fused_frames():
+    """track_frames (fused on-device detection + scan) with
+    match_mode=automatic."""
+    n = 3
+    s = _settings(n)
+    rng = np.random.default_rng(17)
+    pos = np.array([[40.0 + 60 * i, 60.0 + 50 * i] for i in range(n)])
+    vel = rng.normal(0, 2.0, (n, 2))
+    frames = []
+    for _ in range(30):
+        frames.append(_render(pos))
+        pos = np.clip(pos + vel, 5, 230)
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    from trex_tpu.track.device_engine import DeviceTracker
+
+    dev = DeviceTracker(_settings(n), bg, chunk=8).track_frames(
+        np.stack(frames))
+    _compare_history(host, dev, len(frames))

@@ -71,6 +71,9 @@ class TrackParams(NamedTuple):
     detect_size_min: float = 0.0   # detect_size_filter (cm^2)
     detect_size_max: float = float("inf")
     has_size_filter: bool = False  # track_size_filter set at all
+    match_optimal: bool = False    # automatic/hungarian/tree modes:
+    # first pass solved optimally on device (ops/device_match auction)
+    # instead of the approximate greedy
 
 
 def params_from_settings(s) -> TrackParams:
@@ -99,7 +102,8 @@ def params_from_settings(s) -> TrackParams:
         do_history_split=bool(s["track_do_history_split"]),
         split_radius=radius,
         detect_size_min=float(dlo), detect_size_max=float(dhi),
-        has_size_filter=bool(ranges))
+        has_size_filter=bool(ranges),
+        match_optimal=s["match_mode"] != "approximate")
 
 
 def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
@@ -351,7 +355,20 @@ def _scan_impl(det: dict, times: jax.Array,
         Pmat = tprob[:, None] / (1.0 + speed) ** 2
         Pmat = jnp.where(usable[:, None], Pmat, 0.0)
         fob = jnp.full(bval.shape, -1, jnp.int32)
-        taken, fob = _greedy_pass(Pmat, bval, ~usable, fob, P.p_min)
+        if P.match_optimal:
+            # automatic/hungarian/tree: optimal max-sum assignment
+            # (per-clique optima compose, so the auction solves the
+            # whole frame); near-ties/uncertified frames defer
+            from .device_match import (auction_match,
+                                       edge_boundary_marginal)
+            edge_ok = (Pmat > P.p_min) & usable[:, None] \
+                & bval[None, :]
+            fob, marg_m = auction_match(Pmat, edge_ok)
+            marg_m = marg_m | edge_boundary_marginal(
+                Pmat, usable, bval, P.p_min)
+            needs_host = needs_host | marg_m
+        else:
+            _, fob = _greedy_pass(Pmat, bval, ~usable, fob, P.p_min)
         n_first = (fob >= 0).sum()
 
         # second pass: reactivation over centroids (engine

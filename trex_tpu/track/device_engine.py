@@ -41,10 +41,12 @@ from .tracker import FrameStatistics
 
 def check_device_supported(settings) -> None:
     s = settings
-    if s["match_mode"] not in ("approximate",):
+    if s["match_mode"] not in ("approximate", "automatic", "hungarian",
+                               "tree"):
         raise EngineUnsupported(
-            "device engine implements match_mode=approximate "
-            "(automatic/hungarian/tree need the host engines)")
+            "device engine implements match_mode approximate/"
+            "automatic/hungarian/tree (benchmark needs the host "
+            "engines)")
     if s["calculate_posture"]:
         raise EngineUnsupported(
             "posture needs per-individual archives (track_engine="
@@ -110,6 +112,31 @@ class DeviceTracker:
                 n_basic=np.zeros(F),
                 seen=np.zeros((F, self.P.frame_rate)),
                 n_fish=0, start_frame=frame, prev_time=time))
+
+    @staticmethod
+    def _resilient_get(launch):
+        """Run a jitted scan launch and fetch its packed result,
+        retrying once through jax.clear_caches() on executable
+        corruption. The axon remote-compile relay corrupts a compiled
+        program's executable once a SECOND near-identical shape of the
+        same scan has been compiled: the second execution of each
+        fails with "Execution supplied 2 buffers but compiled program
+        expected 3" (CPU) / INVALID_ARGUMENT at transfer (TPU).
+        Clearing the jit cache and recompiling recovers deterministically
+        (measured); the sticky shape bucket in _flush keeps this to at
+        most one retry per bucket-growth event."""
+        import jax
+
+        for attempt in range(3):
+            try:
+                return np.asarray(jax.device_get(launch()))
+            except Exception as e:  # noqa: BLE001 - backend-specific
+                msg = str(e)
+                retryable = ("buffers" in msg
+                             or "INVALID_ARGUMENT" in msg)
+                if attempt == 2 or not retryable:
+                    raise
+                jax.clear_caches()
 
     # -- pv / blob-list ingestion ---------------------------------------
 
@@ -178,30 +205,39 @@ class DeviceTracker:
         return table, big, raw
 
     def _det_packed_from_tables(self, tables: list, pad_rows=None,
-                                pad_frames: int = 0):
+                                pad_frames: int = 0,
+                                fix_rows: tuple = None):
         """Pad per-frame _CandTables into the packed det array
         (T, 6B [+4R]) consumed by ops/device_tracker.scan_packed.
         pad_rows (callable) buckets B and R (e.g. next power of two)
-        and pad_frames pads T — fixed shapes keep the jit cache to a
-        handful of entries across splice iterations."""
+        and pad_frames pads T; fix_rows=(B, R) pins the row buckets
+        outright. ONE fixed shape per flush (not a shrinking ladder)
+        keeps exactly one compiled program alive — the axon
+        remote-compile relay has been observed to corrupt a program's
+        executable once a second, near-identical shape of the same
+        scan is compiled (second execution fails with a buffer-count
+        mismatch), and a single bucket also avoids the recompiles."""
         T = max(len(tables), pad_frames)
-        B = max(1, max((t.n for t, _, _ in tables), default=1))
         use_runs = self.P.do_history_split and self.P.split_radius > 0
-        R = 0
-        if use_runs:
-            R = 1
-            for t, _, _ in tables:
-                tot = 0
-                for r in range(t.n):
-                    if t.objs[r] is not None:
-                        tot += len(t.objs[r].lines)
-                    else:
-                        tot += int(t.line_hi[r] - t.line_lo[r])
-                R = max(R, tot)
-        if pad_rows is not None:
-            B = pad_rows(B)
+        if fix_rows is not None:
+            B, R = fix_rows
+        else:
+            B = max(1, max((t.n for t, _, _ in tables), default=1))
+            R = 0
             if use_runs:
-                R = pad_rows(R)
+                R = 1
+                for t, _, _ in tables:
+                    tot = 0
+                    for r in range(t.n):
+                        if t.objs[r] is not None:
+                            tot += len(t.objs[r].lines)
+                        else:
+                            tot += int(t.line_hi[r] - t.line_lo[r])
+                    R = max(R, tot)
+            if pad_rows is not None:
+                B = pad_rows(B)
+                if use_runs:
+                    R = pad_rows(R)
         packed = np.zeros((T, 6 * B + 4 * R), np.float32)
         if use_runs:
             packed[:, 6 * B:6 * B + R] = -1          # runs_y pad
@@ -252,11 +288,39 @@ class DeviceTracker:
         def pow2(n):
             return 1 << max(0, int(np.ceil(np.log2(max(1, n)))))
 
+        # one sticky (T, B, R) bucket for the whole flush (and
+        # monotone across flushes): every splice iteration re-scans
+        # the same shapes, so exactly ONE compiled program serves the
+        # chunk (see _det_packed_from_tables on why the ladder of
+        # shrinking shapes is unsafe on the relay backend, besides
+        # costing a compile per rung)
+        B_need = max(1, max((t.n for t, _, _ in tables), default=1))
+        use_runs = self.P.do_history_split and self.P.split_radius > 0
+        R_need = 0
+        if use_runs:
+            R_need = 1
+            for t, _, _ in tables:
+                tot = 0
+                for r in range(t.n):
+                    if t.objs[r] is not None:
+                        tot += len(t.objs[r].lines)
+                    else:
+                        tot += int(t.line_hi[r] - t.line_lo[r])
+                R_need = max(R_need, tot)
+        self._bucket = (max(getattr(self, "_bucket", (1, 0, 1))[0],
+                            pow2(B_need)),
+                        max(getattr(self, "_bucket", (1, 0, 1))[1],
+                            pow2(R_need) if use_runs else 0),
+                        max(getattr(self, "_bucket", (1, 0, 1))[2],
+                            pow2(len(buf))))
+        B_fix, R_fix, T_fix = self._bucket
+
         i = 0
         while i < len(buf):
             span = len(buf) - i
             packed, B, R = self._det_packed_from_tables(
-                tables[i:], pad_rows=pow2, pad_frames=pow2(span))
+                tables[i:], pad_frames=T_fix,
+                fix_rows=(B_fix, R_fix))
             T = packed.shape[0]
             t_pad = list(times[i:]) + [
                 times[-1] + (k + 1) / max(1.0, self.frame_rate)
@@ -264,8 +328,8 @@ class DeviceTracker:
             f_pad = list(frames[i:]) + [
                 frames[-1] + k + 1 for k in range(T - span)]
             aux = make_aux(self._carry_vec, t_pad, f_pad)
-            vec = np.asarray(jax.device_get(scan_packed(
-                jnp.asarray(packed), jnp.asarray(aux), self.P, B, R)))
+            vec = self._resilient_get(lambda: scan_packed(
+                jnp.asarray(packed), jnp.asarray(aux), self.P, B, R))
             hist, carry_rows = unpack_result(vec, T, self.P)
             flags = hist["needs_host"][:span]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
@@ -340,9 +404,9 @@ class DeviceTracker:
                 x_chunk = np.concatenate(
                     [x_chunk, x_chunk[-1] + np.arange(pad) + 1])
             aux = make_aux(self._carry_vec, t_chunk, x_chunk)
-            vec = np.asarray(jax.device_get(fused_scan_packed(
+            vec = self._resilient_get(lambda: fused_scan_packed(
                 jnp.asarray(fr_chunk), bg_dev, jnp.asarray(aux),
-                self.P, split_spec=self.split_spec, **kw)))
+                self.P, split_spec=self.split_spec, **kw))
             hist, carry_rows = unpack_result(vec, self.chunk, self.P)
             flags = (hist["needs_host"]
                      | hist["detect_overflow"])[:span]
