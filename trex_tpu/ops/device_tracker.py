@@ -74,6 +74,9 @@ class TrackParams(NamedTuple):
     match_optimal: bool = False    # automatic/hungarian/tree modes:
     # first pass solved optimally on device (ops/device_match auction)
     # instead of the approximate greedy
+    do_posture: bool = False       # calculate_posture: the packed
+    # carry grows a (F, 2) posture-direction section and the fused
+    # program appends a posture scan (ops/device_posture)
 
 
 def params_from_settings(s) -> TrackParams:
@@ -103,7 +106,8 @@ def params_from_settings(s) -> TrackParams:
         split_radius=radius,
         detect_size_min=float(dlo), detect_size_max=float(dhi),
         has_size_filter=bool(ranges),
-        match_optimal=s["match_mode"] != "approximate")
+        match_optimal=s["match_mode"] != "approximate",
+        do_posture=bool(s["calculate_posture"]))
 
 
 def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
@@ -400,6 +404,20 @@ def _scan_impl(det: dict, times: jax.Array,
         fx = jnp.zeros(F + 1).at[fish_idx].set(cx)[:F]
         fy = jnp.zeros(F + 1).at[fish_idx].set(cy)[:F]
         got = jnp.zeros(F + 1, bool).at[fish_idx].set(fob >= 0)[:F]
+        # per-fish det-table row of the assigned blob (posture + pv
+        # host-posture consumers). In the split path rows are the
+        # PERMUTED concat table: map back to the original det row;
+        # split children (pre-concat index >= B) have no run-table
+        # entry -> fish_child
+        Bfin = bval.shape[0]
+        if use_dev_split:
+            orig_of_b = perm.astype(jnp.int32)
+        else:
+            orig_of_b = jnp.arange(Bfin, dtype=jnp.int32)
+        fish_row = jnp.full(F + 1, -1, jnp.int32).at[fish_idx].set(
+            jnp.where(fob >= 0, orig_of_b, -1))[:F]
+        fish_child = jnp.zeros(F + 1, bool).at[fish_idx].set(
+            (fob >= 0) & (orig_of_b >= B))[:F]
 
         seen = jnp.concatenate(
             [carry["seen"][:, 1:], got[:, None]], axis=1)
@@ -415,6 +433,7 @@ def _scan_impl(det: dict, times: jax.Array,
             prev_time=time.astype(jnp.float32))
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
+                   fish_row=fish_row, fish_child=fish_child,
                    n_assigned=n_first + n_react,
                    needs_host=needs_host,
                    # packed per-frame carry: the splice replay resumes
@@ -476,6 +495,14 @@ def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
 
 def carry_vec_size(P: TrackParams) -> int:
     F = P.max_fish
+    base = 5 * F + F * P.frame_rate + 3
+    # posture: trailing (F, 2) previous-midline-direction section
+    return base + (2 * F if P.do_posture else 0)
+
+
+def _track_vec_size(P: TrackParams) -> int:
+    """Tracking-scan carry width (without the posture section)."""
+    F = P.max_fish
     return 5 * F + F * P.frame_rate + 3
 
 
@@ -496,7 +523,7 @@ def _carry_to_vec_jnp(c: dict) -> jax.Array:
 def carry_to_vec(carry) -> np.ndarray:
     """Host-side carry dict (numpy/jax) -> 1-D float32 vector."""
     c = {k: np.asarray(v) for k, v in carry.items()}
-    return np.concatenate([
+    parts = [
         c["last_x"].astype(np.float32),
         c["last_y"].astype(np.float32),
         c["last_time"].astype(np.float32),
@@ -504,7 +531,10 @@ def carry_to_vec(carry) -> np.ndarray:
         c["n_basic"].astype(np.float32),
         c["seen"].astype(np.float32).reshape(-1),
         np.asarray([float(c["n_fish"]), float(c["start_frame"]),
-                    float(c["prev_time"])], np.float32)])
+                    float(c["prev_time"])], np.float32)]
+    if "posture_dir" in c:
+        parts.append(c["posture_dir"].astype(np.float32).reshape(-1))
+    return np.concatenate(parts)
 
 
 def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
@@ -519,7 +549,7 @@ def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
         o += n
         return out
 
-    return dict(
+    out = dict(
         last_x=take(F).astype(np.float64),
         last_y=take(F).astype(np.float64),
         last_time=take(F).astype(np.float64),
@@ -528,6 +558,11 @@ def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
         seen=take(F * W).reshape(F, W) > 0.5,
         n_fish=int(vec[o]), start_frame=int(vec[o + 1]),
         prev_time=float(vec[o + 2]))
+    o += 3
+    if P.do_posture:
+        out["posture_dir"] = take(2 * F).reshape(F, 2) \
+            .astype(np.float64)
+    return out
 
 
 def _carry_from_vec(vec: jax.Array, P: TrackParams) -> dict:
@@ -557,16 +592,31 @@ def _carry_from_vec(vec: jax.Array, P: TrackParams) -> dict:
         prev_time=tail[2])
 
 
-def _pack_result(hist: dict, final: dict, overflow) -> jax.Array:
+def _pack_result(hist: dict, final: dict, overflow,
+                 P: TrackParams = None) -> jax.Array:
+    T, F = hist["fish_x"].shape
     parts = [
         hist["fish_x"].astype(jnp.float32).reshape(-1),
         hist["fish_y"].astype(jnp.float32).reshape(-1),
         hist["fish_seen"].astype(jnp.float32).reshape(-1),
+        hist["fish_row"].astype(jnp.float32).reshape(-1),
+        hist["fish_child"].astype(jnp.float32).reshape(-1),
         hist["n_assigned"].astype(jnp.float32),
         (hist["needs_host"].astype(jnp.float32)
          + 2.0 * overflow.astype(jnp.float32)),
-        hist["carry_vec"].reshape(-1),
     ]
+    if P is not None and P.do_posture:
+        parts += [
+            hist["p_len"].astype(jnp.float32).reshape(-1),
+            hist["p_ang"].astype(jnp.float32).reshape(-1),
+            hist["p_ok"].astype(jnp.float32).reshape(-1),
+        ]
+        carry = jnp.concatenate(
+            [hist["carry_vec"], hist["p_dir"].reshape(T, 2 * F)],
+            axis=1)
+    else:
+        carry = hist["carry_vec"]
+    parts.append(carry.reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -585,25 +635,38 @@ def unpack_result(vec: np.ndarray, T: int, P: TrackParams):
     fx = take(T * F).reshape(T, F).astype(np.float64)
     fy = take(T * F).reshape(T, F).astype(np.float64)
     seen = take(T * F).reshape(T, F) > 0.5
+    fish_row = take(T * F).reshape(T, F).astype(np.int64)
+    fish_child = take(T * F).reshape(T, F) > 0.5
     n_assigned = take(T).astype(np.int64)
     flags = take(T)
-    cs = carry_vec_size(P)
-    carry_rows = take(T * cs).reshape(T, cs)
     hist = dict(fish_x=fx, fish_y=fy, fish_seen=seen,
+                fish_row=fish_row, fish_child=fish_child,
                 n_assigned=n_assigned,
                 needs_host=(flags % 2) >= 1,
-                detect_overflow=flags >= 2,
-                n_fish=np.int32(carry_rows[-1, 5 * F
-                                           + F * P.frame_rate]))
+                detect_overflow=flags >= 2)
+    if P.do_posture:
+        hist["p_len"] = take(T * F).reshape(T, F).astype(np.float64)
+        hist["p_ang"] = take(T * F).reshape(T, F).astype(np.float64)
+        hist["p_ok"] = take(T * F).reshape(T, F) > 0.5
+    cs = carry_vec_size(P)
+    carry_rows = take(T * cs).reshape(T, cs)
+    hist["n_fish"] = np.int32(carry_rows[-1, 5 * F
+                                         + F * P.frame_rate])
     return hist, carry_rows
 
 
 def _aux_split(aux: jax.Array, T: int, P: TrackParams):
+    """aux -> (tracking carry dict, posture_dir (F, 2) or None,
+    times, frame indices). The posture section is not part of the
+    tracking scan's carry — the posture scan consumes it."""
+    F = P.max_fish
+    base = _track_vec_size(P)
     cs = carry_vec_size(P)
-    carry0 = _carry_from_vec(aux[:cs], P)
+    carry0 = _carry_from_vec(aux[:base], P)
+    pdir0 = aux[base:cs].reshape(F, 2) if P.do_posture else None
     times = aux[cs:cs + T]
     fidx = aux[cs + T:cs + 2 * T].astype(jnp.int32)
-    return carry0, times, fidx
+    return carry0, pdir0, times, fidx
 
 
 def make_aux(carry_vec: np.ndarray, times, frames_idx) -> np.ndarray:
@@ -638,38 +701,109 @@ def scan_packed(det_packed: jax.Array, aux: jax.Array,
                 jnp.int32),
             runs_slot=det_packed[:, base + 3 * R:base + 4 * R].astype(
                 jnp.int32))
-    carry0, times, fidx = _aux_split(aux, T, P)
+    carry0, pdir0, times, fidx = _aux_split(aux, T, P)
     hist, final = _scan_impl(det, times, fidx, P, carry0)
-    return _pack_result(hist, final, jnp.zeros(T, bool))
+    if P.do_posture:
+        # no pixel data on the pv path: posture runs host-side in
+        # DeviceTracker._flush; the carry's posture section rides
+        # through unchanged and the per-frame fields stay empty
+        F = P.max_fish
+        hist["p_len"] = jnp.zeros((T, F), jnp.float32)
+        hist["p_ang"] = jnp.zeros((T, F), jnp.float32)
+        hist["p_ok"] = jnp.zeros((T, F), bool)
+        hist["p_dir"] = jnp.broadcast_to(pdir0[None], (T, F, 2))
+    return _pack_result(hist, final, jnp.zeros(T, bool), P)
+
+
+def _posture_scan(frames, background, det, hist, pdir0,
+                  P: TrackParams, spec):
+    """Per-frame posture pass over the tracking scan's assignments
+    (the host engine's _run_posture_batch, vmapped over fish lanes).
+    The previous-midline-direction carry crosses frames like the
+    engine's _posture_dir; lanes the device cannot do exactly (split
+    children without run tables, crops beyond the caps, trace
+    overflows) escalate the FRAME to needs_host — the standard assist
+    replays tracking + posture on the host."""
+    from .device_posture import make_posture_batch
+
+    F = P.max_fish
+    pb = make_posture_batch(spec)
+    B = det["bx0"].shape[1]
+    CW, CH = spec.crop_w, spec.crop_h
+
+    def pstep(pdir, inp):
+        (f_row, f_child, frame_img, ry, rx0, rx1, rslot,
+         bx0, by0, bx1, by1) = inp
+        assigned = f_row >= 0
+        bi = jnp.clip(f_row, 0, B - 1).astype(jnp.int32)
+        too_big = (bx1[bi] - bx0[bi] + 3 > CW) \
+            | (by1[bi] - by0[bi] + 3 > CH)
+        active = assigned & ~f_child & ~too_big
+        out = pb(frame_img, background, bi, bx0[bi], by0[bi],
+                 ry, rx0, rx1, rslot, -pdir.astype(jnp.float32),
+                 active)
+        host = jnp.any(assigned & (f_child | too_big
+                                   | out["overflow"]))
+        pdir2 = jnp.where(out["ok"][:, None], out["dir"], pdir)
+        return pdir2, dict(p_len=out["length"], p_ang=out["angle"],
+                           p_ok=out["ok"], p_dir=pdir2, p_host=host)
+
+    inputs = (hist["fish_row"], hist["fish_child"], frames,
+              det["runs_y"], det["runs_x0"], det["runs_x1"],
+              det["runs_slot"], det["bx0"], det["by0"],
+              det["bx1"], det["by1"])
+    _, ph = jax.lax.scan(pstep, pdir0, inputs)
+    hist.update(p_len=ph["p_len"], p_ang=ph["p_ang"],
+                p_ok=ph["p_ok"], p_dir=ph["p_dir"])
+    hist["needs_host"] = hist["needs_host"] | ph["p_host"]
+    return hist
 
 
 def _fused_impl(frames, background, aux, P: TrackParams,
-                split_spec=None, **kw):
+                split_spec=None, posture_spec=None, **kw):
     from .runcc import detect_batch_runs
 
     out = detect_batch_runs(frames, background, **kw)
     det = detections_from_runcc(out, P)
-    carry0, times, fidx = _aux_split(aux, frames.shape[0], P)
+    carry0, pdir0, times, fidx = _aux_split(aux, frames.shape[0], P)
     hist, final = _scan_impl(det, times, fidx, P, carry0,
                              frames=frames, background=background,
                              split_spec=split_spec)
-    return _pack_result(hist, final, out["overflow"])
+    if P.do_posture:
+        if posture_spec is not None and posture_spec.enabled \
+                and "runs_slot" in det and "bx0" in det:
+            hist = _posture_scan(frames, background, det, hist,
+                                 pdir0, P, posture_spec)
+        else:
+            T = frames.shape[0]
+            F = P.max_fish
+            hist["p_len"] = jnp.zeros((T, F), jnp.float32)
+            hist["p_ang"] = jnp.zeros((T, F), jnp.float32)
+            hist["p_ok"] = jnp.zeros((T, F), bool)
+            hist["p_dir"] = jnp.broadcast_to(pdir0[None], (T, F, 2))
+            # posture requested but not runnable on device: every
+            # frame with an assignment needs the host
+            hist["needs_host"] = hist["needs_host"] | jnp.any(
+                hist["fish_row"] >= 0, axis=1)
+    return _pack_result(hist, final, out["overflow"], P)
 
 
 _fused_jit_cache: dict = {}
 
 
 def fused_scan_packed(frames, background, aux,
-                      P: TrackParams, split_spec=None, **kw) -> jax.Array:
+                      P: TrackParams, split_spec=None,
+                      posture_spec=None, **kw) -> jax.Array:
     """Fused detect+scan with one packed output array (the raw-frames
     product path: the host->device transfers are the frame batch and
     one aux vector). split_spec (ops/device_split.SplitSpec) turns on
-    the in-graph HistorySplit executor."""
-    key = (P, split_spec, tuple(sorted(kw.items())))
+    the in-graph HistorySplit executor; posture_spec
+    (ops/device_posture.PostureSpec) appends the posture scan."""
+    key = (P, split_spec, posture_spec, tuple(sorted(kw.items())))
     fn = _fused_jit_cache.get(key)
     if fn is None:
         fn = jax.jit(partial(_fused_impl, P=P, split_spec=split_spec,
-                             **kw))
+                             posture_spec=posture_spec, **kw))
         _fused_jit_cache[key] = fn
     return fn(frames, background, aux)
 

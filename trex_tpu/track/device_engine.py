@@ -47,10 +47,10 @@ def check_device_supported(settings) -> None:
             "device engine implements match_mode approximate/"
             "automatic/hungarian/tree (benchmark needs the host "
             "engines)")
-    if s["calculate_posture"]:
+    if s["calculate_posture"] and int(s["posture_closing_steps"]):
         raise EngineUnsupported(
-            "posture needs per-individual archives (track_engine="
-            "object)")
+            "posture_closing_steps needs the per-blob host chain "
+            "(track_engine=object)")
 
 
 class DeviceTracker:
@@ -74,6 +74,16 @@ class DeviceTracker:
         # splits stay host-assisted)
         self.split_spec = default_split_spec(settings, self.P,
                                              split_caps)
+        # on-device posture for the fused frames path (the pv path
+        # runs the same native batch chain host-side per chunk)
+        self.posture_spec = None
+        if self.P.do_posture:
+            from ..ops.device_posture import (
+                spec_from_settings as posture_spec_from_settings)
+
+            self.posture_spec = posture_spec_from_settings(
+                settings, crop_h=96, crop_w=96)
+        self.posture_history: dict[int, dict] = {}
         self.F = self.P.max_fish
         self.chunk = chunk or self.CHUNK
         # host helper: candidate tables + history split + replay
@@ -105,13 +115,16 @@ class DeviceTracker:
 
             self.start_frame = frame
             F = self.F
-            self._carry_vec = carry_to_vec(dict(
+            c = dict(
                 last_x=np.zeros(F), last_y=np.zeros(F),
                 last_time=np.zeros(F),
                 last_frame=np.full(F, -(10 ** 9), np.float64),
                 n_basic=np.zeros(F),
                 seen=np.zeros((F, self.P.frame_rate)),
-                n_fish=0, start_frame=frame, prev_time=time))
+                n_fish=0, start_frame=frame, prev_time=time)
+            if self.P.do_posture:
+                c["posture_dir"] = np.zeros((F, 2))
+            self._carry_vec = carry_to_vec(c)
 
     @staticmethod
     def _resilient_get(launch):
@@ -342,11 +355,18 @@ class DeviceTracker:
                                  times[i:i + stop], hist, stop)
             if stop == len(flags):
                 self._carry_vec = carry_rows[span - 1]
+                self._host_posture_span(frames[i:], tables[i:],
+                                        hist, stop)
                 break
             if stop > 0:
                 # per-frame carries ride the packed result: resume
                 # from the row before the flagged frame directly
                 self._carry_vec = carry_rows[stop - 1]
+            # pv path: posture runs host-side over the committed span
+            # (same native batch chain as FastTracker), walking the
+            # carry's posture-direction section forward
+            self._host_posture_span(frames[i:], tables[i:], hist,
+                                    stop)
             j = i + stop
             self._assist(frames[j], times[j], tables[j], buf[j][2])
             i = j + 1
@@ -406,7 +426,8 @@ class DeviceTracker:
             aux = make_aux(self._carry_vec, t_chunk, x_chunk)
             vec = self._resilient_get(lambda: fused_scan_packed(
                 jnp.asarray(fr_chunk), bg_dev, jnp.asarray(aux),
-                self.P, split_spec=self.split_spec, **kw))
+                self.P, split_spec=self.split_spec,
+                posture_spec=self.posture_spec, **kw))
             hist, carry_rows = unpack_result(vec, self.chunk, self.P)
             flags = (hist["needs_host"]
                      | hist["detect_overflow"])[:span]
@@ -416,7 +437,7 @@ class DeviceTracker:
                     carry_rows[stop - 1][5 * self.F
                                          + self.F * self.P.frame_rate])
             self._commit_history(idx[i:i + stop], times[i:i + stop],
-                                 hist, stop)
+                                 hist, stop, posture_from_hist=True)
             if stop == len(flags):
                 self._carry_vec = carry_rows[span - 1]
                 i = j
@@ -442,6 +463,68 @@ class DeviceTracker:
 
     # -- host assist (per-frame replay) ----------------------------------
 
+    def _host_posture_span(self, frames, tables, hist, stop: int):
+        """Posture for `stop` committed pv-path frames on the host
+        (track/posture.posture_batch — the chain FastTracker uses),
+        walking the carry's posture-direction section forward and
+        patching it back so the device resume and the assist replay
+        see the post-span directions."""
+        if not self.P.do_posture or not stop:
+            return
+        from ..ops.device_tracker import _track_vec_size
+        from ..track.posture import posture_batch
+
+        F = self.F
+        base = _track_vec_size(self.P)
+        # carry rows unpacked from the device result can be read-only
+        # views — take ownership before patching the posture section
+        self._carry_vec = np.array(self._carry_vec, np.float32)
+        pdir = self._carry_vec[base:base + 2 * F] \
+            .reshape(F, 2).astype(np.float64).copy()
+        rows_h = np.asarray(hist["fish_row"])
+        for k in range(stop):
+            f = int(frames[k])
+            rows = rows_h[k]
+            fids = np.flatnonzero(rows >= 0)
+            if not len(fids):
+                continue
+            t, _, _ = tables[k]
+            line_arrays, pixel_arrays, kept = [], [], []
+            for fid in fids.tolist():
+                r = int(rows[fid])
+                if r >= t.n:
+                    continue
+                if t.objs[r] is not None:
+                    b = t.objs[r]
+                    if b.lines is None \
+                            or getattr(b, "pixels", None) is None:
+                        continue
+                    line_arrays.append(np.asarray(b.lines, np.int32))
+                    pixel_arrays.append(b.pixels)
+                else:
+                    if t.pixel_lo[r] < 0:
+                        continue
+                    line_arrays.append(
+                        t.lines[t.line_lo[r]:t.line_hi[r]])
+                    pixel_arrays.append(
+                        t.pixels[t.pixel_lo[r]:t.pixel_hi[r]])
+                kept.append(fid)
+            if not kept:
+                continue
+            fid_arr = np.asarray(kept, np.int64)
+            ok, lens, angles, out_dirs = posture_batch(
+                line_arrays, pixel_arrays, self.background,
+                self.settings, movement_dirs=-pdir[fid_arr])
+            self.posture_history[f] = {
+                "fish": fid_arr, "ok": ok,
+                "midline_length": lens, "angle": angles,
+            }
+            good = np.flatnonzero(ok)
+            if len(good):
+                pdir[fid_arr[good]] = out_dirs[good]
+        self._carry_vec[base:base + 2 * F] = \
+            pdir.astype(np.float32).ravel()
+
     def _sync_helper_state(self, frame: int, time: float):
         """Inject the device carry into the host FastTracker."""
         from ..ops.device_tracker import carry_from_vec_np
@@ -456,6 +539,8 @@ class DeviceTracker:
         eng.last_time[:] = np.asarray(c["last_time"], np.float64)
         eng.last_frame[:] = np.asarray(c["last_frame"], np.int64)
         eng.n_basic[:] = np.asarray(c["n_basic"], np.int64)
+        if self.P.do_posture:
+            eng._posture_dir[:F] = np.asarray(c["posture_dir"])
         eng.frame_times = {frame - 1: float(c["prev_time"]),
                            frame: time}
         # tracklet bookkeeping from the seen-ring: runs of consecutive
@@ -530,14 +615,20 @@ class DeviceTracker:
         prev = carry_from_vec_np(self._carry_vec, self.P)
         seen = np.concatenate([prev["seen"][:, 1:], got[:, None]],
                               axis=1)
-        self._carry_vec = carry_to_vec(dict(
+        c = dict(
             last_x=eng.last_x[:self.F], last_y=eng.last_y[:self.F],
             last_time=eng.last_time[:self.F],
             last_frame=np.clip(eng.last_frame[:self.F],
                                -(10 ** 9), None),
             n_basic=eng.n_basic[:self.F], seen=seen,
             n_fish=eng.n_fish, start_frame=self.start_frame,
-            prev_time=time))
+            prev_time=time)
+        if self.P.do_posture:
+            c["posture_dir"] = eng._posture_dir[:self.F]
+            ph = eng.posture_history.get(frame)
+            if ph is not None:
+                self.posture_history[frame] = ph
+        self._carry_vec = carry_to_vec(c)
         st = self.statistics[frame]
         self.statistics[frame] = FrameStatistics(
             number_fish=st.number_fish,
@@ -546,7 +637,8 @@ class DeviceTracker:
 
     # -- result harvesting ------------------------------------------------
 
-    def _commit_history(self, frames, times, hist, stop: int):
+    def _commit_history(self, frames, times, hist, stop: int,
+                        posture_from_hist: bool = False):
         fx = np.asarray(hist["fish_x"])
         fy = np.asarray(hist["fish_y"])
         seen = np.asarray(hist["fish_seen"])
@@ -562,6 +654,16 @@ class DeviceTracker:
             }
             self.statistics[f] = FrameStatistics(
                 number_fish=int(n_assigned[k]))
+            if posture_from_hist and self.P.do_posture:
+                rows = np.asarray(hist["fish_row"][k])
+                pf = np.flatnonzero(rows >= 0)
+                self.posture_history[f] = {
+                    "fish": pf.astype(np.int64),
+                    "ok": np.asarray(hist["p_ok"][k])[pf],
+                    "midline_length":
+                        np.asarray(hist["p_len"][k])[pf],
+                    "angle": np.asarray(hist["p_ang"][k])[pf],
+                }
         if stop:
             self.n_fish = max(self.n_fish, int(hist["n_fish"]))
 
@@ -593,7 +695,24 @@ def positions_of(tracker) -> dict:
         fx[i, fid[ok]] = np.asarray(h["x"])[ok]
         fy[i, fid[ok]] = np.asarray(h["y"])[ok]
         seen[i, fid[ok]] = True
-    return dict(frames=frames, fish_x=fx, fish_y=fy, fish_seen=seen)
+    out = dict(frames=frames, fish_x=fx, fish_y=fy, fish_seen=seen)
+    ph = getattr(tracker, "posture_history", None)
+    if ph:
+        plen = np.zeros((T, F))
+        pang = np.zeros((T, F))
+        pok = np.zeros((T, F), bool)
+        for i, f in enumerate(frames):
+            h = ph.get(int(f))
+            if not h:
+                continue
+            fid = np.asarray(h["fish"], np.int64)
+            keep = fid < F
+            pok[i, fid[keep]] = np.asarray(h["ok"])[keep]
+            plen[i, fid[keep]] = np.asarray(h["midline_length"])[keep]
+            pang[i, fid[keep]] = np.asarray(h["angle"])[keep]
+        out.update(midline_length=plen, midline_angle=pang,
+                   posture_ok=pok)
+    return out
 
 
 def export_positions(tracker, path) -> None:
