@@ -148,6 +148,45 @@ def bench_tracking_device():
     return best, n_tracked, assists, type(tracker).__name__
 
 
+def bench_tracking_device_variant(mode="automatic", posture=False,
+                                  repeats=2):
+    """Device product engine in non-headline configurations: the
+    product-default optimal matcher (match_mode=automatic via the
+    on-device auction) and/or the on-device posture scan
+    (calculate_posture=true — the reference's e2e config)."""
+    from trex_tpu.pipeline import select_tracker
+
+    s = _settings()
+    s.set("match_mode", mode)
+    s.set("track_engine", "device")
+    if posture:
+        s.set("calculate_posture", True)
+        s.set("track_posture_threshold", 15)
+        s.set("outline_resample", 0.5)
+    bg, frames = synth_frames(64)
+    batch = np.stack(frames)
+
+    def run():
+        tracker = select_tracker(s, bg, need_individuals=False)
+        tracker.chunk = len(frames)
+        t0 = time.perf_counter()
+        tracker.track_frames(batch)
+        return time.perf_counter() - t0, tracker
+
+    run()  # compile
+    best, assists, nposture = 0.0, 0, 0
+    for _ in range(repeats):
+        dt, tracker = run()
+        if len(frames) / dt > best:
+            best = len(frames) / dt
+            assists = len(tracker.assist_frames)
+            if posture:
+                nposture = sum(int(np.asarray(h["ok"]).sum())
+                               for h in
+                               tracker.posture_history.values())
+    return best, assists, nposture
+
+
 def bench_tracking_device_crowded():
     """Merge-heavy configuration: denser arena, history splits ON —
     measures the hybrid device+per-frame-assist product path where
@@ -401,16 +440,24 @@ def _device_section():
     device->host transfers hang for minutes) cannot wedge the whole
     benchmark — the parent times out and reports host numbers."""
     out = {}
+
+    def emit():
+        # progressive: the parent keeps the LAST line, so a section
+        # timeout preserves everything measured before it
+        print("DEVICE_JSON:" + json.dumps(out), flush=True)
+
     try:
         fps, n_tracked, assists, engine = bench_tracking_device()
         out["device_product"] = [fps, float(n_tracked), assists, engine]
     except Exception as e:
         out["device_product_error"] = str(e)[:200]
+    emit()
     try:
         fps, assists, host_fps = bench_tracking_device_crowded()
         out["device_crowded"] = [fps, assists, host_fps]
     except Exception as e:
         out["device_crowded_error"] = str(e)[:200]
+    emit()
     for name, fn in (("device_detect", bench_device_detect),
                      ("device_track", bench_device_track),
                      ("vi_crops", bench_vi_crops),
@@ -420,7 +467,23 @@ def _device_section():
             out[name] = fn()
         except Exception as e:
             out[name + "_error"] = str(e)[:200]
-    print("DEVICE_JSON:" + json.dumps(out))
+        emit()
+    # the heavy new-program variants run LAST: their first compile
+    # through the remote-compile relay can take many minutes, and the
+    # progressive emit keeps everything above if the section times out
+    try:
+        fps, assists, _ = bench_tracking_device_variant("automatic")
+        out["device_automatic"] = [fps, assists]
+    except Exception as e:
+        out["device_automatic_error"] = str(e)[:200]
+    emit()
+    try:
+        fps, assists, nps = bench_tracking_device_variant(
+            "approximate", posture=True)
+        out["device_posture"] = [fps, assists, nps]
+    except Exception as e:
+        out["device_posture_error"] = str(e)[:200]
+    emit()
 
 
 def _device_probe():
@@ -434,7 +497,7 @@ def _device_probe():
     print("PROBE_OK")
 
 
-def _run_device_section(timeout_s=1500):
+def _run_device_section(timeout_s=2400):
     env = dict(os.environ)
     env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
         + env.get("PYTHONPATH", "")
@@ -452,16 +515,31 @@ def _run_device_section(timeout_s=1500):
         return {"error": "device probe timed out (tunnel stall)"}
     except Exception as e:
         return {"error": f"device probe: {e}"[:200]}
+    def last_json(text):
+        out = None
+        for line in (text or "").splitlines():
+            if line.startswith("DEVICE_JSON:"):
+                out = json.loads(line[len("DEVICE_JSON:"):])
+        return out
+
     try:
         proc = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()),
              "--device-section"],
             env=env, capture_output=True, text=True,
             timeout=timeout_s)
-        for line in proc.stdout.splitlines():
-            if line.startswith("DEVICE_JSON:"):
-                return json.loads(line[len("DEVICE_JSON:"):])
-    except subprocess.TimeoutExpired:
+        got = last_json(proc.stdout)
+        if got is not None:
+            return got
+    except subprocess.TimeoutExpired as e:
+        # the section emits progressively: keep what completed
+        stdout = e.stdout
+        if isinstance(stdout, bytes):
+            stdout = stdout.decode("utf-8", "replace")
+        got = last_json(stdout)
+        if got is not None:
+            got["error"] = "device section timed out (partial)"
+            return got
         return {"error": "device section timed out (tunnel stall)"}
     except Exception as e:
         return {"error": str(e)[:200]}
@@ -499,6 +577,8 @@ def main():
         "host_engine_fps": round(host_fps, 1),
         "256fish_posture_fps": round(posture_fps, 1)
         if posture_fps else None,
+        "device_automatic_fps_assists": dev.get("device_automatic"),
+        "device_posture_fps_assists_n": dev.get("device_posture"),
         "device_crowded_fps_assists_hostfps": dev.get("device_crowded"),
         "256fish_postures_computed": n_postures,
         "fixture_convert_fps_posture_export": round(fixture_fps, 2)

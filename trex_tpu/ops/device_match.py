@@ -109,10 +109,28 @@ def auction_match(Pmat: jax.Array, edge_ok: jax.Array,
     st0 = (jnp.zeros(B, jnp.float32), jnp.full(B, -1, jnp.int32),
            ~fish_has_edge, jnp.asarray(0, jnp.int32))
     price, owner, out, it = jax.lax.while_loop(cond, body, st0)
-    marginal = cond((price, owner, out, jnp.asarray(0, jnp.int32)))
+    cap_hit = cond((price, owner, out, jnp.asarray(0, jnp.int32)))
     # ^ bidders remain => iteration cap was hit (eps-crawl / near-tie)
 
     matched_b = owner >= 0
+    fob = jnp.where(matched_b, owner, -1).astype(jnp.int32)
+    # The certificate + tie detection run under a data-dependent cond:
+    # a cap-hit frame is already marginal, and the cond boundary keeps
+    # XLA's loop optimizer from sinking these fusions (incl. the
+    # reachability-closure matmuls) into the auction while's body,
+    # which would re-run them once per bidding round.
+    marginal = jax.lax.cond(
+        cap_hit, lambda: jnp.bool_(True),
+        lambda: _certify(V, price, owner, matched_b, fish_has_edge,
+                         edge_ok, gap_guard, tie_guard))
+    return fob, marginal
+
+
+def _certify(V, price, owner, matched_b, fish_has_edge, edge_ok,
+             gap_guard, tie_guard):
+    """Exact duality-gap certificate + alternating-structure tie
+    detection for a converged auction. Returns the marginal flag."""
+    F, B = V.shape
     own_safe = jnp.where(matched_b, owner, 0)
     v_matched = jnp.where(matched_b,
                           V[own_safe, jnp.arange(B)], 0.0)
@@ -126,7 +144,7 @@ def auction_match(Pmat: jax.Array, edge_ok: jax.Array,
     pi_unmatched = jnp.maximum(jnp.max(V - mu[:, None], axis=0), 0.0)
     dual = jnp.sum(mu) + jnp.sum(jnp.where(matched_b, price,
                                            pi_unmatched))
-    marginal = marginal | (dual - primal > gap_guard)
+    marginal = dual - primal > gap_guard
 
     # --- tie detection: tight-arc alternating reachability ---------------
     # An alternative matching differs from ours by disjoint alternating
@@ -196,9 +214,7 @@ def auction_match(Pmat: jax.Array, edge_ok: jax.Array,
     #     optimum would include it) — flag categorically
     ff = f_free[:, None] & ~matched_b[None, :] & edge_ok
     marginal = marginal | jnp.any(ff)
-
-    fob = jnp.where(matched_b, owner, -1).astype(jnp.int32)
-    return fob, marginal
+    return marginal
 
 
 def _n_squarings(F: int) -> int:

@@ -417,58 +417,90 @@ def _midline_walk(pts, L, spec: PostureSpec):
     """Pairing walk from the tail (Outline.cpp:768-866; mirrors
     track/posture._midline_walk_py). pts already rotated so the tail
     is index 0. Returns (segs (K, 2), heights (K,), m i32) with
-    K = max_outline // 2 + 4."""
+    K = max_outline // 2 + 4.
+
+    Both candidate windows are CONTIGUOUS index ranges, so they read
+    via `lax.dynamic_slice` — vector gathers with loop-carried indices
+    lower to per-iteration custom calls on the target backend (~2 ms
+    each; measured), dynamic slices to cheap address arithmetic."""
     M = pts.shape[0]
     K = spec.max_outline // 2 + 4
     WCAP = int(spec.walk_offset * spec.max_outline) + 4
     max_off = jnp.maximum(
         3, (spec.walk_offset * L.astype(jnp.float32)).astype(jnp.int32))
-    Lc = jnp.maximum(L, 1)
-    px, py = pts[:, 0], pts[:, 1]
     w = jnp.arange(WCAP, dtype=jnp.int32)
+    # pad so a clamp-free window fits at either end
+    pad = jnp.zeros((WCAP, 2), pts.dtype)
+    pts_pad0 = jnp.concatenate([pts, pad], axis=0)  # (M + WCAP, 2)
 
     def cond(st):
-        idx_r, idx_l, m, _, _, guard = st
-        return (idx_r < L + idx_l) & (guard < 4 * L) & (m < K)
+        # the condition and body must read loop-INVARIANT inputs
+        # (pts, L) through the CARRY: as closure operands the backend
+        # rematerializes their whole producer chain inside the loop
+        # body, costing ~2 ms/iteration (measured; neither
+        # optimization_barrier nor cond boundaries stop it)
+        idx_r, idx_l, m, _, _, guard, Lc_carry, _ = st
+        return (idx_r < Lc_carry + idx_l) & (guard < 4 * Lc_carry) \
+            & (m < K)
 
     def body(st):
-        idx_r, idx_l, m, segs, hts, guard = st
-        ptl = pts[jnp.mod(L + idx_l, Lc)]
-        # right window [idx_r, min(L, idx_r + max_off))
-        hi = jnp.minimum(L, idx_r + max_off)
-        cand_r = idx_r + w
-        okr = cand_r < hi
-        cr = jnp.clip(cand_r, 0, M - 1)
-        ddr = jnp.where(okr, jnp.hypot(px[cr] - ptl[0],
-                                       py[cr] - ptl[1]), _INF)
+        idx_r, idx_l, m, segs, hts, guard, Lc_carry, pts_pad = st
+
+        def point(i):
+            return jax.lax.dynamic_slice(
+                pts_pad, (jnp.clip(i, 0, M - 1), 0), (1, 2))[0]
+        # every upstream-invariant value the body needs derives from
+        # the carried length (same recompute-per-iteration hazard as
+        # the condition)
+        L_ = Lc_carry
+        max_off_ = jnp.maximum(
+            3, (spec.walk_offset
+                * L_.astype(jnp.float32)).astype(jnp.int32))
+        # idx_l in [-L+1, -1] => L + idx_l in [1, L-1]: no wrap
+        ptl = point(L_ + idx_l)
+        # right window [idx_r, min(L, idx_r + max_off)), ascending
+        hi = jnp.minimum(L_, idx_r + max_off_)
+        win_r = jax.lax.dynamic_slice(
+            pts_pad, (jnp.clip(idx_r, 0, M), 0), (WCAP, 2))
+        okr = w < hi - idx_r
+        ddr = jnp.where(okr, jnp.hypot(win_r[:, 0] - ptl[0],
+                                       win_r[:, 1] - ptl[1]), _INF)
         idx_r2 = jnp.where(jnp.any(okr),
                            idx_r + jnp.argmin(ddr).astype(jnp.int32),
                            idx_r)
-        ptr = pts[jnp.clip(idx_r2, 0, M - 1)]
-        # left window idx_l, idx_l-1, ... lo (inclusive)
-        lo = jnp.maximum(-L + 1, idx_l - max_off + 1)
-        cand_l = idx_l - w
-        okl = cand_l >= lo
-        cl = jnp.mod(cand_l, Lc)
-        ddl = jnp.where(okl, jnp.hypot(px[cl] - ptr[0],
-                                       py[cl] - ptr[1]), _INF)
+        ptr = point(idx_r2)
+        # left window idx_l, idx_l-1, ... lo (inclusive, descending;
+        # indices L+cand stay in [1, L-1]). Slice ascending from the
+        # clamped start, then REVERSE so ties break like the host's
+        # descending argmin
+        lo = jnp.maximum(-L_ + 1, idx_l - max_off_ + 1)
+        base_l = L_ + idx_l
+        start_l = jnp.clip(base_l - (WCAP - 1), 0, M)
+        win_l = jax.lax.dynamic_slice(pts_pad, (start_l, 0),
+                                      (WCAP, 2))
+        true_l = start_l + w - L_         # idx_l-space, ascending
+        okl = (true_l >= lo) & (true_l <= idx_l)
+        ddl = jnp.where(okl, jnp.hypot(win_l[:, 0] - ptr[0],
+                                       win_l[:, 1] - ptr[1]), _INF)
+        ddl_desc = ddl[::-1]
+        kk = jnp.argmin(ddl_desc).astype(jnp.int32)
         idx_l2 = jnp.where(jnp.any(okl),
-                           idx_l - jnp.argmin(ddl).astype(jnp.int32),
-                           idx_l)
-        ptl2 = pts[jnp.mod(L + idx_l2, Lc)]
+                           start_l + (WCAP - 1 - kk) - L_, idx_l)
+        ptl2 = point(L_ + idx_l2)
         mid = (ptl2 + ptr) * 0.5
         h = jnp.hypot(ptr[0] - ptl2[0], ptr[1] - ptl2[1])
         segs = segs.at[m].set(mid)
         hts = hts.at[m].set(h)
-        return (idx_r2 + 1, idx_l2 - 1, m + 1, segs, hts, guard + 1)
+        return (idx_r2 + 1, idx_l2 - 1, m + 1, segs, hts, guard + 1,
+                Lc_carry, pts_pad)
 
     segs0 = jnp.zeros((K, 2), jnp.float32)
     hts0 = jnp.zeros(K, jnp.float32)
-    _, _, m, segs, hts, _ = jax.lax.while_loop(
+    _, _, m, segs, hts, _, _, _ = jax.lax.while_loop(
         cond, body, (jnp.asarray(1, jnp.int32),
                      jnp.asarray(-1, jnp.int32),
                      jnp.asarray(0, jnp.int32), segs0, hts0,
-                     jnp.asarray(0, jnp.int32)))
+                     jnp.asarray(0, jnp.int32), L, pts_pad0))
     return segs, hts, m
 
 
@@ -489,32 +521,23 @@ def _midline_direction(segs, m, stiff_pct):
     return jnp.where(norm > 0, d / norm, d)
 
 
-def _post_process(segs, hts, m, prev_move, spec: PostureSpec):
-    """Midline::post_process: orientation toward the previous movement
-    direction + stiff straightening (Outline.cpp:890-1010). prev_move
-    is the caller's movement_direction (host: -previous posture dir;
-    zeros = none). Returns (segs, hts, direction_after)."""
+def _stiff_variant(segs, hts, m, do_rev: bool, spec: PostureSpec):
+    """One orientation variant of Midline::post_process's tail: the
+    (static) reversal followed by stiff-percentage straightening
+    (Outline.cpp:890-1010). The orientation DECISION (previous
+    movement direction) is applied afterwards as an elementwise
+    select between the two precomputed variants — that turns the
+    per-frame posture recurrence into a trivially cheap scan and lets
+    the expensive walk/straightening batch over every (frame, fish)
+    lane at once. Stiff straightening preserves each segment's length,
+    so the normalized midline LENGTH is variant-independent; the
+    direction/angle are not."""
     K = segs.shape[0]
     idx = jnp.arange(K)
-    needs_invert = jnp.bool_(not spec.invert)
-    direction = _midline_direction(segs, m, spec.stiff_pct)
-    d = jnp.where(needs_invert, direction, -direction)
-    has_move = jnp.any(prev_move != 0)
-    mvn = jnp.hypot(prev_move[0], prev_move[1])
-    mv = jnp.where(mvn > 0, prev_move / jnp.maximum(mvn, 1e-12),
-                   prev_move)
-    dot_pos = jnp.clip(jnp.sum(d * mv), -1.0, 1.0)
-    flip = has_move & (mvn > 0) & (jnp.arccos(-dot_pos)
-                                   < jnp.arccos(dot_pos))
-    needs_invert = jnp.where(flip, ~needs_invert, needs_invert)
-
-    do_rev = jnp.where(needs_invert,
-                       jnp.bool_(not spec.start_with_head),
-                       jnp.bool_(spec.start_with_head))
-    rev = jnp.clip(m - 1 - idx, 0, K - 1)
-    segs = jnp.where(do_rev, segs[rev], segs)
-    hts = jnp.where(do_rev, hts[rev], hts)
-
+    if do_rev:
+        rev = jnp.clip(m - 1 - idx, 0, K - 1)
+        segs = segs[rev]
+        hts = hts[rev]
     if spec.stiff_pct > 0:
         mf = m.astype(jnp.float32)
         center = jnp.minimum(
@@ -533,14 +556,13 @@ def _post_process(segs, hts, m, prev_move, spec: PostureSpec):
         count = jnp.sum(use)
         axis = jnp.where(count > 0, axis / jnp.maximum(count, 1), axis)
 
-        copy = segs
-        seg_len = jnp.hypot(copy[:, 0] - jnp.roll(copy, 1, 0)[:, 0],
-                            copy[:, 1] - jnp.roll(copy, 1, 0)[:, 1])
+        seg_len = jnp.hypot(segs[:, 0] - jnp.roll(segs, 1, 0)[:, 0],
+                            segs[:, 1] - jnp.roll(segs, 1, 0)[:, 1])
 
         def sbody(st):
             i, segs = st
             p1 = segs[jnp.clip(i, 0, K - 1)]
-            sl = seg_len[jnp.clip(i, 0, K - 1)]   # |copy[i]-copy[i-1]|
+            sl = seg_len[jnp.clip(i, 0, K - 1)]
             dtc = segs[jnp.clip(i - 1, 0, K - 1)] - center_point
             n1 = jnp.hypot(dtc[0], dtc[1])
             dtc = jnp.where(n1 > 0, dtc / jnp.maximum(n1, 1e-12), dtc)
@@ -554,7 +576,7 @@ def _post_process(segs, hts, m, prev_move, spec: PostureSpec):
 
         _, segs = jax.lax.while_loop(
             lambda st: st[0] > 0, sbody, (center, segs))
-    return segs, hts, do_rev
+    return segs, hts
 
 
 def _normalize_len(segs, m, spec: PostureSpec):
@@ -594,72 +616,160 @@ def _normalize_len(segs, m, spec: PostureSpec):
 # full chain per blob, with threshold escalation
 # ---------------------------------------------------------------------------
 
-def _chain_once(diff, in_run, thr, prev_move, spec: PostureSpec):
-    """One threshold's outline -> midline. Returns (ok, length, angle,
-    dir (2,), comp_pixels, overflow)."""
+# ---------------------------------------------------------------------------
+# chain through the walk (+ escalation) and the orientation select
+# ---------------------------------------------------------------------------
+
+def _chain_to_walk(diff, in_run, thr, spec: PostureSpec):
+    """One threshold's outline -> midline WALK (everything orientation-
+    independent). Returns (ok, segs (K, 2), hts (K,), mcnt, comp_px,
+    overflow). ok mirrors the host's midline-succeeded condition
+    (peaks exist, >2 walk segments, positive raw length — stiff
+    straightening preserves segment lengths, so the normalize check is
+    decidable here).
+
+    The stages after each `lax.while_loop` sit behind data-dependent
+    `lax.cond`s. Besides matching the host's early exits, the cond
+    boundary is LOAD-BEARING for performance on the target backend:
+    without it the loop optimizer sinks the downstream fusions INTO
+    the preceding while's body, re-running the whole outline pipeline
+    once per trace step (measured 62 ms/frame vs 0.05 on the same
+    chip; optimization_barrier does NOT stop the sinking pass)."""
+    K = spec.max_outline // 2 + 4
     keep = jnp.where(thr > 0, diff >= thr, in_run)
     dense, comp_px, ov1 = _biggest_component(keep, spec)
-    tr, n_tr, ov2 = _trace4(dense, spec)
-    rs, L, ov3 = _resample(tr, n_tr, spec) if spec.resample_d > 0 \
-        else (tr, n_tr, jnp.bool_(False))
-    enough = (n_tr >= 3) & (L >= 3)
-    sm = _smooth(rs, L, spec)
-    cw = _make_clockwise(sm, L)
-    ap = _eft_approx(cw, L, spec)
-    tail, head, has_peak = _tail_head(ap, L, spec)
-    Lc = jnp.maximum(L, 1)
-    rot = ap[jnp.mod(jnp.arange(ap.shape[0]) + tail, Lc)]
-    segs, hts, mcnt = _midline_walk(rot, L, spec)
-    walk_ok = mcnt > 2
-    segs, hts, _ = _post_process(segs, hts, mcnt, prev_move, spec)
-    norm_ok, length = _normalize_len(segs, mcnt, spec)
-    direction = _midline_direction(segs, mcnt, spec.stiff_pct)
-    angle = jnp.arctan2(direction[1], direction[0])
-    ok = enough & has_peak & walk_ok & norm_ok
-    overflow = ov1 | ov2 | ov3
-    return ok, length, angle, direction, comp_px, overflow
+
+    def fail(ov):
+        def f():
+            return (jnp.bool_(False), jnp.zeros((K, 2), jnp.float32),
+                    jnp.zeros(K, jnp.float32),
+                    jnp.asarray(0, jnp.int32), ov)
+        return f
+
+    def after_cc():
+        tr, n_tr, ov2 = _trace4(dense, spec)
+
+        def after_trace():
+            rs, L, ov3 = _resample(tr, n_tr, spec) \
+                if spec.resample_d > 0 \
+                else (tr, n_tr, jnp.bool_(False))
+            enough = L >= 3
+            sm = _smooth(rs, L, spec)
+            cw = _make_clockwise(sm, L)
+            ap = _eft_approx(cw, L, spec)
+            tail, head, has_peak = _tail_head(ap, L, spec)
+            Lc = jnp.maximum(L, 1)
+            rot = ap[jnp.mod(jnp.arange(ap.shape[0]) + tail, Lc)]
+            segs, hts, mcnt = _midline_walk(rot, L, spec)
+
+            def after_walk():
+                d = jnp.roll(segs, -1, axis=0) - segs
+                lens = jnp.where(jnp.arange(K) + 1 < mcnt,
+                                 jnp.hypot(d[:, 0], d[:, 1]), 0.0)
+                ok = enough & has_peak & (jnp.sum(lens) > 0)
+                return ok, segs, hts, mcnt, ov2 | ov3
+
+            return jax.lax.cond(mcnt > 2, after_walk,
+                                fail(ov2 | ov3))
+
+        return jax.lax.cond(n_tr >= 3, after_trace, fail(ov2))
+
+    ok, segs, hts, mcnt, ov_d = jax.lax.cond(
+        comp_px >= 1, after_cc, fail(jnp.bool_(False)))
+    return ok, segs, hts, mcnt, comp_px, ov1 | ov_d
+
+
+def _escalate_to_walk(diff, in_run, npix, active, spec: PostureSpec):
+    """Threshold escalation around _chain_to_walk
+    (Posture.cpp:305-410: +2 per retry up to +100, stop when the
+    midline succeeds or the biggest component drops under
+    num_pixels/10). Returns (ok, segs, hts, mcnt, overflow)."""
+    K = spec.max_outline // 2 + 4
+    base = spec.threshold
+    min_px = jnp.maximum(1, npix // 10)
+
+    def body(st):
+        _, thr, ok0, segs0, hts0, m0, alive, ov0 = st
+        ok, segs, hts, mcnt, comp_px, ov = _chain_to_walk(
+            diff, in_run, thr, spec)
+        nonempty = comp_px >= 1
+        ok = ok & nonempty
+        alive2 = nonempty & ~ok & (comp_px >= min_px) \
+            & (thr + 2 < base + 100)
+        return (ok, thr + 2,
+                ok | ok0,
+                jnp.where(ok, segs, segs0),
+                jnp.where(ok, hts, hts0),
+                jnp.where(ok, mcnt, m0),
+                alive2, ov0 | ov)
+
+    st0 = (jnp.bool_(False), jnp.asarray(base, jnp.int32),
+           jnp.bool_(False), jnp.zeros((K, 2), jnp.float32),
+           jnp.zeros(K, jnp.float32), jnp.asarray(0, jnp.int32),
+           active, jnp.bool_(False))
+    st = jax.lax.while_loop(lambda st: (~st[0]) & st[6], body, st0)
+    _, _, ok, segs, hts, mcnt, _, overflow = st
+    return ok & active, segs, hts, mcnt, overflow & active
+
+
+def _post_norm_both(segs, hts, mcnt, spec: PostureSpec):
+    """Both orientation variants' post-process + normalize for one
+    lane. Returns dict with dir_entry (2,) (the pre-reversal
+    direction that drives the host's inversion decision) and per
+    variant (fwd/rev): length, angle, dir."""
+    dir_entry = _midline_direction(segs, mcnt, spec.stiff_pct)
+    out = dict(dir_entry=dir_entry)
+    for name, do_rev in (("fwd", False), ("rev", True)):
+        s2, _ = _stiff_variant(segs, hts, mcnt, do_rev, spec)
+        norm_ok, length = _normalize_len(s2, mcnt, spec)
+        direction = _midline_direction(s2, mcnt, spec.stiff_pct)
+        out[name] = dict(
+            length=jnp.where(norm_ok, length, 0.0),
+            angle=jnp.arctan2(direction[1], direction[0]),
+            dir=direction, norm_ok=norm_ok)
+    return out
+
+
+def _orient_select(dir_entry, prev_move, fwd, rev,
+                   spec: PostureSpec):
+    """Midline::post_process's orientation decision as an elementwise
+    select between the precomputed variants. All inputs may carry
+    leading batch dims; prev_move is the movement direction the host
+    passes (= -previous posture dir; zeros = none)."""
+    needs0 = not spec.invert
+    d = dir_entry if needs0 else -dir_entry
+    mvn = jnp.hypot(prev_move[..., 0], prev_move[..., 1])
+    mv = prev_move / jnp.maximum(mvn, 1e-12)[..., None]
+    has_move = jnp.any(prev_move != 0, axis=-1) & (mvn > 0)
+    dot = jnp.clip(jnp.sum(d * mv, axis=-1), -1.0, 1.0)
+    flip = has_move & (jnp.arccos(-dot) < jnp.arccos(dot))
+    needs_invert = jnp.where(flip, not needs0, needs0)
+    do_rev = needs_invert != spec.start_with_head
+    length = jnp.where(do_rev, rev["length"], fwd["length"])
+    angle = jnp.where(do_rev, rev["angle"], fwd["angle"])
+    direction = jnp.where(do_rev[..., None], rev["dir"], fwd["dir"])
+    ok_n = jnp.where(do_rev, rev["norm_ok"], fwd["norm_ok"])
+    return length, angle, direction, ok_n
 
 
 def posture_blob(frame, background, bi, bx0i, by0i,
                  runs_y, runs_x0, runs_x1, runs_slot,
                  prev_move, active, spec: PostureSpec):
     """Posture of blob `bi` with threshold escalation
-    (Posture.cpp:305-410): base threshold, +2 per retry up to +100,
-    stop when the midline succeeds or the biggest component shrinks
-    under num_pixels/10. `active=False` lanes return immediately.
-
+    (Posture.cpp:305-410). `active=False` lanes return immediately.
     Returns dict(ok, length, angle, dir (2,), overflow)."""
     diff, in_run, npix = _crop_blob(frame, background, bi, bx0i, by0i,
                                     runs_y, runs_x0, runs_x1,
                                     runs_slot, spec)
-    base = spec.threshold
-    min_px = jnp.maximum(1, npix // 10)
-
-    def body(st):
-        _, thr, ok0, len0, ang0, dir0, alive, ov0 = st
-        ok, length, angle, direction, comp_px, ov = _chain_once(
-            diff, in_run, thr, prev_move, spec)
-        nonempty = comp_px >= 1
-        ok = ok & nonempty
-        # after this attempt: stop when done, component too small, or
-        # threshold cap (host increments then checks)
-        alive2 = nonempty & ~ok & (comp_px >= min_px) \
-            & (thr + 2 < base + 100)
-        return (ok, thr + 2,
-                jnp.where(ok, ok, ok0),
-                jnp.where(ok, length, len0),
-                jnp.where(ok, angle, ang0),
-                jnp.where(ok, direction, dir0),
-                alive2, ov0 | ov)
-
-    st0 = (jnp.bool_(False), jnp.asarray(base, jnp.int32),
-           jnp.bool_(False), jnp.float32(0), jnp.float32(0),
-           jnp.zeros(2, jnp.float32), active, jnp.bool_(False))
-    st = jax.lax.while_loop(
-        lambda st: (~st[0]) & st[6], body, st0)
-    done, _, ok, length, angle, direction, _, overflow = st
-    return dict(ok=ok & active, length=length, angle=angle,
-                dir=direction, overflow=overflow & active)
+    ok, segs, hts, mcnt, overflow = _escalate_to_walk(
+        diff, in_run, npix, active, spec)
+    both = _post_norm_both(segs, hts, mcnt, spec)
+    length, angle, direction, ok_n = _orient_select(
+        both["dir_entry"], prev_move, both["fwd"], both["rev"], spec)
+    ok = ok & ok_n
+    return dict(ok=ok, length=jnp.where(ok, length, 0.0),
+                angle=jnp.where(ok, angle, 0.0),
+                dir=direction, overflow=overflow)
 
 
 def make_posture_batch(spec: PostureSpec):
@@ -674,3 +784,62 @@ def make_posture_batch(spec: PostureSpec):
 
     return jax.vmap(one, in_axes=(None, None, 0, 0, 0,
                                   None, None, None, None, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# chunk-batched posture: every (frame, fish) lane at once
+# ---------------------------------------------------------------------------
+
+def posture_lanes_batched(frames, background, bi, bx0, by0,
+                          runs_y, runs_x0, runs_x1, runs_slot,
+                          active, spec: PostureSpec):
+    """Walk-inclusive chain for ALL (T, F) lanes in one batched
+    program (double vmap), then both orientation variants per lane.
+
+    Batching the chunk's lanes into ONE set of while loops is the
+    performance design: on the target backend each while ITERATION
+    carries a large fixed overhead regardless of lane count (measured
+    ~2 ms/iteration at 256 lanes and the same at 16k), so running the
+    walk once for 16k lanes instead of 64 times for 256 amortizes it
+    64x. The orientation decision that couples consecutive frames is
+    deferred to posture_select_scan (elementwise).
+
+    frames (T, H, W); runs_* (T, R); bi/bx0/by0/active (T, F).
+    Returns dict of (T, F[, ...]) arrays: ok, overflow, dir_entry,
+    fwd/rev variants."""
+    def lane(frame_img, ry, rx0, rx1, rslot, b, x0, y0, act):
+        diff, in_run, npix = _crop_blob(frame_img, background, b,
+                                        x0, y0, ry, rx0, rx1, rslot,
+                                        spec)
+        ok, segs, hts, mcnt, overflow = _escalate_to_walk(
+            diff, in_run, npix, act, spec)
+        both = _post_norm_both(segs, hts, mcnt, spec)
+        return dict(ok=ok, overflow=overflow,
+                    dir_entry=both["dir_entry"],
+                    fwd=both["fwd"], rev=both["rev"])
+
+    over_f = jax.vmap(lane, in_axes=(None, None, None, None, None,
+                                     0, 0, 0, 0))
+    over_tf = jax.vmap(over_f, in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0))
+    return over_tf(frames, runs_y, runs_x0, runs_x1, runs_slot,
+                   bi, bx0, by0, active)
+
+
+def posture_select_scan(out, pdir0, spec: PostureSpec):
+    """Frame-sequential orientation selection: walks the per-fish
+    previous-midline-direction carry (engine._posture_dir) through
+    the chunk, picking each lane's precomputed variant. Everything is
+    elementwise — the scan body holds no loops.
+
+    Returns (p_len, p_ang, p_ok (T, F), p_dir (T, F, 2), pdir_final)."""
+    def step(pdir, x):
+        length, angle, direction, ok_n = _orient_select(
+            x["dir_entry"], -pdir, x["fwd"], x["rev"], spec)
+        ok = x["ok"] & ok_n
+        pdir2 = jnp.where(ok[:, None], direction, pdir)
+        return pdir2, (jnp.where(ok, length, 0.0),
+                       jnp.where(ok, angle, 0.0), ok, pdir2)
+
+    pdir_final, (p_len, p_ang, p_ok, p_dir) = jax.lax.scan(
+        step, pdir0, out)
+    return p_len, p_ang, p_ok, p_dir, pdir_final

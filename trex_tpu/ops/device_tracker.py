@@ -471,6 +471,27 @@ _track_scan_carry = partial(
     jax.jit, static_argnames=("P", "split_spec"))(_scan_impl)
 
 
+def launch_resilient(fn, *args, **kw):
+    """Call a jitted launch, retrying once through jax.clear_caches()
+    on executable corruption. The remote-compile relay backend of
+    this deployment corrupts a program's live executable once a
+    second near-identical shape of the same program is compiled —
+    subsequent executions fail with a parameter/buffer size or count
+    mismatch; a fresh compile after clear_caches recovers
+    deterministically (measured; see track/device_engine
+    _resilient_get for the packed-path twin of this guard)."""
+    for attempt in range(3):
+        try:
+            return fn(*args, **kw)
+        except Exception as e:  # noqa: BLE001 - backend-specific
+            msg = str(e)
+            retryable = ("buffer" in msg or "INVALID_ARGUMENT" in msg
+                         or "parameter" in msg)
+            if attempt == 2 or not retryable:
+                raise
+            jax.clear_caches()
+
+
 def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
                P: TrackParams, carry0: dict = None, frames=None,
                background=None, split_spec=None) -> dict:
@@ -479,8 +500,9 @@ def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
     for the splice replay; see track/device_engine.py)."""
     if carry0 is None:
         carry0 = _init_carry(P, frames_idx[0], times[0])
-    hist, final = _track_scan_carry(det, times, frames_idx, P, carry0,
-                                    frames, background, split_spec)
+    hist, final = launch_resilient(
+        _track_scan_carry, det, times, frames_idx, P, carry0,
+        frames, background, split_spec)
     hist["final_carry"] = final
     return hist
 
@@ -717,45 +739,40 @@ def scan_packed(det_packed: jax.Array, aux: jax.Array,
 
 def _posture_scan(frames, background, det, hist, pdir0,
                   P: TrackParams, spec):
-    """Per-frame posture pass over the tracking scan's assignments
-    (the host engine's _run_posture_batch, vmapped over fish lanes).
-    The previous-midline-direction carry crosses frames like the
-    engine's _posture_dir; lanes the device cannot do exactly (split
-    children without run tables, crops beyond the caps, trace
-    overflows) escalate the FRAME to needs_host — the standard assist
-    replays tracking + posture on the host."""
-    from .device_posture import make_posture_batch
+    """Posture pass over the tracking scan's assignments (the host
+    engine's _run_posture_batch). All (frame, fish) lanes run through
+    ONE batched chain (ops/device_posture.posture_lanes_batched) — the
+    while-loop iteration overhead on the target backend is lane-count
+    independent, so batching the chunk amortizes it by T — and the
+    frame-sequential previous-midline-direction carry reduces to an
+    elementwise variant select (posture_select_scan). Lanes the device
+    cannot do exactly (split children without run tables, crops beyond
+    the caps, trace overflows) escalate the FRAME to needs_host — the
+    standard assist replays tracking + posture on the host."""
+    from .device_posture import (posture_lanes_batched,
+                                 posture_select_scan)
 
-    F = P.max_fish
-    pb = make_posture_batch(spec)
     B = det["bx0"].shape[1]
     CW, CH = spec.crop_w, spec.crop_h
-
-    def pstep(pdir, inp):
-        (f_row, f_child, frame_img, ry, rx0, rx1, rslot,
-         bx0, by0, bx1, by1) = inp
-        assigned = f_row >= 0
-        bi = jnp.clip(f_row, 0, B - 1).astype(jnp.int32)
-        too_big = (bx1[bi] - bx0[bi] + 3 > CW) \
-            | (by1[bi] - by0[bi] + 3 > CH)
-        active = assigned & ~f_child & ~too_big
-        out = pb(frame_img, background, bi, bx0[bi], by0[bi],
-                 ry, rx0, rx1, rslot, -pdir.astype(jnp.float32),
-                 active)
-        host = jnp.any(assigned & (f_child | too_big
-                                   | out["overflow"]))
-        pdir2 = jnp.where(out["ok"][:, None], out["dir"], pdir)
-        return pdir2, dict(p_len=out["length"], p_ang=out["angle"],
-                           p_ok=out["ok"], p_dir=pdir2, p_host=host)
-
-    inputs = (hist["fish_row"], hist["fish_child"], frames,
-              det["runs_y"], det["runs_x0"], det["runs_x1"],
-              det["runs_slot"], det["bx0"], det["by0"],
-              det["bx1"], det["by1"])
-    _, ph = jax.lax.scan(pstep, pdir0, inputs)
-    hist.update(p_len=ph["p_len"], p_ang=ph["p_ang"],
-                p_ok=ph["p_ok"], p_dir=ph["p_dir"])
-    hist["needs_host"] = hist["needs_host"] | ph["p_host"]
+    f_row = hist["fish_row"]                      # (T, F)
+    assigned = f_row >= 0
+    bi = jnp.clip(f_row, 0, B - 1).astype(jnp.int32)
+    bx0 = jnp.take_along_axis(det["bx0"], bi, axis=1)
+    by0 = jnp.take_along_axis(det["by0"], bi, axis=1)
+    bx1 = jnp.take_along_axis(det["bx1"], bi, axis=1)
+    by1 = jnp.take_along_axis(det["by1"], bi, axis=1)
+    too_big = (bx1 - bx0 + 3 > CW) | (by1 - by0 + 3 > CH)
+    active = assigned & ~hist["fish_child"] & ~too_big
+    out = posture_lanes_batched(
+        frames, background, bi, bx0, by0,
+        det["runs_y"], det["runs_x0"], det["runs_x1"],
+        det["runs_slot"], active, spec)
+    p_len, p_ang, p_ok, p_dir, _ = posture_select_scan(
+        out, pdir0.astype(jnp.float32), spec)
+    host = jnp.any(assigned & (hist["fish_child"] | too_big
+                               | out["overflow"]), axis=1)
+    hist.update(p_len=p_len, p_ang=p_ang, p_ok=p_ok, p_dir=p_dir)
+    hist["needs_host"] = hist["needs_host"] | host
     return hist
 
 
