@@ -198,3 +198,67 @@ def test_cli_track_device_engine(tmp_path):
     assert npz.exists()
     d = np.load(npz)
     assert d["fish_seen"].any()
+
+
+def test_device_engine_multirange_size_filter():
+    """Multi-range track_size_filter: the host drops gap-size blobs
+    (in no range and below the max range's lo — 'small' in
+    build_candidates) before matching; the device's collapsed
+    [min, max] pair used to keep them matchable, silently diverging.
+    Fish 0's blob vanishes and a gap-size decoy appears at its
+    expected position — both engines must leave fish 0 unmatched."""
+    n = 2
+    s = _settings(n)
+    s.set("track_size_filter", [[10, 45], [100, 400]])
+    frames = []
+    for f in range(30):
+        img = np.full((256, 256), 200, np.uint8)
+        if f < 15:
+            # in-range fish 0 (4x8 = 32 px), moving right
+            img[40:44, 30 + 2 * f:38 + 2 * f] = 80
+        else:
+            # gap-size decoy (6x10 = 60 px: in no range, < max lo)
+            # parked exactly on fish 0's extrapolated path
+            img[38:44, 28 + 2 * f:38 + 2 * f] = 80
+        # in-range fish 1, far away
+        img[200:204, 30 + 2 * f:38 + 2 * f] = 80
+        frames.append(img)
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    s2 = _settings(n)
+    s2.set("track_size_filter", [[10, 45], [100, 400]])
+    # the pv/blob path filters in the host candidate table already;
+    # the FUSED frames path must apply the same in-any-range test in
+    # the scan itself
+    from trex_tpu.track.device_engine import DeviceTracker
+
+    dev = DeviceTracker(s2, bg, chunk=10).track_frames(
+        np.stack(frames))
+    _compare_history(host, dev, len(frames))
+    # the decoy must never be matched by either engine
+    for f in range(15, 30):
+        hd = dev.history.get(f)
+        if hd is None:
+            continue
+        for fid, x in zip(hd["fish"], hd["x"]):
+            if int(fid) == 0:
+                assert float(x) < 28 + 2 * 15, (f, x)
+
+
+def test_device_fused_multirange_detect_filter():
+    """Multi-range detect_size_filter on the fused frames path: a
+    gap-size blob must be dropped by the on-device detection like the
+    host pipeline drops it (pipeline._detect_frame's in-any-range
+    test), so no individual is ever created for it."""
+    from trex_tpu.track.device_engine import DeviceTracker
+
+    s = _settings(1)
+    s.set("detect_size_filter", [[10, 45], [100, 400]])
+    frames = []
+    for _ in range(8):
+        img = np.full((128, 128), 200, np.uint8)
+        img[60:66, 50:60] = 80       # 60 px: in no detect range
+        frames.append(img)
+    bg = np.full((128, 128), 200, np.uint8)
+    dev = DeviceTracker(s, bg, chunk=8).track_frames(np.stack(frames))
+    assert dev.n_fish == 0, dev.n_fish

@@ -195,28 +195,32 @@ def main(argv=None) -> int:
         if done % 50 == 0 or done == total:
             print(f"\r[{task}] {done}/{total}", end="", flush=True)
 
-    if task == "rst":
-        # `-task rst`: dump the parameter documentation (main.cpp:92-106)
-        import importlib.util as _ilu
-        from pathlib import Path as _P
-
-        spec = _ilu.spec_from_file_location(
-            "settings_docs",
-            _P(__file__).resolve().parents[2] / "tools" / "settings_docs.py")
-        mod = _ilu.module_from_spec(spec)
-        spec.loader.exec_module(mod)
-        out = out_base / "parameters_trex.rst"
-        out_base.mkdir(parents=True, exist_ok=True)
-        out.write_text(mod.generate_rst())
-        print(f"[rst] wrote {out}")
-        return 0
-
-    # a fresh run must not inherit stage-timing records from earlier
-    # in-process runs (tests/run_harness invoke main() repeatedly)
-    from ..utils.timing import global_collector as _gc
-    _gc().clear()
-
     try:
+        if task == "rst":
+            # `-task rst`: dump the parameter documentation
+            # (main.cpp:92-106); inside the try so the finally below
+            # restores the log tee on this path too
+            import importlib.util as _ilu
+            from pathlib import Path as _P
+
+            spec = _ilu.spec_from_file_location(
+                "settings_docs",
+                _P(__file__).resolve().parents[2] / "tools"
+                / "settings_docs.py")
+            mod = _ilu.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            out = out_base / "parameters_trex.rst"
+            out_base.mkdir(parents=True, exist_ok=True)
+            out.write_text(mod.generate_rst())
+            print(f"[rst] wrote {out}")
+            return 0
+
+        # a fresh run must not inherit stage-timing records from
+        # earlier in-process runs (tests/run_harness invoke main()
+        # repeatedly)
+        from ..utils.timing import global_collector as _gc
+        _gc().clear()
+
         return _run_task(task, source, name, out_base, data_dir, s,
                          sig, args, auto_quit, load, matching_log,
                          progress)

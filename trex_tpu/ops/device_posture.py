@@ -110,26 +110,15 @@ def _crop_blob(frame, background, bi, bx0i, by0i,
                runs_y, runs_x0, runs_x1, runs_slot,
                spec: PostureSpec):
     """Blob-masked diff crop, origin = bbox - 1 (to_dense(pad=1)).
-    Returns (diff (CH, CW) i32, in_run bool, npix i32)."""
-    H, W = frame.shape
-    CH, CW = spec.crop_h, spec.crop_w
-    ox = bx0i - 1
-    oy = by0i - 1
-    gy = oy + jnp.arange(CH, dtype=jnp.int32)[:, None]
-    gx = ox + jnp.arange(CW, dtype=jnp.int32)[None, :]
-    inb = (gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)
-    gyc = jnp.clip(gy, 0, H - 1)
-    gxc = jnp.clip(gx, 0, W - 1)
-    img = jnp.where(inb, frame[gyc, gxc], 0).astype(jnp.int32)
-    bgc = jnp.where(inb, background[gyc, gxc], 0).astype(jnp.int32)
+    Returns (diff (CH, CW) i32, in_run bool, npix i32). Window fetch +
+    run painting shared with the split executor (_crop_window); only
+    the diff semantics differ (the posture chain masks the DIFF, the
+    executor masks the IMAGE)."""
+    from .device_split import _crop_window
 
-    mine = runs_slot == bi
-    row = jnp.clip(jnp.where(mine, runs_y - oy, CH), 0, CH)
-    c0 = jnp.clip(jnp.where(mine, runs_x0 - ox, CW), 0, CW)
-    c1 = jnp.clip(jnp.where(mine, runs_x1 - ox + 1, CW), 0, CW)
-    acc = jnp.zeros((CH + 1, CW + 1), jnp.int32)
-    acc = acc.at[row, c0].add(1).at[row, c1].add(-1)
-    in_run = jnp.cumsum(acc[:CH, :CW], axis=1) > 0
+    img, bgc, in_run, mine, _, _ = _crop_window(
+        frame, background, bi, bx0i, by0i,
+        runs_y, runs_x0, runs_x1, runs_slot, spec.crop_h, spec.crop_w)
     npix = jnp.sum(jnp.where(mine, runs_x1 - runs_x0 + 1, 0))
 
     if spec.absolute:

@@ -64,7 +64,7 @@ def _run_sample_min_d2(fish_x, fish_y, runs_y, runs_x0, runs_x1,
 
     fish_x/fish_y: (F,) f32. runs_*: (R,) int32, slot == B for padding.
     step_b: (B,) int32 interior step per blob; count_b: (B,) int32 run
-    count per blob. Returns (md2 (F, B) f32, step_marginal bool).
+    count per blob. Returns md2 (F, B) f32.
     """
     R = runs_y.shape[0]
     valid = runs_slot < B
@@ -268,7 +268,15 @@ def expectation_counts(fish_x, fish_y, fish_valid,
         jnp.where(exhausted, orig_best, B), num_segments=B + 1)[:B]
     expect = cnt + ((cnt > 0) & (owner >= 0)).astype(jnp.int32)
     expect = jnp.where(any_contested, expect, 0)
-    marginal = marginal & any_contested
+    # Skip deferral only when even the EPS-widened near sets leave
+    # every blob uncontested: host-near (f64) is a subset of eps-near,
+    # so an uncontested-eps frame cannot split on the host either.
+    # Masking with the STRICT contested test would erase the boundary
+    # flag exactly when the boundary decision determines contestedness
+    # (f32 rounds a bbox distance just above max_d -> near count 1).
+    near_eps = ok & (bbd <= max_d + EPS_D)
+    contested_eps = jnp.any(jnp.sum(near_eps, axis=0) >= 2)
+    marginal = marginal & contested_eps
     return expect, marginal
 
 
@@ -336,13 +344,16 @@ def _cc_run_labels(ry, rx0, rx1, valid, R: int):
     return L[:R]
 
 
-def _crop_diff(frame, background, bi, bx0i, by0i,
-               runs_y, runs_x0, runs_x1, runs_slot, spec: SplitSpec):
-    """Masked diff crop for the escalation scan (native
-    trex_split_execute's img/bgcrop/diff build, in global frame
-    coordinates; origin = bbox - 1 like to_dense(pad=1))."""
+def _crop_window(frame, background, bi, bx0i, by0i,
+                 runs_y, runs_x0, runs_x1, runs_slot,
+                 crop_h: int, crop_w: int):
+    """Shared crop-window builder: fetch the (crop_h, crop_w) image +
+    background windows at origin bbox - 1 (to_dense(pad=1)) and paint
+    blob `bi`'s runs into an in_run mask (start/stop scatter +
+    cumsum). Callers apply their own diff semantics on top (the split
+    executor masks the IMAGE, the posture chain masks the DIFF)."""
     H, W = frame.shape
-    CH, CW = spec.crop_h, spec.crop_w
+    CH, CW = crop_h, crop_w
     ox = bx0i - 1
     oy = by0i - 1
     gy = oy + jnp.arange(CH, dtype=jnp.int32)[:, None]
@@ -353,7 +364,6 @@ def _crop_diff(frame, background, bi, bx0i, by0i,
     img = jnp.where(inb, frame[gyc, gxc], 0).astype(jnp.int32)
     bgc = jnp.where(inb, background[gyc, gxc], 0).astype(jnp.int32)
 
-    # paint the blob's runs into the crop (start/stop scatter + cumsum)
     mine = runs_slot == bi
     row = jnp.where(mine, runs_y - oy, CH)
     row = jnp.clip(row, 0, CH)            # foreign/padded runs -> dump
@@ -362,7 +372,17 @@ def _crop_diff(frame, background, bi, bx0i, by0i,
     acc = jnp.zeros((CH + 1, CW + 1), jnp.int32)
     acc = acc.at[row, c0].add(1).at[row, c1].add(-1)
     in_run = jnp.cumsum(acc[:CH, :CW], axis=1) > 0
+    return img, bgc, in_run, mine, ox, oy
 
+
+def _crop_diff(frame, background, bi, bx0i, by0i,
+               runs_y, runs_x0, runs_x1, runs_slot, spec: SplitSpec):
+    """Masked diff crop for the escalation scan (native
+    trex_split_execute's img/bgcrop/diff build, in global frame
+    coordinates; origin = bbox - 1 like to_dense(pad=1))."""
+    img, bgc, in_run, _, ox, oy = _crop_window(
+        frame, background, bi, bx0i, by0i,
+        runs_y, runs_x0, runs_x1, runs_slot, spec.crop_h, spec.crop_w)
     imgm = jnp.where(in_run, img, bgc)
     if spec.absolute:
         diff = jnp.where(imgm != 0, jnp.abs(imgm - bgc), 0)

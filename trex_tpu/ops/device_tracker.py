@@ -77,6 +77,21 @@ class TrackParams(NamedTuple):
     do_posture: bool = False       # calculate_posture: the packed
     # carry grows a (F, 2) posture-direction section and the fused
     # program appends a posture scan (ops/device_posture)
+    size_ranges: tuple = ()        # full multi-range filters: the
+    # collapsed [min, max] pair is only exact for <=1 range, the host
+    # keeps in-ANY-range semantics (SizeFilters.in_range_of_one)
+    detect_size_ranges: tuple = ()
+
+
+def _in_size_ranges(size, ranges: tuple, lo: float, hi: float):
+    """In-any-range test matching the host SizeFilters.in_range_of_one;
+    the collapsed [lo, hi] fast path is exact when <= 1 range is set."""
+    if len(ranges) <= 1:
+        return (size >= lo) & (size <= hi)
+    ok = jnp.zeros(size.shape, bool)
+    for rlo, rhi in ranges:
+        ok = ok | ((size >= rlo) & (size <= rhi))
+    return ok
 
 
 def params_from_settings(s) -> TrackParams:
@@ -107,7 +122,10 @@ def params_from_settings(s) -> TrackParams:
         detect_size_min=float(dlo), detect_size_max=float(dhi),
         has_size_filter=bool(ranges),
         match_optimal=s["match_mode"] != "approximate",
-        do_posture=bool(s["calculate_posture"]))
+        do_posture=bool(s["calculate_posture"]),
+        size_ranges=tuple((float(a), float(b)) for a, b in ranges),
+        detect_size_ranges=tuple((float(a), float(b))
+                                 for a, b in dranges))
 
 
 def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
@@ -189,7 +207,8 @@ def _scan_impl(det: dict, times: jax.Array,
         has = (carry["last_frame"] > -(10 ** 8)) & created
         tdelta = jnp.maximum(time - carry["last_time"], 1e-6)
         size = rec * sq
-        in_range = (size >= P.size_min) & (size <= P.size_max)
+        in_range = _in_size_ranges(size, P.size_ranges,
+                                   P.size_min, P.size_max)
         at_start = frame == start_frame
         if use_dev_split:
             # with on-device splits, oversize rows are handled exactly
@@ -220,10 +239,18 @@ def _scan_impl(det: dict, times: jax.Array,
             recent = has & (carry["last_frame"].astype(jnp.float32)
                             >= frame - P.frame_rate * P.t_max)
             # the host candidate table drops `small` rows before the
-            # expectation sees it (build_candidates classification)
+            # expectation sees it (build_candidates: keep = in-any-
+            # range | big, where big reduces to size > max_hi since
+            # the max range covers [max_lo, max_hi]). For <= 1 range
+            # that keep-test is exactly size >= lo — emit that form so
+            # the common case keeps its compiled-program cache key
             exp_ok = bvalid
             if P.has_size_filter:
-                exp_ok = exp_ok & (size >= P.size_min)
+                if len(P.size_ranges) <= 1:
+                    exp_ok = exp_ok & (size >= P.size_min)
+                else:
+                    exp_ok = exp_ok & (in_range
+                                       | (size > P.size_max))
             expect, marg = expectation_counts(
                 carry["last_x"].astype(jnp.float32),
                 carry["last_y"].astype(jnp.float32), recent,
@@ -295,7 +322,8 @@ def _scan_impl(det: dict, times: jax.Array,
             bvalid = jnp.concatenate(
                 [bvalid & ~split_rows, p_val])[perm]
             size = rec * sq
-            in_range = (size >= P.size_min) & (size <= P.size_max)
+            in_range = _in_size_ranges(size, P.size_ranges,
+                                       P.size_min, P.size_max)
         bval = bvalid & in_range
 
         # on-device HistorySplit trigger (no split executor): frames
@@ -323,8 +351,13 @@ def _scan_impl(det: dict, times: jax.Array,
                 return jnp.full(B + 1, jnp.inf).at[slot].min(row)
 
             mind2 = jax.vmap(min_per_blob)(d2)[:, :B]   # (F, B)
-            r2 = P.split_radius * P.split_radius
-            near = (mind2 <= r2) & recent[:, None]
+            # widen the radius by the f32 guard (device_split.EPS_D):
+            # the carry positions are f32-packed and the distance is
+            # f32 arithmetic, so an exact-boundary host decision can
+            # round just outside — the trigger must stay a SUPERSET
+            # of the host expectation to keep the assist contract
+            r_eps = P.split_radius + 1e-3
+            near = (mind2 <= r_eps * r_eps) & recent[:, None]
             contested = (near.sum(axis=0) >= 2) & bvalid
             needs_host = needs_host | (
                 jnp.any(contested) & (frame != start_frame))
@@ -476,17 +509,18 @@ def launch_resilient(fn, *args, **kw):
     on executable corruption. The remote-compile relay backend of
     this deployment corrupts a program's live executable once a
     second near-identical shape of the same program is compiled —
-    subsequent executions fail with a parameter/buffer size or count
-    mismatch; a fresh compile after clear_caches recovers
-    deterministically (measured; see track/device_engine
-    _resilient_get for the packed-path twin of this guard)."""
+    subsequent executions fail with a buffer-count mismatch
+    ("Execution supplied 2 buffers but compiled program expected 3"
+    on CPU) or INVALID_ARGUMENT at transfer on the TPU; a fresh
+    compile after clear_caches recovers deterministically (measured).
+    track/device_engine's packed path wraps its launches through this
+    same guard."""
     for attempt in range(3):
         try:
             return fn(*args, **kw)
         except Exception as e:  # noqa: BLE001 - backend-specific
             msg = str(e)
-            retryable = ("buffer" in msg or "INVALID_ARGUMENT" in msg
-                         or "parameter" in msg)
+            retryable = "buffers" in msg or "INVALID_ARGUMENT" in msg
             if attempt == 2 or not retryable:
                 raise
             jax.clear_caches()
@@ -851,8 +885,9 @@ def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:
         if P is not None and (P.detect_size_min > 0
                               or P.detect_size_max != float("inf")):
             psize = n * sq
-            pok = pvalid & (psize >= P.detect_size_min) \
-                & (psize <= P.detect_size_max)
+            pok = pvalid & _in_size_ranges(
+                psize, P.detect_size_ranges,
+                P.detect_size_min, P.detect_size_max)
             Bp = n.shape[1]
             parent = jnp.minimum(ch["parent"], Bp)
             pok_pad = jnp.concatenate(
@@ -879,6 +914,13 @@ def detections_from_runcc(out: dict, P: TrackParams = None) -> dict:
             d["flag_size"] = jnp.where(pvalid, n, 0)
         return d
 
+    if P is not None and (P.detect_size_min > 0
+                          or P.detect_size_max != float("inf")):
+        # host pipeline drops out-of-range detections before the
+        # tracker ever sees them (pipeline._detect_frame)
+        pvalid = pvalid & _in_size_ranges(
+            n * sq, P.detect_size_ranges,
+            P.detect_size_min, P.detect_size_max)
     safe = jnp.maximum(n, 1)
     d = dict(
         cx=det["sum_x"] / safe, cy=det["sum_y"] / safe,

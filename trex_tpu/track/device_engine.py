@@ -128,28 +128,17 @@ class DeviceTracker:
 
     @staticmethod
     def _resilient_get(launch):
-        """Run a jitted scan launch and fetch its packed result,
-        retrying once through jax.clear_caches() on executable
-        corruption. The axon remote-compile relay corrupts a compiled
-        program's executable once a SECOND near-identical shape of the
-        same scan has been compiled: the second execution of each
-        fails with "Execution supplied 2 buffers but compiled program
-        expected 3" (CPU) / INVALID_ARGUMENT at transfer (TPU).
-        Clearing the jit cache and recompiling recovers deterministically
-        (measured); the sticky shape bucket in _flush keeps this to at
-        most one retry per bucket-growth event."""
+        """Run a jitted scan launch and fetch its packed result
+        through the shared relay-corruption retry guard
+        (ops/device_tracker.launch_resilient); the sticky shape bucket
+        in _flush keeps this to at most one retry per bucket-growth
+        event."""
         import jax
 
-        for attempt in range(3):
-            try:
-                return np.asarray(jax.device_get(launch()))
-            except Exception as e:  # noqa: BLE001 - backend-specific
-                msg = str(e)
-                retryable = ("buffers" in msg
-                             or "INVALID_ARGUMENT" in msg)
-                if attempt == 2 or not retryable:
-                    raise
-                jax.clear_caches()
+        from ..ops.device_tracker import launch_resilient
+
+        return launch_resilient(
+            lambda: np.asarray(jax.device_get(launch())))
 
     # -- pv / blob-list ingestion ---------------------------------------
 
@@ -217,6 +206,24 @@ class DeviceTracker:
         table, big = self._helper.build_candidates(*raw)
         return table, big, raw
 
+    @staticmethod
+    def _need_rows(tables: list, use_runs: bool):
+        """(B, R) row capacities the packed det array needs for these
+        tables: max blob count and max total run count per frame."""
+        B = max(1, max((t.n for t, _, _ in tables), default=1))
+        R = 0
+        if use_runs:
+            R = 1
+            for t, _, _ in tables:
+                tot = 0
+                for r in range(t.n):
+                    if t.objs[r] is not None:
+                        tot += len(t.objs[r].lines)
+                    else:
+                        tot += int(t.line_hi[r] - t.line_lo[r])
+                R = max(R, tot)
+        return B, R
+
     def _det_packed_from_tables(self, tables: list, pad_rows=None,
                                 pad_frames: int = 0,
                                 fix_rows: tuple = None):
@@ -235,18 +242,7 @@ class DeviceTracker:
         if fix_rows is not None:
             B, R = fix_rows
         else:
-            B = max(1, max((t.n for t, _, _ in tables), default=1))
-            R = 0
-            if use_runs:
-                R = 1
-                for t, _, _ in tables:
-                    tot = 0
-                    for r in range(t.n):
-                        if t.objs[r] is not None:
-                            tot += len(t.objs[r].lines)
-                        else:
-                            tot += int(t.line_hi[r] - t.line_lo[r])
-                    R = max(R, tot)
+            B, R = self._need_rows(tables, use_runs)
             if pad_rows is not None:
                 B = pad_rows(B)
                 if use_runs:
@@ -307,19 +303,8 @@ class DeviceTracker:
         # chunk (see _det_packed_from_tables on why the ladder of
         # shrinking shapes is unsafe on the relay backend, besides
         # costing a compile per rung)
-        B_need = max(1, max((t.n for t, _, _ in tables), default=1))
         use_runs = self.P.do_history_split and self.P.split_radius > 0
-        R_need = 0
-        if use_runs:
-            R_need = 1
-            for t, _, _ in tables:
-                tot = 0
-                for r in range(t.n):
-                    if t.objs[r] is not None:
-                        tot += len(t.objs[r].lines)
-                    else:
-                        tot += int(t.line_hi[r] - t.line_lo[r])
-                R_need = max(R_need, tot)
+        B_need, R_need = self._need_rows(tables, use_runs)
         self._bucket = (max(getattr(self, "_bucket", (1, 0, 1))[0],
                             pow2(B_need)),
                         max(getattr(self, "_bucket", (1, 0, 1))[1],
