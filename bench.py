@@ -53,6 +53,13 @@ def synth_frames(n_frames, n_fish=N_FISH, size=SIZE, seed=0):
         vel += rng.normal(0, 0.6, vel.shape)
         np.clip(vel, -4, 4, out=vel)
         pos += vel
+        # reflect at the walls: clipping makes fish STICK to the
+        # boundary and pile into many-way merged blobs there (a wall
+        # artifact, not 256 individuals swimming); bouncing keeps the
+        # density uniform while natural crossings still occur
+        over_lo = pos < 20
+        over_hi = pos > size - 25
+        vel[over_lo | over_hi] *= -1
         pos = np.clip(pos, 20, size - 25)
         for (x, y) in pos:
             xi, yi = int(x), int(y)
@@ -137,6 +144,7 @@ def bench_tracking_device():
 
     run()  # compile
     best, n_tracked, assists = 0.0, 0.0, 0
+    name = ""
     for _ in range(3):
         dt, tracker = run()
         fps = len(frames) / dt
@@ -145,7 +153,10 @@ def bench_tracking_device():
             n_tracked = np.mean([st.number_fish for st in
                                  tracker.statistics.values()])
             assists = len(tracker.assist_frames)
-    return best, n_tracked, assists, type(tracker).__name__
+            name = type(tracker).__name__ + (
+                "(demoted)" if getattr(tracker, "demoted", False)
+                else "")
+    return best, n_tracked, assists, name
 
 
 def bench_tracking_device_variant(mode="automatic", posture=False,

@@ -262,3 +262,28 @@ def test_device_fused_multirange_detect_filter():
     bg = np.full((128, 128), 200, np.uint8)
     dev = DeviceTracker(s, bg, chunk=8).track_frames(np.stack(frames))
     assert dev.n_fish == 0, dev.n_fish
+
+
+def test_device_engine_demotes_on_assist_storm():
+    """When assists dominate (every frame merge-contested), the
+    engine demotes to pure host tracking — history must still match
+    the host engine exactly and the demoted flag must be set (each
+    assist otherwise costs a device relaunch, making the hybrid far
+    slower than the host engine)."""
+    n = 2
+    s = _settings(n, split=True)
+    frames = []
+    for f in range(50):
+        # pair drifts right, merging every other frame: fish exist
+        # and every merged frame is split-contested, so the assist
+        # rate stays ~50% and crosses the demotion threshold
+        x = 60 + f
+        gap = 6 if f % 2 else 14
+        frames.append(_render([[x, 100], [x + gap, 100]]))
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    assert any(len(h["fish"]) for h in host.history.values())
+    s2 = _settings(n, split=True)
+    dev = _track_device_blobs(frames, bg, s2)
+    assert dev.demoted, (len(dev.assist_frames), dev._frames_done)
+    _compare_history(host, dev, len(frames))

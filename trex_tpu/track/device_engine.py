@@ -99,6 +99,20 @@ class DeviceTracker:
         self.frame_times: dict[int, float] = {}
         self.assist_frames: list[int] = []
 
+        # adaptive demotion: every assist costs a host replay PLUS a
+        # fresh device relaunch for the rest of the chunk, so a high
+        # assist rate makes the hybrid path far slower than the plain
+        # host engine (each relaunch pays the accelerator link's
+        # per-transfer latency). When the observed assist fraction
+        # crosses the threshold, the engine demotes — the spliced
+        # host FastTracker (the same one the assist replays through)
+        # tracks all remaining frames directly, which is frame-exact
+        # by construction and bounded below by host-engine speed.
+        self.demote_threshold = 0.25
+        self.demote_min_frames = 16
+        self.demoted = False
+        self._frames_done = 0
+
         self._carry_vec = None
         self._buf: list[tuple[int, float, list]] = []  # pv path
 
@@ -315,6 +329,11 @@ class DeviceTracker:
 
         i = 0
         while i < len(buf):
+            if self._maybe_demote(frames[i], times[i]):
+                for k in range(i, len(buf)):
+                    _, _, raw = tables[k]
+                    self._host_step(frames[k], times[k], raw)
+                break
             span = len(buf) - i
             packed, B, R = self._det_packed_from_tables(
                 tables[i:], pad_frames=T_fix,
@@ -338,6 +357,7 @@ class DeviceTracker:
                                          + self.F * self.P.frame_rate])
             self._commit_history(frames[i:i + stop],
                                  times[i:i + stop], hist, stop)
+            self._frames_done += stop
             if stop == len(flags):
                 self._carry_vec = carry_rows[span - 1]
                 self._host_posture_span(frames[i:], tables[i:],
@@ -390,9 +410,27 @@ class DeviceTracker:
                         max_child_runs=max(4096, hw // 128),
                         max_pixels=max(1 << 16, hw // 8))
         kw = _detect_kwargs(s, caps)
+        ddet = dict(threshold=int(s["detect_threshold"]),
+                    absolute=bool(s["detect_threshold_is_absolute"]),
+                    track_threshold=int(s["track_threshold"])
+                    if s["track_background_subtraction"] else 0,
+                    track_absolute=bool(
+                        s["track_threshold_is_absolute"]))
+
+        def raw_tuple(img):
+            raw = label_blobs_raw(img, self.background, **ddet)
+            return (raw["lines"], raw["pixels"], raw["line_start"],
+                    raw["pixel_start"], raw["stats"])
+
         bg_dev = jnp.asarray(self.background)
         i = 0
         while i < T:
+            if self._maybe_demote(int(idx[i]), float(times[i])):
+                for k in range(i, T):
+                    self._host_step(int(idx[k]), float(times[k]),
+                                    raw_tuple(frames[k]))
+                i = T
+                break
             j = min(T, i + self.chunk)
             # fixed chunk shape: pad the tail chunk so the fused jit
             # compiles exactly once
@@ -423,6 +461,7 @@ class DeviceTracker:
                                          + self.F * self.P.frame_rate])
             self._commit_history(idx[i:i + stop], times[i:i + stop],
                                  hist, stop, posture_from_hist=True)
+            self._frames_done += stop
             if stop == len(flags):
                 self._carry_vec = carry_rows[span - 1]
                 i = j
@@ -430,18 +469,8 @@ class DeviceTracker:
             if stop > 0:
                 self._carry_vec = carry_rows[stop - 1]
             fi = i + stop
-            ddet = dict(threshold=int(s["detect_threshold"]),
-                        absolute=bool(
-                            s["detect_threshold_is_absolute"]),
-                        track_threshold=int(s["track_threshold"])
-                        if s["track_background_subtraction"] else 0,
-                        track_absolute=bool(
-                            s["track_threshold_is_absolute"]))
-            raw = label_blobs_raw(frames[fi], self.background, **ddet)
-            raw_t = (raw["lines"], raw["pixels"], raw["line_start"],
-                     raw["pixel_start"], raw["stats"])
             self._assist(int(idx[fi]), float(times[fi]),
-                         (None, None, raw_t), None)
+                         (None, None, raw_tuple(frames[fi])), None)
             i = fi + 1
         self.end_frame = int(idx[-1])
         return self
@@ -580,21 +609,9 @@ class DeviceTracker:
         _, _, raw = table_big_raw
         eng.add_frame(frame, time, *raw)
         self.assist_frames.append(frame)
+        self._frames_done += 1
         # harvest history + rebuild the carry
-        got = eng.last_frame[:self.F] == frame
-        h = eng.history.get(frame)
-        fish = np.flatnonzero(got)
-        xs = eng.last_x[fish]
-        ys = eng.last_y[fish]
-        self.history[frame] = {
-            "fish": fish.astype(np.int64), "x": xs.copy(),
-            "y": ys.copy(),
-            "prob": (h["prob"] if h is not None
-                     and len(h["prob"]) == len(fish)
-                     else np.zeros(len(fish))),
-        }
-        self.statistics[frame] = eng.statistics[frame]
-        self.n_fish = max(self.n_fish, eng.n_fish)
+        got = self._harvest_host_frame(frame)
         from ..ops.device_tracker import carry_from_vec_np, carry_to_vec
 
         prev = carry_from_vec_np(self._carry_vec, self.P)
@@ -610,15 +627,55 @@ class DeviceTracker:
             prev_time=time)
         if self.P.do_posture:
             c["posture_dir"] = eng._posture_dir[:self.F]
-            ph = eng.posture_history.get(frame)
-            if ph is not None:
-                self.posture_history[frame] = ph
         self._carry_vec = carry_to_vec(c)
         st = self.statistics[frame]
         self.statistics[frame] = FrameStatistics(
             number_fish=st.number_fish,
             adding_seconds=_time.perf_counter() - t0,
             match_improvements=st.match_improvements)
+
+    def _harvest_host_frame(self, frame: int):
+        """Copy the helper engine's results for `frame` into this
+        tracker's tables. Returns the per-fish seen mask."""
+        eng = self._helper
+        got = eng.last_frame[:self.F] == frame
+        h = eng.history.get(frame)
+        fish = np.flatnonzero(got)
+        self.history[frame] = {
+            "fish": fish.astype(np.int64),
+            "x": eng.last_x[fish].copy(),
+            "y": eng.last_y[fish].copy(),
+            "prob": (h["prob"] if h is not None
+                     and len(h["prob"]) == len(fish)
+                     else np.zeros(len(fish))),
+        }
+        self.statistics[frame] = eng.statistics[frame]
+        self.n_fish = max(self.n_fish, eng.n_fish)
+        if self.P.do_posture:
+            ph = eng.posture_history.get(frame)
+            if ph is not None:
+                self.posture_history[frame] = ph
+        return got
+
+    def _maybe_demote(self, frame: int, time: float) -> bool:
+        """Sticky switch to pure host tracking once assists dominate
+        (see the constructor's demotion comment). Syncs the helper
+        engine from the device carry on entry; afterwards the helper
+        IS the tracker and no device launch happens again."""
+        if self.demoted:
+            return True
+        if (self._frames_done >= self.demote_min_frames
+                and len(self.assist_frames)
+                > self.demote_threshold * self._frames_done):
+            self._sync_helper_state(frame, time)
+            self.demoted = True
+        return self.demoted
+
+    def _host_step(self, frame: int, time: float, raw):
+        """One frame fully on the (already-synced) host engine."""
+        self._helper.add_frame(frame, time, *raw)
+        self._harvest_host_frame(frame)
+        self._frames_done += 1
 
     # -- result harvesting ------------------------------------------------
 
