@@ -12,10 +12,13 @@
 #include <cstring>
 #include <vector>
 
+#include "simd_clones.h"
+
 extern "C" {
 
 // Same, but each frame stays in its own buffer (no (n, p) stack copy):
 // rows[r] points at frame r's p pixels.
+TREX_HOT_CLONES
 void trex_mode_u8_rows(const uint8_t* const* rows, int64_t n, int64_t p,
                        uint8_t* out) {
     if (n <= 0 || p <= 0) return;
@@ -70,6 +73,7 @@ extern "C" {
 
 // mean finalize: round(acc / count) clamped to u8 (np.round semantics
 // = rint's half-to-even).
+TREX_HOT_CLONES
 void trex_mean_u8(const uint32_t* acc, int64_t p, int64_t count,
                   uint8_t* out) {
     if (count <= 0) return;

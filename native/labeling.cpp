@@ -23,6 +23,8 @@
 #include <limits>
 #include <vector>
 
+#include "simd_clones.h"
+
 namespace {
 
 struct Run {
@@ -66,6 +68,7 @@ extern "C" {
 // track_threshold > 0 additionally counts, per blob, the pixels that
 // also pass the tracking-stage test (absolute: |img-bg| >= t,
 // signed: bg-img >= t) — the pv::Blob::recount fused into this pass.
+TREX_HOT_CLONES
 void* trex_label_image2(const uint8_t* img, const uint8_t* bg,
                         int32_t width, int32_t height,
                         int32_t threshold, int32_t absolute,
@@ -266,6 +269,7 @@ void trex_label_free(void* ctx) { delete (Result*)ctx; }
 // out[t * (2 + K) + 2 ..] = top-K component sizes, descending, 0-padded.
 // The binarization matches trex_label_image2 exactly (including the
 // img != 0 guard), so the sizes equal what a full labeling would yield.
+TREX_HOT_CLONES
 void trex_split_sizes(const uint8_t* img, const uint8_t* bg,
                       int32_t width, int32_t height,
                       const int32_t* thresholds, int32_t n_thr,
@@ -361,6 +365,7 @@ void trex_split_sizes(const uint8_t* img, const uint8_t* bg,
 // scan (returns -1). `first_size` = largest component size at the
 // initial threshold (in cm^2, 0 when none). ranges = n_ranges (lo, hi)
 // pairs in cm^2 (track_size_filter); n_ranges == 0 means unfiltered.
+TREX_HOT_CLONES
 int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
                         int32_t width, int32_t height,
                         int32_t initial, int32_t absolute,
@@ -492,6 +497,7 @@ int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
 // frames): the same 8-double rows trex_label_image2 produces
 // (n_px, track_count, sum_x, sum_y, sum_xx, sum_yy, sum_xy, 0), so
 // pv-loaded blobs can feed the FastTracker engine directly.
+TREX_HOT_CLONES
 void trex_blob_stats(const int32_t* lines, const int64_t* line_start,
                      const uint8_t* pixels, const int64_t* pixel_start,
                      int32_t n_blobs,
@@ -558,6 +564,7 @@ void trex_blob_stats(const int32_t* lines, const int64_t* line_start,
 // sum_x, sum_y — pieces sorted by size descending (stable), already
 // filtered by the global shrink limit, in FRAME coordinates.
 // Returns the piece count (0 = no acceptable split).
+TREX_HOT_CLONES
 int32_t trex_split_execute(
     const int32_t* lines, int64_t n_lines, const uint8_t* pixels,
     const uint8_t* bg, int32_t bg_w, int32_t bg_h,
@@ -751,6 +758,7 @@ int32_t trex_split_execute(
 // point distance <= max_d; per clique with more fish than blobs,
 // resolve closest-first; fish without alternatives raise their best
 // blob's expectation (+1 for the current owner).
+TREX_HOT_CLONES
 void trex_expectation(const double* fish, int32_t nf,
                       const int32_t* lines,
                       const int64_t* row_lo, const int64_t* row_hi,
@@ -988,6 +996,7 @@ int64_t trex_trace_boundary(const uint8_t* mask, int32_t width,
 // `threshold` over (crop, bg_crop). Returns a labeling ctx whose line
 // coordinates are already offset back to image space. The caller
 // materializes blobs from the ctx arrays exactly like label_blobs.
+TREX_HOT_CLONES
 void* trex_threshold_blob(const int32_t* lines, int64_t K,
                           const uint8_t* pixels,
                           const uint8_t* bg, int32_t bg_w, int32_t bg_h,
@@ -1053,6 +1062,7 @@ void* trex_threshold_blob(const int32_t* lines, int64_t K,
 // Dense rasterization of a blob's RLE lines into pre-zeroed crops
 // (TrackBlob.to_dense fast path): mask gets 1s, gray gets the pixel
 // values (when pixels != NULL). W/H are the padded crop dimensions.
+TREX_HOT_CLONES
 void trex_blob_dense(const int32_t* lines, int64_t K,
                      const uint8_t* pixels,
                      int32_t x, int32_t y, int32_t W, int32_t H,

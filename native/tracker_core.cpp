@@ -14,6 +14,8 @@
 #include <functional>
 #include <vector>
 
+#include "simd_clones.h"
+
 namespace {
 
 constexpr int64_t KNOWN = -100000000;  // last_frame > KNOWN => has history
@@ -143,6 +145,7 @@ static bool tree_clique(const std::vector<std::vector<Edge>>& options,
 // (fish-major) for cliques the caller must solve in Python
 // (> max_tree_fish fish, or node budget exceeded). Returns number of
 // pending edges (capped at pend_cap; if it would exceed, returns -1).
+TREX_HOT_CLONES
 int64_t trex_track_match(
     const int32_t* uf, int32_t n_usable,
     const double* last_x, const double* last_y,
