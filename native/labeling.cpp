@@ -412,7 +412,15 @@ int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
     if (first_size_out) *first_size_out = 0.0;
     if (initial < 1) initial = 1;
 
-    for (int32_t thr = initial; thr <= 255; thr++) {
+    // distinct threshold states: the mask {diff >= thr} only changes
+    // when thr crosses (present pixel value) + 1, and every decision
+    // below depends on the mask alone, so evaluating one thr per state
+    // returns exactly what the thr+=1 scan would (the first thr of the
+    // winning state IS the sequential return value)
+    bool present[256] = {false};
+    for (size_t i = 0; i < npx; i++) present[diff[i]] = true;
+
+    for (int32_t thr = initial; thr <= 255;) {
         parent.clear();
         run_size.clear();
         prev_runs.clear();
@@ -489,6 +497,14 @@ int32_t trex_split_scan(const uint8_t* img, const uint8_t* bg,
             remove = min_size > max_hi;
         }
         if (!remove && valid >= expected) return thr;  // keep
+
+        // advance to the next distinct mask state; once no pixel value
+        // >= thr remains, the mask is empty for every higher thr and
+        // the sequential scan would return -1 at 255
+        int32_t v = thr;
+        while (v < 256 && !present[v]) v++;
+        if (v >= 256) return -1;
+        thr = v + 1;
     }
     return -1;
 }
@@ -769,17 +785,38 @@ void trex_expectation(const double* fish, int32_t nf,
     // the numpy reference's np.hypot boundary semantics)
     std::vector<uint8_t> near((size_t)nf * nb, 0);
     std::vector<int32_t> blob_deg(nb, 0);
-    const double far2 = (max_d + 1.0) * (max_d + 1.0);
+    // two-phase: a branchless (vectorizable) squared-distance pass,
+    // then decide by d2 except inside a relative sliver around max_d^2
+    // where hypot's <=1ulp rounding could disagree with sqrt-free
+    // comparison — those few cells re-test with std::hypot, keeping
+    // the numpy-reference np.hypot boundary semantics byte-exact
+    const double md2 = max_d * max_d;
+    const double lo2 = md2 * (1.0 - 1e-9), hi2 = md2 * (1.0 + 1e-9);
+    std::vector<double> d2row(nb);
     for (int32_t f = 0; f < nf; f++) {
         const double fx = fish[2 * f], fy = fish[2 * f + 1];
         for (int32_t b = 0; b < nb; b++) {
             const double x0 = bounds[4 * b], y0 = bounds[4 * b + 1];
             const double x1 = bounds[4 * b + 2], y1 = bounds[4 * b + 3];
-            double dx = std::max(0.0, std::max(x0 - fx, fx - x1));
-            double dy = std::max(0.0, std::max(y0 - fy, fy - y1));
-            const double d2 = dx * dx + dy * dy;
-            if (d2 > far2) continue;
-            if (std::hypot(dx, dy) <= max_d) {
+            const double dx = std::max(0.0, std::max(x0 - fx, fx - x1));
+            const double dy = std::max(0.0, std::max(y0 - fy, fy - y1));
+            d2row[b] = dx * dx + dy * dy;
+        }
+        for (int32_t b = 0; b < nb; b++) {
+            const double d2 = d2row[b];
+            if (d2 > hi2) continue;
+            bool is_near = d2 < lo2;
+            if (!is_near) {
+                const double x0 = bounds[4 * b], y0 = bounds[4 * b + 1];
+                const double x1 = bounds[4 * b + 2],
+                             y1 = bounds[4 * b + 3];
+                const double dx =
+                    std::max(0.0, std::max(x0 - fx, fx - x1));
+                const double dy =
+                    std::max(0.0, std::max(y0 - fy, fy - y1));
+                is_near = std::hypot(dx, dy) <= max_d;
+            }
+            if (is_near) {
                 near[(size_t)f * nb + b] = 1;
                 blob_deg[b]++;
             }

@@ -241,6 +241,45 @@ def split_execute(lines: np.ndarray, pixels: np.ndarray,
     return out[:n]
 
 
+class SplitExecutor:
+    """Pre-bound split_execute for a fixed background + size filter:
+    the per-frame history-split loop calls this dozens of times per
+    frame, so the background/ranges marshalling and the argtype lookups
+    are hoisted out of the call (same results as split_execute)."""
+
+    def __init__(self, background: np.ndarray, ranges,
+                 max_pieces: int = 64):
+        self._lib = _lib()
+        self._bg = np.ascontiguousarray(background, np.uint8)
+        self._bg_p = self._bg.ctypes.data_as(ctypes.c_char_p)
+        self._h, self._w = self._bg.shape
+        r = np.ascontiguousarray(
+            ranges if ranges is not None and len(ranges) else [],
+            np.float64).reshape(-1, 2)
+        self._r = r
+        self._r_p = r.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+        self._nr = r.shape[0]
+        self._max_pieces = max_pieces
+        self._out = np.empty((max_pieces, 7))
+        self._out_p = self._out.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_double))
+        self._i32p = ctypes.POINTER(ctypes.c_int32)
+
+    def run(self, lines: np.ndarray, pixels: np.ndarray, initial: int,
+            absolute: bool, expected: int, cm_sqr: float,
+            max_shrink: float, shrink_limit: float) -> np.ndarray:
+        lines = np.ascontiguousarray(lines, np.int32)
+        pixels = np.ascontiguousarray(pixels, np.uint8)
+        n = self._lib.trex_split_execute(
+            lines.ctypes.data_as(self._i32p), len(lines),
+            pixels.ctypes.data_as(ctypes.c_char_p), self._bg_p,
+            self._w, self._h, int(initial), 1 if absolute else 0,
+            int(expected), float(cm_sqr), float(max_shrink),
+            float(shrink_limit), self._r_p, self._nr,
+            self._max_pieces, self._out_p)
+        return self._out[:n].copy()
+
+
 def split_scan(image: np.ndarray, background: Optional[np.ndarray],
                initial: int, absolute: bool, expected: int,
                cm_sqr: float, max_shrink: float, shrink_limit: float,

@@ -159,6 +159,7 @@ class FastTracker:
         self.trk_ring_n = np.zeros(F, np.int32)
         # native phases require automatic matching semantics
         self.use_native = self.mode == "automatic"
+        self._split_executor = None  # lazy SplitExecutor (bg + ranges)
 
         self.start_frame = -1
         self.end_frame = -1
@@ -488,7 +489,7 @@ class FastTracker:
     def _split_native(self, table: _CandTable, bi: int,
                       want: int) -> list:
         """One-shot native split of table row bi into stat pieces."""
-        from ..ops.labeling import split_execute
+        from ..ops.labeling import SplitExecutor
         from .splitting import _initial_threshold
 
         if table.objs[bi] is not None:
@@ -502,12 +503,15 @@ class FastTracker:
         if pixels is None or self.settings[
                 "blob_split_algorithm"] == "none":
             return []
-        rows = split_execute(
-            lines, pixels, self.background,
-            _initial_threshold(self.settings), self.absolute, want,
-            self.cm_sqr, float(self.settings["blob_split_max_shrink"]),
-            float(self.settings["blob_split_global_shrink_limit"]),
-            self.fish_size.ranges)
+        ex = self._split_executor
+        if ex is None:
+            ex = self._split_executor = SplitExecutor(
+                self.background, self.fish_size.ranges)
+        rows = ex.run(
+            lines, pixels, _initial_threshold(self.settings),
+            self.absolute, want, self.cm_sqr,
+            float(self.settings["blob_split_max_shrink"]),
+            float(self.settings["blob_split_global_shrink_limit"]))
         return [_StatPiece(r, self.cm_sqr) for r in rows]
 
     # -- caches (lam == 1: estimate = last position) ---------------------
@@ -614,14 +618,15 @@ class FastTracker:
             return
         lf = self.last_frame[fids]
         lt = self.last_time[fids]
-        fresh = self.n_basic[fids] == 0
+        nb = self.n_basic[fids]
+        fresh = nb == 0
         dt = time - lt
         with np.errstate(invalid="ignore", divide="ignore"):
             speed_cm = np.hypot(xs - self.last_x[fids],
                                 ys - self.last_y[fids]) \
                 / np.where(dt > 0, dt, np.inf) * self.cm
         consecutive = lf == frame - 1
-        ok = consecutive & (self.n_basic[fids] >= 1)
+        ok = consecutive & (nb >= 1)
         if self.punish_td:
             ok &= ~(dt >= self.max_gap)
         if self.punish_sp:
