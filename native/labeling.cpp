@@ -783,8 +783,9 @@ int32_t trex_split_execute(
 // 170-320 + PPFrame::fill_proximity_grid sampling). Inputs: `fish`
 // (nf, 2) positions of the involved fish, candidate blobs as
 // concatenated RLE lines (y, x0, x1) with per-blob offsets, per-blob
-// bbox widths, the bbox-proximity matrix near (nf x nb, row-major,
-// nonzero = candidate edge), and max_d. Output: expect counts per blob.
+// bboxes (x0, y0, x1, y1), and max_d. Output: expect counts per blob.
+// Proximity (near = bbox hypot distance <= max_d) is evaluated through
+// a sorted-x window — an exact superset of the dense nf x nb pass.
 //
 // Semantics mirror trex_tpu/track/engine.py::_split_expectation /
 // _resolve_expectation exactly (differential-tested): per blob sample
@@ -801,43 +802,58 @@ void trex_expectation(const double* fish, int32_t nf,
                       const double* bounds, int32_t nb,
                       double max_d, int32_t* expect) {
     for (int32_t b = 0; b < nb; b++) expect[b] = 0;
-    // bbox proximity matrix (near = hypot(dx, dy) <= max_d, matching
-    // the numpy reference's np.hypot boundary semantics)
-    std::vector<uint8_t> near((size_t)nf * nb, 0);
+    if (nb <= 0 || nf <= 0) return;
+    // bbox proximity (near = hypot(dx, dy) <= max_d, matching the
+    // numpy reference's np.hypot boundary semantics). Blobs are
+    // visited through a sorted-x window: a blob whose x-interval is
+    // more than max_d + 2 px away from the fish x provably fails the
+    // d2 > hi2 test below, so the window (with a conservative margin
+    // far wider than any fp wobble) is an exact superset of the dense
+    // nf x nb pass it replaces.
+    std::vector<int32_t> bxo(nb);
+    for (int32_t b = 0; b < nb; b++) bxo[b] = b;
+    std::sort(bxo.begin(), bxo.end(), [&](int32_t a, int32_t b) {
+        return bounds[4 * a] < bounds[4 * b];
+    });
+    std::vector<double> bx0s(nb);
+    double max_w = 0.0;
+    for (int32_t i = 0; i < nb; i++) {
+        const int32_t b = bxo[i];
+        bx0s[i] = bounds[4 * b];
+        max_w = std::max(max_w, bounds[4 * b + 2] - bounds[4 * b]);
+    }
+    const double guard = max_d * (1.0 + 1e-9) + 2.0;
     std::vector<int32_t> blob_deg(nb, 0);
-    // two-phase: a branchless (vectorizable) squared-distance pass,
-    // then decide by d2 except inside a relative sliver around max_d^2
-    // where hypot's <=1ulp rounding could disagree with sqrt-free
-    // comparison — those few cells re-test with std::hypot, keeping
-    // the numpy-reference np.hypot boundary semantics byte-exact
+    // per-fish near blob ids, ascending (the dense pass's b order)
+    std::vector<std::vector<int32_t>> near_list(nf);
+    // two-phase per cell: decide by squared distance except inside a
+    // relative sliver around max_d^2 where hypot's <=1ulp rounding
+    // could disagree — those few cells re-test with std::hypot,
+    // keeping the numpy-reference np.hypot boundary semantics exact
     const double md2 = max_d * max_d;
     const double lo2 = md2 * (1.0 - 1e-9), hi2 = md2 * (1.0 + 1e-9);
-    std::vector<double> d2row(nb);
+    std::vector<int32_t> cand;
     for (int32_t f = 0; f < nf; f++) {
         const double fx = fish[2 * f], fy = fish[2 * f + 1];
-        for (int32_t b = 0; b < nb; b++) {
+        const auto lo_it = std::lower_bound(bx0s.begin(), bx0s.end(),
+                                            fx - guard - max_w);
+        const auto hi_it = std::upper_bound(bx0s.begin(), bx0s.end(),
+                                            fx + guard);
+        cand.clear();
+        for (auto it = lo_it; it != hi_it; ++it)
+            cand.push_back(bxo[it - bx0s.begin()]);
+        std::sort(cand.begin(), cand.end());
+        for (const int32_t b : cand) {
             const double x0 = bounds[4 * b], y0 = bounds[4 * b + 1];
             const double x1 = bounds[4 * b + 2], y1 = bounds[4 * b + 3];
             const double dx = std::max(0.0, std::max(x0 - fx, fx - x1));
             const double dy = std::max(0.0, std::max(y0 - fy, fy - y1));
-            d2row[b] = dx * dx + dy * dy;
-        }
-        for (int32_t b = 0; b < nb; b++) {
-            const double d2 = d2row[b];
+            const double d2 = dx * dx + dy * dy;
             if (d2 > hi2) continue;
             bool is_near = d2 < lo2;
-            if (!is_near) {
-                const double x0 = bounds[4 * b], y0 = bounds[4 * b + 1];
-                const double x1 = bounds[4 * b + 2],
-                             y1 = bounds[4 * b + 3];
-                const double dx =
-                    std::max(0.0, std::max(x0 - fx, fx - x1));
-                const double dy =
-                    std::max(0.0, std::max(y0 - fy, fy - y1));
-                is_near = std::hypot(dx, dy) <= max_d;
-            }
+            if (!is_near) is_near = std::hypot(dx, dy) <= max_d;
             if (is_near) {
-                near[(size_t)f * nb + b] = 1;
+                near_list[f].push_back(b);
                 blob_deg[b]++;
             }
         }
@@ -847,8 +863,8 @@ void trex_expectation(const double* fish, int32_t nf,
     std::vector<uint8_t> involved(nf, 0);
     bool any_contested = false;
     for (int32_t f = 0; f < nf; f++) {
-        for (int32_t b = 0; b < nb; b++) {
-            if (near[(size_t)f * nb + b] && blob_deg[b] >= 2) {
+        for (const int32_t b : near_list[f]) {
+            if (blob_deg[b] >= 2) {
                 involved[f] = 1;
                 any_contested = true;
                 break;
@@ -856,14 +872,17 @@ void trex_expectation(const double* fish, int32_t nf,
         }
     }
     if (!any_contested) return;
+    // per-blob involved fish, ascending (built in fish order)
+    std::vector<std::vector<int32_t>> blob_fish(nb);
+    for (int32_t f = 0; f < nf; f++) {
+        if (!involved[f]) continue;
+        for (const int32_t b : near_list[f]) blob_fish[b].push_back(f);
+    }
 
     std::vector<std::vector<std::pair<double, int32_t>>> edges(nf);
     std::vector<double> px, py;
     for (int32_t b = 0; b < nb; b++) {
-        bool any = false;
-        for (int32_t f = 0; f < nf && !any; f++)
-            any = involved[f] && near[(size_t)f * nb + b];
-        if (!any) continue;
+        if (blob_fish[b].empty()) continue;
         // sample grid points for this blob (PPFrame::insert_line)
         px.clear();
         py.clear();
@@ -887,8 +906,7 @@ void trex_expectation(const double* fish, int32_t nf,
                 }
             }
         }
-        for (int32_t f = 0; f < nf; f++) {
-            if (!involved[f] || !near[(size_t)f * nb + b]) continue;
+        for (const int32_t f : blob_fish[b]) {
             double best = 1e300;
             const double fx = fish[2 * f], fy = fish[2 * f + 1];
             for (size_t k = 0; k < px.size(); k++) {

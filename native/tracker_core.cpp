@@ -159,9 +159,21 @@ int64_t trex_track_match(
         fish_of_blob[b] = -1;
         prob_of_blob[b] = 0.0;
     }
-    // edges per usable fish (blob ascending), degrees
+    // edges per usable fish (blob ascending), degrees. Blobs are
+    // visited through a sorted-x window: |bcx - fx| > d_rej + 1
+    // implies dx^2 alone already exceeds d_rej2 (the margin dwarfs any
+    // fp wobble), so the window is an exact superset of the dense
+    // n_usable x n_blobs pass it replaces.
     std::vector<std::vector<Edge>> edges(n_usable);
     std::vector<int32_t> blob_deg(n_blobs, 0);
+    std::vector<int32_t> bxo((size_t)n_blobs);
+    for (int32_t b = 0; b < n_blobs; b++) bxo[b] = b;
+    std::sort(bxo.begin(), bxo.end(), [&](int32_t a, int32_t b) {
+        return bcx[a] < bcx[b];
+    });
+    std::vector<double> bcx_sorted((size_t)n_blobs);
+    for (int32_t i = 0; i < n_blobs; i++) bcx_sorted[i] = bcx[bxo[i]];
+    std::vector<int32_t> cand;
     for (int32_t i = 0; i < n_usable; i++) {
         const int32_t f = uf[i];
         const double fx = last_x[f], fy = last_y[f];
@@ -175,7 +187,14 @@ int64_t trex_track_match(
                     * (std::sqrt(tp / p_min) - 1.0) * 1.0000001 + 1.0;
         }
         const double d_rej2 = d_rej * d_rej;
-        for (int32_t b = 0; b < n_blobs; b++) {
+        const auto lo_it = std::lower_bound(
+            bcx_sorted.begin(), bcx_sorted.end(), fx - d_rej - 1.0);
+        const auto hi_it = std::upper_bound(
+            bcx_sorted.begin(), bcx_sorted.end(), fx + d_rej + 1.0);
+        cand.assign(bxo.begin() + (lo_it - bcx_sorted.begin()),
+                    bxo.begin() + (hi_it - bcx_sorted.begin()));
+        std::sort(cand.begin(), cand.end());  // blob-ascending edges
+        for (const int32_t b : cand) {
             const double dx = bcx[b] - fx, dy = bcy[b] - fy;
             if (dx * dx + dy * dy > d_rej2) continue;
             const double d = std::hypot(dx, dy);
