@@ -281,6 +281,28 @@ const uint8_t* trex_label_pixels(void* ctx) {
 }
 void trex_label_free(void* ctx) { delete (Result*)ctx; }
 
+// One-call copy-out of every result array into caller buffers sized
+// from the n_* accessors (replaces five per-array ctypes wrappers in
+// the hot per-frame path). line_start / pixel_start widen to int64,
+// the Python consumer's dtype.
+void trex_label_fill(void* ctx, int32_t* lines, uint8_t* pixels,
+                     int64_t* line_start, int64_t* pixel_start,
+                     double* stats) {
+    Result* r = (Result*)ctx;
+    if (!r->lines.empty())
+        std::memcpy(lines, r->lines.data(),
+                    r->lines.size() * sizeof(int32_t));
+    if (!r->pixels.empty())
+        std::memcpy(pixels, r->pixels.data(), r->pixels.size());
+    for (size_t i = 0; i < r->blob_line_start.size(); i++)
+        line_start[i] = (int64_t)r->blob_line_start[i];
+    for (size_t i = 0; i < r->blob_pixel_start.size(); i++)
+        pixel_start[i] = (int64_t)r->blob_pixel_start[i];
+    if (!r->stats.empty())
+        std::memcpy(stats, r->stats.data(),
+                    r->stats.size() * sizeof(double));
+}
+
 // Threshold-escalation size scan (SplitBlob support): for each of the
 // n_thr thresholds, run the same line-run union-find labeling over the
 // (img, bg) difference and emit ONLY the component sizes —

@@ -93,6 +93,14 @@ def _configure(lib):
         lib.trex_label_pixels.argtypes = [ctypes.c_void_p]
         lib.trex_label_free.restype = None
         lib.trex_label_free.argtypes = [ctypes.c_void_p]
+        lib.trex_label_fill.restype = None
+        lib.trex_label_fill.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double),
+        ]
         lib.trex_split_sizes.restype = None
         lib.trex_split_sizes.argtypes = [
             ctypes.c_char_p, ctypes.c_char_p,
@@ -362,26 +370,22 @@ def label_blobs_raw(
         n_blobs = lib.trex_label_n_blobs(ctx)
         n_lines = lib.trex_label_n_lines(ctx)
         n_pixels = lib.trex_label_n_pixels(ctx)
-        line_start = np.ctypeslib.as_array(
-            lib.trex_label_blob_line_start(ctx), (n_blobs + 1,)
-        ).copy() if n_blobs else np.zeros(1, np.uint32)
-        pixel_start = np.ctypeslib.as_array(
-            lib.trex_label_blob_pixel_start(ctx), (n_blobs + 1,)
-        ).copy() if n_blobs else np.zeros(1, np.uint32)
-        lines = np.ctypeslib.as_array(
-            lib.trex_label_lines(ctx), (n_lines, 3)
-        ).copy() if n_lines else np.zeros((0, 3), np.int32)
-        pixels = np.ctypeslib.as_array(
-            lib.trex_label_pixels(ctx), (n_pixels,)
-        ).copy() if n_pixels else np.zeros((0,), np.uint8)
-        stats = np.ctypeslib.as_array(
-            lib.trex_label_stats(ctx), (n_blobs, 8)
-        ).copy() if n_blobs else np.zeros((0, 8), np.float64)
+        lines = np.empty((n_lines, 3), np.int32)
+        pixels = np.empty(n_pixels, np.uint8)
+        line_start = np.empty(n_blobs + 1, np.int64)
+        pixel_start = np.empty(n_blobs + 1, np.int64)
+        stats = np.empty((n_blobs, 8), np.float64)
+        lib.trex_label_fill(
+            ctx,
+            lines.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            pixels.ctypes.data_as(ctypes.c_char_p),
+            line_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            pixel_start.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            stats.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
     finally:
         lib.trex_label_free(ctx)
     return {"lines": lines, "pixels": pixels,
-            "line_start": line_start.astype(np.int64),
-            "pixel_start": pixel_start.astype(np.int64),
+            "line_start": line_start, "pixel_start": pixel_start,
             "stats": stats}
 
 
