@@ -801,6 +801,31 @@ int32_t trex_split_execute(
     return n_out;
 }
 
+// Batch wrapper over trex_split_execute: n_jobs independent splits
+// against the SAME background share one FFI round trip. Per job: line
+// range [line_lo, line_hi) into the shared frame `lines` array, pixel
+// offset pixel_lo into the shared `pixels` array, expected piece
+// count. out_counts[j] pieces land at out + j * max_pieces * 7.
+int32_t trex_split_execute_batch(
+    const int32_t* lines, const uint8_t* pixels,
+    const int64_t* line_lo, const int64_t* line_hi,
+    const int64_t* pixel_lo, const int32_t* expected, int32_t n_jobs,
+    const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+    int32_t initial, int32_t absolute,
+    double cm_sqr, double max_shrink, double shrink_limit,
+    const double* ranges, int32_t n_ranges,
+    int32_t max_pieces, double* out, int32_t* out_counts) {
+    for (int32_t j = 0; j < n_jobs; j++) {
+        out_counts[j] = trex_split_execute(
+            lines + 3 * line_lo[j], line_hi[j] - line_lo[j],
+            pixels + pixel_lo[j], bg, bg_w, bg_h, initial, absolute,
+            expected[j], cm_sqr, max_shrink, shrink_limit,
+            ranges, n_ranges, max_pieces,
+            out + (size_t)j * max_pieces * 7);
+    }
+    return 0;
+}
+
 // History-split expectation over proximity cliques (HistorySplit.cpp:
 // 170-320 + PPFrame::fill_proximity_grid sampling). Inputs: `fish`
 // (nf, 2) positions of the involved fish, candidate blobs as

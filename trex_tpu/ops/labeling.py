@@ -164,6 +164,17 @@ def _configure(lib):
             f64p, ctypes.c_int32,
             ctypes.c_int32, f64p,
         ]
+        i64p_ = ctypes.POINTER(ctypes.c_int64)
+        lib.trex_split_execute_batch.restype = ctypes.c_int32
+        lib.trex_split_execute_batch.argtypes = [
+            i32p, ctypes.c_char_p,
+            i64p_, i64p_, i64p_, i32p, ctypes.c_int32,
+            ctypes.c_char_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            f64p, ctypes.c_int32,
+            ctypes.c_int32, f64p, i32p,
+        ]
         lib.trex_threshold_blob.restype = ctypes.c_void_p
         lib.trex_threshold_blob.argtypes = [
             i32p, ctypes.c_int64, ctypes.c_char_p,
@@ -286,6 +297,38 @@ class SplitExecutor:
             float(shrink_limit), self._r_p, self._nr,
             self._max_pieces, self._out_p)
         return self._out[:n].copy()
+
+    def run_batch(self, lines: np.ndarray, pixels: np.ndarray,
+                  line_lo, line_hi, pixel_lo, expected,
+                  initial: int, absolute: bool, cm_sqr: float,
+                  max_shrink: float, shrink_limit: float) -> list:
+        """All of a frame's table-backed splits in one native call.
+        Per job j, splits lines[line_lo[j]:line_hi[j]] with pixels at
+        offset pixel_lo[j]; returns [ (n_j, 7) float64 ] per job —
+        identical rows to per-job `run` calls."""
+        lines = np.ascontiguousarray(lines, np.int32)
+        pixels = np.ascontiguousarray(pixels, np.uint8)
+        lo = np.ascontiguousarray(line_lo, np.int64)
+        hi = np.ascontiguousarray(line_hi, np.int64)
+        plo = np.ascontiguousarray(pixel_lo, np.int64)
+        exp = np.ascontiguousarray(expected, np.int32)
+        n_jobs = len(lo)
+        out = np.empty((n_jobs, self._max_pieces, 7))
+        counts = np.empty(n_jobs, np.int32)
+        i64p = ctypes.POINTER(ctypes.c_int64)
+        self._lib.trex_split_execute_batch(
+            lines.ctypes.data_as(self._i32p),
+            pixels.ctypes.data_as(ctypes.c_char_p),
+            lo.ctypes.data_as(i64p), hi.ctypes.data_as(i64p),
+            plo.ctypes.data_as(i64p),
+            exp.ctypes.data_as(self._i32p), n_jobs,
+            self._bg_p, self._w, self._h,
+            int(initial), 1 if absolute else 0,
+            float(cm_sqr), float(max_shrink), float(shrink_limit),
+            self._r_p, self._nr, self._max_pieces,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            counts.ctypes.data_as(self._i32p))
+        return [out[j, :counts[j]].copy() for j in range(n_jobs)]
 
 
 def split_scan(image: np.ndarray, background: Optional[np.ndarray],

@@ -465,10 +465,21 @@ class FastTracker:
         expect = self._split_expectation(table, fish_pos, max_d)
         drop = np.zeros(table.n, bool)
         insert: dict[int, list] = {}
+        # table-backed native jobs batch into ONE ffi call; object-
+        # backed rows and the python path keep the per-blob calls.
+        # `insert` is filled in expect-iteration order either way.
+        batch_ok = (self.use_native
+                    and s["blob_split_algorithm"] != "none")
+        jobs: list[tuple[int, int]] = []
         for bi, want in expect.items():
             if want < 2:
                 continue
             drop[bi] = True
+            if batch_ok and table.objs[bi] is None \
+                    and table.pixel_lo[bi] >= 0:
+                jobs.append((bi, want))
+                insert[bi] = []  # placeholder keeps dict order
+                continue
             if self.use_native:
                 parts = self._split_native(table, bi, want)
             else:
@@ -478,6 +489,13 @@ class FastTracker:
                     p.recount(self.track_thr, self.background, s)
             if parts:
                 insert[bi] = parts
+        if jobs:
+            for bi, parts in zip([b for b, _ in jobs],
+                                 self._split_native_batch(table, jobs)):
+                if parts:
+                    insert[bi] = parts
+                else:
+                    del insert[bi]
         # final size filter on everything (split or not)
         if not drop.any():
             keep = _in_range_rows(table.recount, self.fish_size.ranges) \
@@ -485,6 +503,31 @@ class FastTracker:
             return _filter_table(table, keep)
         return _rebuild_with_splits(table, drop, insert, self.fish_size,
                                     self.cm_sqr)
+
+    def _split_native_batch(self, table: _CandTable,
+                            jobs: list) -> list:
+        """All table-backed splits of a frame in one native call.
+        Returns a list of _StatPiece lists, one per (bi, want) job —
+        identical to per-job _split_native results."""
+        from ..ops.labeling import SplitExecutor
+        from .splitting import _initial_threshold
+
+        ex = self._split_executor
+        if ex is None:
+            ex = self._split_executor = SplitExecutor(
+                self.background, self.fish_size.ranges)
+        bis = np.array([b for b, _ in jobs], np.int64)
+        rows = ex.run_batch(
+            table.lines, table.pixels,
+            table.line_lo[bis], table.line_hi[bis],
+            table.pixel_lo[bis],
+            np.array([w for _, w in jobs], np.int32),
+            _initial_threshold(self.settings), self.absolute,
+            self.cm_sqr,
+            float(self.settings["blob_split_max_shrink"]),
+            float(self.settings["blob_split_global_shrink_limit"]))
+        return [[_StatPiece(r, self.cm_sqr) for r in rr]
+                for rr in rows]
 
     def _split_native(self, table: _CandTable, bi: int,
                       want: int) -> list:
