@@ -212,3 +212,41 @@ def test_engine_rejects_unsupported():
     s.set("manual_matches", {0: {0: 123}})
     with pytest.raises(EngineUnsupported):
         FastTracker(s, background=np.zeros((16, 16), np.uint8))
+
+
+def test_split_batch_matches_per_blob_calls():
+    """The one-call batched split (trex_split_execute_batch) returns
+    byte-identical pieces to per-blob _split_native calls on crowded
+    frames that trigger history splits."""
+    n_fish, size = 48, 256
+    s = _settings(n_fish)
+    bg = np.full((size, size), 200, np.uint8)
+    frames = _synth(30, n_fish, size, seed=5)[1]
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    tr = FastTracker(s, background=bg)
+    checked = 0
+    orig_batch = FastTracker._split_native_batch
+
+    def checking(self, table, jobs):
+        nonlocal checked
+        batched = orig_batch(self, table, jobs)
+        for (bi, want), parts in zip(jobs, batched):
+            single = self._split_native(table, bi, want)
+            assert len(single) == len(parts)
+            for a, b in zip(single, parts):
+                assert a.num_pixels == b.num_pixels
+                assert a.center == b.center
+                assert a.bounds == b.bounds
+            checked += 1
+        return batched
+
+    FastTracker._split_native_batch = checking
+    try:
+        for i, fr in enumerate(frames):
+            tr.add_frame(i, i / 25.0, **label_blobs_raw(fr, bg, **det))
+    finally:
+        FastTracker._split_native_batch = orig_batch
+    assert checked > 0  # the crowded video must exercise the batch
