@@ -250,3 +250,59 @@ def test_split_batch_matches_per_blob_calls():
     finally:
         FastTracker._split_native_batch = orig_batch
     assert checked > 0  # the crowded video must exercise the batch
+
+
+@pytest.mark.parametrize("n_fish,size,seed,decay", [
+    (32, 256, 1, 0.7), (64, 384, 2, 0.7), (24, 224, 9, 0.4),
+    (48, 320, 11, 0.95)])
+def test_engine_matches_tracker_speed_decay(n_fish, size, seed, decay):
+    """track_speed_decay < 1: the engine's window-based decay
+    extrapolation (cache_batch.window_motion + the scalar port) must
+    reproduce the object tracker's cache_for_frame estimates — the
+    golden fixture runs decay 0.7 (videos/test.settings)."""
+    s = _settings(n_fish)
+    s.set("track_speed_decay", decay)
+    bg, frames = _synth(40, n_fish, size, seed)
+    tracker = Tracker(s, background=bg)
+    eng = FastTracker(s, background=bg)
+    assert eng.decay_active
+    for i, f in enumerate(frames):
+        pp = tracker.preprocess_frame(i, detect_frame(f, bg, s),
+                                      time=i / 25.0)
+        tracker.add(pp)
+        raw = label_blobs_raw(
+            f, bg, threshold=int(s["detect_threshold"]),
+            absolute=bool(s["detect_threshold_is_absolute"]),
+            track_threshold=20, track_absolute=False)
+        eng.add_frame(i, i / 25.0, **raw)
+    ta = _tracker_assignments(tracker, len(frames))
+    ea = _engine_assignments(eng)
+    for i in range(len(frames)):
+        assert ta.get(i, {}) == ea.get(i, {}), (
+            f"frame {i}: tracker={sorted(ta.get(i, {}).items())} "
+            f"engine={sorted(ea.get(i, {}).items())}")
+
+
+def test_engine_decay_nonuniform_timestamps():
+    """Decay estimates under dropped/non-uniform frame times exercise
+    the scalar fallback (chain breaks, gap > 1s resets)."""
+    s = _settings(16)
+    s.set("track_speed_decay", 0.7)
+    bg, frames = _synth(30, 16, 224, seed=3)
+    tracker = Tracker(s, background=bg)
+    eng = FastTracker(s, background=bg)
+    # irregular times incl. a >1s stall at frame 12 (resets chains)
+    rng = np.random.default_rng(0)
+    times = np.cumsum(rng.uniform(0.02, 0.08, len(frames)))
+    times[12:] += 1.2
+    for i, f in enumerate(frames):
+        pp = tracker.preprocess_frame(i, detect_frame(f, bg, s),
+                                      time=float(times[i]))
+        tracker.add(pp)
+        raw = label_blobs_raw(
+            f, bg, threshold=int(s["detect_threshold"]),
+            absolute=bool(s["detect_threshold_is_absolute"]),
+            track_threshold=20, track_absolute=False)
+        eng.add_frame(i, float(times[i]), **raw)
+    assert _tracker_assignments(tracker, len(frames)) \
+        == _engine_assignments(eng)

@@ -8,6 +8,12 @@ evaluates the velocity averaging / median speed / decay-weighted
 extrapolation / time probability as numpy array math; fish with manual
 matches or frame gaps in the extrapolation window fall back to the
 scalar path.
+
+`window_motion` is the shared array core: both `compute_caches` (the
+object Tracker's batch path) and track/engine.FastTracker's
+track_speed_decay < 1 support evaluate it over their windows;
+`window_estimate_scalar` is the window-backed port of the scalar
+fallback for engines that keep no Individual objects.
 """
 from __future__ import annotations
 
@@ -19,33 +25,26 @@ from .individual import CACHE_WINDOW as WINDOW
 from .individual import IndividualCache
 
 
-def compute_caches(individuals: list, frame: int, time: float,
-                   frame_times: dict, start_frame: int,
-                   settings) -> dict[int, IndividualCache]:
-    s = settings
-    out: dict[int, IndividualCache] = {}
-    todo = []
-    for ind in individuals:
-        if ind.empty():
-            out[ind.identity] = IndividualCache()
-        elif ind.manual_frames:
-            out[ind.identity] = ind.cache_for_frame(
-                frame, time, frame_times, start_frame)
-        else:
-            todo.append(ind)
-    if not todo:
-        return out
+def window_motion(W4: np.ndarray, starts: np.ndarray, frame: int,
+                  time: float, frame_times: dict, settings) -> dict:
+    """Motion-model quantities over right-aligned (F, W, 4) windows of
+    [frame, x, y, time] rows (empty slots frame = -1e9, newest last) —
+    the vectorized equivalent of Individual.cache_for_frame's velocity
+    averaging / median speed / decay extrapolation (Individual.cpp:
+    1940-2025). Returns a dict of (F,) arrays:
 
-    F = len(todo)
-    # right-aligned (F, W, 4) windows maintained incrementally by
-    # Individual.add: [frame, x, y, time], empty slots frame = -1e9.
-    # Entries older than lo = max(start, prev-6) are masked out, which
-    # reproduces the scalar path's backward walk over sorted frames.
-    W4 = np.stack([ind._win for ind in todo])
+        prev_frames, last_x, last_y, tdelta (fish-relative),
+        est_x, est_y (the decay estimate; == last pos when the decay
+        is off or no velocity samples exist), counts (velocity
+        samples), simple (prev == frame-1), need_scalar (fish whose
+        window has chain breaks/gaps the array math cannot reproduce —
+        evaluate those through the scalar path).
+    """
+    s = settings
+    F = W4.shape[0]
     wframes = W4[:, :, 0]
     prev_frames = wframes[:, -1].astype(np.int64)
-    starts = np.fromiter((ind.start_frame for ind in todo), np.int64, F)
-    lo = np.maximum(starts, prev_frames - 6)
+    lo = np.maximum(np.asarray(starts, np.int64), prev_frames - 6)
     valid = wframes >= lo[:, None]  # suffix mask (frames ascending)
     frames = np.where(valid, wframes, -1e9).astype(np.int64)
     pos = np.where(valid[:, :, None], W4[:, :, 1:3], np.nan)
@@ -54,12 +53,8 @@ def compute_caches(individuals: list, frame: int, time: float,
     max_speed = s["track_max_speed"]
     max_speed_px = max_speed / cm if cm else 0.0
     max_px_sq = max_speed_px * max_speed_px
-    t_max = s["track_max_reassign_time"]
-    frame_rate = int(s["frame_rate"] or 25)
     decay = min(1.0, max(0.0, s["track_speed_decay"]))
     lam = decay ** 4
-    p_min = s["match_min_probability"]
-    time_prob_enabled = bool(s["track_time_probability_enabled"])
 
     # window frames span only ~WINDOW+1 distinct values across all fish
     # (dense tracking), so frame_times collapses to one small table
@@ -78,15 +73,13 @@ def compute_caches(individuals: list, frame: int, time: float,
         ok = (farr > -10 ** 8) & (idx >= 0) & (idx < tbl.size)
         return np.where(ok, tbl[np.clip(idx, 0, tbl.size - 1)], np.nan)
 
-    # entry time: frame_times when registered, stored centroid time else
+    # entry time: frame_times when registered, stored time otherwise
     lt = lookup_time(frames)
     times = np.where(np.isfinite(lt), lt,
                      np.where(valid, W4[:, :, 3], np.nan))
     prev_times = times[:, -1]
     last_x = pos[:, -1, 0]
     last_y = pos[:, -1, 1]
-    nvalid = valid.sum(axis=1)
-    oldest_time = times[np.arange(F), WINDOW - nvalid]
 
     # pairwise velocities between consecutive window entries
     np_err = np.seterr(invalid="ignore", divide="ignore")
@@ -113,8 +106,7 @@ def compute_caches(individuals: list, frame: int, time: float,
 
     # NOTE: the scalar path breaks chains at invalid pairs (it resets
     # prev sample); with dense tracking every pair is valid, which is
-    # the case this batch path handles — others fell back above. To be
-    # safe, fish with any invalid interior pair fall back too.
+    # the case this batch path handles — others go scalar (need_scalar).
     counts = np.isfinite(vx).sum(axis=1)
     # used_frames cap: reference stops after 6 samples
     with np.errstate(invalid="ignore"):
@@ -151,11 +143,6 @@ def compute_caches(individuals: list, frame: int, time: float,
 
     np.seterr(**np_err)
     tdelta = np.maximum(time - prev_times, 1e-6)
-    # global frame-to-frame delta (Individual.cpp:1753): shared by all
-    # fish; position_probability speeds divide by THIS, not by the
-    # fish-relative tdelta above
-    prev_frame_t = frame_times.get(frame - 1)
-    global_td = (time - prev_frame_t) if prev_frame_t is not None else 0.0
 
     est_x = last_x.copy()
     est_y = last_y.copy()
@@ -165,7 +152,7 @@ def compute_caches(individuals: list, frame: int, time: float,
         # weight (1+lam)/(1+lam) == 1
         lu = lookup_time(prev_frames - 1)
         # missing t(prev-1) already trips the per-fish scalar
-        # fallback (invalid_any); keep the dead branch harmless — an
+        # fallback (need_scalar); keep the dead branch harmless — an
         # absolute timestamp here would extrapolate by video-age
         step = np.where(np.isfinite(lu),
                         lookup_time(prev_frames) - lu, 0.0)
@@ -175,37 +162,183 @@ def compute_caches(individuals: list, frame: int, time: float,
         est_y = np.where(ok, est_y + step * speed
                          * (dir_y + step * accd_y), est_y)
 
+    # a pair of VALID adjacent entries with an unusable velocity means
+    # the scalar path's chain-breaking applies -> per-fish fallback;
+    # so does a frame gap before a decay estimate (the scalar est loop
+    # walks the skipped frames)
+    invalid_any = ((~np.isfinite(vx)) & (frames[:, 1:] > -10 ** 8)
+                   & (frames[:, :-1] > -10 ** 8)).any(axis=1)
+    chain_broken = ~simple & (counts > 0) & (lam < 1)
+    return dict(prev_frames=prev_frames, last_x=last_x, last_y=last_y,
+                tdelta=tdelta, est_x=est_x, est_y=est_y, counts=counts,
+                simple=simple, need_scalar=invalid_any | chain_broken)
+
+
+def window_estimate_scalar(win: np.ndarray, fish_start: int, frame: int,
+                           time: float, frame_times: dict,
+                           settings) -> tuple[float, float]:
+    """Scalar estimated position from ONE fish's (W, 4) window — a
+    window-backed port of Individual.cache_for_frame's velocity loop +
+    decay extrapolation (Individual.cpp:1940-2025) for engines that
+    keep no Individual objects. The window holds the last <= W
+    assignments, a superset of the <= 7 entries the scalar loop reads
+    (lo = max(start, prev-6))."""
+    s = settings
+    rows = win[win[:, 0] > -1e8]
+    if not len(rows):
+        return 0.0, 0.0
+    prev_frame = int(rows[-1, 0])
+    last_x = float(rows[-1, 1])
+    last_y = float(rows[-1, 2])
+    ptime = float(rows[-1, 3])
+    lo = max(int(fish_start), prev_frame - 6)
+    rows = rows[rows[:, 0] >= lo]
+
+    cm = s["cm_per_pixel"] or 1.0
+    max_speed_px = (s["track_max_speed"] / cm) if cm else 0.0
+    max_px_sq = max_speed_px * max_speed_px
+    decay = min(1.0, max(0.0, s["track_speed_decay"]))
+    lam = decay ** 4
+
+    raw_x = raw_y = 0.0
+    acc_x = acc_y = 0.0
+    speeds_sq: list[float] = []
+    used_frames = 0
+    prev_vx = prev_vy = 0.0
+    prev_px = prev_py = None
+    prev_t = 0.0
+    for rf, rx, ry, rt in rows:
+        f = int(rf)
+        c_time = frame_times.get(f, float(rt))
+        if prev_px is None:
+            prev_px, prev_py, prev_t = float(rx), float(ry), c_time
+            continue
+        p_time = frame_times.get(f - 1)
+        if p_time is None or c_time - p_time > 1.0:
+            prev_px, prev_py, prev_t = float(rx), float(ry), c_time
+            continue
+        dt = c_time - prev_t
+        if dt <= 0:
+            continue
+        vx = (float(rx) - prev_px) / dt
+        vy = (float(ry) - prev_py) / dt
+        l_sq = vx * vx + vy * vy
+        if max_px_sq > 0 and l_sq >= max_px_sq:
+            k = max_speed_px / math.sqrt(l_sq)
+            vx *= k
+            vy *= k
+            l_sq = max_px_sq
+        raw_x += vx
+        raw_y += vy
+        speeds_sq.append(l_sq)
+        step = c_time - p_time
+        if step > 0 and (prev_vx != 0 or prev_vy != 0):
+            acc_x += (vx - prev_vx) / step
+            acc_y += (vy - prev_vy) / step
+        prev_vx, prev_vy = vx, vy
+        prev_px, prev_py, prev_t = float(rx), float(ry), c_time
+        used_frames += 1
+        if used_frames > 5:
+            break
+
+    if used_frames:
+        raw_x /= used_frames
+        raw_y /= used_frames
+        acc_x /= used_frames
+        acc_y /= used_frames
+
+    if speeds_sq:
+        speeds_sq.sort()
+        m = len(speeds_sq)
+        med = speeds_sq[m // 2] if m % 2 else \
+            0.5 * (speeds_sq[m // 2 - 1] + speeds_sq[m // 2])
+    else:
+        med = 0.0
+    speed = max(0.6, math.sqrt(med))
+
+    n = math.hypot(raw_x, raw_y)
+    dir_x, dir_y = (raw_x / n, raw_y / n) if n > 0 else (0.0, 0.0)
+    n = math.hypot(acc_x, acc_y)
+    accd_x, accd_y = (acc_x / n, acc_y / n) if n > 0 else (0.0, 0.0)
+
+    est_x = est_y = 0.0
+    if used_frames > 0 and lam < 1:
+        last_used = frame_times.get(prev_frame - 1, ptime)
+        for f in range(prev_frame, frame):
+            t_f = frame_times.get(f)
+            if t_f is None:
+                continue
+            step = t_f - last_used
+            last_used = t_f
+            weight = (1 + lam) / (1 + lam * max(1, f - prev_frame + 1))
+            k = weight * step * speed
+            est_x += k * (dir_x + step * accd_x)
+            est_y += k * (dir_y + step * accd_y)
+    return est_x + last_x, est_y + last_y
+
+
+def compute_caches(individuals: list, frame: int, time: float,
+                   frame_times: dict, start_frame: int,
+                   settings) -> dict[int, IndividualCache]:
+    s = settings
+    out: dict[int, IndividualCache] = {}
+    todo = []
+    for ind in individuals:
+        if ind.empty():
+            out[ind.identity] = IndividualCache()
+        elif ind.manual_frames:
+            out[ind.identity] = ind.cache_for_frame(
+                frame, time, frame_times, start_frame)
+        else:
+            todo.append(ind)
+    if not todo:
+        return out
+
+    F = len(todo)
+    # right-aligned (F, W, 4) windows maintained incrementally by
+    # Individual.add: [frame, x, y, time], empty slots frame = -1e9.
+    W4 = np.stack([ind._win for ind in todo])
+    starts = np.fromiter((ind.start_frame for ind in todo), np.int64, F)
+    m = window_motion(W4, starts, frame, time, frame_times, s)
+
+    t_max = s["track_max_reassign_time"]
+    frame_rate = int(s["frame_rate"] or 25)
+    p_min = s["match_min_probability"]
+    time_prob_enabled = bool(s["track_time_probability_enabled"])
+
+    tdelta = m["tdelta"]
+    # global frame-to-frame delta (Individual.cpp:1753): shared by all
+    # fish; position_probability speeds divide by THIS, not by the
+    # fish-relative tdelta above
+    prev_frame_t = frame_times.get(frame - 1)
+    global_td = (time - prev_frame_t) if prev_frame_t is not None else 0.0
+
     # time probability
     t_delta_frame = 1.0 / frame_rate
     minimum_frames = min(frame_rate, 5)
     p = 1.0 - np.minimum(1.0, np.maximum(
         0.0, (tdelta - t_delta_frame) / t_max))
 
-    # a pair of VALID adjacent entries with an unusable velocity means
-    # the scalar path's chain-breaking applies -> per-fish fallback
-    invalid_any = ((~np.isfinite(vx)) & (frames[:, 1:] > -10 ** 8)
-                   & (frames[:, :-1] > -10 ** 8)).any(axis=1)
     for i, ind in enumerate(todo):
         cache = IndividualCache()
         cache.individual_empty = False
-        cache.previous_frame = int(prev_frames[i])
+        cache.previous_frame = int(m["prev_frames"][i])
         cache.fish_tdelta = float(tdelta[i])
         cache.local_tdelta = global_td
-        cache.last_seen_px = (float(last_x[i]), float(last_y[i]))
-        # fish needing the gap-aware scalar path
-        chain_broken = (not simple[i] and counts[i] > 0 and lam < 1)
-        if chain_broken or invalid_any[i]:
+        cache.last_seen_px = (float(m["last_x"][i]),
+                              float(m["last_y"][i]))
+        if m["need_scalar"][i]:
             out[ind.identity] = ind.cache_for_frame(
                 frame, time, frame_times, start_frame)
             continue
-        cache.estimated_px = (float(est_x[i]), float(est_y[i]))
+        cache.estimated_px = (float(m["est_x"][i]), float(m["est_y"][i]))
         if not time_prob_enabled:
             cache.time_probability = 1.0
         elif tdelta[i] > t_max:
             cache.time_probability = 0.0
         else:
             pp = float(p[i])
-            if prev_frames[i] >= start_frame + minimum_frames:
+            if m["prev_frames"][i] >= start_frame + minimum_frames:
                 r = ind.recent_number_samples(frame)
                 pp *= min(1.0, (r - 1) / minimum_frames + p_min)
             cache.time_probability = pp * 0.75 + 0.25

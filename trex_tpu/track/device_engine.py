@@ -51,6 +51,10 @@ def check_device_supported(settings) -> None:
         raise EngineUnsupported(
             "posture_closing_steps needs the per-blob host chain "
             "(track_engine=object)")
+    if min(1.0, max(0.0, float(s["track_speed_decay"]))) ** 4 < 1.0:
+        raise EngineUnsupported(
+            "track_speed_decay < 1 (decay extrapolation) is not in "
+            "the device scan yet — use track_engine=fast")
 
 
 class DeviceTracker:

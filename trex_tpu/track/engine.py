@@ -54,7 +54,6 @@ def check_supported(settings) -> None:
         # configuration; closing steps keep the object tracker
         want(int(s["posture_closing_steps"]) == 0,
              "posture closing steps (use track_engine=object)")
-    want(float(s["track_speed_decay"]) >= 1.0, "track_speed_decay < 1")
     want(int(s["track_threshold"]) > 0, "track_threshold == 0")
     want(int(s["track_threshold_2"]) <= 0, "track_threshold_2")
     want(bool(s["track_background_subtraction"]),
@@ -160,6 +159,19 @@ class FastTracker:
         # native phases require automatic matching semantics
         self.use_native = self.mode == "automatic"
         self._split_executor = None  # lazy SplitExecutor (bg + ranges)
+        # track_speed_decay < 1: the matching distance measures from
+        # the decay-weighted velocity extrapolation instead of the
+        # last position (Individual.cpp:1995-2025). The per-fish
+        # motion window (the flat-array twin of Individual._win) only
+        # exists when the decay is active so the lam == 1 hot path
+        # stays byte-identical.
+        decay = min(1.0, max(0.0, float(s["track_speed_decay"])))
+        self.decay_active = decay ** 4 < 1.0
+        if self.decay_active:
+            from .individual import CACHE_WINDOW
+
+            self.win = np.full((F, CACHE_WINDOW, 4), np.nan)
+            self.win[:, :, 0] = -1e9
 
         self.start_frame = -1
         self.end_frame = -1
@@ -701,16 +713,48 @@ class FastTracker:
         self.start_frame_f[fids] = np.where(
             fresh, frame, self.start_frame_f[fids])
         self.n_basic[fids] += 1
+        if self.decay_active:
+            self.win[fids, :-1] = self.win[fids, 1:]
+            self.win[fids, -1, 0] = frame
+            self.win[fids, -1, 1] = xs
+            self.win[fids, -1, 2] = ys
+            self.win[fids, -1, 3] = time
+
+    def _position_estimates(self, frame: int, time: float):
+        """Full-F estimated-position arrays for this frame: the last
+        positions when track_speed_decay >= 1, else the window-based
+        decay extrapolation (cache_batch.window_motion; fish the array
+        math cannot reproduce run the scalar port). Matching distances
+        AND the history-split fish positions measure from these, like
+        the object tracker (Tracker.cpp fish_positions from
+        cache.estimated_px)."""
+        F = self.n_fish
+        if not self.decay_active or F == 0:
+            return self.last_x, self.last_y
+        from .cache_batch import window_estimate_scalar, window_motion
+
+        m = window_motion(self.win[:F], self.start_frame_f[:F], frame,
+                          time, self.frame_times, self.settings)
+        est_x = self.last_x.copy()
+        est_y = self.last_y.copy()
+        est_x[:F] = m["est_x"]
+        est_y[:F] = m["est_y"]
+        for i in np.flatnonzero(m["need_scalar"]).tolist():
+            est_x[i], est_y[i] = window_estimate_scalar(
+                self.win[i], int(self.start_frame_f[i]), frame, time,
+                self.frame_times, self.settings)
+        return est_x, est_y
 
     # -- matching ---------------------------------------------------------
     def _match_py(self, uf: np.ndarray, tdelta: np.ndarray,
-                  tprob: np.ndarray, table: _CandTable, B: int):
+                  tprob: np.ndarray, table: _CandTable, B: int,
+                  est_x: np.ndarray, est_y: np.ndarray):
         """Probability matrix + matching in numpy/Python — the
         reference path for _match_native (differential-tested)."""
         bcx = (table.bx0 + table.bx1 + 1) * 0.5
         bcy = (table.by0 + table.by1 + 1) * 0.5
-        d = np.hypot(bcx[None, :] - self.last_x[uf][:, None],
-                     bcy[None, :] - self.last_y[uf][:, None])
+        d = np.hypot(bcx[None, :] - est_x[uf][:, None],
+                     bcy[None, :] - est_y[uf][:, None])
         speed = d / tdelta[uf][:, None] * (self.cm / self.max_speed)
         P = tprob[uf][:, None] / (1.0 + speed) ** 2
         fob = np.full(B, -1, np.int64)
@@ -739,7 +783,8 @@ class FastTracker:
         return fob, pob
 
     def _match_native(self, uf: np.ndarray, tdelta: np.ndarray,
-                      tprob: np.ndarray, table: _CandTable, B: int):
+                      tprob: np.ndarray, table: _CandTable, B: int,
+                      est_x: np.ndarray, est_y: np.ndarray):
         import ctypes
 
         from ..ops.labeling import _lib
@@ -759,10 +804,12 @@ class FastTracker:
                                     np.empty(cap, np.int32),
                                     np.empty(cap))
         pend_f, pend_b, pend_p = buf
+        est_x = np.ascontiguousarray(est_x)
+        est_y = np.ascontiguousarray(est_y)
         n_pend = _lib().trex_track_match(
             uf32.ctypes.data_as(i32p), len(uf32),
-            self.last_x.ctypes.data_as(f64p),
-            self.last_y.ctypes.data_as(f64p),
+            est_x.ctypes.data_as(f64p),
+            est_y.ctypes.data_as(f64p),
             tdelta.ctypes.data_as(f64p),
             tprob.ctypes.data_as(f64p),
             bcx.ctypes.data_as(f64p), bcy.ctypes.data_as(f64p), B,
@@ -771,7 +818,8 @@ class FastTracker:
             pend_f.ctypes.data_as(i32p), pend_b.ctypes.data_as(i32p),
             pend_p.ctypes.data_as(f64p), cap)
         if n_pend < 0:  # pending-edge overflow: full python fallback
-            return self._match_py(uf, tdelta, tprob, table, B)
+            return self._match_py(uf, tdelta, tprob, table, B,
+                                  est_x, est_y)
         fob = fob32.astype(np.int64)
         if n_pend:
             paired = _bulk_paired(pend_f[:n_pend], pend_b[:n_pend],
@@ -807,8 +855,9 @@ class FastTracker:
         speed_td = np.full(F, global_td if global_td > 0 else np.inf)
         recent_limit = frame - self.frame_rate * self.t_max
         pos_ok = has & (self.last_frame[:F] >= recent_limit)
-        fish_pos = np.stack([self.last_x[:F][pos_ok],
-                             self.last_y[:F][pos_ok]], 1) \
+        est_x, est_y = self._position_estimates(frame, time)
+        fish_pos = np.stack([est_x[:F][pos_ok],
+                             est_y[:F][pos_ok]], 1) \
             if pos_ok.any() else np.zeros((0, 2))
 
         if big_rows and frame == self.start_frame:
@@ -831,10 +880,11 @@ class FastTracker:
             if len(uf):
                 if self.use_native:
                     fob, pob = self._match_native(uf, speed_td, tprob,
-                                                  table, B)
+                                                  table, B, est_x,
+                                                  est_y)
                 else:
                     fob, pob = self._match_py(uf, speed_td, tprob,
-                                              table, B)
+                                              table, B, est_x, est_y)
                 bs = np.flatnonzero(fob >= 0)
                 if len(bs):
                     fids = fob[bs]
