@@ -508,13 +508,34 @@ struct PostureParams {
     int32_t resolution;
 };
 
+// optional full-geometry sink for one blob (the archive/export path):
+// resampled outline points (crop-local f32 pairs), midline segments +
+// heights, tail/head indices and the GLOBAL crop origin. `trunc` is
+// set when a buffer capacity was exceeded — the caller falls back to
+// the python chain for that blob.
+struct FullOut {
+    float* outline = nullptr;   // 2 * outline_cap
+    int32_t* n_outline = nullptr;
+    double* seg = nullptr;      // 2 * seg_cap
+    double* heights = nullptr;  // seg_cap
+    int32_t* nseg = nullptr;
+    int32_t* tail = nullptr;
+    int32_t* head = nullptr;
+    int32_t* inverted = nullptr;
+    double* off = nullptr;      // (ox, oy) global crop origin
+    int64_t outline_cap = 0;
+    int64_t seg_cap = 0;
+    int32_t* trunc = nullptr;
+};
+
 // one blob end-to-end; returns true on success
 bool posture_one(const int32_t* lines, int64_t K,
                  const uint8_t* pixels, int64_t n_px,
                  const uint8_t* bg, int32_t bg_w, int32_t bg_h,
                  const PostureParams& p, const double* mdir,
                  double* out_len, double* out_angle,
-                 double* out_dirx, double* out_diry) {
+                 double* out_dirx, double* out_diry,
+                 FullOut* full = nullptr) {
     if (K == 0) return false;
     int32_t y0 = INT32_MAX, y1 = INT32_MIN, x0 = INT32_MAX,
             x1 = INT32_MIN;
@@ -660,6 +681,26 @@ bool posture_one(const int32_t* lines, int64_t K,
                         segs, p.stiff_percentage);
                     *out_dirx = dir.x;
                     *out_diry = dir.y;
+                    if (full) {
+                        if (m > full->outline_cap
+                            || nseg > full->seg_cap) {
+                            if (full->trunc) *full->trunc = 1;
+                        } else {
+                            std::memcpy(full->outline, rp.data(),
+                                        sizeof(float) * 2 * m);
+                            *full->n_outline = (int32_t)m;
+                            std::memcpy(full->seg, segbuf.data(),
+                                        sizeof(double) * 2 * nseg);
+                            std::memcpy(full->heights, hbuf.data(),
+                                        sizeof(double) * nseg);
+                            *full->nseg = (int32_t)nseg;
+                            *full->tail = tail;
+                            *full->head = head;
+                            *full->inverted = inverted;
+                            full->off[0] = (double)ox;
+                            full->off[1] = (double)oy;
+                        }
+                    }
                     return true;
                 }
             }
@@ -714,6 +755,91 @@ void trex_posture_batch(
                 bg, bg_w, bg_h, p, mdir,
                 out_len + b, out_angle + b, out_dirx + b,
                 out_diry + b);
+            out_ok[b] = ok ? 1 : 0;
+            if (!ok) {
+                out_len[b] = out_angle[b] = 0.0;
+                out_dirx[b] = out_diry[b] = 0.0;
+            }
+        }
+    };
+    int32_t nt = n_threads > 0
+        ? n_threads
+        : std::min(8u, std::max(1u,
+              std::thread::hardware_concurrency()));
+    nt = (int32_t)std::min<int64_t>(nt, std::max<int64_t>(1, n_blobs));
+    if (nt <= 1) {
+        work();
+        return;
+    }
+    std::vector<std::thread> threads;
+    for (int32_t t = 0; t < nt; t++) threads.emplace_back(work);
+    for (auto& t : threads) t.join();
+}
+
+// trex_posture_batch plus full geometry per blob (the archive/export
+// path): crop-local resampled outline points, midline segments +
+// heights, tail/head/inverted indices and the global crop origin.
+// out_trunc[i] = 1 when blob i exceeded outline_cap/seg_cap (the
+// caller re-runs that blob through the python chain). Layouts:
+//   out_outline (n, 2*outline_cap) f32,  out_n_outline (n,) i32
+//   out_seg     (n, 2*seg_cap)     f64,  out_heights (n, seg_cap) f64
+//   out_nseg/out_tail/out_head/out_inverted (n,) i32
+//   out_off     (n, 2)             f64 (global ox, oy)
+void trex_posture_batch_full(
+    const int32_t* lines, const int64_t* line_start,
+    const uint8_t* pixels, const int64_t* pixel_start,
+    int64_t n_blobs,
+    const uint8_t* bg, int32_t bg_w, int32_t bg_h,
+    int32_t posture_threshold, int32_t absolute,
+    double outline_resample, double smooth_samples,
+    int32_t smooth_step, int32_t n_approx,
+    double curvature_range_ratio, int32_t midline_invert,
+    double walk_offset, double stiff_percentage,
+    int32_t start_with_head, int32_t resolution,
+    const double* movement_dirs, const uint8_t* has_movement,
+    double* out_len, double* out_angle,
+    double* out_dirx, double* out_diry, int32_t* out_ok,
+    float* out_outline, int32_t* out_n_outline, int64_t outline_cap,
+    double* out_seg, double* out_heights, int64_t seg_cap,
+    int32_t* out_nseg, int32_t* out_tail, int32_t* out_head,
+    int32_t* out_inverted, double* out_off, int32_t* out_trunc,
+    int32_t n_threads) {
+    PostureParams p{posture_threshold, absolute, outline_resample,
+                    smooth_samples, smooth_step, n_approx,
+                    curvature_range_ratio, midline_invert, walk_offset,
+                    stiff_percentage, start_with_head, resolution};
+    std::atomic<int64_t> next{0};
+    auto work = [&]() {
+        while (true) {
+            const int64_t b = next.fetch_add(1);
+            if (b >= n_blobs) return;
+            const int64_t K = (line_start[b + 1] - line_start[b]);
+            const double* mdir = (movement_dirs && has_movement
+                                  && has_movement[b])
+                ? movement_dirs + 2 * b : nullptr;
+            FullOut full;
+            full.outline = out_outline + 2 * outline_cap * b;
+            full.n_outline = out_n_outline + b;
+            full.seg = out_seg + 2 * seg_cap * b;
+            full.heights = out_heights + seg_cap * b;
+            full.nseg = out_nseg + b;
+            full.tail = out_tail + b;
+            full.head = out_head + b;
+            full.inverted = out_inverted + b;
+            full.off = out_off + 2 * b;
+            full.outline_cap = outline_cap;
+            full.seg_cap = seg_cap;
+            full.trunc = out_trunc + b;
+            out_trunc[b] = 0;
+            out_n_outline[b] = 0;
+            out_nseg[b] = 0;
+            const bool ok = posture_one(
+                lines + 3 * line_start[b], K,
+                pixels + pixel_start[b],
+                pixel_start[b + 1] - pixel_start[b],
+                bg, bg_w, bg_h, p, mdir,
+                out_len + b, out_angle + b, out_dirx + b,
+                out_diry + b, &full);
             out_ok[b] = ok ? 1 : 0;
             if (!ok) {
                 out_len[b] = out_angle[b] = 0.0;

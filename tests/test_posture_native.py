@@ -200,3 +200,95 @@ def test_posture_from_detection_outline():
     res2 = calculate_posture_from_outline(blob, outline, s)
     assert res2 is not None
     assert len(res2.outline) <= len(res.outline)
+
+
+def test_posture_result_offset_is_blob_relative():
+    """PostureResult.offset contract: consumers add blob bounds +
+    offset (pipeline.run_postures, visual_field.generate_eyes), so the
+    pixels path must return a blob-relative crop offset — the global
+    outline must land inside the blob bounds (+/- the 1px crop pad)."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.posture import calculate_posture
+
+    s = reset_global_settings()
+    bg = np.full((100, 100), 200, np.uint8)
+    lines, px = [], []
+    for y in range(30, 41):
+        w = 10 - abs(y - 35)
+        lines.append((y, 50 - w, 50 + w))
+        px.append(np.full(2 * w + 1, 90, np.uint8))
+    b = TrackBlob(np.array(lines, np.int32), np.concatenate(px))
+    res = calculate_posture(b, s, bg)
+    assert res is not None and res.midline is not None
+    bx, by, w, h = b.bounds
+    glob = res.outline + np.array([bx + res.offset[0],
+                                   by + res.offset[1]])
+    assert glob[:, 0].min() >= bx - 1 and glob[:, 0].max() <= bx + w + 1
+    assert glob[:, 1].min() >= by - 1 and glob[:, 1].max() <= by + h + 1
+
+
+def test_posture_batch_full_matches_python_chain():
+    """trex_posture_batch_full geometry == calculate_posture (python
+    chain) per blob: outline points, midline segments/heights, crop
+    offset, length/angle — the archive/export path's source of truth."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.posture import (calculate_posture,
+                                        posture_batch,
+                                        posture_batch_full)
+
+    s = reset_global_settings()
+    s.set("outline_resample", 0.5)
+    rng = np.random.default_rng(0)
+    bg = np.full((200, 200), 200, np.uint8)
+    blobs = []
+    for k in range(6):
+        cx, cy = rng.integers(30, 170, 2)
+        lines, px = [], []
+        L = int(rng.integers(8, 16))
+        for y in range(cy, cy + L):
+            w = max(1, L // 2 - abs(y - cy - L // 2))
+            lines.append((y, cx - w, cx + w))
+            px.append(rng.integers(60, 120, 2 * w + 1).astype(np.uint8))
+        blobs.append(TrackBlob(np.array(lines, np.int32),
+                               np.concatenate(px)))
+    full = posture_batch_full([b.lines for b in blobs],
+                              [b.pixels for b in blobs], bg, s)
+    ok_s, len_s, ang_s, dir_s = posture_batch(
+        [b.lines for b in blobs], [b.pixels for b in blobs], bg, s)
+    np.testing.assert_array_equal(full["ok"], ok_s)
+    np.testing.assert_array_equal(full["len"], len_s)
+    np.testing.assert_array_equal(full["angle"], ang_s)
+    np.testing.assert_array_equal(full["dir"], dir_s)
+    assert not full["trunc"].any()
+    n_checked = 0
+    for i, b in enumerate(blobs):
+        res = calculate_posture(b, s, bg)
+        if not full["ok"][i]:
+            assert res is None or res.midline is None
+            continue
+        n_checked += 1
+        m = int(full["n_outline"][i])
+        np.testing.assert_allclose(full["outline"][i, :m],
+                                   res.outline, rtol=0, atol=1e-6)
+        k = int(full["nseg"][i])
+        np.testing.assert_allclose(full["seg"][i, :k],
+                                   res.midline.segments, rtol=0,
+                                   atol=1e-12)
+        np.testing.assert_allclose(full["heights"][i, :k],
+                                   res.midline.heights, rtol=0,
+                                   atol=1e-12)
+        assert full["tail"][i] == res.midline.tail_index
+        assert full["head"][i] == res.midline.head_index
+        assert full["len"][i] == res.midline.len
+        assert full["angle"][i] == res.midline.angle
+        bx, by = b.bounds[:2]
+        # full off is GLOBAL; python offset is blob-relative
+        assert (full["off"][i, 0] - bx, full["off"][i, 1] - by) \
+            == res.offset
+    assert n_checked >= 4

@@ -714,10 +714,17 @@ def calculate_posture(blob: TrackBlob, settings,
     minimum_pixels = max(1, blob.num_pixels // 10)
     first_outline = None
     offset = (0, 0)
+    bx, by = blob.bounds[:2]
     while True:
-        dense, offset = biggest_component(
+        dense, goff = biggest_component(
             blob, threshold, background, s,
             int(s["posture_closing_steps"]), int(s["posture_closing_size"]))
+        # biggest_component's crop origin is global; PostureResult's
+        # offset contract is BLOB-RELATIVE (consumers add blob bounds +
+        # offset: pipeline.run_postures, visual_field.generate_eyes) —
+        # the pose/outline posture paths return blob-relative (0, 0)
+        # under the same contract
+        offset = (goff[0] - bx, goff[1] - by)
         if dense is None or dense.sum() < 1:
             break
         # 4x-supersampled trace approximates the reference's pixel-edge
@@ -974,3 +981,103 @@ def posture_batch(line_arrays: list, pixel_arrays: list,
         out_ok.ctypes.data_as(i32p), int(n_threads))
     return (out_ok.astype(bool), out_len, out_angle,
             np.stack([out_dx, out_dy], axis=1))
+
+
+def posture_batch_full(line_arrays: list, pixel_arrays: list,
+                       background: np.ndarray, settings,
+                       movement_dirs: Optional[np.ndarray] = None,
+                       n_threads: int = 0,
+                       outline_cap: int = 2048, seg_cap: int = 512):
+    """posture_batch plus full geometry per blob (the archive/export
+    path; native trex_posture_batch_full): returns a dict of arrays
+
+        ok (N,) bool, len (N,), angle (N,), dir (N, 2),
+        outline (N, outline_cap, 2) f32 crop-local, n_outline (N,) i32,
+        seg (N, seg_cap, 2) f64, heights (N, seg_cap) f64,
+        nseg/tail/head/inverted (N,) i32,
+        off (N, 2) f64 — GLOBAL crop origin (subtract blob bounds for
+        the PostureResult blob-relative offset convention),
+        trunc (N,) bool — capacity exceeded; re-run those blobs through
+        calculate_posture (the per-blob python chain).
+    """
+    import ctypes
+
+    s = settings
+    if int(s["posture_closing_steps"]) != 0:
+        raise ValueError("posture_batch_full: closing steps unsupported")
+    n = len(line_arrays)
+    out = dict(
+        ok=np.zeros(n, bool), len=np.zeros(n), angle=np.zeros(n),
+        dir=np.zeros((n, 2)),
+        outline=np.zeros((n, outline_cap, 2), np.float32),
+        n_outline=np.zeros(n, np.int32),
+        seg=np.zeros((n, seg_cap, 2)), heights=np.zeros((n, seg_cap)),
+        nseg=np.zeros(n, np.int32), tail=np.zeros(n, np.int32),
+        head=np.zeros(n, np.int32), inverted=np.zeros(n, np.int32),
+        off=np.zeros((n, 2)), trunc=np.zeros(n, bool))
+    if n == 0:
+        return out
+    lib = _get_native_posture()
+    lines = np.ascontiguousarray(
+        np.concatenate([np.asarray(a, np.int32) for a in line_arrays]))
+    pixels = np.ascontiguousarray(
+        np.concatenate([np.asarray(a, np.uint8) for a in pixel_arrays]))
+    line_start = np.zeros(n + 1, np.int64)
+    np.cumsum([len(a) for a in line_arrays], out=line_start[1:])
+    pixel_start = np.zeros(n + 1, np.int64)
+    np.cumsum([len(a) for a in pixel_arrays], out=pixel_start[1:])
+    bg = np.ascontiguousarray(background, np.uint8)
+    if movement_dirs is None:
+        md = np.zeros((n, 2))
+        has = np.zeros(n, np.uint8)
+    else:
+        md = np.ascontiguousarray(movement_dirs, np.float64)
+        has = np.ascontiguousarray(
+            np.any(md != 0, axis=1).astype(np.uint8))
+    f64p = ctypes.POINTER(ctypes.c_double)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    i32p = ctypes.POINTER(ctypes.c_int32)
+    ok32 = np.zeros(n, np.int32)
+    trunc32 = np.zeros(n, np.int32)
+    dx = np.zeros(n)
+    dy = np.zeros(n)
+    lib.trex_posture_batch_full.restype = None
+    lib.trex_posture_batch_full(
+        lines.ctypes.data_as(i32p), line_start.ctypes.data_as(i64p),
+        pixels.ctypes.data_as(ctypes.c_char_p),
+        pixel_start.ctypes.data_as(i64p), ctypes.c_int64(n),
+        bg.ctypes.data_as(ctypes.c_char_p),
+        ctypes.c_int32(bg.shape[1]), ctypes.c_int32(bg.shape[0]),
+        ctypes.c_int32(int(s["track_posture_threshold"])),
+        ctypes.c_int32(1 if s["track_threshold_is_absolute"] else 0),
+        ctypes.c_double(float(s["outline_resample"])),
+        ctypes.c_double(float(s["outline_smooth_samples"])),
+        ctypes.c_int32(max(1, int(s["outline_smooth_step"]))),
+        ctypes.c_int32(int(s["outline_approximate"])),
+        ctypes.c_double(float(s["outline_curvature_range_ratio"])),
+        ctypes.c_int32(1 if s["midline_invert"] else 0),
+        ctypes.c_double(float(s["midline_walk_offset"])),
+        ctypes.c_double(float(s["midline_stiff_percentage"])),
+        ctypes.c_int32(1 if s["midline_start_with_head"] else 0),
+        ctypes.c_int32(int(s["midline_resolution"])),
+        md.ctypes.data_as(f64p), has.ctypes.data_as(ctypes.c_char_p),
+        out["len"].ctypes.data_as(f64p),
+        out["angle"].ctypes.data_as(f64p),
+        dx.ctypes.data_as(f64p), dy.ctypes.data_as(f64p),
+        ok32.ctypes.data_as(i32p),
+        out["outline"].ctypes.data_as(f32p),
+        out["n_outline"].ctypes.data_as(i32p),
+        ctypes.c_int64(outline_cap),
+        out["seg"].ctypes.data_as(f64p),
+        out["heights"].ctypes.data_as(f64p), ctypes.c_int64(seg_cap),
+        out["nseg"].ctypes.data_as(i32p),
+        out["tail"].ctypes.data_as(i32p),
+        out["head"].ctypes.data_as(i32p),
+        out["inverted"].ctypes.data_as(i32p),
+        out["off"].ctypes.data_as(f64p),
+        trunc32.ctypes.data_as(i32p), ctypes.c_int32(n_threads))
+    out["ok"] = ok32.astype(bool)
+    out["trunc"] = trunc32.astype(bool)
+    out["dir"] = np.stack([dx, dy], axis=1)
+    return out
