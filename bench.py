@@ -508,24 +508,59 @@ def _device_probe():
     print("PROBE_OK")
 
 
-def _run_device_section(timeout_s=2400):
+def _probe_device(timeout_s=90) -> str:
+    """One tunnel probe attempt; returns '' on success or the failure
+    reason."""
     env = dict(os.environ)
     env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
         + env.get("PYTHONPATH", "")
-    # the accelerator tunnel sporadically stalls on device->host
-    # transfers for tens of minutes; probe with a tiny round trip
-    # first so a dead tunnel costs 90s, not the full section timeout
     try:
         probe = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()),
              "--device-probe"],
-            env=env, capture_output=True, text=True, timeout=90)
+            env=env, capture_output=True, text=True, timeout=timeout_s)
         if "PROBE_OK" not in probe.stdout:
-            return {"error": "device probe failed (tunnel stall)"}
+            return "device probe failed (tunnel stall)"
     except subprocess.TimeoutExpired:
-        return {"error": "device probe timed out (tunnel stall)"}
-    except Exception as e:
-        return {"error": f"device probe: {e}"[:200]}
+        return "device probe timed out (tunnel stall)"
+    except Exception as e:  # noqa: BLE001 - report, don't crash bench
+        return f"device probe: {e}"[:200]
+    return ""
+
+
+_CACHE_PATH = Path(__file__).parent / ".bench_device_cache.json"
+
+
+def _save_device_cache(dev: dict):
+    """Persist the last GOOD device metrics so one stalled tunnel does
+    not erase the round's device story (VERDICT r3 item 2)."""
+    import datetime
+
+    good = {k: v for k, v in dev.items() if not k.endswith("_error")
+            and k != "error"}
+    if not good:
+        return
+    try:
+        _CACHE_PATH.write_text(json.dumps({
+            "timestamp": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(),
+            "metrics": good}))
+    except OSError:
+        pass
+
+
+def _load_device_cache():
+    try:
+        return json.loads(_CACHE_PATH.read_text())
+    except (OSError, ValueError):
+        return None
+
+
+def _run_device_section(timeout_s=2400):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
+        + env.get("PYTHONPATH", "")
+
     def last_json(text):
         out = None
         for line in (text or "").splitlines():
@@ -558,8 +593,46 @@ def _run_device_section(timeout_s=2400):
 
 
 def main():
+    # probe the accelerator tunnel up to 4 times, SPREAD across the
+    # host benches (one stalled 90 s window must not decide the
+    # round's device evidence — VERDICT r3 item 2)
+    probe_err = _probe_device()
     host_fps, host_tracked, host_engine = bench_tracking()
-    dev = _run_device_section()
+    if probe_err:
+        probe_err = _probe_device()
+    try:
+        posture_fps, n_postures = bench_tracking_posture()
+    except Exception:
+        posture_fps, n_postures = None, 0
+    if probe_err:
+        probe_err = _probe_device()
+    fixture_fps = bench_fixture_convert()
+    if probe_err:
+        probe_err = _probe_device()
+
+    device_error = None
+    device_provenance = None
+    if probe_err:
+        dev = {}
+        device_error = probe_err + " (4 probe attempts)"
+    else:
+        dev = _run_device_section()
+        if dev.get("error"):
+            device_error = dev["error"]
+        sub_errors = {k: v for k, v in dev.items()
+                      if k.endswith("_error")}
+        if sub_errors and not device_error:
+            device_error = "; ".join(
+                f"{k}: {v}" for k, v in sorted(sub_errors.items()))
+        if any(not k.endswith("_error") and k != "error"
+               for k in dev):
+            device_provenance = "live"
+            _save_device_cache(dev)
+    if device_provenance is None:
+        cached = _load_device_cache()
+        if cached:
+            dev = {**cached["metrics"], **dev}
+            device_provenance = f"cached {cached['timestamp']}"
     prod = dev.get("device_product")
     if prod and prod[0] and prod[0] > host_fps:
         track_fps, n_tracked, assists, engine = prod
@@ -569,11 +642,6 @@ def main():
         track_fps, n_tracked, engine = host_fps, host_tracked, \
             host_engine
         assists = None
-    try:
-        posture_fps, n_postures = bench_tracking_posture()
-    except Exception:
-        posture_fps, n_postures = None, 0
-    fixture_fps = bench_fixture_convert()
     crops_per_sec = dev.get("vi_crops")
     vf_per_sec = dev.get("visual_fields")
     dev_fps = dev.get("device_detect")
@@ -606,6 +674,11 @@ def main():
         if yolo_fps else None,
         "synthetic_video": f"{SIZE}x{SIZE}@{int(VIDEO_FPS)}fps "
                            f"{N_FISH} individuals",
+        # device evidence accountability (VERDICT r3 item 2): why a
+        # device number is missing, and whether the device metrics are
+        # live or from the last good run on this host
+        "device_error": device_error,
+        "device_provenance": device_provenance,
     }
     print(json.dumps({
         "metric": "frames/sec/chip at 256-individual bg-subtract tracking",

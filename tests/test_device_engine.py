@@ -155,7 +155,8 @@ def test_device_engine_track_frames_fused():
 
 
 def test_cli_track_device_engine(tmp_path):
-    """-task track with track_engine=device writes a positions npz."""
+    """-task track with track_engine=device writes the FULL product
+    export (per-fish CSVs + .results) through the archive path."""
     n = 4
     s = _settings(n)
     rng = np.random.default_rng(5)
@@ -194,10 +195,13 @@ def test_cli_track_device_engine(tmp_path):
                "-match_mode", "approximate",
                "-calculate_posture", "false"])
     assert rc == 0
-    npz = out / "t" / "data" / "vid_positions.npz"
-    assert npz.exists()
-    d = np.load(npz)
-    assert d["fish_seen"].any()
+    # default output_format=npz, individual_prefix=id
+    files = sorted((out / "t" / "data").glob("vid_id*.npz"))
+    assert files, list((out / "t" / "data").iterdir())
+    d = np.load(files[0])
+    assert "frame" in d.files and len(d["frame"]) > 10
+    # .results lands beside the pv file (reference convention)
+    assert (out / "vid.results").exists()
 
 
 def test_device_engine_multirange_size_filter():
@@ -287,3 +291,46 @@ def test_device_engine_demotes_on_assist_storm():
     dev = _track_device_blobs(frames, bg, s2)
     assert dev.demoted, (len(dev.assist_frames), dev._frames_done)
     _compare_history(host, dev, len(frames))
+
+
+def test_device_engine_decay_matches_fast():
+    """track_speed_decay < 1: the scan's in-graph window estimate
+    (_decay_estimates) must reproduce the host engine's assignments;
+    chain-broken fish flag the frame for the exact host replay."""
+    n = 6
+    s = _settings(n)
+    s.set("track_speed_decay", 0.7)
+    rng = np.random.default_rng(7)
+    pos = rng.uniform(20, 200, (n, 2))
+    vel = rng.normal(0, 2.0, (n, 2))
+    frames = []
+    for _ in range(40):
+        frames.append(_render(pos))
+        vel += rng.normal(0, 0.5, vel.shape)
+        vel = np.clip(vel, -4, 4)
+        pos = np.clip(pos + vel, 10, 230)
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    assert host.decay_active
+    dev = _track_device_blobs(frames, bg, s)
+    _compare_history(host, dev, len(frames))
+
+
+def test_device_engine_decay_gap_reactivation():
+    """A fish vanishing for a few frames (chain break) must flag the
+    frames for host replay and still match the host engine."""
+    n = 3
+    s = _settings(n)
+    s.set("track_speed_decay", 0.7)
+    base = np.array([[40.0, 60.0], [120.0, 60.0], [200.0, 120.0]])
+    frames = []
+    for i in range(30):
+        p = base + np.array([i * 1.5, 0.0])
+        pts = [None if (k == 1 and 10 <= i < 14) else p[k]
+               for k in range(n)]
+        frames.append(_render(pts))
+    bg = np.full((256, 256), 200, np.uint8)
+    host = _host(frames, bg, s)
+    dev = _track_device_blobs(frames, bg, s)
+    _compare_history(host, dev, len(frames))
+    assert dev.assist_frames, "expected host assists around the gap"

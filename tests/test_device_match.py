@@ -50,12 +50,19 @@ def test_auction_matches_host_optimum(quantize):
 
     from trex_tpu.ops.device_match import auction_match
 
+    # launch through the relay-corruption retry guard: this fuzz
+    # compiles many near-identical shapes of the same program, which
+    # is exactly the pattern that corrupts live executables on this
+    # deployment's compile relay (docs/ROUND3_NOTES.md)
+    from trex_tpu.ops.device_tracker import launch_resilient
+
     fn = jax.jit(auction_match)
     p_min = 0.1
     total = flagged = 0
     for Pm in _fuzz_instances(60, seed=7 + quantize, quantize=quantize):
         edge_ok = Pm > p_min
-        fob, marg = fn(jnp.asarray(Pm), jnp.asarray(edge_ok))
+        fob, marg = launch_resilient(fn, jnp.asarray(Pm),
+                                     jnp.asarray(edge_ok))
         total += 1
         if bool(marg):
             flagged += 1

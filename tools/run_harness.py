@@ -97,7 +97,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--modes", default="automatic,hungarian,tree")
+    ap.add_argument("--engine", default=None,
+                    choices=["object", "fast", "device"],
+                    help="force track_engine for every run (default: "
+                    "the product 'auto' selection)")
     a = ap.parse_args()
+    engine_args = ["-track_engine", a.engine] if a.engine else []
 
     if not FRAMES.exists():
         print("fixture not available")
@@ -113,7 +118,7 @@ def main():
         "-d", str(workdir), "-s", str(VIDEOS / "test.settings"),
         "-task", "convert", "-nowindow", "-auto_quit",
         "-history_matching_log",
-        str(workdir / "history_matching_tgrabs.html")],
+        str(workdir / "history_matching_tgrabs.html")] + engine_args,
         workdir / "tgrabs.log")
     if rc != 0:
         print("[ERROR] convert failed")
@@ -132,7 +137,7 @@ def main():
             "-s", str(VIDEOS / "test.settings"), "-task", "track",
             "-p", "corrected", "-match_mode", mode, "-nowindow",
             "-auto_quit", "-history_matching_log",
-            str(workdir / "history_matching_trex.html")],
+            str(workdir / "history_matching_trex.html")] + engine_args,
             workdir / "trex.log")
         if rc != 0:
             print(f"[ERROR] track ({mode}) failed")

@@ -286,9 +286,15 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         from ..pipeline import TrackingState
 
         engine_mode = (s.get("track_engine", "auto") or "auto")
-        history_engine = engine_mode in ("fast", "device")
-        state = TrackingState(s, pv_path, progress=progress,
-                              need_individuals=not history_engine)
+        if load and engine_mode != "object":
+            # .results restore rebuilds Individual state through the
+            # object tracker (TrackingState::load_state)
+            if engine_mode in ("fast", "device"):
+                print(f"[load] track_engine={engine_mode} cannot "
+                      "restore .results state; using object",
+                      file=sys.stderr)
+            s.set("track_engine", "object", source="load")
+        state = TrackingState(s, pv_path, progress=progress)
         sig.targets.append(state)
         auto_train = bool(s["auto_train"])
         auto_apply = bool(s["auto_apply"])
@@ -331,6 +337,8 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             _auto_tags(tracker, state, s, load)
         if auto_quit:
             if hasattr(tracker, "individuals"):
+                # every engine serves the full export surface in
+                # archive mode (need_individuals default True)
                 _export(tracker, s, data_dir, name, pv_file=state.pv)
                 if not s["auto_no_results"]:
                     from ..export.results import save_results
@@ -338,7 +346,7 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                     save_results(tracker, s,
                                  pv_path.with_suffix(".results"))
             else:
-                # history engines (fast/device): positional npz
+                # archive-less engine (programmatic use): positions npz
                 from ..track.device_engine import export_positions
 
                 data_dir.mkdir(parents=True, exist_ok=True)

@@ -81,6 +81,18 @@ class TrackParams(NamedTuple):
     # collapsed [min, max] pair is only exact for <=1 range, the host
     # keeps in-ANY-range semantics (SizeFilters.in_range_of_one)
     detect_size_ranges: tuple = ()
+    # track_speed_decay < 1: matching distances measure from the
+    # decay-weighted velocity extrapolation (Individual.cpp:1995-2025).
+    # The carry grows a (F, WIN, 5) window section [frame, x, y, time,
+    # global step]; fish whose window the in-graph array math cannot
+    # reproduce (chain breaks, gaps) flag the frame for the host
+    # replay — the spliced helper runs the exact scalar estimate.
+    do_decay: bool = False
+    decay_lambda: float = 1.0      # decay^4
+
+
+# window length of the decay estimate (Individual._win / CACHE_WINDOW)
+DECAY_WIN = 7
 
 
 def _in_size_ranges(size, ranges: tuple, lo: float, hi: float):
@@ -125,12 +137,16 @@ def params_from_settings(s) -> TrackParams:
         do_posture=bool(s["calculate_posture"]),
         size_ranges=tuple((float(a), float(b)) for a, b in ranges),
         detect_size_ranges=tuple((float(a), float(b))
-                                 for a, b in dranges))
+                                 for a, b in dranges),
+        do_decay=min(1.0, max(0.0, float(s["track_speed_decay"])))
+        ** 4 < 1.0,
+        decay_lambda=min(1.0, max(0.0,
+                                  float(s["track_speed_decay"]))) ** 4)
 
 
 def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
     F = P.max_fish
-    return dict(
+    c = dict(
         last_x=jnp.zeros(F), last_y=jnp.zeros(F),
         last_time=jnp.zeros(F),
         last_frame=jnp.full(F, -(10 ** 9), jnp.int32),
@@ -139,6 +155,84 @@ def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
         n_fish=jnp.asarray(0, jnp.int32),
         start_frame=jnp.asarray(start_frame).astype(jnp.int32),
         prev_time=jnp.asarray(t0).astype(jnp.float32))
+    if P.do_decay:
+        win = jnp.zeros((F, DECAY_WIN, 5))
+        c["win"] = win.at[:, :, 0].set(-1e9)
+    return c
+
+
+def _decay_estimates(win: jax.Array, frame, P: TrackParams):
+    """In-graph decay-extrapolated positions over the carry's
+    (F, W, 5) windows [frame, x, y, time, global step] — the port of
+    cache_batch.window_motion's consecutive-window path (Individual.
+    cpp:1940-2025). Returns (est_x, est_y, need_host): need_host marks
+    fish whose window has chain breaks (invalid pairs) or a frame gap
+    before the estimate — the exact scalar walk runs host-side via the
+    assist replay."""
+    wf = win[:, :, 0]
+    prev = wf[:, -1]
+    valid = (wf > -1e8) & (wf >= (prev - 6)[:, None])
+    x = win[:, :, 1]
+    y = win[:, :, 2]
+    t = win[:, :, 3]
+    st = win[:, :, 4]
+    dt = t[:, 1:] - t[:, :-1]
+    pair_exists = valid[:, 1:] & valid[:, :-1]
+    pair_ok = pair_exists & (dt > 0) & (st[:, 1:] <= 1.0)
+    bad = jnp.any(pair_exists & ~pair_ok, axis=1)
+    dts = jnp.where(pair_ok, dt, 1.0)
+    vx = jnp.where(pair_ok, (x[:, 1:] - x[:, :-1]) / dts, 0.0)
+    vy = jnp.where(pair_ok, (y[:, 1:] - y[:, :-1]) / dts, 0.0)
+    l_sq = vx * vx + vy * vy
+    cm = P.cm_per_pixel
+    max_speed_px = (P.max_speed / cm) if cm else 0.0
+    if max_speed_px > 0:
+        over = pair_ok & (l_sq >= max_speed_px * max_speed_px)
+        scale = jnp.where(
+            over, max_speed_px / jnp.sqrt(jnp.where(l_sq > 0, l_sq,
+                                                    1.0)), 1.0)
+        vx = vx * scale
+        vy = vy * scale
+        l_sq = jnp.where(over, max_speed_px * max_speed_px, l_sq)
+    counts = pair_ok.sum(axis=1)
+    used = jnp.maximum(counts, 1)
+    raw_x = vx.sum(axis=1) / used
+    raw_y = vy.sum(axis=1) / used
+    # acceleration: global step at the newer sample, terms with a
+    # zero previous velocity skipped (Individual.cpp)
+    acc_step = st[:, 2:]
+    prev_nz = pair_ok[:, :-1] & ((vx[:, :-1] != 0) | (vy[:, :-1] != 0))
+    acc_ok = pair_ok[:, 1:] & (acc_step > 0) & prev_nz
+    acc_div = jnp.where(acc_ok, acc_step, 1.0)
+    acc_x = jnp.where(acc_ok, (vx[:, 1:] - vx[:, :-1]) / acc_div,
+                      0.0).sum(axis=1) / used
+    acc_y = jnp.where(acc_ok, (vy[:, 1:] - vy[:, :-1]) / acc_div,
+                      0.0).sum(axis=1) / used
+    # median pair speed^2 (numpy midpoint convention)
+    srt = jnp.sort(jnp.where(pair_ok, l_sq, jnp.inf), axis=1)
+    lo_i = jnp.maximum((counts - 1) // 2, 0)
+    hi_i = jnp.maximum(counts // 2, 0)
+    med = 0.5 * (jnp.take_along_axis(srt, lo_i[:, None], 1)[:, 0]
+                 + jnp.take_along_axis(srt, hi_i[:, None], 1)[:, 0])
+    med = jnp.where(counts > 0, med, 0.0)
+    speed = jnp.maximum(0.6, jnp.sqrt(med))
+    nrm = jnp.hypot(raw_x, raw_y)
+    dir_x = jnp.where(nrm > 0, raw_x / nrm, 0.0)
+    dir_y = jnp.where(nrm > 0, raw_y / nrm, 0.0)
+    nrm = jnp.hypot(acc_x, acc_y)
+    accd_x = jnp.where(nrm > 0, acc_x / nrm, 0.0)
+    accd_y = jnp.where(nrm > 0, acc_y / nrm, 0.0)
+    simple = prev == frame - 1
+    step = st[:, -1]
+    ok = simple & (counts > 0)
+    last_x = x[:, -1]
+    last_y = y[:, -1]
+    est_x = jnp.where(ok, last_x + step * speed
+                      * (dir_x + step * accd_x), last_x)
+    est_y = jnp.where(ok, last_y + step * speed
+                      * (dir_y + step * accd_y), last_y)
+    need_host = bad | (~simple & (counts > 0))
+    return est_x, est_y, need_host
 
 
 def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
@@ -206,6 +300,19 @@ def _scan_impl(det: dict, times: jax.Array,
         created = jnp.arange(F) < carry["n_fish"]
         has = (carry["last_frame"] > -(10 ** 8)) & created
         tdelta = jnp.maximum(time - carry["last_time"], 1e-6)
+        # estimated positions: the decay extrapolation when
+        # track_speed_decay < 1, else the last positions (matching
+        # distances AND the history-split fish positions measure from
+        # these — Tracker.cpp fish_positions from cache.estimated_px)
+        if P.do_decay:
+            est_x, est_y, dec_bad = _decay_estimates(
+                carry["win"], frame, P)
+            est_x = jnp.where(dec_bad, carry["last_x"], est_x)
+            est_y = jnp.where(dec_bad, carry["last_y"], est_y)
+        else:
+            est_x = carry["last_x"]
+            est_y = carry["last_y"]
+            dec_bad = None
         size = rec * sq
         in_range = _in_size_ranges(size, P.size_ranges,
                                    P.size_min, P.size_max)
@@ -238,6 +345,11 @@ def _scan_impl(det: dict, times: jax.Array,
             bx0i, by0i, bx1i, by1i = bbox
             recent = has & (carry["last_frame"].astype(jnp.float32)
                             >= frame - P.frame_rate * P.t_max)
+            if dec_bad is not None:
+                # a recent fish whose decay window needs the scalar
+                # path poisons the split expectation too
+                needs_host = needs_host | jnp.any(
+                    recent & dec_bad & (frame != start_frame))
             # the host candidate table drops `small` rows before the
             # expectation sees it (build_candidates: keep = in-any-
             # range | big, where big reduces to size > max_hi since
@@ -252,8 +364,8 @@ def _scan_impl(det: dict, times: jax.Array,
                     exp_ok = exp_ok & (in_range
                                        | (size > P.size_max))
             expect, marg = expectation_counts(
-                carry["last_x"].astype(jnp.float32),
-                carry["last_y"].astype(jnp.float32), recent,
+                est_x.astype(jnp.float32),
+                est_y.astype(jnp.float32), recent,
                 ry, rx0, rx1, rslot,
                 bx0i.astype(jnp.float32), by0i.astype(jnp.float32),
                 bx1i.astype(jnp.float32), by1i.astype(jnp.float32),
@@ -338,8 +450,11 @@ def _scan_impl(det: dict, times: jax.Array,
             ry, rx0, rx1, rslot = runs
             recent = has & (carry["last_frame"].astype(jnp.float32)
                             >= frame - P.frame_rate * P.t_max)
-            fx = carry["last_x"]
-            fy = carry["last_y"]
+            if dec_bad is not None:
+                needs_host = needs_host | jnp.any(
+                    recent & dec_bad & (frame != start_frame))
+            fx = est_x
+            fy = est_y
             dxr = jnp.clip(fx[:, None], rx0[None, :].astype(jnp.float32),
                            rx1[None, :].astype(jnp.float32)) \
                 - fx[:, None]
@@ -384,11 +499,16 @@ def _scan_impl(det: dict, times: jax.Array,
         gt = time - prev_time
         global_td = jnp.where(gt > 0, gt, jnp.inf)
 
-        # first pass over bbox centers, active fish only
-        d = jnp.hypot(bcx[None, :] - carry["last_x"][:, None],
-                      bcy[None, :] - carry["last_y"][:, None])
+        # first pass over bbox centers (distances from the estimated
+        # positions), active fish only
+        d = jnp.hypot(bcx[None, :] - est_x[:, None],
+                      bcy[None, :] - est_y[:, None])
         speed = d / global_td * cms
         usable = has & (tprob > 0) & (tdelta < P.t_max)
+        if dec_bad is not None:
+            # a usable fish whose estimate needs the scalar path: the
+            # whole frame replays on the host
+            needs_host = needs_host | jnp.any(usable & dec_bad)
         Pmat = tprob[:, None] / (1.0 + speed) ** 2
         Pmat = jnp.where(usable[:, None], Pmat, 0.0)
         fob = jnp.full(bval.shape, -1, jnp.int32)
@@ -464,6 +584,19 @@ def _scan_impl(det: dict, times: jax.Array,
             seen=seen, n_fish=n_fish,
             start_frame=carry["start_frame"],
             prev_time=time.astype(jnp.float32))
+        if P.do_decay:
+            entry = jnp.stack([
+                jnp.broadcast_to(
+                    jnp.asarray(frame, jnp.float32), (F,)),
+                fx.astype(jnp.float32), fy.astype(jnp.float32),
+                jnp.broadcast_to(jnp.asarray(time, jnp.float32), (F,)),
+                jnp.broadcast_to(
+                    jnp.asarray(time - prev_time, jnp.float32),
+                    (F,))], axis=1)
+            shifted = jnp.concatenate(
+                [carry["win"][:, 1:], entry[:, None, :]], axis=1)
+            new_carry["win"] = jnp.where(got[:, None, None], shifted,
+                                         carry["win"])
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
                    fish_row=fish_row, fish_child=fish_child,
@@ -551,20 +684,21 @@ def track_scan(det: dict, times: jax.Array, frames_idx: jax.Array,
 
 def carry_vec_size(P: TrackParams) -> int:
     F = P.max_fish
-    base = 5 * F + F * P.frame_rate + 3
     # posture: trailing (F, 2) previous-midline-direction section
-    return base + (2 * F if P.do_posture else 0)
+    return _track_vec_size(P) + (2 * F if P.do_posture else 0)
 
 
 def _track_vec_size(P: TrackParams) -> int:
     """Tracking-scan carry width (without the posture section)."""
     F = P.max_fish
-    return 5 * F + F * P.frame_rate + 3
+    base = 5 * F + F * P.frame_rate + 3
+    # decay: trailing (F, WIN, 5) motion-window section
+    return base + (5 * DECAY_WIN * F if P.do_decay else 0)
 
 
 def _carry_to_vec_jnp(c: dict) -> jax.Array:
     """In-graph counterpart of carry_to_vec (same layout)."""
-    return jnp.concatenate([
+    parts = [
         c["last_x"].astype(jnp.float32),
         c["last_y"].astype(jnp.float32),
         c["last_time"].astype(jnp.float32),
@@ -573,7 +707,10 @@ def _carry_to_vec_jnp(c: dict) -> jax.Array:
         c["seen"].astype(jnp.float32).reshape(-1),
         jnp.stack([c["n_fish"].astype(jnp.float32),
                    c["start_frame"].astype(jnp.float32),
-                   c["prev_time"].astype(jnp.float32)])])
+                   c["prev_time"].astype(jnp.float32)])]
+    if "win" in c:
+        parts.append(c["win"].astype(jnp.float32).reshape(-1))
+    return jnp.concatenate(parts)
 
 
 def carry_to_vec(carry) -> np.ndarray:
@@ -588,6 +725,8 @@ def carry_to_vec(carry) -> np.ndarray:
         c["seen"].astype(np.float32).reshape(-1),
         np.asarray([float(c["n_fish"]), float(c["start_frame"]),
                     float(c["prev_time"])], np.float32)]
+    if "win" in c:
+        parts.append(c["win"].astype(np.float32).reshape(-1))
     if "posture_dir" in c:
         parts.append(c["posture_dir"].astype(np.float32).reshape(-1))
     return np.concatenate(parts)
@@ -615,6 +754,9 @@ def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
         n_fish=int(vec[o]), start_frame=int(vec[o + 1]),
         prev_time=float(vec[o + 2]))
     o += 3
+    if P.do_decay:
+        out["win"] = take(5 * DECAY_WIN * F) \
+            .reshape(F, DECAY_WIN, 5).astype(np.float64)
     if P.do_posture:
         out["posture_dir"] = take(2 * F).reshape(F, 2) \
             .astype(np.float64)
@@ -639,13 +781,16 @@ def _carry_from_vec(vec: jax.Array, P: TrackParams) -> dict:
     nb = take(F)
     seen = take(F * W).reshape(F, W)
     tail = take(3)
-    return dict(
+    out = dict(
         last_x=lx, last_y=ly, last_time=lt,
         last_frame=lf.astype(jnp.int32),
         n_basic=nb.astype(jnp.int32), seen=seen > 0.5,
         n_fish=tail[0].astype(jnp.int32),
         start_frame=tail[1].astype(jnp.int32),
         prev_time=tail[2])
+    if P.do_decay:
+        out["win"] = take(5 * DECAY_WIN * F).reshape(F, DECAY_WIN, 5)
+    return out
 
 
 def _pack_result(hist: dict, final: dict, overflow,

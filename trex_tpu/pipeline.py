@@ -37,12 +37,15 @@ def select_tracker(settings: Settings, background,
                    gray_pixels: bool = True):
     """Pick the tracking engine per the `track_engine` setting.
 
-    The struct-of-arrays FastTracker (track/engine.py) covers the
-    high-throughput configuration but keeps positional history only —
-    callers that need per-individual blob archives (export, posture,
-    .results) must pass need_individuals=True, which restricts 'auto'
-    to the object Tracker. 'fast' forces the engine and raises when the
-    configuration (or the caller) needs more.
+    need_individuals=True turns on the engines' archive mode
+    (track/archive.py): they record per-frame assignment blobs + full
+    posture geometry and build per-individual archives lazily, so the
+    full product export surface (CSV/NPZ/posture/.results) works
+    behind FastTracker AND DeviceTracker — differential-tested
+    byte-equal to the object Tracker (tests/test_archive.py).
+    'auto' prefers the fast engine whenever the configuration allows
+    and falls back to the object Tracker otherwise; 'device' additionally
+    promotes tracking onto the accelerator scan.
     """
     from .track.engine import EngineUnsupported, FastTracker
 
@@ -50,22 +53,20 @@ def select_tracker(settings: Settings, background,
     if mode == "object":
         return Tracker(settings, background=background)
     if mode in ("fast", "device"):
-        if need_individuals:
-            raise EngineUnsupported(
-                f"the {mode} engine keeps positional history only; "
-                "this task needs per-individual archives (export/"
-                "posture/.results) — use track_engine=object")
         if not gray_pixels:
             raise EngineUnsupported("non-gray blob pixels")
         if mode == "device":
             from .track.device_engine import DeviceTracker
 
-            return DeviceTracker(settings, background)
-        return FastTracker(settings, background)
+            return DeviceTracker(settings, background,
+                                 keep_individuals=need_individuals)
+        return FastTracker(settings, background,
+                           keep_individuals=need_individuals)
     # auto
-    if not need_individuals and gray_pixels:
+    if gray_pixels:
         try:
-            return FastTracker(settings, background)
+            return FastTracker(settings, background,
+                               keep_individuals=need_individuals)
         except EngineUnsupported:
             pass
     return Tracker(settings, background=background)

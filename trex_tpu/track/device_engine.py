@@ -51,10 +51,6 @@ def check_device_supported(settings) -> None:
         raise EngineUnsupported(
             "posture_closing_steps needs the per-blob host chain "
             "(track_engine=object)")
-    if min(1.0, max(0.0, float(s["track_speed_decay"]))) ** 4 < 1.0:
-        raise EngineUnsupported(
-            "track_speed_decay < 1 (decay extrapolation) is not in "
-            "the device scan yet — use track_engine=fast")
 
 
 class DeviceTracker:
@@ -64,7 +60,8 @@ class DeviceTracker:
 
     def __init__(self, settings, background: np.ndarray,
                  chunk: int = None, caps: dict = None,
-                 split_caps: dict = None):
+                 split_caps: dict = None,
+                 keep_individuals: bool = False):
         from ..ops.device_tracker import (default_split_spec,
                                           params_from_settings)
 
@@ -72,6 +69,17 @@ class DeviceTracker:
         self.settings = settings
         self.background = np.asarray(background)
         self.caps = caps
+        # archive mode (see FastTracker): per-frame assignment blobs +
+        # full posture geometry so build_individuals can feed the full
+        # export surface. Committed device frames archive from the
+        # host-built candidate tables via the scan's fish_row output;
+        # assist/demoted frames archive inside the helper engine.
+        self.archive_mode = bool(keep_individuals)
+        self.frame_archive: dict[int, tuple] = {}
+        self.posture_archive: dict[int, list] = {}
+        self._individuals_cache = None
+        self.predicted: dict[int, dict] = {}
+        self.tag_assignments: dict[int, dict] = {}
         self.P = params_from_settings(settings)
         # on-device HistorySplit executor for the fused frames path
         # (the pv/blob path ships no pixel data to the device, so its
@@ -91,7 +99,8 @@ class DeviceTracker:
         self.F = self.P.max_fish
         self.chunk = chunk or self.CHUNK
         # host helper: candidate tables + history split + replay
-        self._helper = FastTracker(settings, self.background)
+        self._helper = FastTracker(settings, self.background,
+                                   keep_individuals=keep_individuals)
         self._helper_dirty = True
         self.frame_rate = self._helper.frame_rate
 
@@ -129,7 +138,7 @@ class DeviceTracker:
 
     def _ensure_carry(self, frame: int, time: float):
         if self._carry_vec is None:
-            from ..ops.device_tracker import carry_to_vec
+            from ..ops.device_tracker import DECAY_WIN, carry_to_vec
 
             self.start_frame = frame
             F = self.F
@@ -140,6 +149,10 @@ class DeviceTracker:
                 n_basic=np.zeros(F),
                 seen=np.zeros((F, self.P.frame_rate)),
                 n_fish=0, start_frame=frame, prev_time=time)
+            if self.P.do_decay:
+                win = np.zeros((F, DECAY_WIN, 5))
+                win[:, :, 0] = -1e9
+                c["win"] = win
             if self.P.do_posture:
                 c["posture_dir"] = np.zeros((F, 2))
             self._carry_vec = carry_to_vec(c)
@@ -173,17 +186,23 @@ class DeviceTracker:
 
     def _tables_from_blobs(self, blobs: list):
         """engine.build_candidates over TrackBlob-likes -> (table,
-        big_rows, raw arrays for the assist replay)."""
+        big_rows, raw arrays for the assist replay, per-source-row
+        predictions or None)."""
         import ctypes
 
         eng = self._helper
         n = len(blobs)
+        preds = None
+        if self.archive_mode:
+            preds = [getattr(b, "prediction", None) for b in blobs]
+            if not any(p is not None for p in preds):
+                preds = None
         if n == 0:
             z = (np.zeros((0, 3), np.int32), np.zeros(0, np.uint8),
                  np.zeros(1, np.int64), np.zeros(1, np.int64),
                  np.zeros((0, 8)))
             t, big = eng.build_candidates(*z)
-            return t, big, z
+            return t, big, z, preds
         lines = np.concatenate([np.asarray(b.lines, np.int32)
                                 for b in blobs])
         have_px = all(b.pixels is not None for b in blobs)
@@ -222,17 +241,17 @@ class DeviceTracker:
                 stats.ctypes.data_as(f64p))
         raw = (lines, pixels, line_start, pixel_start, stats)
         table, big = self._helper.build_candidates(*raw)
-        return table, big, raw
+        return table, big, raw, preds
 
     @staticmethod
     def _need_rows(tables: list, use_runs: bool):
         """(B, R) row capacities the packed det array needs for these
         tables: max blob count and max total run count per frame."""
-        B = max(1, max((t.n for t, _, _ in tables), default=1))
+        B = max(1, max((t[0].n for t in tables), default=1))
         R = 0
         if use_runs:
             R = 1
-            for t, _, _ in tables:
+            for t, *_ in tables:
                 tot = 0
                 for r in range(t.n):
                     if t.objs[r] is not None:
@@ -270,7 +289,7 @@ class DeviceTracker:
             packed[:, 6 * B:6 * B + R] = -1          # runs_y pad
             packed[:, 6 * B + 3 * R:] = B            # runs_slot pad
         sq = self.P.cm_per_pixel * self.P.cm_per_pixel
-        for i, (t, _, _) in enumerate(tables):
+        for i, (t, *_) in enumerate(tables):
             n = t.n
             if not n:
                 continue
@@ -335,8 +354,8 @@ class DeviceTracker:
         while i < len(buf):
             if self._maybe_demote(frames[i], times[i]):
                 for k in range(i, len(buf)):
-                    _, _, raw = tables[k]
-                    self._host_step(frames[k], times[k], raw)
+                    self._host_step(frames[k], times[k], tables[k][2],
+                                    tables[k][3])
                 break
             span = len(buf) - i
             packed, B, R = self._det_packed_from_tables(
@@ -361,6 +380,8 @@ class DeviceTracker:
                                          + self.F * self.P.frame_rate])
             self._commit_history(frames[i:i + stop],
                                  times[i:i + stop], hist, stop)
+            if self.archive_mode:
+                self._archive_span(frames[i:], tables[i:], hist, stop)
             self._frames_done += stop
             if stop == len(flags):
                 self._carry_vec = carry_rows[span - 1]
@@ -396,6 +417,11 @@ class DeviceTracker:
                                           unpack_result)
         from ..ops.labeling import label_blobs_raw
 
+        if self.archive_mode:
+            raise EngineUnsupported(
+                "archive mode (keep_individuals) needs host blob "
+                "tables — feed frames through add_frame_blobs, not "
+                "the fused raw-frames path")
         s = self.settings
         fr = float(s["frame_rate"] or 25)
         frames = np.asarray(frames)
@@ -474,10 +500,53 @@ class DeviceTracker:
                 self._carry_vec = carry_rows[stop - 1]
             fi = i + stop
             self._assist(int(idx[fi]), float(times[fi]),
-                         (None, None, raw_tuple(frames[fi])), None)
+                         (None, None, raw_tuple(frames[fi]), None),
+                         None)
             i = fi + 1
         self.end_frame = int(idx[-1])
         return self
+
+    # -- archives (archive mode) ------------------------------------------
+
+    def _archive_span(self, frames, tables, hist, stop: int):
+        """Record committed device frames' assignments as lean blobs
+        (FastTracker._materialize_row over the host-built candidate
+        table, rows from the scan's fish_row output)."""
+        eng = self._helper
+        rows_h = np.asarray(hist["fish_row"])
+        for k in range(stop):
+            f = int(frames[k])
+            t, _, raw, preds = tables[k]
+            eng._cur_stats = raw[4]
+            eng._cur_preds = preds
+            rows = rows_h[k]
+            fids = np.flatnonzero(rows >= 0)
+            out_f = []
+            out_b = []
+            for fid in fids.tolist():
+                r = int(rows[fid])
+                if r >= t.n:
+                    continue
+                b = eng._materialize_row(t, r)
+                if b is None:
+                    continue
+                out_f.append(int(fid))
+                out_b.append(b)
+            self.frame_archive[f] = (out_f, out_b)
+        self._individuals_cache = None
+
+    @property
+    def individuals(self):
+        """Per-identity archive (see FastTracker.individuals)."""
+        if not self.archive_mode:
+            raise AttributeError(
+                "individuals needs keep_individuals=True (archive "
+                "mode); this engine kept positional history only")
+        if self._individuals_cache is None:
+            from .archive import build_individuals
+
+            self._individuals_cache = build_individuals(self)
+        return self._individuals_cache
 
     # -- host assist (per-frame replay) ----------------------------------
 
@@ -490,8 +559,9 @@ class DeviceTracker:
         if not self.P.do_posture or not stop:
             return
         from ..ops.device_tracker import _track_vec_size
-        from ..track.posture import posture_batch
+        from ..track.archive import compute_posture_rows
 
+        eng = self._helper
         F = self.F
         base = _track_vec_size(self.P)
         # carry rows unpacked from the device result can be read-only
@@ -506,8 +576,10 @@ class DeviceTracker:
             fids = np.flatnonzero(rows >= 0)
             if not len(fids):
                 continue
-            t, _, _ = tables[k]
-            line_arrays, pixel_arrays, kept = [], [], []
+            t, _, raw, preds = tables[k]
+            eng._cur_stats = raw[4]
+            eng._cur_preds = preds
+            line_arrays, pixel_arrays, kept, pred_of = [], [], [], []
             for fid in fids.tolist():
                 r = int(rows[fid])
                 if r >= t.n:
@@ -527,16 +599,25 @@ class DeviceTracker:
                     pixel_arrays.append(
                         t.pixels[t.pixel_lo[r]:t.pixel_hi[r]])
                 kept.append(fid)
+                pred_of.append(eng._row_prediction(t, r))
             if not kept:
                 continue
             fid_arr = np.asarray(kept, np.int64)
-            ok, lens, angles, out_dirs = posture_batch(
-                line_arrays, pixel_arrays, self.background,
-                self.settings, movement_dirs=-pdir[fid_arr])
+            ok, lens, angles, out_dirs, recs, dir_reset = \
+                compute_posture_rows(
+                    self.settings, self.background, line_arrays,
+                    pixel_arrays, pred_of, -pdir[fid_arr],
+                    want_recs=self.archive_mode)
+            if self.archive_mode:
+                self.posture_archive[f] = [
+                    (int(fid_arr[i]), recs[i])
+                    for i in range(len(kept)) if recs[i] is not None]
+                self._individuals_cache = None
             self.posture_history[f] = {
-                "fish": fid_arr, "ok": ok,
+                "fish": fid_arr, "ok": np.asarray(ok, bool),
                 "midline_length": lens, "angle": angles,
             }
+            pdir[fid_arr[dir_reset]] = 0.0
             good = np.flatnonzero(ok)
             if len(good):
                 pdir[fid_arr[good]] = out_dirs[good]
@@ -559,8 +640,14 @@ class DeviceTracker:
         eng.n_basic[:] = np.asarray(c["n_basic"], np.int64)
         if self.P.do_posture:
             eng._posture_dir[:F] = np.asarray(c["posture_dir"])
-        eng.frame_times = {frame - 1: float(c["prev_time"]),
-                           frame: time}
+        if self.P.do_decay:
+            # motion window (frame, x, y, time) for the helper's
+            # decay estimates; the replay's scalar fallback walks
+            # frame_times, so hand it the full history
+            eng.win[:F] = np.asarray(c["win"])[:, :, :4]
+        eng.frame_times = dict(self.frame_times)
+        eng.frame_times[frame - 1] = float(c["prev_time"])
+        eng.frame_times[frame] = time
         # tracklet bookkeeping from the seen-ring: runs of consecutive
         # seen bits, absolute frames; spans reaching the ring edge are
         # clipped to -inf (recent_number_samples clips at the window
@@ -610,8 +697,9 @@ class DeviceTracker:
         t0 = _time.perf_counter()
         self._sync_helper_state(frame, time)
         eng = self._helper
-        _, _, raw = table_big_raw
-        eng.add_frame(frame, time, *raw)
+        raw = table_big_raw[2]
+        preds = table_big_raw[3] if len(table_big_raw) > 3 else None
+        eng.add_frame(frame, time, *raw, predictions=preds)
         self.assist_frames.append(frame)
         self._frames_done += 1
         # harvest history + rebuild the carry
@@ -629,6 +717,21 @@ class DeviceTracker:
             n_basic=eng.n_basic[:self.F], seen=seen,
             n_fish=eng.n_fish, start_frame=self.start_frame,
             prev_time=time)
+        if self.P.do_decay:
+            # shift + append this frame's window entries for assigned
+            # fish (exactly what the scan's carry update does); older
+            # entries (with their global steps) ride from the previous
+            # carry
+            win = prev["win"].copy()
+            fids = np.flatnonzero(got)
+            if len(fids):
+                win[fids, :-1] = win[fids, 1:]
+                win[fids, -1, 0] = frame
+                win[fids, -1, 1] = eng.last_x[fids]
+                win[fids, -1, 2] = eng.last_y[fids]
+                win[fids, -1, 3] = time
+                win[fids, -1, 4] = time - float(prev["prev_time"])
+            c["win"] = win
         if self.P.do_posture:
             c["posture_dir"] = eng._posture_dir[:self.F]
         self._carry_vec = carry_to_vec(c)
@@ -659,6 +762,14 @@ class DeviceTracker:
             ph = eng.posture_history.get(frame)
             if ph is not None:
                 self.posture_history[frame] = ph
+        if self.archive_mode:
+            fa = eng.frame_archive.get(frame)
+            if fa is not None:
+                self.frame_archive[frame] = fa
+            pa = eng.posture_archive.get(frame)
+            if pa is not None:
+                self.posture_archive[frame] = pa
+            self._individuals_cache = None
         return got
 
     def _maybe_demote(self, frame: int, time: float) -> bool:
@@ -675,9 +786,9 @@ class DeviceTracker:
             self.demoted = True
         return self.demoted
 
-    def _host_step(self, frame: int, time: float, raw):
+    def _host_step(self, frame: int, time: float, raw, preds=None):
         """One frame fully on the (already-synced) host engine."""
-        self._helper.add_frame(frame, time, *raw)
+        self._helper.add_frame(frame, time, *raw, predictions=preds)
         self._harvest_host_frame(frame)
         self._frames_done += 1
 

@@ -63,6 +63,15 @@ def check_supported(settings) -> None:
     want(s["match_mode"] in ("automatic", "approximate", "hungarian",
                              "tree"), "match_mode")
     want(not (s["track_only_categories"] or []), "track_only_categories")
+    # physical-tag detection reads the prefilter noise list; the
+    # auto_* curricula re-track through Tracker internals
+    # (manual_matches splice, _next_id reset) — keep those on the
+    # object tracker
+    want(not s["tags_recognize"], "tags_recognize")
+    for flag in ("auto_train", "auto_apply", "auto_categorize",
+                 "auto_tags"):
+        want(not s[flag], f"{flag} (re-tracks through the object "
+             "tracker)")
 
 
 @dataclass
@@ -86,6 +95,9 @@ class _CandTable:
     pixel_lo: np.ndarray   # per row, offset into pixels; -1 if object
     pixel_hi: np.ndarray
     pixels: np.ndarray
+    # source row into the frame's native stats array (-1 for object-
+    # backed rows); the archive path reads orientation moments from it
+    srow: np.ndarray = None
 
     def blob(self, i: int) -> TrackBlob:
         """Materialize row i as a TrackBlob (split / export paths)."""
@@ -113,10 +125,28 @@ def _in_range_rows(values: np.ndarray, ranges) -> np.ndarray:
 
 
 class FastTracker:
-    def __init__(self, settings, background: np.ndarray):
+    def __init__(self, settings, background: np.ndarray,
+                 keep_individuals: bool = False):
         check_supported(settings)
         self.settings = settings
         self.background = background
+        # archive mode: record each frame's assigned blobs (lean
+        # TrackBlobs) + full posture geometry so build_individuals
+        # (track/archive.py) can replay them into the object tracker's
+        # per-identity store — the full product export surface
+        # (CSV/NPZ/posture/.results) works behind this engine. Off by
+        # default: the pure-throughput path keeps positional history
+        # only.
+        self.archive_mode = bool(keep_individuals)
+        self.frame_archive: dict[int, tuple] = {}
+        self.posture_archive: dict[int, list] = {}
+        self._individuals_cache = None
+        self._cur_stats = None
+        self._cur_preds = None
+        # object-Tracker-compatible attribute surface for the export
+        # layer (EvalContext reads these off any tracker)
+        self.predicted: dict[int, dict] = {}
+        self.tag_assignments: dict[int, dict] = {}
         s = settings
         self.F = int(s["track_max_individuals"])
         F = self.F
@@ -213,7 +243,8 @@ class FastTracker:
                               empty, empty, empty,
                               np.zeros(0, np.int64), np.zeros(0, np.int64),
                               [], lines, np.zeros(0, np.int64),
-                              np.zeros(0, np.int64), pixels), []
+                              np.zeros(0, np.int64), pixels,
+                              srow=np.zeros(0, np.int64)), []
         count = stats[rows, 0]
         track_count = stats[rows, 1]
         size_px = count * self.cm_sqr
@@ -294,7 +325,7 @@ class FastTracker:
             objs=[None] * len(rows), lines=lines,
             pixel_lo=pixel_start[rows].astype(np.int64),
             pixel_hi=pixel_start[rows + 1].astype(np.int64),
-            pixels=pixels)
+            pixels=pixels, srow=np.asarray(rows, np.int64))
 
     def _table_mixed(self, idx_rows, cnt_l, rec_l, objs, lines, pixels,
                      line_start, pixel_start, stats) -> _CandTable:
@@ -332,7 +363,10 @@ class FastTracker:
                 bx0[r], by0[r] = x, y
                 bx1[r], by1[r] = x + w - 1, y + h - 1
         return _CandTable(n, cnt, rec, cx, cy, bx0, by0, bx1, by1,
-                          lo, hi, objs, lines, plo, phi, pixels)
+                          lo, hi, objs, lines, plo, phi, pixels,
+                          srow=np.asarray(
+                              [i if i >= 0 else -1 for i in idx_rows],
+                              np.int64))
 
     # -- history split ---------------------------------------------------
     def _grid_points(self, table: _CandTable, rows: np.ndarray):
@@ -480,7 +514,10 @@ class FastTracker:
         # table-backed native jobs batch into ONE ffi call; object-
         # backed rows and the python path keep the per-blob calls.
         # `insert` is filled in expect-iteration order either way.
-        batch_ok = (self.use_native
+        # Archive mode keeps the split_blob pieces (real TrackBlobs
+        # with lines/flags — the .results/export archive needs the
+        # masks; the native executor's _StatPieces carry stats only).
+        batch_ok = (self.use_native and not self.archive_mode
                     and s["blob_split_algorithm"] != "none")
         jobs: list[tuple[int, int]] = []
         for bi, want in expect.items():
@@ -492,7 +529,7 @@ class FastTracker:
                 jobs.append((bi, want))
                 insert[bi] = []  # placeholder keeps dict order
                 continue
-            if self.use_native:
+            if self.use_native and not self.archive_mode:
                 parts = self._split_native(table, bi, want)
             else:
                 parts = split_blob(table.blob(bi), want,
@@ -835,12 +872,16 @@ class FastTracker:
 
     # -- main ------------------------------------------------------------
     def add_frame(self, frame: int, time: float, lines, pixels,
-                  line_start, pixel_start, stats) -> MatchResult:
+                  line_start, pixel_start, stats,
+                  predictions: list = None) -> MatchResult:
         t0 = _time.perf_counter()
         s = self.settings
         if self.start_frame < 0:
             self.start_frame = frame
         self.frame_times[frame] = time
+        if self.archive_mode:
+            self._cur_stats = stats
+            self._cur_preds = predictions
 
         table, big_rows = self.build_candidates(
             lines, pixels, line_start, pixel_start, stats)
@@ -911,6 +952,8 @@ class FastTracker:
                               assigned_fish, assigned_blob, inactive_ok,
                               posture_rows)
 
+        if self.archive_mode and posture_rows:
+            self._archive_frame(frame, table, posture_rows)
         if self.do_posture and posture_rows:
             self._run_posture_batch(frame, table, posture_rows)
 
@@ -1044,13 +1087,16 @@ class FastTracker:
         """Posture for this frame's assignments via the one-call native
         batch chain (track/posture.posture_batch); per-fish previous
         midline direction feeds the orientation fix like
-        run_postures' movement_direction."""
-        from .posture import posture_batch
-
+        run_postures' movement_direction. Rows whose blob carries a
+        pose/outline prediction take the python per-blob paths (the
+        reference's posture source precedence, TrackingHelper::
+        process_postures). Archive mode records full geometry
+        (posture_batch_full; PostureRecs in track/archive.py)."""
         line_arrays = []
         pixel_arrays = []
         fids = []
         dirs = []
+        rows = []
         for fid, r in pairs:
             if table.objs[r] is not None:
                 b = table.objs[r]
@@ -1066,21 +1112,131 @@ class FastTracker:
                 pixel_arrays.append(
                     table.pixels[table.pixel_lo[r]:table.pixel_hi[r]])
             fids.append(fid)
+            rows.append(r)
             # head-pointing movement direction = -previous direction
             dirs.append(-self._posture_dir[fid])
         if not fids:
             return
-        ok, lens, angles, out_dirs = posture_batch(
-            line_arrays, pixel_arrays, self.background, self.settings,
-            movement_dirs=np.asarray(dirs))
+        from .archive import compute_posture_rows
+
+        md = np.asarray(dirs)
+        pred_of = [self._row_prediction(table, r) for r in rows]
+        ok, lens, angles, out_dirs, recs, dir_reset = \
+            compute_posture_rows(self.settings, self.background,
+                                 line_arrays, pixel_arrays, pred_of,
+                                 md, want_recs=self.archive_mode)
+        if self.archive_mode:
+            self.posture_archive[frame] = [
+                (int(fids[i]), recs[i]) for i in range(len(fids))
+                if recs[i] is not None]
+            self._individuals_cache = None
+
         fid_arr = np.asarray(fids, np.int64)
         self.posture_history[frame] = {
-            "fish": fid_arr, "ok": ok,
+            "fish": fid_arr, "ok": np.asarray(ok, bool),
             "midline_length": lens, "angle": angles,
         }
+        # outline-only rows reset the stored direction (run_postures
+        # reads prev.midline, which is None for those)
+        self._posture_dir[fid_arr[dir_reset]] = 0.0
         good = np.flatnonzero(ok)
         if len(good):
             self._posture_dir[fid_arr[good]] = out_dirs[good]
+
+    def _row_prediction(self, table: _CandTable, r: int):
+        """The blob prediction for a table row (pose/outline posture
+        precedence), or None."""
+        o = table.objs[r]
+        pred = getattr(o, "prediction", None) if o is not None else None
+        if pred is None and table.srow is not None \
+                and self._cur_preds is not None:
+            sr = int(table.srow[r])
+            if 0 <= sr < len(self._cur_preds):
+                pred = self._cur_preds[sr]
+        if not isinstance(pred, dict):
+            return None
+        kp = pred.get("keypoints")
+        orig = pred.get("original_outline")
+        if kp is not None and len(np.asarray(kp).reshape(-1, 2)):
+            return pred
+        if orig is not None and len(orig):
+            return pred
+        return None
+
+    # -- per-individual archives (archive mode) ---------------------------
+    def _materialize_row(self, table: _CandTable, r: int):
+        """Lean TrackBlob (lines + stats, no pixel copy) for table row
+        r — the data Individual.add needs (center, orientation,
+        num_pixels, blob_id, split flags) without holding the frame's
+        pixel arrays alive."""
+        o = table.objs[r]
+        if o is not None:
+            if o.lines is None:
+                return None  # _StatPiece: not produced in archive mode
+            st = getattr(o, "stats", None)
+            pid = getattr(o, "parent_id", -1)
+            tb = TrackBlob(np.array(o.lines, np.int32), None,
+                           split=bool(getattr(o, "split", False)),
+                           parent_id=-1 if pid is None else int(pid),
+                           stats=None if st is None else np.array(st))
+            tb.prediction = getattr(o, "prediction", None)
+            return tb
+        lines = np.array(
+            table.lines[table.line_lo[r]:table.line_hi[r]], np.int32)
+        st = None
+        sr = int(table.srow[r]) if table.srow is not None else -1
+        if sr >= 0 and self._cur_stats is not None \
+                and sr < len(self._cur_stats):
+            st = np.array(self._cur_stats[sr])
+        # the object path's prefilter wraps every passing blob as its
+        # track-threshold CHILD (threshold_components fast path:
+        # split=True, parent_id=parent's id; all-pass children share
+        # the parent's lines, so parent_id == own blob id). Table rows
+        # are exactly those all-pass/huge parents.
+        rec = table.recount[r]
+        close = (not self.fish_size) \
+            or bool(_in_close(np.asarray([rec]), self.fish_size)[0])
+        huge = bool(self.fish_size) \
+            and rec > self.fish_size.max_range[1] * 100
+        split = bool(self.track_thr > 0 and table.pixel_lo[r] >= 0
+                     and st is not None and close
+                     and (st[1] > 0 or huge))
+        tb = TrackBlob(lines, None, split=split, stats=st)
+        if split:
+            tb.parent_id = tb.blob_id
+        if sr >= 0 and self._cur_preds is not None \
+                and sr < len(self._cur_preds):
+            tb.prediction = self._cur_preds[sr]
+        return tb
+
+    def _archive_frame(self, frame: int, table: _CandTable,
+                       pairs: list):
+        fids = []
+        blobs = []
+        for fid, r in pairs:
+            b = self._materialize_row(table, r)
+            if b is None:
+                continue
+            fids.append(int(fid))
+            blobs.append(b)
+        self.frame_archive[frame] = (fids, blobs)
+        self._individuals_cache = None
+
+    @property
+    def individuals(self):
+        """Per-identity archive built lazily from the frame/posture
+        records (track/archive.build_individuals). Raises
+        AttributeError when archive mode is off so hasattr-based
+        callers fall back to the positional-history surface."""
+        if not self.archive_mode:
+            raise AttributeError(
+                "individuals needs keep_individuals=True (archive "
+                "mode); this engine kept positional history only")
+        if self._individuals_cache is None:
+            from .archive import build_individuals
+
+            self._individuals_cache = build_individuals(self)
+        return self._individuals_cache
 
     def _split_big_start(self, table: _CandTable,
                          big_rows: np.ndarray) -> _CandTable:
@@ -1166,8 +1322,13 @@ class FastTracker:
                     ctypes.c_char_p), w, h,
                 self.track_thr, 1 if self.absolute else 0,
                 stats.ctypes.data_as(f64p))
+        preds = None
+        if self.archive_mode:
+            preds = [getattr(b, "prediction", None) for b in blobs]
+            if not any(p is not None for p in preds):
+                preds = None
         return self.add_frame(frame, time, lines, pixels, line_start,
-                              pixel_start, stats)
+                              pixel_start, stats, predictions=preds)
 
     def average_seconds_per_individual(self) -> float:
         tot_fish = sum(s.number_fish for s in self.statistics.values())
@@ -1211,7 +1372,8 @@ def _filter_table(t: _CandTable, keep: np.ndarray) -> _CandTable:
         line_lo=t.line_lo[idx], line_hi=t.line_hi[idx],
         objs=[t.objs[i] for i in idx.tolist()],
         lines=t.lines, pixel_lo=t.pixel_lo[idx],
-        pixel_hi=t.pixel_hi[idx], pixels=t.pixels)
+        pixel_hi=t.pixel_hi[idx], pixels=t.pixels,
+        srow=t.srow[idx] if t.srow is not None else None)
 
 
 def _rebuild_with_splits(t: _CandTable, drop: np.ndarray,
@@ -1254,7 +1416,7 @@ def _rebuild_with_splits(t: _CandTable, drop: np.ndarray,
         line_lo=np.full(m, -1, np.int64), line_hi=np.full(m, -1, np.int64),
         objs=pobj, lines=t.lines,
         pixel_lo=np.full(m, -1, np.int64), pixel_hi=np.full(m, -1, np.int64),
-        pixels=t.pixels)
+        pixels=t.pixels, srow=np.full(m, -1, np.int64))
     order = np.argsort(np.concatenate([base_pos, np.asarray(prow)]),
                        kind="stable")
     return _concat_tables(base, pieces, order)
@@ -1279,7 +1441,12 @@ def _concat_tables(a: _CandTable, b: _CandTable,
         lines=a.lines,
         pixel_lo=np.concatenate([a.pixel_lo, b.pixel_lo])[order],
         pixel_hi=np.concatenate([a.pixel_hi, b.pixel_hi])[order],
-        pixels=a.pixels)
+        pixels=a.pixels,
+        srow=np.concatenate([
+            a.srow if a.srow is not None
+            else np.full(a.n, -1, np.int64),
+            b.srow if b.srow is not None
+            else np.full(b.n, -1, np.int64)])[order])
 
 
 def _resolve_expectation(edges: dict[int, list]) -> dict[int, int]:
