@@ -50,6 +50,10 @@ def _assert_individuals_equal(tracker, eng, check_angle=True):
             assert a.blob.num_pixels == b.blob.num_pixels
             assert a.blob.split == b.blob.split
             np.testing.assert_array_equal(a.blob.lines, b.blob.lines)
+            if a.blob.pixels is not None:
+                # crops/tracklet-image consumers read blob pixels
+                np.testing.assert_array_equal(a.blob.pixels,
+                                              b.blob.pixels)
             if check_angle:
                 assert a.centroid.angle == b.centroid.angle
         assert ind.tracklets == e.tracklets

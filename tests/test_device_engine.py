@@ -334,3 +334,28 @@ def test_device_engine_decay_gap_reactivation():
     dev = _track_device_blobs(frames, bg, s)
     _compare_history(host, dev, len(frames))
     assert dev.assist_frames, "expected host assists around the gap"
+
+
+def test_auto_promotes_to_device_on_healthy_accelerator(monkeypatch):
+    """track_engine=auto selects the device engine when a healthy
+    accelerator answers the probe, falls back to the fast engine on a
+    sick tunnel, and to the object tracker for unsupported configs."""
+    from trex_tpu import pipeline
+    from trex_tpu.track import Tracker
+    from trex_tpu.track.device_engine import DeviceTracker
+    from trex_tpu.track.engine import FastTracker
+
+    bg = np.zeros((32, 32), np.uint8)
+    s = _settings(4)
+    monkeypatch.setattr(pipeline, "_accelerator_healthy", lambda: True)
+    tr = pipeline.select_tracker(s, bg, need_individuals=True)
+    assert isinstance(tr, DeviceTracker) and tr.archive_mode
+    monkeypatch.setattr(pipeline, "_accelerator_healthy",
+                        lambda: False)
+    tr = pipeline.select_tracker(s, bg, need_individuals=True)
+    assert isinstance(tr, FastTracker)
+    # an engine-unsupported config falls through to the object tracker
+    monkeypatch.setattr(pipeline, "_accelerator_healthy", lambda: True)
+    s.set("manual_matches", {0: {0: 123}})
+    tr = pipeline.select_tracker(s, bg, need_individuals=True)
+    assert isinstance(tr, Tracker)

@@ -1,0 +1,202 @@
+"""Export side-products (`output_*` params) and the newly wired
+headless parameters (ui/Export.cpp:479-900; default_config docs)."""
+import numpy as np
+
+from test_engine import _settings, _synth
+
+from trex_tpu.ops.labeling import label_blobs_raw
+from trex_tpu.track.engine import FastTracker
+
+
+def _tracked_engine(n_fish=12, posture=True, frames_n=25, seed=6,
+                    size=224):
+    s = _settings(n_fish)
+    if posture:
+        s.set("calculate_posture", True)
+        s.set("outline_resample", 0.5)
+    bg, frames = _synth(frames_n, n_fish, size, seed)
+    eng = FastTracker(s, background=bg, keep_individuals=True)
+    for i, f in enumerate(frames):
+        raw = label_blobs_raw(
+            f, bg, threshold=int(s["detect_threshold"]),
+            absolute=False, track_threshold=int(s["track_threshold"]),
+            track_absolute=False)
+        eng.add_frame(i, i / 25.0, **raw)
+    return s, eng
+
+
+def test_export_statistics_and_memory(tmp_path):
+    from trex_tpu.export.export import export_statistics
+
+    s, eng = _tracked_engine(posture=False)
+    s.set("auto_no_memory_stats", False)  # default True skips memory
+    paths = export_statistics(eng, s, tmp_path, "v")
+    names = [p.name for p in paths]
+    assert "v_statistics.npz" in names and "v_memory.npz" in names
+    d = np.load(tmp_path / "v_statistics.npz")
+    assert d["stats"].shape[1] == 16  # track::Statistics layout
+    assert len(d["frames"]) == len(eng.statistics)
+    # measured columns are finite, unmeasured stay inf (reference init)
+    assert np.isfinite(d["stats"][:, 2]).all()   # number_fish
+    assert np.isinf(d["stats"][:, 5]).all()      # match_number_fish
+    m = np.load(tmp_path / "v_memory.npz")
+    assert m["id"][0] == -1 and len(m["id"]) == len(eng.individuals) + 1
+
+
+def test_export_recognition(tmp_path):
+    from trex_tpu.export.export import export_recognition
+
+    s, eng = _tracked_engine(posture=False)
+    # synthesize VI predictions for a few (frame, blob) pairs
+    rng = np.random.default_rng(0)
+    n_written = 0
+    for f in (3, 4, 5):
+        per = {}
+        fids, blobs = eng.frame_archive[f]
+        for b in blobs[:4]:
+            per[b.blob_id] = rng.random(10).astype(np.float32)
+            n_written += 1
+        eng.predicted[f] = per
+    paths = export_recognition(eng, s, tmp_path, "v")
+    assert paths
+    total = 0
+    for p in paths:
+        d = np.load(p)
+        assert d["probs"].shape[1] == 10
+        assert len(d["frames"]) == len(d["probs"])
+        total += len(d["frames"])
+    assert total == n_written
+
+
+def test_export_tracklet_images(tmp_path):
+    from trex_tpu.export.export import export_tracklet_images
+
+    s, eng = _tracked_engine(posture=True)
+    s.set("output_min_frames", 5)
+    s.set("tracklet_max_images", 8)
+    paths = export_tracklet_images(eng, s, tmp_path, "v")
+    d = np.load(tmp_path / "v_tracklet_images.npz")
+    size = s["individual_image_size"]
+    assert d["images"].shape[1:] == (int(size[1]), int(size[0]))
+    assert len(d["images"]) == len(d["meta"])
+    assert len(d["images"]) > 0
+    # meta rows are (id, start, end) of tracklets long enough
+    assert (d["meta"][:, 2] - d["meta"][:, 1] + 1 >= 5).all()
+    # singles part written when tracklet_max_images == 0
+    s.set("tracklet_max_images", 0)
+    paths = export_tracklet_images(eng, s, tmp_path, "v0")
+    d = np.load(tmp_path / "v0_tracklet_images_single_part0.npz")
+    assert len(d["images"]) == len(d["frames"]) == len(d["ids"])
+    assert len(d["images"]) > len(np.load(
+        tmp_path / "v0_tracklet_images.npz")["images"])
+
+
+def test_cli_export_all_side_products(tmp_path):
+    """CLI convert with every output_* flag on produces the files."""
+    import cv2
+
+    from test_engine import _synth
+
+    from trex_tpu.cli.trex import main
+
+    bg, frames = _synth(20, 8, 200, seed=2)
+    src = tmp_path / "vid"
+    src.mkdir()
+    for i, fr in enumerate(frames):
+        cv2.imwrite(str(src / f"f_{i:03d}.jpg"), fr,
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+    out = tmp_path / "out"
+    rc = main(["-i", str(src / "f_%03d.jpg"), "-o", "vid",
+               "-d", str(out), "-task", "convert", "-nowindow",
+               "-auto_quit",
+               "-track_max_individuals", "8",
+               "-track_threshold", "20",
+               "-track_max_speed", "300",
+               "-track_size_filter", "[[20,400]]",
+               "-detect_threshold", "15",
+               "-average_samples", "5",
+               "-meta_encoding", "gray",
+               "-calculate_posture", "true",
+               "-outline_resample", "0.5",
+               "-output_posture_data", "true",
+               "-output_statistics", "true",
+               "-output_heatmaps", "true",
+               "-output_tracklet_images", "true",
+               "-output_visual_fields", "true",
+               "-output_recognition_data", "true"])
+    assert rc == 0
+    data = out / "data"
+    names = {p.name for p in data.iterdir()}
+    assert "vid_statistics.npz" in names
+    # auto_no_memory_stats defaults true -> no memory npz
+    assert "vid_memory.npz" not in names
+    assert "vid_tracklet_images.npz" in names
+    assert any(n.startswith("vid_heatmap_") for n in names), names
+    assert any(n.startswith("vid_posture_") for n in names)
+    assert any(n.startswith("vid_visual_field_") for n in names), names
+
+
+def test_analysis_range_limits_tracking(tmp_path):
+    import cv2
+
+    from trex_tpu.cli.trex import main
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.pipeline import TrackingState
+
+    bg, frames = _synth(30, 6, 200, seed=3)
+    src = tmp_path / "vid"
+    src.mkdir()
+    for i, fr in enumerate(frames):
+        cv2.imwrite(str(src / f"f_{i:03d}.jpg"), fr,
+                    [cv2.IMWRITE_JPEG_QUALITY, 100])
+    out = tmp_path / "out"
+    rc = main(["-i", str(src / "f_%03d.jpg"), "-o", "vid",
+               "-d", str(out), "-task", "convert", "-nowindow",
+               "-track_max_individuals", "6",
+               "-track_threshold", "20", "-track_max_speed", "300",
+               "-track_size_filter", "[[20,400]]",
+               "-detect_threshold", "15", "-average_samples", "5",
+               "-meta_encoding", "gray",
+               "-calculate_posture", "false"])
+    assert rc == 0
+    s = reset_global_settings()
+    s.set("analysis_range", [5, 14])
+    s.set("track_max_individuals", 6)
+    s.set("track_threshold", 20)
+    s.set("track_max_speed", 300)
+    s.set("track_size_filter", [[20, 400]])
+    s.set("calculate_posture", False)
+    st = TrackingState(s, out / "vid.pv")
+    tr = st.run()
+    assert tr.start_frame == 5 and tr.end_frame == 14
+
+
+def test_filter_blobs_by_prediction():
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.pipeline import filter_blobs_by_prediction
+    from trex_tpu.track.blob import TrackBlob
+
+    def blob(pred):
+        b = TrackBlob(np.array([[0, 0, 3]], np.int32),
+                      np.zeros(4, np.uint8))
+        b.prediction = pred
+        return b
+
+    s = reset_global_settings()
+    blobs = [
+        blob(None),
+        blob({"clid": 0, "p": 0.05, "original_outline": None}),
+        blob({"clid": 1, "p": 0.9,
+              "original_outline": np.zeros((4, 2))}),
+        blob({"clid": 2, "p": 0.8, "original_outline": None}),
+    ]
+    s.set("track_conf_threshold", 0.1)
+    out = filter_blobs_by_prediction(blobs, s)
+    assert len(out) == 3  # low-confidence dropped, no-pred kept
+    s.set("track_only_classes", [1])
+    out = filter_blobs_by_prediction(blobs, s)
+    assert len(out) == 2  # no-pred + class 1
+    s.set("track_only_classes", [])
+    s.set("track_only_segmentations", True)
+    out = filter_blobs_by_prediction(blobs, s)
+    assert len(out) == 2  # no-pred + the outline-carrying one

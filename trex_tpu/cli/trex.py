@@ -270,8 +270,9 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         _dump_timing(s)
         if matching_log and tracker is not None:
             _write_matching_log(tracker, out_base / str(matching_log))
-        if auto_quit:
-            _export(tracker, s, data_dir, name)
+        if auto_quit and not s["auto_no_outputs"]:
+            if tracker is not None:
+                _export(tracker, s, data_dir, name)
         return 0
 
     if task == "track":
@@ -319,12 +320,25 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             tracker = state.run()
             n_ind = len(tracker.individuals) \
                 if hasattr(tracker, "individuals") else tracker.n_fish
+            engine_note = type(tracker).__name__
+            if getattr(tracker, "demoted", False):
+                engine_note += " (demoted to host: degraded " \
+                    "accelerator tunnel)"
             print(f"\n[track] tracked {len(state.pv)} frames, "
-                  f"{n_ind} individuals")
+                  f"{n_ind} individuals [{engine_note}]")
         if s["gui_show_memory_stats"]:
             from ..utils.memstats import tracker_memory_stats
 
             tracker_memory_stats(tracker).print()
+        tags_path = str(s["tags_path"] or "").strip()
+        if tags_path and getattr(tracker, "detected_tags", None):
+            from ..track.tags import save_tags
+
+            p = Path(tags_path)
+            if not p.is_absolute():
+                p = out_base / p
+            save_tags(p.with_suffix(".npz"), tracker.detected_tags)
+            print(f"[tags] wrote {p.with_suffix('.npz')}")
         _dump_timing(s)
         if matching_log:
             _write_matching_log(tracker, out_base / str(matching_log))
@@ -335,7 +349,7 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
             _auto_categorize(tracker, s, state)
         if s["auto_tags"]:
             _auto_tags(tracker, state, s, load)
-        if auto_quit:
+        if auto_quit and not s["auto_no_outputs"]:
             if hasattr(tracker, "individuals"):
                 # every engine serves the full export surface in
                 # archive mode (need_individuals default True)
@@ -485,6 +499,11 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
 
     acc = Accumulation(tracker, s)
     weights = pv_path.with_name(pv_path.stem + "_weights.npz")
+    # visual_identification_model_path overrides the default weights
+    # location for apply (default_config)
+    override = str(s["visual_identification_model_path"] or "").strip()
+    if override:
+        weights = Path(override)
     if train:
         print("[auto_train] running accumulation...")
         result = acc.start()
@@ -525,11 +544,35 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
 
 
 def _export(tracker, s, data_dir, name, pv_file=None):
-    from ..export.export import export_data, export_posture
+    """The reference's full export surface (ui/Export.cpp:156-900):
+    per-fish data files, plus every `output_*`-gated side product."""
+    from ..export.export import (export_data, export_posture,
+                                 export_recognition,
+                                 export_statistics,
+                                 export_tracklet_images)
 
-    paths = export_data(tracker, s, data_dir, name, pv_file=pv_file)
+    paths = []
+    if not s["auto_no_tracking_data"]:
+        # auto_no_tracking_data skips the output_fields data files
+        # (posture/results still write)
+        paths += export_data(tracker, s, data_dir, name,
+                             pv_file=pv_file)
     if s["output_posture_data"]:
         paths += export_posture(tracker, s, data_dir, name)
+    if s["output_recognition_data"]:
+        paths += export_recognition(tracker, s, data_dir, name)
+    if s["output_visual_fields"]:
+        from ..track.visual_field import export_visual_fields
+
+        paths += export_visual_fields(tracker, s, data_dir, name)
+    if s["output_heatmaps"]:
+        from ..track.heatmap import export_heatmaps
+
+        paths += [export_heatmaps(tracker, s, data_dir, name)]
+    if s["output_tracklet_images"]:
+        paths += export_tracklet_images(tracker, s, data_dir, name)
+    if s["output_statistics"]:
+        paths += export_statistics(tracker, s, data_dir, name)
     print(f"[export] wrote {len(paths)} files to {data_dir}")
 
 

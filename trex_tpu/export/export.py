@@ -168,3 +168,159 @@ def export_posture(tracker, settings, output_dir, video_name: str) -> list[Path]
         )
         paths.append(path)
     return paths
+
+
+def export_recognition(tracker, settings, output_dir,
+                       video_name: str) -> list[Path]:
+    """Per-fish recognition NPZ (`output_recognition_data`,
+    ui/Export.cpp:561-588): for every frame where the fish's assigned
+    blob has a stored prediction (tracker.predicted: frame ->
+    {blob_id: class probabilities}), one probs row — arrays `frames`
+    (n,) and `probs` (n, n_classes)."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    prefix = settings["individual_prefix"] or "fish"
+    predicted = getattr(tracker, "predicted", {}) or {}
+    paths = []
+    for fid, ind in sorted(tracker.individuals.items()):
+        frames, probs = [], []
+        for b in ind.basic:
+            preds = predicted.get(b.frame)
+            if not preds:
+                continue
+            p = preds.get(b.blob.blob_id)
+            if p is None:
+                continue
+            frames.append(b.frame)
+            probs.append(np.asarray(p, np.float32))
+        if not frames:
+            continue
+        path = output_dir / f"{video_name}_recognition_{prefix}{fid}.npz"
+        np.savez(path, frames=np.asarray(frames, np.int64),
+                 probs=np.stack(probs))
+        paths.append(path)
+    return paths
+
+
+# the reference's track::Statistics POD: 16 floats per frame, unset
+# entries infinity (core/TrackingSettings.h:270-291)
+_STAT_FIELDS = (
+    "adding_seconds", "combined_posture_seconds", "number_fish",
+    "loading_seconds", "posture_seconds", "match_number_fish",
+    "match_number_blob", "match_number_edges", "match_stack_objects",
+    "match_max_edges_per_blob", "match_max_edges_per_fish",
+    "match_mean_edges_per_blob", "match_mean_edges_per_fish",
+    "match_improvements_made", "match_leafs_visited", "method_used")
+
+
+def export_statistics(tracker, settings, output_dir,
+                      video_name: str) -> list[Path]:
+    """`output_statistics` (ui/Export.cpp:819-900): per-frame tracking
+    statistics in the reference's 16-float track::Statistics layout
+    (`stats` (n, 16) + `frames`), plus `<name>_memory.npz` with the
+    per-individual memory breakdown unless auto_no_memory_stats."""
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    frames = sorted(tracker.statistics)
+    stats = np.full((len(frames), len(_STAT_FIELDS)), np.inf,
+                    np.float32)
+    col = {n: i for i, n in enumerate(_STAT_FIELDS)}
+    for i, f in enumerate(frames):
+        st = tracker.statistics[f]
+        stats[i, col["adding_seconds"]] = st.adding_seconds
+        stats[i, col["number_fish"]] = st.number_fish
+        stats[i, col["loading_seconds"]] = st.loading_seconds
+        stats[i, col["posture_seconds"]] = st.posture_seconds
+        stats[i, col["match_improvements_made"]] = \
+            st.match_improvements
+    path = output_dir / f"{video_name}_statistics.npz"
+    np.savez(path, stats=stats, frames=np.asarray(frames, np.int64))
+    paths = [path]
+    if not settings["auto_no_memory_stats"]:
+        from ..utils.memstats import (individual_memory_stats,
+                                      tracker_memory_stats)
+
+        overall = tracker_memory_stats(tracker)
+        ids = [-1]
+        sizes: dict[str, list] = {k: [v] for k, v in
+                                  sorted(overall.sizes.items())}
+        for fid, ind in sorted(tracker.individuals.items()):
+            st = individual_memory_stats(ind)
+            ids.append(fid)
+            for k in sizes:
+                sizes[k].append(st.sizes.get(k, 0))
+        mpath = output_dir / f"{video_name}_memory.npz"
+        np.savez(mpath, id=np.asarray(ids, np.int64),
+                 **{k: np.asarray(v, np.uint64)
+                    for k, v in sizes.items()})
+        paths.append(mpath)
+    return paths
+
+
+def export_tracklet_images(tracker, settings, output_dir,
+                           video_name: str) -> list[Path]:
+    """`output_tracklet_images` (ui/Export.cpp:479-530, 1240-1380):
+    one median normalized image per sufficiently long tracklet, all in
+    `<name>_tracklet_images.npz` (`images` (N, h, w) + `meta` (N, 3) =
+    [id, start, end]); with tracklet_max_images == 0 additionally
+    every sampled frame image in
+    `<name>_tracklet_images_single_part0.npz`
+    (`images`/`frames`/`ids`)."""
+    import math as _math
+
+    from ..ops.crops import normalized_crop
+
+    s = settings
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    size = s["individual_image_size"]
+    tw, th = int(size[0]), int(size[1])
+    min_frames = int(s["output_min_frames"])
+    max_images = int(s["tracklet_max_images"])
+    medians, meta = [], []
+    singles, single_frames, single_ids = [], [], []
+    for fid, ind in sorted(tracker.individuals.items()):
+        lengths = [p.midline_length for p in ind.posture
+                   if not _math.isnan(p.midline_length)]
+        med_len = float(np.median(lengths)) if lengths else None
+        for t0, t1 in ind.tracklets:
+            if t1 - t0 + 1 < min_frames:
+                continue
+            frames = list(range(t0, t1 + 1))
+            if max_images and len(frames) > max_images:
+                step = len(frames) // max_images
+                frames = frames[::step][:max_images]
+            imgs = []
+            for f in frames:
+                b = ind.basic_stuff(f)
+                if b is None or b.blob.pixels is None:
+                    continue
+                post = ind.posture_stuff(f)
+                img = normalized_crop(
+                    b.blob, tracker.background, s,
+                    midline=post.midline if post else None,
+                    median_midline_length=med_len)
+                imgs.append(img)
+                if max_images == 0:
+                    singles.append(img)
+                    single_frames.append(f)
+                    single_ids.append(fid)
+            if len(imgs) > 1:
+                medians.append(np.median(np.stack(imgs), axis=0)
+                               .astype(np.uint8))
+                meta.append((fid, t0, t1))
+    paths = []
+    path = output_dir / f"{video_name}_tracklet_images.npz"
+    np.savez(path,
+             images=(np.stack(medians) if medians
+                     else np.zeros((0, th, tw), np.uint8)),
+             meta=np.asarray(meta, np.int64).reshape(-1, 3))
+    paths.append(path)
+    if max_images == 0 and singles:
+        spath = output_dir / \
+            f"{video_name}_tracklet_images_single_part0.npz"
+        np.savez(spath, images=np.stack(singles),
+                 frames=np.asarray(single_frames, np.int64),
+                 ids=np.asarray(single_ids, np.int64))
+        paths.append(spath)
+    return paths

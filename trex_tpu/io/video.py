@@ -63,12 +63,17 @@ class VideoSource:
             s = str(source)
             if s == "webcam":
                 # commons PathArray "webcam" sentinel -> live capture
+                # from `webcam_index` (grabber default_config)
                 if cv2 is None:
                     raise RuntimeError("OpenCV is required for webcam")
-                self._cap = cv2.VideoCapture(0)
+                from ..config import global_settings
+
+                idx = int(global_settings().get("webcam_index", 0) or 0)
+                self._cap = cv2.VideoCapture(idx)
                 self._live = True
                 if not self._cap.isOpened():
-                    raise RuntimeError("cannot open webcam device 0")
+                    raise RuntimeError(
+                        f"cannot open webcam device {idx}")
             elif has_pattern(s):
                 # printf patterns (%start[.end].digits), star globs and
                 # explicit ["a","b"] path arrays — one predicate shared

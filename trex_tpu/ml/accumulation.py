@@ -157,7 +157,11 @@ class Accumulation:
         if self.num_individuals == 0:
             return result
         max_epochs = max_epochs or int(s["gpu_max_epochs"])
-        max_steps = int(s["accumulation_max_tracklets"])
+        # accumulation_enable=false: train ONCE on the best global
+        # tracklet range, no accumulation curriculum
+        # (Accumulation.cpp gate)
+        max_steps = 1 if not s["accumulation_enable"] \
+            else int(s["accumulation_max_tracklets"])
         sufficient = float(s["accumulation_sufficient_uniqueness"]) or \
             good_uniqueness(self.num_individuals)
         ranges = best_ranges(self.tracker)

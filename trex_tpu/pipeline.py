@@ -32,6 +32,47 @@ from .track.posture import calculate_posture
 from .track.individual import PostureStuff
 
 
+_device_health: dict = {}
+
+
+def _accelerator_healthy(timeout_s: float = 10.0) -> bool:
+    """True when a non-CPU jax backend answers a tiny compute round
+    trip within `timeout_s` (cached per process). The accelerator
+    tunnel on this deployment class can hang device_get for minutes —
+    a probe thread that never returns is abandoned (daemon) and the
+    selection falls back to the host engine."""
+    if "ok" in _device_health:
+        return _device_health["ok"]
+    ok = False
+    try:
+        import jax
+
+        devs = jax.devices()
+        if devs and devs[0].platform != "cpu":
+            import threading
+
+            got: list = []
+
+            def probe():
+                try:
+                    import jax.numpy as jnp
+
+                    x = jnp.ones((64, 64))
+                    jax.device_get(x @ x)
+                    got.append(True)
+                except Exception:  # noqa: BLE001 - any failure = sick
+                    pass
+
+            t = threading.Thread(target=probe, daemon=True)
+            t.start()
+            t.join(timeout_s)
+            ok = bool(got)
+    except Exception:  # noqa: BLE001
+        ok = False
+    _device_health["ok"] = ok
+    return ok
+
+
 def select_tracker(settings: Settings, background,
                    need_individuals: bool = True,
                    gray_pixels: bool = True):
@@ -62,8 +103,20 @@ def select_tracker(settings: Settings, background,
                                  keep_individuals=need_individuals)
         return FastTracker(settings, background,
                            keep_individuals=need_individuals)
-    # auto
+    # auto: device engine on a healthy accelerator (zero-config
+    # promotion, reference `-nowindow -auto_quit` surface); the fast
+    # host engine otherwise; the object tracker for configurations the
+    # engines don't cover. DeviceTracker demotes itself mid-run when
+    # the tunnel degrades (track/device_engine demotion).
     if gray_pixels:
+        if _accelerator_healthy():
+            try:
+                from .track.device_engine import DeviceTracker
+
+                return DeviceTracker(settings, background,
+                                     keep_individuals=need_individuals)
+            except EngineUnsupported:
+                pass
         try:
             return FastTracker(settings, background,
                                keep_individuals=need_individuals)
@@ -452,6 +505,15 @@ class Segmenter:
             frame_range = (start, end)
         header.conversion_start, header.conversion_end = frame_range
 
+        if s["quit_after_average"]:
+            # terminate directly after the background average
+            # (grabber quit_after_average): write an empty-but-valid
+            # pv carrying the average
+            with PVFile.create(self.output_path, header) as pv:
+                self.pv_file = pv
+                pv.set_metadata(self._metadata())
+            return None
+
         self.tracker = select_tracker(
             s, self.background, self.need_individuals) if self.track \
             else None
@@ -475,6 +537,10 @@ class Segmenter:
 
             encoding = s["meta_encoding"]
 
+            # color_channel: a fixed channel index replaces the BGR2GRAY
+            # luma conversion (core/default_config color_channel doc)
+            channel = s.get("color_channel", None)
+
             def load(idx):
                 img = src.get(idx)
                 color = None
@@ -482,7 +548,10 @@ class Segmenter:
                     import cv2
 
                     color = img if self._color else None
-                    img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
+                    if channel is not None and 0 <= int(channel) < 3:
+                        img = np.ascontiguousarray(img[..., int(channel)])
+                    else:
+                        img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
                 img = preprocess_video_frame(img, s, undistort)
                 return img, color
 
@@ -529,7 +598,12 @@ class Segmenter:
                 futures = {}
                 ready = {}  # device path: frames unpacked from batches
                 step = device_det.batch_size if device_det else 1
+                stop_minutes = int(s["stop_after_minutes"] or 0)
                 while next_write <= frame_range[1]:
+                    if stop_minutes and _time.perf_counter() - start_t \
+                            > stop_minutes * 60:
+                        # grabber stop_after_minutes: bounded recording
+                        self.terminate = True
                     if self.terminate:
                         # graceful end: drop pending work, keep the pv
                         # readable (header update happens on close)
@@ -601,7 +675,12 @@ class Segmenter:
         import cv2
 
         if self._raw_writer is None:
-            path = str(self.output_path.with_suffix(".mov.mp4"))
+            # save_raw_movie_path overrides the default .mov beside
+            # the pv (grabber default_config)
+            override = str(self.settings["save_raw_movie_path"]
+                           or "").strip()
+            path = override if override \
+                else str(self.output_path.with_suffix(".mov.mp4"))
             ffmpeg = str(self.settings["ffmpeg_path"] or "").strip()
             if ffmpeg and Path(ffmpeg).exists():
                 import subprocess
@@ -639,6 +718,7 @@ class Segmenter:
 
     def _track_frame(self, index: int, blobs, time: float, posture_pool):
         tracker = self.tracker
+        blobs = filter_blobs_by_prediction(blobs, self.settings)
         if not isinstance(tracker, Tracker):  # fast/device engines
             tracker.add_frame_blobs(index, time, blobs)
             return
@@ -646,6 +726,53 @@ class Segmenter:
         tracker.add(pp)
         if posture_pool is not None:
             run_postures(tracker, index, self.settings, posture_pool)
+
+
+def filter_blobs_by_prediction(blobs: list, settings: Settings) -> list:
+    """ML-label gates applied before the tracker sees the blobs
+    (Tracker::preprocess label filters):
+
+    - track_conf_threshold: drop detections whose class confidence is
+      below the fraction,
+    - track_only_classes: keep only the listed class ids/names,
+    - track_only_segmentations: drop prediction-carrying blobs without
+      a segmentation outline (avoids double-tracking bbox+mask).
+
+    Blobs without predictions pass through unchanged."""
+    s = settings
+    conf = float(s["track_conf_threshold"] or 0)
+    only = s["track_only_classes"] or []
+    only_seg = bool(s["track_only_segmentations"])
+    if conf <= 0 and not only and not only_seg:
+        return blobs
+    only_ids = {int(c) for c in only
+                if isinstance(c, (int, float)) or str(c).isdigit()}
+    only_names = {str(c) for c in only} - {str(i) for i in only_ids}
+    names = s["detect_classes"] or {}
+    out = []
+    for b in blobs:
+        pred = getattr(b, "prediction", None)
+        if pred is None:
+            out.append(b)
+            continue
+        p = pred.get("p") if isinstance(pred, dict) \
+            else getattr(pred, "p", None)
+        clid = pred.get("clid") if isinstance(pred, dict) \
+            else getattr(pred, "clid", None)
+        outline = pred.get("original_outline") if isinstance(pred, dict) \
+            else getattr(pred, "original_outline", None)
+        if conf > 0 and p is not None and p < conf:
+            continue
+        if (only_ids or only_names) and clid is not None:
+            name = names.get(int(clid)) if isinstance(names, dict) \
+                else None
+            if int(clid) not in only_ids \
+                    and (name is None or str(name) not in only_names):
+                continue
+        if only_seg and (outline is None or not len(outline)):
+            continue
+        out.append(b)
+    return out
 
 
 def run_postures(tracker: Tracker, frame: int, settings: Settings,
@@ -758,6 +885,66 @@ def batch_convert(settings, sources: list, output_dir, names=None,
     return results
 
 
+def auto_calculate_parameters(pv, settings, background,
+                              quiet: bool = False):
+    """auto_minmax_size / auto_number_individuals
+    (Tracker::auto_calculate_parameters, Tracker.cpp:3508-3616): on
+    videos longer than 1000 frames, sample ~500 frames, collect
+    track-threshold blob sizes (cm^2); track_size_filter becomes
+    [p25*0.25, p75*1.75] of the per-frame {p75, p90} size percentiles,
+    and track_max_individuals the 95th percentile of per-frame counts
+    passing that filter."""
+    s = settings
+    if len(pv) <= 1000 or not (s["auto_minmax_size"]
+                               or s["auto_number_individuals"]):
+        return
+    from .track.prefilter import SizeFilters
+
+    thr = int(s["track_threshold"])
+    absolute = bool(s["track_threshold_is_absolute"])
+    use_bgsub = bool(s["track_background_subtraction"])
+    cm = s["cm_per_pixel"] or 1.0
+    sq = cm * cm
+    step = max(1, (len(pv) - len(pv) % 500) // 500)
+    per_frame: list[np.ndarray] = []
+    values: list[float] = []
+    for i in range(0, len(pv), step):
+        fr = pv.read_frame(i)
+        sizes = []
+        for k in range(fr.n):
+            b = TrackBlob(fr.masks[k], fr.pixels[k])
+            v = b.raw_recount(thr, background, absolute, use_bgsub) * sq
+            if v > 0:
+                sizes.append(v)
+        arr = np.asarray(sizes)
+        per_frame.append(arr)
+        if len(arr):
+            values += [float(np.percentile(arr, 75)),
+                       float(np.percentile(arr, 90))]
+    if not values:
+        return
+    lo, hi = np.percentile(np.asarray(values), [25, 75])
+    if s["auto_minmax_size"]:
+        s.set("track_size_filter", [[float(lo * 0.25),
+                                     float(hi * 1.75)]],
+              source="auto_minmax_size")
+        if not quiet:
+            print(f"[auto_minmax_size] track_size_filter = "
+                  f"[[{lo * 0.25:.3f}, {hi * 1.75:.3f}]]")
+    filt = SizeFilters(s["track_size_filter"])
+    counts = [int(sum(1 for v in arr if filt.in_range_of_one(v)))
+              for arr in per_frame]
+    median_number = int(np.percentile(np.asarray(counts), 95))
+    if median_number != int(s["track_max_individuals"]):
+        if not quiet:
+            print(f"[auto_calculate] detected {median_number} "
+                  f"individuals/frame (set: "
+                  f"{s['track_max_individuals']})")
+        if s["auto_number_individuals"]:
+            s.set("track_max_individuals", median_number,
+                  source="auto_number_individuals")
+
+
 class TrackingState:
     """Track task: re-track an existing .pv file
     (ui/TrackingState.cpp:176-264)."""
@@ -783,6 +970,7 @@ class TrackingState:
         meta = {k: v for k, v in meta.items()
                 if settings.source_of(k) in ("default", "pv-metadata")}
         apply_dict(settings, meta, source="pv-metadata")
+        auto_calculate_parameters(self.pv, settings, self.background)
         self.tracker = select_tracker(
             settings, self.background, need_individuals,
             gray_pixels=self.pv.header.encoding in ("gray", "grey"))
@@ -791,7 +979,13 @@ class TrackingState:
         s = self.settings
         n = len(self.pv)
         if frame_range is None:
-            frame_range = (0, n - 1)
+            # analysis_range (default_config): [-1, -1] keeps the full
+            # video; either side can be pinned independently
+            rng = s["analysis_range"] or [-1, -1]
+            lo = int(rng[0]) if rng[0] is not None and rng[0] >= 0 else 0
+            hi = int(rng[1]) if len(rng) > 1 and rng[1] is not None \
+                and 0 <= rng[1] < n else n - 1
+            frame_range = (min(lo, n - 1), hi)
         frame_rate = float(s["frame_rate"] or 25)
         posture_pool = cf.ThreadPoolExecutor(max_workers=self.workers) \
             if s["calculate_posture"] else None
@@ -826,7 +1020,12 @@ class TrackingState:
                     "keypoints": pr.pose,
                     "original_outline": pr.original_outline,
                 }
-            t = fr.timestamp / 1e6
+            blobs = filter_blobs_by_prediction(blobs, s)
+            # track_enforce_frame_rate (default true): kinematics use
+            # the enforced frame clock, not the stored camera
+            # timestamps (default_config doc)
+            t = idx / frame_rate if s["track_enforce_frame_rate"] \
+                else fr.timestamp / 1e6
             if fast:
                 return idx, t, blobs
             pp = self.tracker.preprocess_frame(idx, blobs, time=t,

@@ -1165,17 +1165,21 @@ class FastTracker:
 
     # -- per-individual archives (archive mode) ---------------------------
     def _materialize_row(self, table: _CandTable, r: int):
-        """Lean TrackBlob (lines + stats, no pixel copy) for table row
-        r — the data Individual.add needs (center, orientation,
-        num_pixels, blob_id, split flags) without holding the frame's
-        pixel arrays alive."""
+        """Archived TrackBlob (own lines/pixels/stats copies) for table
+        row r — the data Individual.add and the downstream export/
+        crops consumers need (center, orientation, num_pixels,
+        blob_id, split flags, diff-image pixels), decoupled from the
+        frame's transient arrays. The object tracker's BasicStuff
+        keeps exactly this."""
         o = table.objs[r]
         if o is not None:
             if o.lines is None:
                 return None  # _StatPiece: not produced in archive mode
             st = getattr(o, "stats", None)
             pid = getattr(o, "parent_id", -1)
-            tb = TrackBlob(np.array(o.lines, np.int32), None,
+            px = getattr(o, "pixels", None)
+            tb = TrackBlob(np.array(o.lines, np.int32),
+                           None if px is None else np.array(px),
                            split=bool(getattr(o, "split", False)),
                            parent_id=-1 if pid is None else int(pid),
                            stats=None if st is None else np.array(st))
@@ -1183,6 +1187,10 @@ class FastTracker:
             return tb
         lines = np.array(
             table.lines[table.line_lo[r]:table.line_hi[r]], np.int32)
+        pixels = None
+        if table.pixel_lo[r] >= 0:
+            pixels = np.array(
+                table.pixels[table.pixel_lo[r]:table.pixel_hi[r]])
         st = None
         sr = int(table.srow[r]) if table.srow is not None else -1
         if sr >= 0 and self._cur_stats is not None \
@@ -1201,7 +1209,7 @@ class FastTracker:
         split = bool(self.track_thr > 0 and table.pixel_lo[r] >= 0
                      and st is not None and close
                      and (st[1] > 0 or huge))
-        tb = TrackBlob(lines, None, split=split, stats=st)
+        tb = TrackBlob(lines, pixels, split=split, stats=st)
         if split:
             tb.parent_id = tb.blob_id
         if sr >= 0 and self._cur_preds is not None \

@@ -78,12 +78,52 @@ def is_good_image(grey: np.ndarray, mask: np.ndarray) -> Tag:
     return Tag(variance=variance, blob_id=-1, image=grey, mask=mask)
 
 
+def _tag_shape_ok(tag: Tag, settings) -> bool:
+    """tags_threshold / tags_equalize_hist / tags_num_sides
+    (grabber default_config; DetectTag's adaptive-threshold contour
+    test): adaptively threshold the crop, approximate the largest
+    contour as a polygon, accept side counts inside tags_num_sides."""
+    try:
+        import cv2
+    except ImportError:  # pragma: no cover
+        return True
+    img = tag.image
+    if settings["tags_equalize_hist"]:
+        img = cv2.equalizeHist(img)
+    c = int(settings["tags_threshold"])
+    m = cv2.adaptiveThreshold(img, 255, cv2.ADAPTIVE_THRESH_MEAN_C,
+                              cv2.THRESH_BINARY if c >= 0
+                              else cv2.THRESH_BINARY_INV,
+                              11, -abs(c))
+    m = m & (tag.mask > 0).astype(np.uint8) * 255
+    contours, _ = cv2.findContours(m, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    if not contours:
+        return False
+    big = max(contours, key=cv2.contourArea)
+    approx = cv2.approxPolyDP(big, 0.04 * cv2.arcLength(big, True),
+                              True)
+    lo, hi = settings["tags_num_sides"]
+    return lo <= len(approx) <= hi
+
+
 def detect_tags(noise_blobs: list[TrackBlob], background: np.ndarray,
                 frame: int, min_variance: float = 100.0,
-                decode_fn: Optional[Callable] = None) -> list[Tag]:
-    """Candidate tags among the noise blobs of a frame."""
-    tags = [t for t in prettify_blobs(noise_blobs, background)
+                decode_fn: Optional[Callable] = None,
+                settings=None) -> list[Tag]:
+    """Candidate tags among the noise blobs of a frame. With settings,
+    the tags_size_range area gate and the tags_threshold/
+    tags_num_sides polygon test apply (DetectTag.cpp candidates)."""
+    blobs = noise_blobs
+    if settings is not None:
+        cm = settings["cm_per_pixel"] or 1.0
+        lo, hi = settings["tags_size_range"]
+        blobs = [b for b in blobs
+                 if lo <= b.num_pixels * cm * cm <= hi]
+    tags = [t for t in prettify_blobs(blobs, background)
             if t.variance >= min_variance]
+    if settings is not None:
+        tags = [t for t in tags if _tag_shape_ok(t, settings)]
     for t in tags:
         t.frame = frame
         if decode_fn is not None:

@@ -74,6 +74,8 @@ class Tracker:
         # physical-tag assignments: frame -> {identity: tag_id}
         # (Tracker.cpp:2056-2108 QR-tag <-> fish Hungarian matching)
         self.tag_assignments: dict[int, dict[int, int]] = {}
+        # per-fish matched Tag records for the tags_path NPZ export
+        self.detected_tags: dict[int, list] = {}
         # tag payload decoder (ml/tagwork.py = pretrained_tagwork):
         # loaded from tags_model_path when configured, else tags keep
         # their detection-order ids and stay matchable but undecoded
@@ -351,16 +353,21 @@ class Tracker:
                 assigned_blobs.add(bi)
 
         self.end_frame = frame
-        if s["tags_recognize"] and pp.noise:
+        # tags_enable turns the (beta) tag DETECTION on; tags_recognize
+        # additionally decodes payloads (grabber default_config)
+        if (s["tags_recognize"] or s["tags_enable"]) and pp.noise:
             from .tags import detect_tags, match_tags_to_fish
 
             tags = detect_tags(pp.noise, self.background, frame,
-                               decode_fn=self.tag_decoder)
+                               decode_fn=self.tag_decoder,
+                               settings=s)
             if tags:
                 matched = match_tags_to_fish(tags, self, frame)
                 if matched:
                     self.tag_assignments[frame] = {
                         fid: t.tag_id for fid, t in matched.items()}
+                    for fid, t in matched.items():
+                        self.detected_tags.setdefault(fid, []).append(t)
 
         st = FrameStatistics(
             number_fish=len(assigned_fish),
