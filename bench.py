@@ -495,6 +495,20 @@ def _device_section():
     except Exception as e:
         out["device_posture_error"] = str(e)[:200]
     emit()
+    try:
+        # VI accumulation end-to-end (BASELINE config 3 through the
+        # product curriculum, ui/Accumulation.cpp:914-1700): wall s,
+        # final uniqueness, steps, trajectory
+        sys.path.insert(0, str(Path(__file__).parent / "tools"))
+        from bench_vi_accumulation import run as _acc_run
+
+        acc = _acc_run(max_epochs=5, max_tracklets=3)
+        out["vi100_accumulation"] = [
+            acc["wall_s"], acc["final_uniqueness"], acc["steps"],
+            acc["uniqueness_trajectory"]]
+    except Exception as e:
+        out["vi100_accumulation_error"] = str(e)[:200]
+    emit()
 
 
 def _device_probe():
@@ -658,6 +672,8 @@ def main():
         if posture_fps else None,
         "device_automatic_fps_assists": dev.get("device_automatic"),
         "device_posture_fps_assists_n": dev.get("device_posture"),
+        "vi100_accumulation_wall_s_uniq_steps_traj":
+            dev.get("vi100_accumulation"),
         "device_crowded_fps_assists_hostfps": dev.get("device_crowded"),
         "256fish_postures_computed": n_postures,
         "fixture_convert_fps_posture_export": round(fixture_fps, 2)

@@ -159,3 +159,106 @@ def test_tiny_sam_learns_to_segment():
     union = (pred | gtb).sum()
     iou = inter / max(1, union)
     assert iou > 0.6, f"tiny SAM failed to learn segmentation: {iou}"
+
+
+def test_sam3_text_prompt_drives_segmentation():
+    """SAM3 concept/text prompting end-to-end (VERDICT r3 item 8,
+    trex_sam3_interface.py:26-60 + SAM3PromptState.cpp): a tiny
+    with_text SAM trained on synthetic circle+square scenes segments
+    the shape NAMED by the text prompt, and detect_sam3_prompt text
+    entries ('{0:circle}') drive SamSegmenter.segment through the
+    prompt-state machinery."""
+    import optax
+
+    from trex_tpu.models.sam import SAM, tokenize_text
+
+    size = 64
+    model = SAM(img_size=size, encoder_dim=32, encoder_depth=2,
+                encoder_heads=2, global_idx=(1,), dtype=jnp.float32,
+                with_text=True)
+    rng = np.random.default_rng(1)
+    names = ["circle", "square"]
+
+    def scene():
+        img = np.zeros((size, size, 3), np.float32)
+        yy, xx = np.mgrid[0:size, 0:size]
+        cx, cy = rng.integers(12, 26, 2)
+        r = int(rng.integers(6, 9))
+        disc = (xx - cx) ** 2 + (yy - cy) ** 2 <= r * r
+        img[disc] = [200, 80, 60]
+        sx, sy = rng.integers(36, 50, 2)
+        h = int(rng.integers(5, 8))
+        sq = (np.abs(xx - sx) <= h) & (np.abs(yy - sy) <= h)
+        img[sq] = [60, 90, 210]
+        img += rng.normal(0, 6, img.shape)
+        return np.clip(img, 0, 255), disc, sq
+
+    def sample(n):
+        imgs = np.zeros((n, size, size, 3), np.float32)
+        gts = np.zeros((n, size // 4, size // 4), np.float32)
+        ids = np.zeros((n, 32), np.int32)
+        for i in range(n):
+            img, disc, sq = scene()
+            which = int(rng.integers(0, 2))
+            imgs[i] = img
+            gts[i] = (disc if which == 0 else sq)[::4, ::4]
+            ids[i] = tokenize_text(names[which])
+        return (jnp.asarray(imgs), jnp.asarray(gts),
+                jnp.asarray(ids))
+
+    imgs, gt, tids = sample(8)
+    emb0 = jnp.zeros((1, size // 16, size // 16, 256), jnp.float32)
+    v1 = model.init(jax.random.PRNGKey(0), imgs[:1],
+                    jnp.zeros((1, 1, 2), jnp.float32),
+                    jnp.ones((1, 1), jnp.int32))
+    v2 = model.init(jax.random.PRNGKey(1), emb0, tids[:1],
+                    method="decode_text")
+    params = dict(v1["params"])
+    for k, v in v2["params"].items():
+        params.setdefault(k, v)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, imgs, gt, tids):
+        def loss_fn(p):
+            emb = model.apply({"params": p}, imgs, method="encode")
+            masks, _ = model.apply({"params": p}, emb, tids,
+                                   method="decode_text")
+            m = masks[:, 0]
+            return optax.sigmoid_binary_cross_entropy(m, gt).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(400):
+        imgs, gt, tids = sample(8)
+        params, opt_state, loss = step(params, opt_state, imgs, gt,
+                                       tids)
+    # fresh-scene IoU, text selects the right shape
+    imgs, gt, tids = sample(16)
+    emb = model.apply({"params": params}, imgs, method="encode")
+    masks, _ = model.apply({"params": params}, emb, tids,
+                           method="decode_text")
+    pred = np.asarray(masks[:, 0]) > 0
+    gtb = np.asarray(gt) > 0.5
+    iou = (pred & gtb).sum() / max(1, (pred | gtb).sum())
+    assert iou > 0.5, f"text-prompted SAM failed to learn: {iou}"
+
+    # detect_sam3_prompt surface: text entries reach the model
+    from trex_tpu.detect.sam3 import Sam3Prompts, SamSegmenter
+
+    seg = SamSegmenter(model, {"params": params})
+    assert seg._decode_text is not None
+    img, disc, sq = scene()
+    prompts = Sam3Prompts.from_setting("{0:circle}")
+    objs = prompts.materialize(0)
+    assert objs and objs[0].positive_prompts[0].text == "circle"
+    out = seg.segment(img.astype(np.uint8), objs)
+    assert out, "text prompt produced no mask"
+    mask = next(iter(out.values()))
+    on_disc = (mask & disc).sum() / max(1, disc.sum())
+    on_square = (mask & sq).sum() / max(1, sq.sum())
+    assert on_disc > 0.5 and on_disc > 2 * on_square, \
+        (on_disc, on_square)

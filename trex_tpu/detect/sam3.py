@@ -393,6 +393,11 @@ class SamSegmenter:
         self._decode = jax.jit(
             lambda emb, pts, lbl: model.apply(variables, emb, pts, lbl,
                                               method="decode"))
+        self._decode_text = None
+        if getattr(model, "with_text", False):
+            self._decode_text = jax.jit(
+                lambda emb, ids: model.apply(variables, emb, ids,
+                                             method="decode_text"))
 
     @classmethod
     def from_checkpoint(cls, path, dtype=None):
@@ -411,8 +416,10 @@ class SamSegmenter:
         return cls(model, variables)
 
     @classmethod
-    def small_random(cls, img_size: int = 128, seed: int = 0):
-        """Tiny randomly-initialized model (tests / smoke runs)."""
+    def small_random(cls, img_size: int = 128, seed: int = 0,
+                     with_text: bool = False):
+        """Tiny randomly-initialized model (tests / smoke runs);
+        with_text adds the SAM3 concept/text tower."""
         import jax
         import jax.numpy as jnp
         import numpy as _np
@@ -421,11 +428,23 @@ class SamSegmenter:
 
         model = SAM(img_size=img_size, encoder_dim=64, encoder_depth=2,
                     encoder_heads=2, global_idx=(1,),
-                    dtype=jnp.float32)
+                    dtype=jnp.float32, with_text=with_text)
         img = jnp.zeros((1, img_size, img_size, 3), jnp.float32)
         pts = jnp.zeros((1, 2, 2), jnp.float32)
         lbl = jnp.zeros((1, 2), jnp.int32)
         variables = model.init(jax.random.PRNGKey(seed), img, pts, lbl)
+        if with_text:
+            # the text branch is reached via decode_text only: init it
+            # too and merge the param trees
+            emb = jnp.zeros(
+                (1, img_size // 16, img_size // 16, 256), jnp.float32)
+            ids = jnp.zeros((1, 32), jnp.int32)
+            tv = model.init(jax.random.PRNGKey(seed + 1), emb, ids,
+                            method="decode_text")
+            merged = dict(variables["params"])
+            for k, v in tv["params"].items():
+                merged.setdefault(k, v)
+            variables = {"params": merged}
         return cls(model, variables)
 
     def segment(self, image: np.ndarray,
@@ -456,41 +475,63 @@ class SamSegmenter:
         padded[:nh, :nw] = resized
 
         pts_list, lbl_list, ids = [], [], []
+        txt_list, txt_ids = [], []
         for obj in prompts:
+            oid = getattr(obj, "id", getattr(obj, "object_id", 0))
             box = getattr(obj, "seed_box", None)
+            text = None
             if box is None:
-                # fall back to the object's stored box prompts
+                # fall back to the object's stored prompts: the first
+                # box wins; else the first text prompt drives the
+                # concept pathway (detect_sam3_prompt text entries)
                 for pr in getattr(obj, "positive_prompts", []):
                     b = getattr(pr, "box", None)
                     if b is not None:
                         box = b
                         break
-            if box is None:
-                continue
-            p, l = box_to_prompt([c * scale for c in box])
-            pts_list.append(p[0])
-            lbl_list.append(l[0])
-            ids.append(getattr(obj, "id", getattr(obj, "object_id", 0)))
-        if not pts_list:
+                    t = getattr(pr, "text", None)
+                    if t is not None and text is None:
+                        text = t
+            if box is not None:
+                p, l = box_to_prompt([c * scale for c in box])
+                pts_list.append(p[0])
+                lbl_list.append(l[0])
+                ids.append(oid)
+            elif text is not None and self._decode_text is not None:
+                from ..models.sam import tokenize_text
+
+                txt_list.append(tokenize_text(text))
+                txt_ids.append(oid)
+        if not pts_list and not txt_list:
             return {}
         emb = self._encode(jnp.asarray(padded[None]))
-        masks, iou = self._decode(
-            emb[0], jnp.asarray(np.stack(pts_list), jnp.float32),
-            jnp.asarray(np.stack(lbl_list), jnp.int32))
-        masks = np.asarray(masks)
-        iou = np.asarray(iou)
         out = {}
-        for k, oid in enumerate(ids):
-            # multimask selection considers tokens 1..3 only (token 0
-            # is the single-mask-mode output in official SAM)
-            best = 1 + int(iou[k, 1:].argmax()) if iou.shape[1] > 1 \
-                else 0
-            m = masks[k, best]
-            m = cv2.resize(m, (size, size),
-                           interpolation=cv2.INTER_LINEAR)
-            m = m[:nh, :nw]
-            m = cv2.resize(m, (W, H), interpolation=cv2.INTER_LINEAR)
-            out[oid] = m > self.mask_threshold
+
+        def unpack(masks, iou, oids):
+            masks = np.asarray(masks)
+            iou = np.asarray(iou)
+            for k, oid in enumerate(oids):
+                # multimask selection considers tokens 1..3 only
+                # (token 0 is single-mask mode in official SAM)
+                best = 1 + int(iou[k, 1:].argmax()) \
+                    if iou.shape[1] > 1 else 0
+                m = masks[k, best]
+                m = cv2.resize(m, (size, size),
+                               interpolation=cv2.INTER_LINEAR)
+                m = m[:nh, :nw]
+                m = cv2.resize(m, (W, H),
+                               interpolation=cv2.INTER_LINEAR)
+                out[oid] = m > self.mask_threshold
+
+        if pts_list:
+            masks, iou = self._decode(
+                emb[0], jnp.asarray(np.stack(pts_list), jnp.float32),
+                jnp.asarray(np.stack(lbl_list), jnp.int32))
+            unpack(masks, iou, ids)
+        if txt_list:
+            masks, iou = self._decode_text(
+                emb[0], jnp.asarray(np.stack(txt_list), jnp.int32))
+            unpack(masks, iou, txt_ids)
         return out
 
 

@@ -232,6 +232,47 @@ class PromptEncoder(nn.Module):
         return sparse, dense
 
 
+class TextEncoder(nn.Module):
+    """Toy concept/text encoder for SAM3-style text prompts
+    (trex_sam3_interface.py:26-60, SAM3PromptState.cpp): free text ->
+    `n_tokens` sparse prompt tokens for the mask decoder, trainable
+    end-to-end. No pretrained text tower is reachable in this
+    environment (zero egress), so this is a byte-level embedding +
+    positional code + MLP — the INTERFACE matches the reference's
+    concept prompts and a real text tower drops in by swapping this
+    module."""
+    embed_dim: int = 256
+    vocab: int = 256
+    n_tokens: int = 2
+    max_len: int = 32
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, token_ids):
+        """token_ids (B, L) int32 byte values, 0 = pad ->
+        (B, n_tokens, embed_dim) sparse prompt tokens."""
+        emb = nn.Embed(self.vocab, self.embed_dim,
+                       dtype=jnp.float32)(token_ids)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (self.max_len, self.embed_dim), jnp.float32)
+        emb = emb + pos[None, : emb.shape[1]]
+        mask = (token_ids > 0).astype(jnp.float32)[..., None]
+        pooled = (emb * mask).sum(1) / jnp.maximum(mask.sum(1), 1.0)
+        x = nn.Dense(self.embed_dim * 2, dtype=jnp.float32)(pooled)
+        x = nn.gelu(x)
+        x = nn.Dense(self.embed_dim * self.n_tokens,
+                     dtype=jnp.float32)(x)
+        return x.reshape(x.shape[0], self.n_tokens, self.embed_dim)
+
+
+def tokenize_text(text: str, max_len: int = 32) -> np.ndarray:
+    """Byte-level tokenization for TextEncoder (0 = pad)."""
+    b = text.strip().lower().encode("utf-8")[:max_len]
+    out = np.zeros(max_len, np.int32)
+    out[: len(b)] = np.frombuffer(b, np.uint8)
+    return out
+
+
 class TwoWayAttention(nn.Module):
     dim: int
     num_heads: int
@@ -378,6 +419,10 @@ class SAM(nn.Module):
     encoder_heads: int = 12
     global_idx: Sequence[int] = (2, 5, 8, 11)
     dtype: Dtype = jnp.bfloat16
+    # text/concept prompting (SAM3 surface): adds the TextEncoder
+    # branch; off for official segment-anything checkpoints (their
+    # param tree has no text tower)
+    with_text: bool = False
 
     PIXEL_MEAN = (123.675, 116.28, 103.53)
     PIXEL_STD = (58.395, 57.12, 57.375)
@@ -390,6 +435,8 @@ class SAM(nn.Module):
         self.prompt_encoder = PromptEncoder(image_size=self.img_size,
                                             dtype=self.dtype)
         self.mask_decoder = MaskDecoder(dtype=self.dtype)
+        if self.with_text:
+            self.text_encoder = TextEncoder(dtype=self.dtype)
 
     def encode(self, images):
         """images (B, H, W, 3) uint8/float -> (B, h, w, 256)."""
@@ -402,6 +449,20 @@ class SAM(nn.Module):
         """Prompt (points px coords + labels) -> (masks, iou)."""
         h, w = image_embed.shape[-3:-1]
         sparse, dense = self.prompt_encoder(points, labels, h, w)
+        pe = self.prompt_encoder.dense_pe(h, w)
+        return self.mask_decoder(image_embed, pe,
+                                 sparse.astype(self.dtype),
+                                 dense.astype(self.dtype))
+
+    def decode_text(self, image_embed, token_ids):
+        """Text/concept prompt (tokenize_text ids) -> (masks, iou):
+        the text tokens take the sparse-prompt slot of the mask
+        decoder (the SAM3 concept-prompt pathway)."""
+        h, w = image_embed.shape[-3:-1]
+        sparse = self.text_encoder(token_ids)
+        dense = self.prompt_encoder.no_mask_embed.reshape(1, 1, 1, -1)
+        dense = jnp.broadcast_to(
+            dense, (token_ids.shape[0], h, w, dense.shape[-1]))
         pe = self.prompt_encoder.dense_pe(h, w)
         return self.mask_decoder(image_embed, pe,
                                  sparse.astype(self.dtype),
