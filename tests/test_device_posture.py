@@ -211,3 +211,62 @@ def test_positions_export_includes_posture(tmp_path):
     assert "midline_length" in d.files and "posture_ok" in d.files
     assert d["posture_ok"].any()
     assert (d["midline_length"][d["posture_ok"]] > 1.0).all()
+
+
+def test_two_stage_posture_equals_fused():
+    """fused_scan_packed(two_stage=True) compiles tracking and posture
+    as separate device-resident programs; the packed result must be
+    byte-identical to the single fused program (the split exists only
+    to dodge the relay's composed-program while-loop pathology,
+    ROUND3_NOTES.md)."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.device_engine import DeviceTracker
+
+    s = reset_global_settings()
+    s.set("track_max_individuals", 6)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_threshold", 20)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 200]])
+    s.set("calculate_posture", True)
+    s.set("track_posture_threshold", 15)
+    s.set("outline_resample", 0.5)
+    s.set("match_mode", "approximate")
+    s.set("track_do_history_split", False)
+    rng = np.random.default_rng(3)
+    size = 192
+    bg = np.full((size, size), 200, np.uint8)
+    pos = rng.uniform(20, size - 30, (6, 2))
+    vel = rng.normal(0, 1.5, (6, 2))
+    frames = []
+    for _ in range(16):
+        img = bg.copy()
+        for (x, y) in pos:
+            xi, yi = int(x), int(y)
+            img[yi:yi + 6, xi:xi + 12] = 90
+        frames.append(img)
+        pos = np.clip(pos + vel, 10, size - 20)
+    batch = np.stack(frames)
+    one = DeviceTracker(s, bg, chunk=16).track_frames(batch)
+    two = DeviceTracker(s, bg, chunk=16,
+                        posture_two_stage=True).track_frames(batch)
+    for f in range(16):
+        h1 = one.posture_history.get(f)
+        h2 = two.posture_history.get(f)
+        assert (h1 is None) == (h2 is None), f
+        if h1 is None:
+            continue
+        np.testing.assert_array_equal(h1["fish"], h2["fish"])
+        np.testing.assert_array_equal(h1["ok"], h2["ok"])
+        np.testing.assert_array_equal(h1["midline_length"],
+                                      h2["midline_length"])
+    assert one.history.keys() == two.history.keys()
+    for f in one.history:
+        np.testing.assert_array_equal(one.history[f]["fish"],
+                                      two.history[f]["fish"])
+        np.testing.assert_array_equal(one.history[f]["x"],
+                                      two.history[f]["x"])

@@ -987,14 +987,71 @@ def _fused_impl(frames, background, aux, P: TrackParams,
 _fused_jit_cache: dict = {}
 
 
+def _fused_stage1(frames, background, aux, P: TrackParams,
+                  split_spec=None, **kw):
+    """Detect + tracking scan only; returns the device-resident
+    intermediates the posture stage consumes."""
+    from .runcc import detect_batch_runs
+
+    out = detect_batch_runs(frames, background, **kw)
+    det = detections_from_runcc(out, P)
+    carry0, pdir0, times, fidx = _aux_split(aux, frames.shape[0], P)
+    hist, final = _scan_impl(det, times, fidx, P, carry0,
+                             frames=frames, background=background,
+                             split_spec=split_spec)
+    return det, hist, pdir0, out["overflow"]
+
+
+def _fused_stage2(frames, background, det, hist, pdir0, overflow,
+                  P: TrackParams, posture_spec):
+    """Posture scan over stage 1's assignments + result packing."""
+    T = frames.shape[0]
+    F = P.max_fish
+    if posture_spec is not None and posture_spec.enabled \
+            and "runs_slot" in det and "bx0" in det:
+        hist = _posture_scan(frames, background, det, hist, pdir0, P,
+                             posture_spec)
+    else:
+        hist["p_len"] = jnp.zeros((T, F), jnp.float32)
+        hist["p_ang"] = jnp.zeros((T, F), jnp.float32)
+        hist["p_ok"] = jnp.zeros((T, F), bool)
+        hist["p_dir"] = jnp.broadcast_to(pdir0[None], (T, F, 2))
+        hist["needs_host"] = hist["needs_host"] | jnp.any(
+            hist["fish_row"] >= 0, axis=1)
+    return _pack_result(hist, None, overflow, P)
+
+
 def fused_scan_packed(frames, background, aux,
                       P: TrackParams, split_spec=None,
-                      posture_spec=None, **kw) -> jax.Array:
+                      posture_spec=None, two_stage: bool = False,
+                      **kw) -> jax.Array:
     """Fused detect+scan with one packed output array (the raw-frames
     product path: the host->device transfers are the frame batch and
     one aux vector). split_spec (ops/device_split.SplitSpec) turns on
     the in-graph HistorySplit executor; posture_spec
-    (ops/device_posture.PostureSpec) appends the posture scan."""
+    (ops/device_posture.PostureSpec) appends the posture scan.
+
+    two_stage: compile the tracking scan and the posture scan as TWO
+    programs with device-resident intermediates (no extra transfers —
+    jit outputs stay on device). This counters the composed-program
+    pathology documented in ROUND3_NOTES.md ("Infrastructure finding:
+    composed-program slowdown"): the backend's loop optimizer
+    rematerializes upstream fusions inside the posture while-loop
+    bodies when everything compiles as one program; a program boundary
+    pins the intermediates as buffers instead."""
+    if two_stage and P.do_posture:
+        key = ("2s", P, split_spec, posture_spec,
+               tuple(sorted(kw.items())))
+        fns = _fused_jit_cache.get(key)
+        if fns is None:
+            f1 = jax.jit(partial(_fused_stage1, P=P,
+                                 split_spec=split_spec, **kw))
+            f2 = jax.jit(partial(_fused_stage2, P=P,
+                                 posture_spec=posture_spec))
+            fns = _fused_jit_cache[key] = (f1, f2)
+        f1, f2 = fns
+        det, hist, pdir0, overflow = f1(frames, background, aux)
+        return f2(frames, background, det, hist, pdir0, overflow)
     key = (P, split_spec, posture_spec, tuple(sorted(kw.items())))
     fn = _fused_jit_cache.get(key)
     if fn is None:

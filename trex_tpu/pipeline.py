@@ -424,9 +424,15 @@ class Segmenter:
     def __init__(self, settings: Settings, source, output_path,
                  track: bool = True,
                  progress: Optional[Callable[[int, int], None]] = None,
-                 workers: int = 4, need_individuals: bool = True):
+                 workers: int = None, need_individuals: bool = True):
+        import os
+
         self.settings = settings
         self.need_individuals = need_individuals
+        # worker default scales with the host (floor 4: the pool also
+        # hides IO latency on small machines)
+        if workers is None:
+            workers = min(8, max(4, os.cpu_count() or 4))
         # color encodings keep the source in color: detection still runs
         # on grayscale, stored blob pixels carry color (pv.cpp V_14
         # encodings rgb8 / r3g3b2)
@@ -951,8 +957,12 @@ class TrackingState:
 
     def __init__(self, settings: Settings, pv_path,
                  progress: Optional[Callable[[int, int], None]] = None,
-                 workers: int = 4, need_individuals: bool = True):
+                 workers: int = None, need_individuals: bool = True):
+        import os
+
         self.settings = settings
+        if workers is None:
+            workers = min(8, max(4, os.cpu_count() or 4))
         self.pv = PVFile.open(pv_path)
         self.progress = progress
         self.terminate = False  # two-stage SIGINT sets this

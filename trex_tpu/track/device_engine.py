@@ -61,7 +61,8 @@ class DeviceTracker:
     def __init__(self, settings, background: np.ndarray,
                  chunk: int = None, caps: dict = None,
                  split_caps: dict = None,
-                 keep_individuals: bool = False):
+                 keep_individuals: bool = False,
+                 posture_two_stage: bool = False):
         from ..ops.device_tracker import (default_split_spec,
                                           params_from_settings)
 
@@ -87,7 +88,11 @@ class DeviceTracker:
         self.split_spec = default_split_spec(settings, self.P,
                                              split_caps)
         # on-device posture for the fused frames path (the pv path
-        # runs the same native batch chain host-side per chunk)
+        # runs the same native batch chain host-side per chunk).
+        # posture_two_stage compiles tracking and posture as separate
+        # device-resident programs — the counter to the relay's
+        # composed-program while-loop pathology (ROUND3_NOTES.md)
+        self.posture_two_stage = bool(posture_two_stage)
         self.posture_spec = None
         if self.P.do_posture:
             from ..ops.device_posture import (
@@ -480,7 +485,8 @@ class DeviceTracker:
             vec = self._resilient_get(lambda: fused_scan_packed(
                 jnp.asarray(fr_chunk), bg_dev, jnp.asarray(aux),
                 self.P, split_spec=self.split_spec,
-                posture_spec=self.posture_spec, **kw))
+                posture_spec=self.posture_spec,
+                two_stage=self.posture_two_stage, **kw))
             hist, carry_rows = unpack_result(vec, self.chunk, self.P)
             flags = (hist["needs_host"]
                      | hist["detect_overflow"])[:span]
