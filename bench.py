@@ -160,11 +160,13 @@ def bench_tracking_device():
 
 
 def bench_tracking_device_variant(mode="automatic", posture=False,
-                                  repeats=2):
+                                  repeats=2, two_stage=False):
     """Device product engine in non-headline configurations: the
     product-default optimal matcher (match_mode=automatic via the
     on-device auction) and/or the on-device posture scan
-    (calculate_posture=true — the reference's e2e config)."""
+    (calculate_posture=true — the reference's e2e config).
+    two_stage compiles tracking and posture as separate device-
+    resident programs (the composed-program countermeasure)."""
     from trex_tpu.pipeline import select_tracker
 
     s = _settings()
@@ -179,6 +181,7 @@ def bench_tracking_device_variant(mode="automatic", posture=False,
 
     def run():
         tracker = select_tracker(s, bg, need_individuals=False)
+        tracker.posture_two_stage = two_stage
         tracker.chunk = len(frames)
         t0 = time.perf_counter()
         tracker.track_frames(batch)
@@ -496,6 +499,13 @@ def _device_section():
         out["device_posture_error"] = str(e)[:200]
     emit()
     try:
+        fps, assists, nps = bench_tracking_device_variant(
+            "approximate", posture=True, two_stage=True)
+        out["device_posture_2stage"] = [fps, assists, nps]
+    except Exception as e:
+        out["device_posture_2stage_error"] = str(e)[:200]
+    emit()
+    try:
         # VI accumulation end-to-end (BASELINE config 3 through the
         # product curriculum, ui/Accumulation.cpp:914-1700): wall s,
         # final uniqueness, steps, trajectory
@@ -672,6 +682,8 @@ def main():
         if posture_fps else None,
         "device_automatic_fps_assists": dev.get("device_automatic"),
         "device_posture_fps_assists_n": dev.get("device_posture"),
+        "device_posture_2stage_fps_assists_n":
+            dev.get("device_posture_2stage"),
         "vi100_accumulation_wall_s_uniq_steps_traj":
             dev.get("vi100_accumulation"),
         "device_crowded_fps_assists_hostfps": dev.get("device_crowded"),
