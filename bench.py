@@ -89,12 +89,14 @@ def _settings():
 
 def bench_tracking():
     """256-individual bg-subtract tracking, serial on the host core:
-    native labeling + FastTracker (the track_engine=auto selection for
-    this configuration)."""
+    native labeling + FastTracker. track_engine is PINNED to fast —
+    'auto' now promotes to the device engine on a healthy accelerator,
+    and this measurement is the host baseline by definition."""
     from trex_tpu.ops.labeling import label_blobs_raw
     from trex_tpu.pipeline import select_tracker
 
     s = _settings()
+    s.set("track_engine", "fast")
     bg, frames = synth_frames(N_FRAMES)
     tracker = select_tracker(s, bg, need_individuals=False)
     det = dict(threshold=int(s["detect_threshold"]),
