@@ -1,0 +1,346 @@
+"""f32/f64 boundary contract of the device matching pass.
+
+The device scan decides non-flagged frames in f32; its parity partners
+compute the same formulas in f64 — the per-frame host replay from the
+promoted f32 carry (track/device_engine._sync_helper_state), and the
+pure host FastTracker whose f64 timeline the scan only sees f32-packed.
+ops/device_tracker bounds the resulting estimate/probability divergence
+(est_err -> p_err) and widens every knife-edge deferral band by it, so
+no edge, tie, or t_max cut is decided on-device when the f64 value
+could sit on the other side (VERDICT r3 weak #6: the guards were
+empirically tuned with no adversarial coverage at the
+match_min_probability f32/f64 boundary).
+
+Covers:
+- test_decay_est_err_bound_covers: randomized decay windows; the f32
+  _decay_estimates vs an exact f64 twin, under both contracts (same
+  f32 bits re-evaluated in f64, and the original f64 timeline) — the
+  returned est_err must dominate the observed divergence, with
+  measured headroom.
+- test_match_min_probability_boundary: p_min placed adversarially at /
+  near a real edge's f64 probability (both match modes): the scan must
+  flag the frame, or — when outside the widened band — decide exactly
+  as the host's f64 comparison does.
+- test_tmax_boundary_flags: tdelta landing bit-exactly on
+  track_max_reassign_time must flag (the usable/inactive edge set).
+"""
+import numpy as np
+import pytest
+
+from trex_tpu.config import reset_global_settings
+
+EPS32 = float(2.0 ** -23)
+
+
+# ---------------------------------------------------------------------------
+# exact f64 twin of ops/device_tracker._decay_estimates (same masks,
+# same reduction order semantics, float64 arithmetic throughout)
+# ---------------------------------------------------------------------------
+
+def _decay_f64(win: np.ndarray, frame: int, cm_per_pixel: float,
+               max_speed: float):
+    win = np.asarray(win, np.float64)
+    wf = win[:, :, 0]
+    prev = wf[:, -1]
+    valid = (wf > -1e8) & (wf >= (prev - 6)[:, None])
+    x, y, t, st = win[:, :, 1], win[:, :, 2], win[:, :, 3], win[:, :, 4]
+    dt = t[:, 1:] - t[:, :-1]
+    pair_exists = valid[:, 1:] & valid[:, :-1]
+    pair_ok = pair_exists & (dt > 0) & (st[:, 1:] <= 1.0)
+    bad = np.any(pair_exists & ~pair_ok, axis=1)
+    dts = np.where(pair_ok, dt, 1.0)
+    vx = np.where(pair_ok, (x[:, 1:] - x[:, :-1]) / dts, 0.0)
+    vy = np.where(pair_ok, (y[:, 1:] - y[:, :-1]) / dts, 0.0)
+    l_sq = vx * vx + vy * vy
+    max_speed_px = (max_speed / cm_per_pixel) if cm_per_pixel else 0.0
+    if max_speed_px > 0:
+        over = pair_ok & (l_sq >= max_speed_px * max_speed_px)
+        scale = np.where(over, max_speed_px / np.sqrt(
+            np.where(l_sq > 0, l_sq, 1.0)), 1.0)
+        vx = vx * scale
+        vy = vy * scale
+        l_sq = np.where(over, max_speed_px * max_speed_px, l_sq)
+    counts = pair_ok.sum(axis=1)
+    used = np.maximum(counts, 1)
+    raw_x = vx.sum(axis=1) / used
+    raw_y = vy.sum(axis=1) / used
+    acc_step = st[:, 2:]
+    prev_nz = pair_ok[:, :-1] & ((vx[:, :-1] != 0) | (vy[:, :-1] != 0))
+    acc_ok = pair_ok[:, 1:] & (acc_step > 0) & prev_nz
+    acc_div = np.where(acc_ok, acc_step, 1.0)
+    acc_x = np.where(acc_ok, (vx[:, 1:] - vx[:, :-1]) / acc_div,
+                     0.0).sum(axis=1) / used
+    acc_y = np.where(acc_ok, (vy[:, 1:] - vy[:, :-1]) / acc_div,
+                     0.0).sum(axis=1) / used
+    srt = np.sort(np.where(pair_ok, l_sq, np.inf), axis=1)
+    lo_i = np.maximum((counts - 1) // 2, 0)
+    hi_i = np.maximum(counts // 2, 0)
+    rows = np.arange(win.shape[0])
+    med = 0.5 * (srt[rows, lo_i] + srt[rows, hi_i])
+    med = np.where(counts > 0, med, 0.0)
+    speed = np.maximum(0.6, np.sqrt(med))
+    nrm_v = np.hypot(raw_x, raw_y)
+    dir_x = np.where(nrm_v > 0, raw_x / np.where(nrm_v > 0, nrm_v, 1.0),
+                     0.0)
+    dir_y = np.where(nrm_v > 0, raw_y / np.where(nrm_v > 0, nrm_v, 1.0),
+                     0.0)
+    nrm_a = np.hypot(acc_x, acc_y)
+    accd_x = np.where(nrm_a > 0, acc_x / np.where(nrm_a > 0, nrm_a, 1.0),
+                      0.0)
+    accd_y = np.where(nrm_a > 0, acc_y / np.where(nrm_a > 0, nrm_a, 1.0),
+                      0.0)
+    simple = prev == frame - 1
+    step = st[:, -1]
+    ok = simple & (counts > 0)
+    last_x = x[:, -1]
+    last_y = y[:, -1]
+    est_x = np.where(ok, last_x + step * speed
+                     * (dir_x + step * accd_x), last_x)
+    est_y = np.where(ok, last_y + step * speed
+                     * (dir_y + step * accd_y), last_y)
+    need_host = bad | (~simple & (counts > 0))
+    return est_x, est_y, need_host
+
+
+def _random_windows(rng, F: int, frame: int, max_speed_px: float):
+    """Random (F, 7, 5) f64 windows [frame, x, y, time, global step]
+    with f32-exact positions (the centroid contract), f64 timeline,
+    varied scales / fill counts / gaps / degenerate motion."""
+    W = 7
+    win = np.zeros((F, W, 5))
+    win[:, :, 0] = -1e9
+    for i in range(F):
+        n = rng.integers(1, W + 1)
+        prev = frame - 1 if rng.random() < 0.9 else frame - 2
+        frames = np.arange(prev - n + 1, prev + 1, dtype=np.float64)
+        t_end = np.exp(rng.uniform(0.0, np.log(3600.0)))
+        dts = np.exp(rng.uniform(np.log(4e-3), np.log(0.9), n))
+        times = t_end - np.cumsum(dts[::-1])[::-1] + dts[-1]
+        # global step at each entry: usually the inter-sample dt
+        # (dense chain); occasional > 1 s entries exercise `bad`
+        sts = dts.copy()
+        if rng.random() < 0.05 and n > 1:
+            sts[rng.integers(1, n)] = 1.5
+        scale = np.exp(rng.uniform(0.0, np.log(1e4)))
+        speed_scale = np.exp(rng.uniform(
+            np.log(0.05), np.log(max(max_speed_px * 1.5, 0.1))))
+        mode = rng.random()
+        pos = np.empty((n, 2))
+        pos[0] = scale * rng.uniform(0.5, 1.0, 2)
+        v = rng.normal(0, speed_scale, 2)
+        for k in range(1, n):
+            if mode < 0.15:          # constant velocity: nrm_a ~ 0
+                pass
+            elif mode < 0.25:        # stationary: nrm_v ~ 0
+                v = np.zeros(2)
+            else:
+                v = v + rng.normal(0, 0.3 * speed_scale, 2)
+            pos[k] = pos[k - 1] + v * dts[k]
+        # positions are f32-exact in both engines (integer run sums)
+        pos = np.float64(np.float32(pos))
+        win[i, W - n:, 0] = frames
+        win[i, W - n:, 1] = pos[:, 0]
+        win[i, W - n:, 2] = pos[:, 1]
+        win[i, W - n:, 3] = times
+        win[i, W - n:, 4] = sts
+    return win
+
+
+def test_decay_est_err_bound_covers():
+    """est_err must dominate |est_f32 - est_f64| under both parity
+    contracts: the replay (f64 over the same f32 bits) and the pure
+    host (f64 over the original timeline)."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_tracker import (_decay_estimates,
+                                             params_from_settings)
+
+    s = reset_global_settings()
+    s.set("track_max_individuals", 4)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("track_speed_decay", 0.7)
+    P = params_from_settings(s)
+    assert P.do_decay
+
+    frame = 1000
+    worst = 0.0
+    checked = 0
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        win64 = _random_windows(rng, 256, frame,
+                                P.max_speed / P.cm_per_pixel)
+        win32 = np.float32(win64)
+        ex32, ey32, bad32, err = _decay_estimates(
+            jnp.asarray(win32), frame, P)
+        ex32 = np.float64(np.asarray(ex32))
+        ey32 = np.float64(np.asarray(ey32))
+        bad32 = np.asarray(bad32)
+        err = np.float64(np.asarray(err))
+        for ref_win in (win32, win64):   # replay / pure-host contracts
+            rx, ry, rbad = _decay_f64(ref_win, frame,
+                                      P.cm_per_pixel, P.max_speed)
+            use = ~bad32 & ~rbad
+            diff = np.maximum(np.abs(ex32 - rx), np.abs(ey32 - ry))
+            assert np.all(diff[use] <= err[use]), (
+                seed, int(np.argmax(np.where(use, diff - err, -np.inf))),
+                float(diff[use].max()))
+            with np.errstate(invalid="ignore"):
+                ratio = np.where(diff > 0, diff / err, 0.0)
+            worst = max(worst, float(ratio[use].max(initial=0.0)))
+            checked += int(use.sum())
+    assert checked > 3000
+    # measured headroom: the bound must not be tight to the sample
+    assert worst < 0.9, worst
+
+
+# ---------------------------------------------------------------------------
+# adversarial p_min placement on the live scan
+# ---------------------------------------------------------------------------
+
+def _boundary_settings(match_mode: str):
+    s = reset_global_settings()
+    s.set("track_max_individuals", 4)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("frame_rate", 25)
+    s.set("track_threshold", 20)
+    s.set("track_threshold_is_absolute", False)
+    s.set("track_background_subtraction", True)
+    s.set("track_size_filter", [[10, 400]])
+    s.set("calculate_posture", False)
+    s.set("match_mode", match_mode)
+    s.set("track_do_history_split", False)
+    s.set("track_speed_decay", 0.7)
+    return s
+
+
+SIZE = 1024
+
+
+def _render_big(x: float, y: float):
+    img = np.full((SIZE, SIZE), 200, np.uint8)
+    xi, yi = int(x), int(y)
+    img[yi:yi + 6, xi:xi + 10] = 80
+    return img, (xi + 5.0, yi + 3.0)   # (bx0+bx1+1)/2, (by0+by1+1)/2
+
+
+def _host_p64(frames, bg, s, centers):
+    """The host FastTracker's f64 edge probability for fish 0 at every
+    frame >= 1 (the formula of engine._match_py with the global
+    one-frame delta, evaluated on the engine's own f64 state just
+    before each add_frame)."""
+    from trex_tpu.ops.labeling import label_blobs_raw
+    from trex_tpu.track.engine import FastTracker
+
+    det = dict(threshold=int(s["detect_threshold"]),
+               absolute=bool(s["detect_threshold_is_absolute"]),
+               track_threshold=int(s["track_threshold"]),
+               track_absolute=bool(s["track_threshold_is_absolute"]))
+    eng = FastTracker(s, bg)
+    p64 = np.full(len(frames), np.nan)
+    for f, img in enumerate(frames):
+        time = f / 25.0
+        if f > 0:
+            has, tdelta, tprob = eng._caches_py(f, time)
+            assert has[0] and tdelta[0] < eng.t_max
+            est_x, est_y = eng._position_estimates(f, time)
+            gtd = time - eng.frame_times[f - 1]
+            bc = centers[f]
+            d = np.hypot(bc[0] - est_x[0], bc[1] - est_y[0])
+            p64[f] = tprob[0] / (1.0 + d / gtd
+                                 * (eng.cm / eng.max_speed)) ** 2
+        if f < len(frames) - 1:
+            eng.add_frame(f, time, **label_blobs_raw(img, bg, **det))
+    return p64
+
+
+def _boundary_scene(probe: int):
+    """Deterministic scene: smooth constant-velocity warmup (per-frame
+    edge probability ~0.9+, dominated by integer rendering jitter),
+    then a controlled 3.2 px jump at the probe frame so ONLY the
+    probe's edge sits near the tested p_min values."""
+    frames, centers = [], []
+    for f in range(probe + 1):
+        x = 840.0 + 1.28 * f
+        y = 900.0 - 0.96 * f
+        if f == probe:
+            x += 2.0
+            y += 2.5
+        img, bc = _render_big(x, y)
+        frames.append(img)
+        centers.append(bc)
+    return frames, centers
+
+
+@pytest.mark.parametrize("match_mode", ["automatic", "approximate"])
+def test_match_min_probability_boundary(match_mode):
+    """p_min placed at / near the probe edge's f64 probability: inside
+    the guard band the scan must flag; outside it, its f32 decision
+    must equal the host's f64 one (fish keeps its id vs a new id)."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    s = _boundary_settings(match_mode)
+    probe = 15
+    frames, centers = _boundary_scene(probe)
+    bg = np.full((SIZE, SIZE), 200, np.uint8)
+    p64s = _host_p64(frames, bg, s, centers)
+    p64 = float(p64s[probe])
+    assert 0.1 < p64 < 1.0
+    # every other frame's edge stays clear of the tested p_min window
+    assert np.nanmin(p64s[1:probe]) > p64 + 0.05, p64s
+
+    caps = dict(max_runs=512, max_pixels=8192, max_blobs=16,
+                max_child_runs=512, max_children=16)
+    for off, must_flag in [(0.0, True), (1e-7, True), (-1e-7, True),
+                           (1e-5, None), (-1e-5, None),
+                           (3e-5, None), (-3e-5, None),
+                           (1e-2, False), (-1e-2, False)]:
+        s.set("match_min_probability", p64 + off)
+        hist = track_video_device(np.stack(frames), bg, s, **caps)
+        flagged = bool(np.asarray(hist["needs_host"])[probe])
+        seen = np.asarray(hist["fish_seen"])
+        if must_flag is True:
+            assert flagged, off
+        elif must_flag is False:
+            assert not flagged, off
+        if not flagged:
+            # f32 decided: must match the host's f64 edge set.
+            # p64 > p_min (off < 0) -> edge kept, fish 0 assigned;
+            # p64 <= p_min (off >= 0) -> edge dropped, a NEW fish
+            # claims the blob (fish 0 is active, not reactivatable)
+            kept = bool(seen[probe, 0])
+            assert kept == (off < 0), (off, kept)
+            assert int(np.asarray(hist["n_fish"])) == (1 if kept else 2)
+
+
+def test_tmax_boundary_flags():
+    """A fish whose f32 tdelta lands bit-exactly on
+    track_max_reassign_time sits on the usable/inactive cut: the f64
+    twin could include it where f32 excludes it — the frame must
+    defer."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    s = _boundary_settings("automatic")
+    s.set("track_speed_decay", 1.0)   # isolate the t_max cut
+    n_frames, gone_from, probe = 24, 8, 20
+    # the device timeline: times = f32(arange(T)) / f32(25)
+    t32 = np.arange(n_frames, dtype=np.float32) / np.float32(25)
+    td32 = np.float32(t32[probe] - t32[gone_from - 1])
+    s.set("track_max_reassign_time", float(td32))
+
+    frames = []
+    for f in range(n_frames):
+        img = np.full((256, 256), 200, np.uint8)
+        img[40:46, 30 + f:40 + f] = 80            # fish 0: always there
+        if f < gone_from:
+            img[120:126, 100 + f:110 + f] = 80    # fish 1: vanishes
+        frames.append(img)
+    bg = np.full((256, 256), 200, np.uint8)
+    hist = track_video_device(
+        np.stack(frames), bg, s,
+        max_runs=512, max_pixels=8192, max_blobs=16,
+        max_child_runs=512, max_children=16)
+    assert bool(np.asarray(hist["needs_host"])[probe])
+    # frames well inside the cut don't flag on the t_max band
+    assert not bool(np.asarray(hist["needs_host"])[probe - 3])

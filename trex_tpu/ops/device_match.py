@@ -236,8 +236,16 @@ def _owner_of_fish(owner: jax.Array, F: int) -> jax.Array:
 
 def edge_boundary_marginal(Pmat: jax.Array, usable_f: jax.Array,
                            valid_b: jax.Array, p_min: float,
-                           guard: float = EDGE_GUARD) -> jax.Array:
+                           guard: float = EDGE_GUARD,
+                           p_err=None) -> jax.Array:
     """True when any candidate edge sits within `guard` of the p_min
-    edge-inclusion boundary (f32 vs host-f64 edge sets could differ)."""
-    band = jnp.abs(Pmat - p_min) <= guard
+    edge-inclusion boundary (f32 vs host-f64 edge sets could differ).
+
+    `p_err` (optional (F, B)) widens the band per edge by a bound on
+    |p_f32 - p_f64| over the same carry bits (device_tracker computes
+    it from the decay-estimate error bound) — an edge is then never
+    decided on-device when the host's f64 probability could sit on the
+    other side of match_min_probability."""
+    width = guard if p_err is None else guard + p_err
+    band = jnp.abs(Pmat - p_min) <= width
     return jnp.any(band & usable_f[:, None] & valid_b[None, :])

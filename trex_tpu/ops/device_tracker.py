@@ -94,6 +94,10 @@ class TrackParams(NamedTuple):
 # window length of the decay estimate (Individual._win / CACHE_WINDOW)
 DECAY_WIN = 7
 
+# f32 machine epsilon: unit for the carry-packing / f32-arithmetic
+# error bounds that widen the matching passes' deferral bands
+EPS32 = float(2.0 ** -23)
+
 
 def _in_size_ranges(size, ranges: tuple, lo: float, hi: float):
     """In-any-range test matching the host SizeFilters.in_range_of_one;
@@ -165,10 +169,15 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     """In-graph decay-extrapolated positions over the carry's
     (F, W, 5) windows [frame, x, y, time, global step] — the port of
     cache_batch.window_motion's consecutive-window path (Individual.
-    cpp:1940-2025). Returns (est_x, est_y, need_host): need_host marks
-    fish whose window has chain breaks (invalid pairs) or a frame gap
-    before the estimate — the exact scalar walk runs host-side via the
-    assist replay."""
+    cpp:1940-2025). Returns (est_x, est_y, need_host, est_err):
+    need_host marks fish whose window has chain breaks (invalid pairs)
+    or a frame gap before the estimate — the exact scalar walk runs
+    host-side via the assist replay. est_err is a first-order bound on
+    |est_f32 - est_f64| (the host replay computes the same chain in
+    f64): the matching pass widens its match_min_probability deferral
+    band by slope * est_err so no boundary edge is decided on-device
+    when the f32 carry could sit on the other side of the host's f64
+    value (validated empirically by tests/test_match_boundary.py)."""
     wf = win[:, :, 0]
     prev = wf[:, -1]
     valid = (wf > -1e8) & (wf >= (prev - 6)[:, None])
@@ -216,12 +225,12 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
                  + jnp.take_along_axis(srt, hi_i[:, None], 1)[:, 0])
     med = jnp.where(counts > 0, med, 0.0)
     speed = jnp.maximum(0.6, jnp.sqrt(med))
-    nrm = jnp.hypot(raw_x, raw_y)
-    dir_x = jnp.where(nrm > 0, raw_x / nrm, 0.0)
-    dir_y = jnp.where(nrm > 0, raw_y / nrm, 0.0)
-    nrm = jnp.hypot(acc_x, acc_y)
-    accd_x = jnp.where(nrm > 0, acc_x / nrm, 0.0)
-    accd_y = jnp.where(nrm > 0, acc_y / nrm, 0.0)
+    nrm_v = jnp.hypot(raw_x, raw_y)
+    dir_x = jnp.where(nrm_v > 0, raw_x / nrm_v, 0.0)
+    dir_y = jnp.where(nrm_v > 0, raw_y / nrm_v, 0.0)
+    nrm_a = jnp.hypot(acc_x, acc_y)
+    accd_x = jnp.where(nrm_a > 0, acc_x / nrm_a, 0.0)
+    accd_y = jnp.where(nrm_a > 0, acc_y / nrm_a, 0.0)
     simple = prev == frame - 1
     step = st[:, -1]
     ok = simple & (counts > 0)
@@ -232,7 +241,42 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     est_y = jnp.where(ok, last_y + step * speed
                       * (dir_y + step * accd_y), last_y)
     need_host = bad | (~simple & (counts > 0))
-    return est_x, est_y, need_host
+
+    # --- f32-vs-f64 estimate error bound (first order) ---------------
+    # Window entries are f32 (position packing is exact — centroids
+    # are f32-exact integer sums — but the TIMELINE is the f32 image
+    # of the host's f64 timestamps, and all arithmetic here is f32 vs
+    # the host's f64). Per-pair velocity error: rounding of the
+    # position difference (<= 2 ulp(pos)) plus the timestamp packing
+    # transferred through d v/d dt = -v/dt, all over 1/dt; unit
+    # directions amplify by 2/|v|, accelerations by a further
+    # 2/acc_step, the median speed by 1/speed. Constants carry safety
+    # factors over the per-op rounding count, validated (with measured
+    # headroom) by tests/test_match_boundary.py::
+    # test_decay_est_err_bound_covers.
+    pos_mag = jnp.maximum(jnp.abs(last_x), jnp.abs(last_y))
+    ulp_pos = (pos_mag + 1.0) * EPS32
+    ulp_t = (jnp.max(jnp.where(valid, jnp.abs(t), 0.0), axis=1)
+             + 1.0) * EPS32
+    dt_min = jnp.min(jnp.where(pair_ok, dt, jnp.inf), axis=1)
+    dt_inv = jnp.where(jnp.isfinite(dt_min),
+                       1.0 / jnp.maximum(dt_min, 1e-9), 0.0)
+    v_max = jnp.sqrt(jnp.max(jnp.where(pair_ok, l_sq, 0.0), axis=1))
+    dv = (2.0 * ulp_pos + 2.0 * v_max * ulp_t) * dt_inv \
+        + 8.0 * EPS32 * v_max
+    ast_min = jnp.min(jnp.where(acc_ok, acc_step, jnp.inf), axis=1)
+    da = jnp.where(jnp.isfinite(ast_min),
+                   4.0 * dv / jnp.maximum(ast_min, 1e-9), 0.0)
+    vel_rel = jnp.minimum(2.0, 2.0 * dv / jnp.maximum(nrm_v, 1e-30))
+    acc_rel = jnp.minimum(2.0, 2.0 * da / jnp.maximum(nrm_a, 1e-30))
+    speed_rel = dv / speed                     # speed >= 0.6 floor
+    disp = jnp.abs(step) * speed * (1.0 + jnp.abs(step))
+    est_err = 2.0 * ulp_pos + jnp.where(
+        ok,
+        disp * (vel_rel + jnp.abs(step) * acc_rel + speed_rel
+                + 16.0 * EPS32),
+        0.0)
+    return est_x, est_y, need_host, est_err
 
 
 def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
@@ -305,7 +349,7 @@ def _scan_impl(det: dict, times: jax.Array,
         # distances AND the history-split fish positions measure from
         # these — Tracker.cpp fish_positions from cache.estimated_px)
         if P.do_decay:
-            est_x, est_y, dec_bad = _decay_estimates(
+            est_x, est_y, dec_bad, est_err = _decay_estimates(
                 carry["win"], frame, P)
             est_x = jnp.where(dec_bad, carry["last_x"], est_x)
             est_y = jnp.where(dec_bad, carry["last_y"], est_y)
@@ -313,6 +357,9 @@ def _scan_impl(det: dict, times: jax.Array,
             est_x = carry["last_x"]
             est_y = carry["last_y"]
             dec_bad = None
+            # est = last f32-packed centroid: packing + one compare
+            est_err = 2.0 * EPS32 * (jnp.maximum(
+                jnp.abs(est_x), jnp.abs(est_y)) + 1.0)
         size = rec * sq
         in_range = _in_size_ranges(size, P.size_ranges,
                                    P.size_min, P.size_max)
@@ -511,21 +558,72 @@ def _scan_impl(det: dict, times: jax.Array,
             needs_host = needs_host | jnp.any(usable & dec_bad)
         Pmat = tprob[:, None] / (1.0 + speed) ** 2
         Pmat = jnp.where(usable[:, None], Pmat, 0.0)
+
+        # --- f32-vs-f64 probability error bound (first order) ---------
+        # A non-flagged frame is decided on-device in f32; the host
+        # replay recomputes the SAME formulas in f64 from the same
+        # carry bits (device_engine._sync_helper_state promotes the
+        # carry), so the divergence is the f32 arithmetic itself plus
+        # the decay-estimate chain's amplification (est_err). Detection
+        # tables are exact in both precisions (integer run sums, see
+        # ops/runcc). |dp/dd| = 2 tprob (cms/gtd) / (1+speed)^3; tprob
+        # transfers tdelta error with slope 0.75/t_max. Validated with
+        # measured headroom by tests/test_match_boundary.py.
+        inv_gtd = jnp.where(jnp.isfinite(global_td),
+                            1.0 / global_td, 0.0)
+        td_err = 4.0 * EPS32 * (jnp.abs(time) + 1.0)
+        tprob_err = jnp.where(
+            has, (0.75 / P.t_max) * td_err + 8.0 * EPS32 * tprob, 0.0)
+        d_err = est_err[:, None] + 4.0 * EPS32 * (
+            d + jnp.maximum(jnp.abs(bcx), jnp.abs(bcy))[None, :] + 1.0)
+        speed_err = d_err * cms * inv_gtd \
+            + speed * (td_err * inv_gtd + 4.0 * EPS32)
+        p_err = (2.0 * tprob[:, None] * speed_err / (1.0 + speed) ** 3
+                 + tprob_err[:, None] / (1.0 + speed) ** 2
+                 + 8.0 * EPS32 * Pmat)
+        p_err = jnp.where(usable[:, None] & bval[None, :], p_err, 0.0)
+        # the usable/inactive cuts compare tdelta against t_max: a
+        # host-f64 tdelta on the other side changes the edge set
+        needs_host = needs_host | jnp.any(
+            has & (jnp.abs(tdelta - P.t_max) <= td_err))
+
         fob = jnp.full(bval.shape, -1, jnp.int32)
         if P.match_optimal:
             # automatic/hungarian/tree: optimal max-sum assignment
             # (per-clique optima compose, so the auction solves the
             # whole frame); near-ties/uncertified frames defer
-            from .device_match import (auction_match,
+            from .device_match import (GAP_GUARD, TIE_GUARD,
+                                       auction_match,
                                        edge_boundary_marginal)
             edge_ok = (Pmat > P.p_min) & usable[:, None] \
                 & bval[None, :]
-            fob, marg_m = auction_match(Pmat, edge_ok)
+            # an alternative matching the host's f64 values prefer
+            # differs by an alternating component (<= 2 min(F, B)
+            # edges), each off by <= max p_err: widen the tie band so
+            # such components are detected as near-ties and defer
+            pad = jnp.max(jnp.where(edge_ok, p_err, 0.0)) \
+                * (2.0 * min(F, bval.shape[0]))
+            fob, marg_m = auction_match(Pmat, edge_ok,
+                                        gap_guard=GAP_GUARD,
+                                        tie_guard=TIE_GUARD + pad)
             marg_m = marg_m | edge_boundary_marginal(
-                Pmat, usable, bval, P.p_min)
+                Pmat, usable, bval, P.p_min, p_err=p_err)
             needs_host = needs_host | marg_m
         else:
             _, fob = _greedy_pass(Pmat, bval, ~usable, fob, P.p_min)
+            # the greedy host twin runs the same first-max-per-blob
+            # scan in f64: defer frames where the f32 p_min edge set
+            # or any per-blob ordering could differ
+            from .device_match import edge_boundary_marginal
+            cand = usable[:, None] & bval[None, :] \
+                & (Pmat > P.p_min - p_err)
+            col_err = jnp.max(jnp.where(cand, p_err, 0.0), axis=0)
+            vals = jnp.sort(jnp.where(cand, Pmat, -jnp.inf), axis=0)
+            adj_tie = (vals[1:] - vals[:-1]) <= 2.0 * col_err[None, :]
+            needs_host = needs_host | jnp.any(
+                jnp.isfinite(vals[:-1]) & adj_tie) \
+                | edge_boundary_marginal(Pmat, usable, bval, P.p_min,
+                                         p_err=p_err)
         n_first = (fob >= 0).sum()
 
         # second pass: reactivation over centroids (engine
@@ -541,6 +639,20 @@ def _scan_impl(det: dict, times: jax.Array,
         free = bval & (fob < 0)
         _, fob = _greedy_pass(pre, free, ~inactive, fob, 0.0)
         n_react = (fob >= 0).sum() - n_first
+        # reactivation knife-edges: the host twin evaluates the same
+        # first-max scan in f64 from the same carry bits; defer frames
+        # where f32 rounding could reorder a column (sqd/gtd transfer
+        # slopes: d pre/d sqd = -(pre - p_min)/sqd, d pre/d gtd
+        # = -(pre - p_min)/gtd)
+        pre_err = 8.0 * EPS32 * jnp.abs(pre) \
+            + jnp.maximum(pre - P.p_min, 0.0) \
+            * (4.0 * EPS32 + td_err * inv_gtd)
+        cand_r = inactive[:, None] & free[None, :]
+        colr_err = jnp.max(jnp.where(cand_r, pre_err, 0.0), axis=0)
+        vals_r = jnp.sort(jnp.where(cand_r, pre, -jnp.inf), axis=0)
+        tie_r = (vals_r[1:] - vals_r[:-1]) <= 2.0 * colr_err[None, :]
+        needs_host = needs_host | jnp.any(
+            jnp.isfinite(vals_r[:-1]) & tie_r)
 
         # creation: remaining free blobs claim new ids in blob order
         still_free = bval & (fob < 0)
