@@ -35,39 +35,41 @@ from .track.individual import PostureStuff
 _device_health: dict = {}
 
 
-def _accelerator_healthy(timeout_s: float = 10.0) -> bool:
+_PROBE_SRC = """
+import sys
+import jax
+import jax.numpy as jnp
+devs = jax.devices()
+if not devs or devs[0].platform == "cpu":
+    sys.exit(3)
+x = jnp.ones((64, 64))
+jax.device_get(x @ x)
+sys.exit(0)
+"""
+
+
+def _accelerator_healthy(timeout_s: float = 30.0) -> bool:
     """True when a non-CPU jax backend answers a tiny compute round
     trip within `timeout_s` (cached per process). The accelerator
-    tunnel on this deployment class can hang device_get for minutes —
-    a probe thread that never returns is abandoned (daemon) and the
-    selection falls back to the host engine."""
+    tunnel on this deployment class can hang device_get for minutes,
+    so the probe runs in a SUBPROCESS that a timeout can kill — an
+    abandoned in-process thread stuck inside the runtime's C++ aborts
+    interpreter teardown (glibc 'FATAL: exception not rethrown' when
+    finalization pthread_exits a daemon thread through the runtime's
+    catch(...) frames; seen as a post-PASS SIGABRT in run_harness)."""
     if "ok" in _device_health:
         return _device_health["ok"]
     ok = False
     try:
-        import jax
+        import subprocess
+        import sys
 
-        devs = jax.devices()
-        if devs and devs[0].platform != "cpu":
-            import threading
-
-            got: list = []
-
-            def probe():
-                try:
-                    import jax.numpy as jnp
-
-                    x = jnp.ones((64, 64))
-                    jax.device_get(x @ x)
-                    got.append(True)
-                except Exception:  # noqa: BLE001 - any failure = sick
-                    pass
-
-            t = threading.Thread(target=probe, daemon=True)
-            t.start()
-            t.join(timeout_s)
-            ok = bool(got)
-    except Exception:  # noqa: BLE001
+        r = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], timeout=timeout_s,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            start_new_session=True)
+        ok = r.returncode == 0
+    except Exception:  # noqa: BLE001 - timeout or spawn failure = sick
         ok = False
     _device_health["ok"] = ok
     return ok
