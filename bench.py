@@ -393,6 +393,34 @@ def bench_device_detect():
     return best
 
 
+def bench_device_detect_vmem():
+    """On-chip throughput of the pixel-grid detection with the
+    VMEM-stripe pallas labeler (ops/cc_device.label_components_vmem)
+    for 32 frames of 1024^2 per call — the hierarchical replacement
+    for the XLA min-propagation CC that measured 4.9 fps here
+    (ops/device_pipeline.py header)."""
+    import jax
+
+    from trex_tpu.ops.device_pipeline import detect_batch
+
+    bg, frames = synth_frames(32)
+    batch = jax.numpy.asarray(np.stack(frames))
+    jbg = jax.numpy.asarray(bg)
+    kw = dict(threshold=15, absolute=False, track_threshold=20,
+              max_blobs=256, use_pallas=True)
+    out = detect_batch(batch, jbg, **kw)
+    jax.block_until_ready(out)
+    best = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        iters = 10
+        for _ in range(iters):
+            out = detect_batch(batch, jbg, **kw)
+            jax.block_until_ready(out)
+        best = max(best, 32 * iters / (time.perf_counter() - t0))
+    return best
+
+
 def bench_device_track():
     """Fused device pipeline (ops/device_tracker): batched run-CC
     detection + lax.scan tracking under one jit, 64 frames of 1024^2 at
@@ -475,6 +503,7 @@ def _device_section():
         out["device_crowded_error"] = str(e)[:200]
     emit()
     for name, fn in (("device_detect", bench_device_detect),
+                     ("device_detect_vmem", bench_device_detect_vmem),
                      ("device_track", bench_device_track),
                      ("vi_crops", bench_vi_crops),
                      ("visual_fields", bench_visual_fields),

@@ -86,6 +86,70 @@ def test_pallas_kernel_interpret_mode():
     assert out[3, 3] == x[2, 2]
 
 
+def test_vmem_striped_labeler_matches_reference():
+    """label_components_vmem (VMEM stripe relaxation, interpret mode)
+    must produce bit-identical labels to label_components: random
+    densities, stripe-crossing S-shapes, non-128 widths, batches."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.cc_device import label_components_vmem
+
+    rng = np.random.default_rng(0)
+
+    def check(mask, stripe_h=None):
+        lab = np.asarray(label_components_vmem(
+            jnp.asarray(mask[None]), stripe_h=stripe_h,
+            interpret=True))[0]
+        ref = np.asarray(label_components(jnp.asarray(mask)))
+        np.testing.assert_array_equal(lab, ref)
+        _assert_partition_equal(mask, lab)
+
+    for H, W, sh in [(16, 16, None), (48, 64, 8), (40, 200, 16),
+                     (33, 130, 8)]:
+        for density in (0.1, 0.35, 0.6):
+            check((rng.random((H, W)) < density).astype(np.uint8), sh)
+    # S-shape spanning many stripes: exercises the outer halo loop
+    m = np.zeros((64, 96), np.uint8)
+    m[2, 2:90] = 1
+    m[2:50, 89] = 1
+    m[49, 4:90] = 1
+    m[50:60, 4] = 1
+    check(m, 8)
+    # batch: the grid (not vmap) carries the batch dimension
+    mb = (rng.random((3, 32, 96)) < 0.4).astype(np.uint8)
+    lab = np.asarray(label_components_vmem(jnp.asarray(mb),
+                                           stripe_h=8, interpret=True))
+    for b in range(3):
+        ref = np.asarray(label_components(jnp.asarray(mb[b])))
+        np.testing.assert_array_equal(lab[b], ref)
+
+
+def test_detect_batch_pallas_path():
+    """detect_batch(use_pallas=True) (striped VMEM labeler) matches the
+    XLA path end-to-end."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_pipeline import detect_batch
+
+    rng = np.random.default_rng(7)
+    bg = np.full((64, 96), 200, np.uint8)
+    frames = np.full((2, 64, 96), 200, np.uint8)
+    for b in range(2):
+        for _ in range(5):
+            y, x = rng.integers(5, 55), rng.integers(5, 85)
+            frames[b, y:y + 5, x:x + 8] = 90
+    a = detect_batch(jnp.asarray(frames), jnp.asarray(bg),
+                     threshold=20, track_threshold=40,
+                     absolute=False, max_blobs=64, use_pallas=True)
+    b_ = detect_batch(jnp.asarray(frames), jnp.asarray(bg),
+                      threshold=20, track_threshold=40,
+                      absolute=False, max_blobs=64, use_pallas=False)
+    for k in ("cx", "cy", "count", "track_count"):
+        np.testing.assert_array_equal(
+            np.where(np.asarray(a["valid"]), np.asarray(a[k]), 0),
+            np.where(np.asarray(b_["valid"]), np.asarray(b_[k]), 0))
+
+
 def test_detect_batch_matches_native():
     """Device detect_batch vs the native host labeler on random frames."""
     import numpy as np

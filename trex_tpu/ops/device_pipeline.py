@@ -9,13 +9,19 @@ track-threshold recount) come out, with no host synchronization between
 stages. Groundwork for the fully device-resident tracking loop: the
 outputs feed the vectorized (fish x blob) probability matrix directly.
 
-Measured (TPU v5e, 1024x1024, batch 32, 2026-08-16): 4.9 frames/s —
-the iterative min-propagation labeling (cc_device.label_components)
-converges in O(component diameter) full-frame passes and loses to the
-native host labeler (~40 fps end-to-end) at this resolution. The
-device CC needs a block-local union-find (Pallas) with hierarchical
-merging before this path can beat the host; the Pallas neighbor-min
-kernel also needs a batch grid (vmap currently OOMs VMEM at batch 32).
+Measured (TPU v5e, 1024x1024, batch 32, 2026-08-16): 4.9 frames/s for
+the XLA min-propagation labeling (cc_device.label_components), which
+converges in O(component S-turns) FULL-FRAME HBM passes and loses 8x
+to the native host labeler (~40 fps end-to-end) at this resolution.
+use_pallas=True now routes to cc_device.label_components_vmem — the
+hierarchical answer: stripes converge to their local fixed point
+entirely in VMEM (segmented min-scans on both axes + 8-neighbor min
+per inner iteration), HBM traffic drops to one read+write per OUTER
+iteration (one per stripe-crossing), and the pallas grid walks
+(batch x stripes) so VMEM stays bounded at any batch size (the
+straight vmap OOMed at 32). Interpret-mode differential tests pin it
+to label_components / scipy; the real-chip fps lands with the bench's
+device section (tunnel permitting).
 """
 from __future__ import annotations
 
@@ -55,8 +61,16 @@ def detect_batch(frames: jax.Array, background: jax.Array,
     track_mask = ((diff >= track_threshold) & mask).astype(jnp.uint8) \
         if track_threshold > 0 else mask.astype(jnp.uint8)
 
-    labels = jax.vmap(
-        lambda m: label_components(m, use_pallas=use_pallas))(mask)
+    if use_pallas:
+        # VMEM-resident stripe relaxation: the pallas grid walks
+        # (batch x stripes) one VMEM block at a time, so batch size no
+        # longer multiplies live VMEM (the straight vmap OOMed at 32)
+        from .cc_device import label_components_vmem
+
+        labels = label_components_vmem(
+            mask, interpret=jax.default_backend() == "cpu")
+    else:
+        labels = jax.vmap(label_components)(mask)
     stats = jax.vmap(
         lambda l, tm: component_stats(l, tm, max_blobs=max_blobs)
     )(labels, track_mask)
