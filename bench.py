@@ -727,6 +727,9 @@ def main():
         if vf_per_sec else None,
         "device_detect_fps_32batch_compute": round(dev_fps, 1)
         if dev_fps else None,
+        "device_detect_vmem_fps_32batch": round(
+            dev["device_detect_vmem"], 1)
+        if dev.get("device_detect_vmem") else None,
         "device_track_fused_fps": round(device_track_fps, 1)
         if device_track_fps else None,
         "yolov8n_640_bf16_fps_compute": round(yolo_fps, 1)
