@@ -243,33 +243,55 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     need_host = bad | (~simple & (counts > 0))
 
     # --- f32-vs-f64 estimate error bound (first order) ---------------
-    # Window entries are f32 (position packing is exact — centroids
-    # are f32-exact integer sums — but the TIMELINE is the f32 image
-    # of the host's f64 timestamps, and all arithmetic here is f32 vs
-    # the host's f64). Per-pair velocity error: rounding of the
-    # position difference (<= 2 ulp(pos)) plus the timestamp packing
-    # transferred through d v/d dt = -v/dt, all over 1/dt; unit
-    # directions amplify by 2/|v|, accelerations by a further
-    # 2/acc_step, the median speed by 1/speed. Constants carry safety
-    # factors over the per-op rounding count, validated (with measured
-    # headroom) by tests/test_match_boundary.py::
-    # test_decay_est_err_bound_covers.
+    # Window POSITIONS are f32-exact in both engines (integer run
+    # sums), so per-pair velocity error is the division rounding
+    # (EPS32 * |v|) plus the timestamp packing transferred through
+    # d v/d dt = -v/dt (the pure host keeps the f64 timeline the f32
+    # window only images). The unit DIRECTIONS are the hazard: the
+    # normalization jumps from 0 to a full unit vector the moment a
+    # sum is nonzero, so near-cancelling sums genuinely diverge
+    # between precisions — but sums whose every term is PROVABLY
+    # identical in both precisions (equal dx/dy/dt bits give equal
+    # f32 AND equal f64 quotients, which cancel exactly) contribute
+    # zero error, which keeps stationary fish and exact
+    # constant-velocity chains (integer rendering!) out of the
+    # worst-case clamp. Validated with measured headroom by
+    # tests/test_match_boundary.py::test_decay_est_err_bound_covers.
     pos_mag = jnp.maximum(jnp.abs(last_x), jnp.abs(last_y))
     ulp_pos = (pos_mag + 1.0) * EPS32
     ulp_t = (jnp.max(jnp.where(valid, jnp.abs(t), 0.0), axis=1)
              + 1.0) * EPS32
-    dt_min = jnp.min(jnp.where(pair_ok, dt, jnp.inf), axis=1)
-    dt_inv = jnp.where(jnp.isfinite(dt_min),
-                       1.0 / jnp.maximum(dt_min, 1e-9), 0.0)
+    dxp = x[:, 1:] - x[:, :-1]
+    dyp = y[:, 1:] - y[:, :-1]
+    vmag = jnp.abs(vx) + jnp.abs(vy)
+    # per-pair |v_f32 - v_f64|: division/clamp rounding + dt packing
+    # (4 ulp each, doubled for safety), zero for exactly-still pairs
+    verr = jnp.where(
+        pair_ok & ((dxp != 0) | (dyp != 0)),
+        vmag * (8.0 * EPS32 + 8.0 * ulp_t[:, None] / dts), 0.0)
+    dv = verr.sum(axis=1) / used
+    # acceleration terms: ((v_k - v_{k-1}) / st) errors. A term whose
+    # pair inputs are bit-identical to the previous pair's cancels
+    # exactly WITHIN each precision — only the pure host's f64
+    # timeline (whose dts can differ where the f32 images are equal)
+    # leaks through, at the packing scale instead of the full verr
+    same = (dxp[:, 1:] == dxp[:, :-1]) & (dyp[:, 1:] == dyp[:, :-1]) \
+        & (dt[:, 1:] == dt[:, :-1])
+    aerr_full = (verr[:, 1:] + verr[:, :-1]
+                 + 8.0 * EPS32 * (vmag[:, 1:] + vmag[:, :-1])) \
+        / acc_div
+    aerr_same = (vmag[:, 1:] * 8.0 * ulp_t[:, None] / dts[:, 1:]) \
+        / acc_div
+    aerr = jnp.where(acc_ok, jnp.where(same, aerr_same, aerr_full),
+                     0.0)
+    da = aerr.sum(axis=1) / used
+    vel_rel = jnp.where(dv > 0, jnp.minimum(
+        2.0, 2.0 * dv / jnp.maximum(nrm_v, 1e-30)), 0.0)
+    acc_rel = jnp.where(da > 0, jnp.minimum(
+        2.0, 2.0 * da / jnp.maximum(nrm_a, 1e-30)), 0.0)
     v_max = jnp.sqrt(jnp.max(jnp.where(pair_ok, l_sq, 0.0), axis=1))
-    dv = (2.0 * ulp_pos + 2.0 * v_max * ulp_t) * dt_inv \
-        + 8.0 * EPS32 * v_max
-    ast_min = jnp.min(jnp.where(acc_ok, acc_step, jnp.inf), axis=1)
-    da = jnp.where(jnp.isfinite(ast_min),
-                   4.0 * dv / jnp.maximum(ast_min, 1e-9), 0.0)
-    vel_rel = jnp.minimum(2.0, 2.0 * dv / jnp.maximum(nrm_v, 1e-30))
-    acc_rel = jnp.minimum(2.0, 2.0 * da / jnp.maximum(nrm_a, 1e-30))
-    speed_rel = dv / speed                     # speed >= 0.6 floor
+    dv_s = jnp.max(verr, axis=1) + 8.0 * EPS32 * v_max
+    speed_rel = dv_s / speed                   # speed >= 0.6 floor
     disp = jnp.abs(step) * speed * (1.0 + jnp.abs(step))
     est_err = 2.0 * ulp_pos + jnp.where(
         ok,
@@ -598,11 +620,14 @@ def _scan_impl(det: dict, times: jax.Array,
             edge_ok = (Pmat > P.p_min) & usable[:, None] \
                 & bval[None, :]
             # an alternative matching the host's f64 values prefer
-            # differs by an alternating component (<= 2 min(F, B)
-            # edges), each off by <= max p_err: widen the tie band so
-            # such components are detected as near-ties and defer
-            pad = jnp.max(jnp.where(edge_ok, p_err, 0.0)) \
-                * (2.0 * min(F, bval.shape[0]))
+            # shifts each component edge by <= max p_err: widen the
+            # per-edge tightness/cancellation bands by 2x that, the
+            # same per-edge-tight approximation the base TIE_GUARD
+            # already makes (a full budget-concentration bound would
+            # multiply by the component length and defers entire
+            # crowded scenes — measured 28% -> 85% on a 24-fish
+            # overlap-heavy stress scene)
+            pad = 2.0 * jnp.max(jnp.where(edge_ok, p_err, 0.0))
             fob, marg_m = auction_match(Pmat, edge_ok,
                                         gap_guard=GAP_GUARD,
                                         tie_guard=TIE_GUARD + pad)
