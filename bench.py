@@ -490,52 +490,44 @@ def _device_section():
         # timeout preserves everything measured before it
         print("DEVICE_JSON:" + json.dumps(out), flush=True)
 
-    try:
-        fps, n_tracked, assists, engine = bench_tracking_device()
-        out["device_product"] = [fps, float(n_tracked), assists, engine]
-    except Exception as e:
-        out["device_product_error"] = str(e)[:200]
-    emit()
-    try:
-        fps, assists, host_fps = bench_tracking_device_crowded()
-        out["device_crowded"] = [fps, assists, host_fps]
-    except Exception as e:
-        out["device_crowded_error"] = str(e)[:200]
-    emit()
+    def measure(name, fn):
+        # one retry on failure: the relay sporadically fails single
+        # executions with a bare "INVALID_ARGUMENT: TPU backend
+        # error" that succeeds when re-run (observed 2026-08-19, all
+        # three variant programs failed once and reproduced OK)
+        for attempt in (0, 1):
+            try:
+                out[name] = fn()
+                out.pop(name + "_error", None)
+                break
+            except Exception as e:
+                out[name + "_error"] = str(e)[:200]
+        emit()
+
+    measure("device_product",
+            lambda: (lambda f, n, a, e: [f, float(n), a, e])(
+                *bench_tracking_device()))
+    measure("device_crowded",
+            lambda: list(bench_tracking_device_crowded()))
     for name, fn in (("device_detect", bench_device_detect),
                      ("device_detect_vmem", bench_device_detect_vmem),
                      ("device_track", bench_device_track),
                      ("vi_crops", bench_vi_crops),
                      ("visual_fields", bench_visual_fields),
                      ("yolo", bench_yolo_forward)):
-        try:
-            out[name] = fn()
-        except Exception as e:
-            out[name + "_error"] = str(e)[:200]
-        emit()
+        measure(name, fn)
     # the heavy new-program variants run LAST: their first compile
     # through the remote-compile relay can take many minutes, and the
     # progressive emit keeps everything above if the section times out
-    try:
-        fps, assists, _ = bench_tracking_device_variant("automatic")
-        out["device_automatic"] = [fps, assists]
-    except Exception as e:
-        out["device_automatic_error"] = str(e)[:200]
-    emit()
-    try:
-        fps, assists, nps = bench_tracking_device_variant(
-            "approximate", posture=True)
-        out["device_posture"] = [fps, assists, nps]
-    except Exception as e:
-        out["device_posture_error"] = str(e)[:200]
-    emit()
-    try:
-        fps, assists, nps = bench_tracking_device_variant(
-            "approximate", posture=True, two_stage=True)
-        out["device_posture_2stage"] = [fps, assists, nps]
-    except Exception as e:
-        out["device_posture_2stage_error"] = str(e)[:200]
-    emit()
+    measure("device_automatic",
+            lambda: list(bench_tracking_device_variant("automatic"))
+            [:2])
+    measure("device_posture",
+            lambda: list(bench_tracking_device_variant(
+                "approximate", posture=True)))
+    measure("device_posture_2stage",
+            lambda: list(bench_tracking_device_variant(
+                "approximate", posture=True, two_stage=True)))
     try:
         # VI accumulation end-to-end (BASELINE config 3 through the
         # product curriculum, ui/Accumulation.cpp:914-1700): wall s,
