@@ -314,6 +314,39 @@ def test_match_min_probability_boundary(match_mode):
             assert int(np.asarray(hist["n_fish"])) == (1 if kept else 2)
 
 
+def test_deferral_rate_bounded():
+    """The knife-edge guards must not blow up the host-replay rate: on
+    a 24-fish overlap-heavy stress scene the decay-path deferral stays
+    within a few points of the pre-guard baseline (28-34%; the bulk is
+    the pre-existing chain-break replay). The first-cut bound deferred
+    85% of automatic-mode frames — this pins the regression."""
+    from trex_tpu.ops.device_tracker import track_video_device
+
+    rng = np.random.default_rng(0)
+    n_fish, T, size = 24, 40, 512
+    pos = rng.uniform(30, size - 30, (n_fish, 2))
+    vel = rng.normal(0, 2.0, (n_fish, 2))
+    frames = []
+    for _ in range(T):
+        vel = np.clip(vel + rng.normal(0, 0.6, vel.shape), -4, 4)
+        pos = np.clip(pos + vel, 12, size - 12)
+        img = np.full((size, size), 200, np.uint8)
+        for x, y in pos:
+            img[int(y):int(y) + 6, int(x):int(x) + 10] = 80
+        frames.append(img)
+    video = np.stack(frames)
+    bg = np.full((size, size), 200, np.uint8)
+    caps = dict(max_runs=2048, max_pixels=32768, max_blobs=64,
+                max_child_runs=512, max_children=32)
+    for mode, cap in (("automatic", 0.48), ("approximate", 0.50)):
+        s = _boundary_settings(mode)
+        s.set("track_max_individuals", n_fish)
+        hist = track_video_device(video, bg, s, **caps)
+        nh = np.asarray(hist["needs_host"])
+        rate = nh.sum() / nh.size
+        assert rate <= cap, (mode, rate)
+
+
 def test_tmax_boundary_flags():
     """A fish whose f32 tdelta lands bit-exactly on
     track_max_reassign_time sits on the usable/inactive cut: the f64
