@@ -510,15 +510,15 @@ def _device_section():
     measure("device_crowded",
             lambda: list(bench_tracking_device_crowded()))
     for name, fn in (("device_detect", bench_device_detect),
-                     ("device_detect_vmem", bench_device_detect_vmem),
                      ("device_track", bench_device_track),
                      ("vi_crops", bench_vi_crops),
                      ("visual_fields", bench_visual_fields),
                      ("yolo", bench_yolo_forward)):
         measure(name, fn)
-    # the heavy new-program variants run LAST: their first compile
-    # through the remote-compile relay can take many minutes, and the
-    # progressive emit keeps everything above if the section times out
+    # heavy / new programs run LAST: their first compile through the
+    # remote-compile relay can take many minutes, and the progressive
+    # emit keeps everything above if the section times out
+    measure("device_detect_vmem", bench_device_detect_vmem)
     measure("device_automatic",
             lambda: list(bench_tracking_device_variant("automatic"))
             [:2])

@@ -136,8 +136,12 @@ def _random_windows(rng, F: int, frame: int, max_speed_px: float):
             else:
                 v = v + rng.normal(0, 0.3 * speed_scale, 2)
             pos[k] = pos[k - 1] + v * dts[k]
-        # positions are f32-exact in both engines (integer run sums)
-        pos = np.float64(np.float32(pos))
+        # half the rows keep f64 positions (the pure host's centroid
+        # DIVISIONS are f64; the window stores their f32 roundings —
+        # the packing leg of the bound), half are f32-exact (the
+        # replay contract, where the same f32 bits are promoted)
+        if rng.random() < 0.5:
+            pos = np.float64(np.float32(pos))
         win[i, W - n:, 0] = frames
         win[i, W - n:, 1] = pos[:, 0]
         win[i, W - n:, 2] = pos[:, 1]

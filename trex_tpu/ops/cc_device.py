@@ -345,7 +345,7 @@ def component_stats(labels: jax.Array, image: jax.Array,
     # (CH, n_seg) block regardless of image or vmap batch size.
     feats = jnp.stack([ones, xs * ones, ys * ones, vals * ones], 1)
     CH = 8192
-    npad = -(-n // CH) * CH
+    npad = _round_up(n, CH)
     if npad != n:
         seg = jnp.concatenate(
             [seg, jnp.full(npad - n, max_blobs, seg.dtype)])

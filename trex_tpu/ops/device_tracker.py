@@ -243,20 +243,20 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     need_host = bad | (~simple & (counts > 0))
 
     # --- f32-vs-f64 estimate error bound (first order) ---------------
-    # Window POSITIONS are f32-exact in both engines (integer run
-    # sums), so per-pair velocity error is the division rounding
-    # (EPS32 * |v|) plus the timestamp packing transferred through
-    # d v/d dt = -v/dt (the pure host keeps the f64 timeline the f32
-    # window only images). The unit DIRECTIONS are the hazard: the
-    # normalization jumps from 0 to a full unit vector the moment a
-    # sum is nonzero, so near-cancelling sums genuinely diverge
-    # between precisions — but sums whose every term is PROVABLY
-    # identical in both precisions (equal dx/dy/dt bits give equal
-    # f32 AND equal f64 quotients, which cancel exactly) contribute
-    # zero error, which keeps stationary fish and exact
-    # constant-velocity chains (integer rendering!) out of the
-    # worst-case clamp. Validated with measured headroom by
-    # tests/test_match_boundary.py::test_decay_est_err_bound_covers.
+    # Window POSITIONS are the f32 roundings of the host's f64 blob
+    # centroids (integer run sums are exact in both precisions, but
+    # the sum/count DIVISION rounds differently: <= ulp32(pos)/2 per
+    # coordinate), and the TIMELINE is the f32 image of the host's f64
+    # timestamps. Per-pair velocity error: position packing over dt,
+    # the division/clamp rounding (EPS32 * |v|), and the dt packing
+    # through d v/d dt = -v/dt — each with 2x safety. The unit
+    # DIRECTIONS are the hazard: the normalization jumps from 0 to a
+    # full unit vector the moment a sum is nonzero, so near-cancelling
+    # sums genuinely diverge between precisions; terms whose pair
+    # inputs are bit-identical to the previous pair's cancel exactly
+    # WITHIN each precision, leaving only the packing leak. Validated
+    # with measured headroom by tests/test_match_boundary.py::
+    # test_decay_est_err_bound_covers.
     pos_mag = jnp.maximum(jnp.abs(last_x), jnp.abs(last_y))
     ulp_pos = (pos_mag + 1.0) * EPS32
     ulp_t = (jnp.max(jnp.where(valid, jnp.abs(t), 0.0), axis=1)
@@ -264,24 +264,20 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     dxp = x[:, 1:] - x[:, :-1]
     dyp = y[:, 1:] - y[:, :-1]
     vmag = jnp.abs(vx) + jnp.abs(vy)
-    # per-pair |v_f32 - v_f64|: division/clamp rounding + dt packing
-    # (4 ulp each, doubled for safety), zero for exactly-still pairs
-    verr = jnp.where(
-        pair_ok & ((dxp != 0) | (dyp != 0)),
-        vmag * (8.0 * EPS32 + 8.0 * ulp_t[:, None] / dts), 0.0)
+    pack = (2.0 * ulp_pos[:, None] + vmag * ulp_t[:, None]) / dts
+    verr = jnp.where(pair_ok, 2.0 * pack + 8.0 * EPS32 * vmag, 0.0)
     dv = verr.sum(axis=1) / used
     # acceleration terms: ((v_k - v_{k-1}) / st) errors. A term whose
     # pair inputs are bit-identical to the previous pair's cancels
-    # exactly WITHIN each precision — only the pure host's f64
-    # timeline (whose dts can differ where the f32 images are equal)
-    # leaks through, at the packing scale instead of the full verr
+    # exactly WITHIN each precision — only the pure host's packing
+    # (f64 centroids and timeline behind the same f32 images) leaks
+    # through, at packing scale instead of the full verr
     same = (dxp[:, 1:] == dxp[:, :-1]) & (dyp[:, 1:] == dyp[:, :-1]) \
         & (dt[:, 1:] == dt[:, :-1])
     aerr_full = (verr[:, 1:] + verr[:, :-1]
                  + 8.0 * EPS32 * (vmag[:, 1:] + vmag[:, :-1])) \
         / acc_div
-    aerr_same = (vmag[:, 1:] * 8.0 * ulp_t[:, None] / dts[:, 1:]) \
-        / acc_div
+    aerr_same = 2.0 * (pack[:, 1:] + pack[:, :-1]) / acc_div
     aerr = jnp.where(acc_ok, jnp.where(same, aerr_same, aerr_full),
                      0.0)
     da = aerr.sum(axis=1) / used
@@ -506,6 +502,24 @@ def _scan_impl(det: dict, times: jax.Array,
             in_range = _in_size_ranges(size, P.size_ranges,
                                        P.size_min, P.size_max)
         bval = bvalid & in_range
+        # size-filter knife-edge: the host evaluates size = recount *
+        # cm^2 in f64 (recount sums are integer-exact in both
+        # precisions, the PRODUCT rounds); an f32 size within a few
+        # ulp of a range bound can sit on the other side of the cut
+        # in f64, changing the blob set — defer like the t_max and
+        # p_min bands (zero bounds are skipped: size >= 0 holds in
+        # both precisions, the cut cannot flip there)
+        if P.has_size_filter or P.size_max < float("inf"):
+            serr = 8.0 * EPS32 * (size + 1.0)
+            near_b = jnp.zeros(size.shape, bool)
+            s_bounds = P.size_ranges if len(P.size_ranges) > 1 \
+                else ((P.size_min, P.size_max),)
+            for lo_b, hi_b in s_bounds:
+                if lo_b > 0:
+                    near_b = near_b | (jnp.abs(size - lo_b) <= serr)
+                if hi_b < float("inf"):
+                    near_b = near_b | (jnp.abs(size - hi_b) <= serr)
+            needs_host = needs_host | jnp.any(near_b & bvalid)
 
         # on-device HistorySplit trigger (no split executor): frames
         # where >= 2 active fish estimates lie within the split radius
@@ -665,14 +679,23 @@ def _scan_impl(det: dict, times: jax.Array,
         _, fob = _greedy_pass(pre, free, ~inactive, fob, 0.0)
         n_react = (fob >= 0).sum() - n_first
         # reactivation knife-edges: the host twin evaluates the same
-        # first-max scan in f64 from the same carry bits; defer frames
-        # where f32 rounding could reorder a column (sqd/gtd transfer
-        # slopes: d pre/d sqd = -(pre - p_min)/sqd, d pre/d gtd
-        # = -(pre - p_min)/gtd)
+        # first-max scan in f64 — over its OWN f64 centroids, of which
+        # the carry holds the f32 roundings (<= ulp(pos)/2 per
+        # coordinate). Transfer slopes: d pre/d sqd = -(pre-p_min)/sqd
+        # with |d sqd| <= 4 dist ulp_pos, d pre/d gtd = -(pre-p_min)/
+        # gtd; a device-f32 sqd of EXACTLY zero is additionally
+        # discontinuous (the host's nonzero sqd takes the 1/sqd
+        # branch), so such frames always defer.
+        pos_err = (jnp.maximum(jnp.abs(carry["last_x"]),
+                               jnp.abs(carry["last_y"])) + 1.0) * EPS32
+        sq_rel = jnp.where(sqd > 0,
+                           4.0 * pos_err[:, None]
+                           / jnp.sqrt(jnp.maximum(sqd, 1e-30)), 0.0)
         pre_err = 8.0 * EPS32 * jnp.abs(pre) \
             + jnp.maximum(pre - P.p_min, 0.0) \
-            * (4.0 * EPS32 + td_err * inv_gtd)
+            * (4.0 * EPS32 + td_err * inv_gtd + sq_rel)
         cand_r = inactive[:, None] & free[None, :]
+        needs_host = needs_host | jnp.any(cand_r & (sqd <= 0))
         colr_err = jnp.max(jnp.where(cand_r, pre_err, 0.0), axis=0)
         vals_r = jnp.sort(jnp.where(cand_r, pre, -jnp.inf), axis=0)
         tie_r = (vals_r[1:] - vals_r[:-1]) <= 2.0 * colr_err[None, :]

@@ -60,6 +60,7 @@ def _accelerator_healthy(timeout_s: float = 30.0) -> bool:
     if "ok" in _device_health:
         return _device_health["ok"]
     ok = False
+    rc = None
     try:
         import subprocess
         import sys
@@ -68,9 +69,49 @@ def _accelerator_healthy(timeout_s: float = 30.0) -> bool:
             [sys.executable, "-c", _PROBE_SRC], timeout=timeout_s,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             start_new_session=True)
-        ok = r.returncode == 0
+        rc = r.returncode
+        ok = rc == 0
     except Exception:  # noqa: BLE001 - timeout or spawn failure = sick
         ok = False
+    if not ok and rc is not None and rc != 3:
+        # a FAST nonzero exit (not the rc-3 "no accelerator", not a
+        # timeout) usually means the runtime holds the device
+        # exclusively per process and the child could not acquire it
+        # — so if THIS process already has a live non-CPU backend,
+        # probe it in-process instead. A TIMED-OUT subprocess (rc
+        # None) means the device stalls; no in-process fallback runs
+        # there, because its thread would park inside the runtime's
+        # C++ and abort interpreter teardown (the failure mode the
+        # subprocess design exists to avoid).
+        try:
+            from jax._src import xla_bridge as _xb
+
+            inited = bool(getattr(_xb, "_backends", {}))
+        except Exception:  # noqa: BLE001
+            inited = False
+        if inited:
+            import threading
+
+            import jax
+
+            devs = jax.devices()
+            if devs and devs[0].platform != "cpu":
+                got: list = []
+
+                def probe():
+                    try:
+                        import jax.numpy as jnp
+
+                        x = jnp.ones((64, 64))
+                        jax.device_get(x @ x)
+                        got.append(True)
+                    except Exception:  # noqa: BLE001
+                        pass
+
+                t = threading.Thread(target=probe, daemon=True)
+                t.start()
+                t.join(timeout_s)
+                ok = bool(got)
     _device_health["ok"] = ok
     return ok
 
