@@ -131,9 +131,11 @@ def test_tag_decoder_from_settings_wires_into_tracker(tmp_path):
     s["tags_image_size"] = [8, 8]
     decode = tag_decoder_from_settings(s)
     assert decode is not None
-    # resizes arbitrary crops to the model size
-    tid = decode(rng.uniform(0, 255, (20, 24)).astype(np.uint8))
+    # resizes arbitrary crops to the model size; ML decoders return
+    # (id, confidence) — the confidence becomes tag.p / the qr_p field
+    tid, p = decode(rng.uniform(0, 255, (20, 24)).astype(np.uint8))
     assert 0 <= tid < 5
+    assert 0.0 <= p <= 1.0
     tracker = Tracker(s, background=np.zeros((32, 32), np.uint8))
     assert tracker.tag_decoder is not None
 

@@ -22,12 +22,21 @@ import numpy as np
 
 INVALID = float("inf")
 
-# fields that ignore the source modifier entirely
+# fields that ignore the source modifier entirely — the union of the
+# reference's FN_IS_CENTROID_ONLY_PROPERTY and FN_IS_POSTURE_ONLY_PROPERTY
+# registrations (OutputLibrary.cpp; neither family gets a #source column
+# suffix in the exports)
 CENTROID_ONLY = {
     "blobid", "frame", "time", "timestamp", "missing", "num_pixels",
     "midline_length", "midline_x", "midline_y", "midline_segment_length",
     "normalized_midline", "MIDLINE_OFFSET", "visual_identification_p",
-    "qr_id", "tracklet_id",
+    "qr_id", "qr_p", "tracklet_id", "tracklet_length", "consecutive",
+    "events", "event_energy", "event_acceleration",
+    "event_direction_change", "tailbeat_threshold", "tailbeat_peak",
+    "threshold_reached", "sqrt_a", "amplitude", "variance",
+    "outline_size", "outline_std", "v_direction",
+    "blob_x", "blob_y", "blob_width", "blob_height", "pixels_squared",
+    "detection_class", "detection_p", "category", "average_category",
 }
 
 
@@ -142,10 +151,15 @@ def _midline_length(ind, frame, source, smooth, ctx):
 
 
 def _midline_xy(axis):
+    """midline_x/midline_y: blob bounds position + midline offset in cm
+    (OutputLibrary.cpp:1014-1036)."""
     def fn(ind, frame, source, smooth, ctx):
         p = ind.posture_stuff(frame)
-        if p and p.midline is not None and len(p.midline.segments):
-            return float(p.midline.segments[-1][axis]) * ctx.cm
+        b = ind.basic_stuff(frame)
+        if p and b and p.midline is not None \
+                and len(p.midline.segments):
+            return (float(b.blob.bounds[axis])
+                    + float(p.midline.offset[axis])) * ctx.cm
         return INVALID
     return fn
 
@@ -309,67 +323,290 @@ def _neighbor_vector_t(ind, frame, source, smooth, ctx):
 
 
 def _dot_v(ind, frame, source, smooth, ctx):
-    """DOT_V: dot product of own and nearest neighbor's velocity
-    direction (alignment measure)."""
+    """DOT_V: absolute velocity-direction difference vs the first other
+    tracked individual (OutputLibrary.cpp:653-677). The reference's
+    early-return guard is inverted (`length(v) > 0 || ...` returns
+    invalid whenever either fish MOVES, making the column always
+    invalid in practice); this keeps the documented semantics and
+    guards the genuinely undefined atan2(0,0) case instead."""
     r = _record(ind, frame, source)
     if r is None:
         return INVALID
-    best = None
-    for other in ctx.tracker.individuals.values():
+    for oid in sorted(ctx.tracker.individuals):
+        other = ctx.tracker.individuals[oid]
         if other is ind:
             continue
         ro = _record(other, frame, source)
         if ro is None:
             continue
-        d = math.hypot(r.x - ro.x, r.y - ro.y)
-        if best is None or d < best[0]:
-            best = (d, ro)
-    if best is None:
-        return INVALID
-    ro = best[1]
-    n1 = math.hypot(r.vx, r.vy)
-    n2 = math.hypot(ro.vx, ro.vy)
-    if n1 == 0 or n2 == 0:
-        return INVALID
-    return (r.vx * ro.vx + r.vy * ro.vy) / (n1 * n2)
+        if (r.vx == 0 and r.vy == 0) or (ro.vx == 0 and ro.vy == 0):
+            return INVALID
+        return abs(math.atan2(r.vy, r.vx) - math.atan2(ro.vy, ro.vx))
+    return INVALID
+
+
+def _analysis(ctx, ind):
+    """Cached EventAnalysis result for one individual:
+    (events list, set of threshold-crossing frames)."""
+    cache = ctx.__dict__.setdefault("_events_cache", {})
+    if ind.identity not in cache:
+        from ..track.events import analyze
+
+        cache[ind.identity] = analyze(ind, ctx.settings)
+    return cache[ind.identity]
+
+
+def _event_at(ctx, ind, frame):
+    for ev in _analysis(ctx, ind)[0]:
+        if ev.begin <= frame <= ev.end:
+            return ev
+    return None
 
 
 def _events_field(attr):
+    """events / event_*: the event's value inside an event window, 0
+    outside (OutputLibrary.cpp:730-781 — the reference returns 0, not
+    invalid, when no event covers the frame)."""
     def fn(ind, frame, source, smooth, ctx):
-        from ..track.events import detect_events, midline_offset
+        ev = _event_at(ctx, ind, frame)
+        if ev is None:
+            return 0.0
+        if attr == "present":
+            return float(math.pi * 0.25)
+        return float(getattr(ev, attr))
+    return fn
 
-        if attr == "threshold_reached":
-            o = midline_offset(ind, frame)
-            if math.isnan(o):
-                return INVALID
-            return 1.0 if abs(o) >= ctx.settings["limit"] else 0.0
-        events = ctx.__dict__.setdefault("_events_cache", {})
-        if ind.identity not in events:
-            events[ind.identity] = detect_events(ind, ctx.settings)
-        for ev in events[ind.identity]:
-            if ev.begin <= frame <= ev.end:
-                return float(getattr(ev, attr))
+
+def _threshold_reached(ind, frame, source, smooth, ctx):
+    """pi*0.3 when the tail offset crossed `limit` at this frame,
+    invalid otherwise (OutputLibrary.cpp:684)."""
+    return float(math.pi * 0.3) \
+        if frame in _analysis(ctx, ind)[1] else INVALID
+
+
+def _v_direction(ind, frame, source, smooth, ctx):
+    """Velocity-direction change across the covering event: mean v over
+    50 frames (step 2) before event begin vs after event end, wrapped
+    (OutputLibrary.cpp:862-905); 0 when no event covers the frame."""
+    ev = _event_at(ctx, ind, frame)
+    if ev is None:
+        return 0.0
+
+    def mean_v(f0, f1):
+        vx = vy = 0.0
+        n = 0
+        for f in range(f0, f1 + 1, 2):
+            r = _record(ind, f, "pcentroid") or _record(ind, f, None)
+            if r is not None:
+                vx += r.vx
+                vy += r.vy
+                n += 1
+        return (vx / n, vy / n) if n else None
+
+    before = mean_v(ev.begin - 50, ev.begin)
+    after = mean_v(ev.end, ev.end + 50)
+    if before is None or after is None:
+        return 0.0
+    da = math.atan2(after[1], after[0]) - math.atan2(before[1], before[0])
+    return math.atan2(math.sin(da), math.cos(da))
+
+
+def _variance(ind, frame, source, smooth, ctx):
+    """Squared deviation of the current tail-vector angle from the
+    +-100-frame mean tail vector (OutputLibrary.cpp:358-399)."""
+    a_now = _midline_offset_field(ind, frame)
+    if math.isinf(a_now):
+        return INVALID
+    sx = sy = 0.0
+    n = 0
+    for f in range(frame - 100, frame + 101):
+        a = _midline_offset_field(ind, f)
+        if not math.isinf(a):
+            sx += math.cos(a)
+            sy += math.sin(a)
+            n += 1
+    if n == 0:
+        return INVALID
+    mean_angle = math.atan2(sy, sx)
+    return (abs(a_now - mean_angle)) ** 2
+
+
+def _outline_std(ind, frame, source, smooth, ctx):
+    """Outline-size std over a +-5 window, normalized by half the
+    individual's overall mean outline size (OutputLibrary.cpp:700-728)."""
+    window = []
+    for f in range(frame - 5, frame + 6):
+        p = ind.posture_stuff(f)
+        if p is not None and p.outline_size:
+            window.append(float(p.outline_size))
+    if not window:
+        return INVALID
+    if len(window) == 1:
+        return 1.0
+    sizes = [float(p.outline_size) for p in ind.posture if p.outline_size]
+    average = float(np.mean(sizes)) if sizes else float(np.mean(window))
+    if average == 0:
+        return INVALID
+    s = sum((v - average) ** 2 for v in window) / (len(window) - 1)
+    return math.sqrt(s) / (average * 0.5)
+
+
+def _blob_bounds(idx):
+    """blob_x/blob_y/blob_width/blob_height in pixels
+    (OutputLibrary.cpp:958-1000: compressed-blob bounds, no cm)."""
+    def fn(ind, frame, source, smooth, ctx):
+        b = ind.basic_stuff(frame)
+        return float(b.blob.bounds[idx]) if b else INVALID
+    return fn
+
+
+def _pixels_squared(ind, frame, source, smooth, ctx):
+    b = ind.basic_stuff(frame)
+    if not b:
+        return INVALID
+    _, _, w, h = b.blob.bounds
+    return float(w * h)
+
+
+def _detection(key):
+    """detection_class/detection_p from the blob's stored prediction
+    (OutputLibrary.cpp:784-799)."""
+    def fn(ind, frame, source, smooth, ctx):
+        b = ind.basic_stuff(frame)
+        pred = getattr(b.blob, "prediction", None) if b else None
+        if isinstance(pred, dict) and pred.get("clid") is not None:
+            v = pred.get(key)
+            return float(v) if v is not None else INVALID
         return INVALID
     return fn
+
+
+def _global_positions(ctx, frame, source):
+    pts = []
+    for other in ctx.tracker.individuals.values():
+        r = _record(other, frame, source)
+        if r is not None:
+            pts.append((r.x, r.y))
+    return pts
+
+
+def _global_field(ind, frame, source, smooth, ctx):
+    """Length of the mean position (px) over all individuals present
+    (OutputLibrary.cpp:1038-1067)."""
+    pts = _global_positions(ctx, frame, source)
+    if not pts:
+        return 0.0
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    return math.hypot(mx, my)
+
+
+def _compactness(ind, frame, source, smooth, ctx):
+    """Group compactness: n / sum of distances to the mean position
+    (OutputLibrary.cpp:1069-1107)."""
+    pts = _global_positions(ctx, frame, source)
+    if not pts:
+        return 0.0
+    mx = sum(p[0] for p in pts) / len(pts)
+    my = sum(p[1] for p in pts) / len(pts)
+    distances = sum(math.hypot(mx - x, my - y) for x, y in pts)
+    return len(pts) / distances if distances != 0 else 0.0
+
+
+def _relative_angle(ind, frame, source, smooth, ctx):
+    """RELATIVE_ANGLE vs the first other tracked individual: difference
+    of |dot(line, heading)| terms (OutputLibrary.cpp:591-628)."""
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    a0 = r.angle
+    for oid in sorted(ctx.tracker.individuals):
+        other = ctx.tracker.individuals[oid]
+        if other is ind:
+            continue
+        ro = _record(other, frame, source)
+        if ro is None:
+            continue
+        a1 = ro.angle
+        if other.identity > ind.identity:
+            lx, ly = (ro.x - r.x) * ctx.cm, (ro.y - r.y) * ctx.cm
+        else:
+            lx, ly = (r.x - ro.x) * ctx.cm, (r.y - ro.y) * ctx.cm
+        n = math.hypot(lx, ly)
+        if n == 0:
+            return INVALID
+        lx, ly = lx / n, ly / n
+        d0x, d0y = math.cos(a0), -math.sin(a0)
+        d1x, d1y = math.cos(a1), -math.sin(a1)
+        angle0 = abs(lx * d0x + ly * d0y)
+        angle1 = abs(lx * d1x + ly * d1y)
+        return angle1 - angle0
+    return INVALID
+
+
+def _l_v(ind, frame, source, smooth, ctx):
+    """Mean velocity-space distance to the other individuals in cm/s
+    (OutputLibrary.cpp:630-651)."""
+    r = _record(ind, frame, source)
+    if r is None:
+        return INVALID
+    d = 0.0
+    n = 0
+    for other in ctx.tracker.individuals.values():
+        if other is ind:
+            continue
+        ro = _record(other, frame, source)
+        if ro is not None:
+            d += math.hypot((r.vx - ro.vx) * ctx.cm,
+                            (r.vy - ro.vy) * ctx.cm)
+            n += 1
+    return d / n if n else INVALID
+
+
+def _amplitude(ind, frame, source, smooth, ctx):
+    """Tail-tip y offset in the midline frame: (back - front).y
+    (OutputLibrary.cpp:1109-1119)."""
+    p = ind.posture_stuff(frame)
+    if p is None or p.midline is None or len(p.midline.segments) < 2:
+        return INVALID
+    segs = p.midline.segments
+    return float(segs[-1][1] - segs[0][1])
 
 
 FUNCTIONS.update({
     "NEIGHBOR_VECTOR_T": _neighbor_vector_t,
     "DOT_V": _dot_v,
-    "L_V": lambda ind, frame, source, smooth, ctx: (
-        r.speed(ctx.cm) if (r := _record(ind, frame, source)) else INVALID),
-    "v_direction": lambda ind, frame, source, smooth, ctx: (
-        math.atan2(r.vy, r.vx) if (r := _record(ind, frame, source))
-        and (r.vx or r.vy) else INVALID),
+    "L_V": _l_v,
+    "RELATIVE_ANGLE": _relative_angle,
+    "v_direction": _v_direction,
+    "events": _events_field("present"),
     "event_energy": _events_field("energy"),
     "event_acceleration": _events_field("acceleration"),
     "event_direction_change": _events_field("direction_change"),
-    "tailbeat_threshold": _events_field("threshold_reached"),
-    "tailbeat_peak": _events_field("energy"),
-    "threshold_reached": _events_field("threshold_reached"),
-    "amplitude": lambda ind, frame, source, smooth, ctx: (
-        abs(v) if not math.isinf(
-            v := _midline_offset_field(ind, frame)) else INVALID),
+    # constants echoing the active thresholds, for plotting against the
+    # sqrt_a offset stream (OutputLibrary.cpp:680-683)
+    "tailbeat_threshold": lambda ind, frame, source, smooth, ctx: (
+        float(ctx.settings["limit"])),
+    "tailbeat_peak": lambda ind, frame, source, smooth, ctx: (
+        float(ctx.settings["event_min_peak_offset"])),
+    "threshold_reached": _threshold_reached,
+    "sqrt_a": lambda ind, frame, source, smooth, ctx: (
+        _midline_offset_field(ind, frame)),
+    "amplitude": _amplitude,
+    "variance": _variance,
+    "outline_std": _outline_std,
+    "blob_x": _blob_bounds(0),
+    "blob_y": _blob_bounds(1),
+    "blob_width": _blob_bounds(2),
+    "blob_height": _blob_bounds(3),
+    "pixels_squared": _pixels_squared,
+    "detection_class": _detection("clid"),
+    "detection_p": _detection("p"),
+    "global": _global_field,
+    "compactness": _compactness,
+    "tracklet_length": lambda ind, frame, source, smooth, ctx: next(
+        (float(t1 - t0 + 1) for (t0, t1) in ind.tracklets
+         if t0 <= frame <= t1), INVALID),
     "average_category": lambda ind, frame, source, smooth, ctx:
         _category(ind, frame, ctx),
     "category": lambda ind, frame, source, smooth, ctx:
@@ -377,6 +614,10 @@ FUNCTIONS.update({
     "qr_id": lambda ind, frame, source, smooth, ctx: (
         float(t) if (t := ctx.tracker.tag_assignments.get(
             frame, {}).get(ind.identity)) is not None else INVALID),
+    "qr_p": lambda ind, frame, source, smooth, ctx: (
+        float(p) if (p := getattr(ctx.tracker, "tag_assignment_p",
+                                  {}).get(frame, {}).get(ind.identity))
+        is not None else INVALID),
 })
 
 

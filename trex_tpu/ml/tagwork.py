@@ -318,14 +318,28 @@ def tag_decoder_from_settings(settings) -> Optional[Callable]:
     tw = Tagwork(int(size[0]), int(size[1]), path)
     tw.load()
 
-    def decode(image: np.ndarray) -> int:
+    def decode(image: np.ndarray) -> tuple:
         import cv2
 
         img = np.asarray(image, np.uint8)
         if img.shape[:2] != (tw.height, tw.width):
             img = cv2.resize(img, (tw.width, tw.height),
                              interpolation=cv2.INTER_AREA)
-        return int(tw.predict(img[None])[0])
+        # (id, confidence): the max class probability rides along as
+        # tag.p (reference tags::find(...).p, consumed by the qr_p
+        # output field)
+        out = np.asarray(tw.model.predict(
+            255.0 - img[None].astype(np.float64))[0], np.float64)
+        idx = int(np.argmax(out))
+        # models may end in softmax (probabilities sum to 1) or a bare
+        # Dense (logits): pass probabilities through, softmax logits —
+        # either way p lands in [0, 1]
+        if out.min() >= 0.0 and abs(out.sum() - 1.0) < 1e-3:
+            p = float(out[idx])
+        else:
+            e = np.exp(out - out[idx])
+            p = float(1.0 / np.sum(e)) if np.isfinite(e).all() else 1.0
+        return idx, p
 
     return decode
 

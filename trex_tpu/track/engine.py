@@ -147,6 +147,7 @@ class FastTracker:
         # layer (EvalContext reads these off any tracker)
         self.predicted: dict[int, dict] = {}
         self.tag_assignments: dict[int, dict] = {}
+        self.tag_assignment_p: dict[int, dict] = {}
         s = settings
         self.F = int(s["track_max_individuals"])
         F = self.F

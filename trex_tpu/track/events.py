@@ -80,6 +80,14 @@ def crosses_abs_height(p0: float, p1: float, limit: float) -> int:
 
 def detect_events(ind, settings, max_gap: Optional[int] = None) -> list[Event]:
     """All tailbeat events for one individual."""
+    return analyze(ind, settings, max_gap)[0]
+
+
+def analyze(ind, settings,
+            max_gap: Optional[int] = None) -> tuple[list[Event], set]:
+    """Events plus the set of frames where |offset| crossed/exceeded
+    `limit` (EventAnalysis state.threshold_reached, EventAnalysis.cpp:
+    133-134 — consumed by the `threshold_reached` output field)."""
     s = settings
     limit = float(s["limit"])
     min_peak = float(s["event_min_peak_offset"])
@@ -87,8 +95,9 @@ def detect_events(ind, settings, max_gap: Optional[int] = None) -> list[Event]:
     if max_gap is None:
         max_gap = max(2, int((s["frame_rate"] or 25) * 0.1))
     frames = sorted(p.frame for p in ind.posture)
+    threshold_frames: set[int] = set()
     if not frames:
-        return []
+        return [], threshold_frames
     events: list[Event] = []
     cur_start = None
     cur_end = None
@@ -135,6 +144,7 @@ def detect_events(ind, settings, max_gap: Optional[int] = None) -> list[Event]:
                                                       limit) != 0
         if above:
             last_threshold = f
+            threshold_frames.add(f)
             if cur_start is None:
                 cur_start = f
             cur_end = f
@@ -145,7 +155,7 @@ def detect_events(ind, settings, max_gap: Optional[int] = None) -> list[Event]:
             finish()
         prev_offset = o
     finish()
-    return events
+    return events, threshold_frames
 
 
 def update_events(tracker, settings) -> dict[int, list[Event]]:

@@ -30,6 +30,7 @@ class Tag:
     mask: np.ndarray
     frame: int = -1
     tag_id: int = -1
+    p: float = 1.0  # decode confidence (blob::Prediction-style tag.p)
     center: tuple = (0.0, 0.0)
 
 
@@ -127,7 +128,13 @@ def detect_tags(noise_blobs: list[TrackBlob], background: np.ndarray,
     for t in tags:
         t.frame = frame
         if decode_fn is not None:
-            t.tag_id = int(decode_fn(t.image))
+            got = decode_fn(t.image)
+            # ML decoders return (id, confidence); the plain ArUco
+            # threshold decoder returns a bare id (p stays 1.0)
+            if isinstance(got, tuple):
+                t.tag_id, t.p = int(got[0]), float(got[1])
+            else:
+                t.tag_id = int(got)
     return tags
 
 

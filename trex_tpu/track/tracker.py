@@ -74,6 +74,8 @@ class Tracker:
         # physical-tag assignments: frame -> {identity: tag_id}
         # (Tracker.cpp:2056-2108 QR-tag <-> fish Hungarian matching)
         self.tag_assignments: dict[int, dict[int, int]] = {}
+        # decode confidence parallel to tag_assignments (qr_p field)
+        self.tag_assignment_p: dict[int, dict[int, float]] = {}
         # per-fish matched Tag records for the tags_path NPZ export
         self.detected_tags: dict[int, list] = {}
         # tag payload decoder (ml/tagwork.py = pretrained_tagwork):
@@ -366,6 +368,8 @@ class Tracker:
                 if matched:
                     self.tag_assignments[frame] = {
                         fid: t.tag_id for fid, t in matched.items()}
+                    self.tag_assignment_p[frame] = {
+                        fid: t.p for fid, t in matched.items()}
                     for fid, t in matched.items():
                         self.detected_tags.setdefault(fid, []).append(t)
 
