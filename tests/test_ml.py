@@ -151,6 +151,46 @@ def test_categorizer():
     assert cat.store.ranged_label(5, 0) == 0
 
 
+def test_track_consistent_categories_vetoes_matching():
+    """track_consistent_categories (Individual.cpp:2210-2218): a fish
+    whose recent blobs carry category A cannot be matched to a blob the
+    DataStore labels B — the pairing probability is zeroed before the
+    matching pass."""
+    from trex_tpu.ml.categorize import DataStore
+    from trex_tpu.track import TrackBlob
+
+    def one_more_frame(tracker, f, label_next=None, store=None):
+        # a single blob where fish 0 is expected next
+        lines = np.array([[30 + r, 15, 20] for r in range(9)], np.int32)
+        px = np.full(6 * 9, 60, np.uint8)
+        b = TrackBlob(lines, px)
+        if label_next is not None:
+            store.set_blob_label(f, b.blob_id, label_next)
+        pp = tracker.preprocess_frame(f, [b], time=f / 25)
+        tracker.add(pp)
+        return tracker.individuals[0].has(f)
+
+    # control: without the veto fish 0 picks the blob up
+    tracker, s = _toy_tracker()
+    assert one_more_frame(tracker, 30)
+
+    tracker, s = _toy_tracker()
+    store = DataStore(["a", "b"])
+    store.index_individual(tracker.individuals[0], 0, 29, "a")
+    tracker.category_store = store
+    s.set("track_consistent_categories", True)
+    # same blob, but labeled "b": fish 0 (recent majority "a") must not
+    # take it
+    assert not one_more_frame(tracker, 30, label_next="b", store=store)
+    # sanity: an "a"-labeled blob still matches
+    tracker2, s2 = _toy_tracker()
+    store2 = DataStore(["a", "b"])
+    store2.index_individual(tracker2.individuals[0], 0, 29, "a")
+    tracker2.category_store = store2
+    s2.set("track_consistent_categories", True)
+    assert one_more_frame(tracker2, 30, label_next="a", store=store2)
+
+
 def test_vi_network_facade(tmp_path):
     from trex_tpu.config import reset_global_settings
     from trex_tpu.ml import TrainingMode

@@ -442,6 +442,16 @@ def _auto_categorize(tracker, s, state):
             if name in cat.store.categories:
                 cat.store.set_ranged_label(rl.fid, rl.start, rl.end,
                                            name)
+        # carry the per-blob index over as well (consumed by the
+        # track_consistent_categories matching veto)
+        for f, per in getattr(store, "_blob_labels", {}).items():
+            for bid, lbl in per.items():
+                try:
+                    name = store.label_name(lbl)
+                except IndexError:
+                    continue
+                if name in cat.store.categories:
+                    cat.store.set_blob_label(f, bid, name)
     tracker.category_store = cat.store
     try:
         cat.train(tracker)

@@ -228,8 +228,12 @@ def load_results_binary(tracker, path):
             owner = None
             for k, bid in enumerate(bids or ()):
                 if bid:
-                    owner = bid_owner.get((s_ + k, int(bid)))
-                    break
+                    if owner is None:
+                        owner = bid_owner.get((s_ + k, int(bid)))
+                    # blob-level index: the matching veto
+                    # (track_consistent_categories) queries labels by
+                    # (frame, blob id), exactly what the file stores
+                    store.set_blob_label(s_ + k, int(bid), int(lbl))
             if owner is not None:
                 store.set_ranged_label(owner, s_, e_, int(lbl))
         tracker.category_store = store

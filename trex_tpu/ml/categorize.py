@@ -31,6 +31,11 @@ class DataStore:
     def __init__(self, categories: list[str]):
         self.categories = list(categories)
         self._ranged: list[RangedLabel] = []
+        # per-frame blob-id labels (CategorizeDatastore.cpp keys ranged
+        # labels by pv::bid): frame -> {blob_id: label}. This is the
+        # index the matching veto reads (track_consistent_categories;
+        # Tracker.cpp:1126-1134 builds blob_labels from it)
+        self._blob_labels: dict[int, dict[int, int]] = {}
 
     def label_id(self, name: str) -> int:
         return self.categories.index(name)
@@ -52,8 +57,30 @@ class DataStore:
     def labeled_ranges(self) -> list[RangedLabel]:
         return list(self._ranged)
 
+    def set_blob_label(self, frame: int, blob_id: int, label):
+        if isinstance(label, str):
+            label = self.label_id(label)
+        self._blob_labels.setdefault(int(frame), {})[int(blob_id)] = \
+            int(label)
+
+    def blob_label(self, frame: int, blob_id: int) -> Optional[int]:
+        """Per-blob label (DataStore::ranged_label(Frame_t, pv::bid),
+        CategorizeDatastore.cpp:199)."""
+        return self._blob_labels.get(int(frame), {}).get(int(blob_id))
+
+    def index_individual(self, ind, start: int, end: int, label):
+        """Record the blob ids an individual owned over [start, end]
+        under `label`, making them queryable by blob_label()."""
+        if isinstance(label, str):
+            label = self.label_id(label)
+        for f in range(int(start), int(end) + 1):
+            b = ind.basic_stuff(f)
+            if b is not None:
+                self.set_blob_label(f, b.blob.blob_id, label)
+
     def clear(self):
         self._ranged.clear()
+        self._blob_labels.clear()
 
 
 class Categorizer:
@@ -114,5 +141,8 @@ class Categorizer:
                 probs = self.trainer.predict(crops).mean(axis=0)
                 label = int(probs.argmax())
                 self.store.set_ranged_label(fid, t0, t1, label)
+                # per-blob index: what the track_consistent_categories
+                # matching veto queries (Tracker.cpp:1126-1134)
+                self.store.index_individual(ind, t0, t1, label)
                 applied.append(RangedLabel(fid, t0, t1, label))
         return applied

@@ -63,6 +63,10 @@ def check_supported(settings) -> None:
     want(s["match_mode"] in ("automatic", "approximate", "hungarian",
                              "tree"), "match_mode")
     want(not (s["track_only_categories"] or []), "track_only_categories")
+    # the category matching veto reads the Categorize DataStore per
+    # (frame, blob) — host-object-tracker feature
+    want(not s["track_consistent_categories"],
+         "track_consistent_categories")
     # physical-tag detection reads the prefilter noise list; the
     # auto_* curricula re-track through Tracker internals
     # (manual_matches splice, _next_id reset) — keep those on the

@@ -116,6 +116,26 @@ class Tracker:
         self._next_id += 1
         return ind
 
+    def _current_category(self, ind: Individual, s, store) -> int:
+        """Majority category of the blobs this fish owned over its last
+        2*frame_rate frames (IndividualCache::current_category,
+        Individual.cpp:1859-1978); -1 when unlabeled."""
+        prev = ind.end_frame
+        if prev is None or ind.empty():
+            return -1
+        fr = int(s["frame_rate"] or 25)
+        counts: dict[int, int] = {}
+        for f in range(max(ind.start_frame, prev - 2 * fr), prev + 1):
+            b = ind.basic_stuff(f)
+            if b is None:
+                continue
+            lbl = store.blob_label(f, b.blob.blob_id)
+            if lbl is not None:
+                counts[lbl] = counts.get(lbl, 0) + 1
+        if not counts:
+            return -1
+        return max(counts.items(), key=lambda kv: kv[1])[0]
+
     # ------------------------------------------------------------------
     def add(self, pp: PPFrame) -> MatchResult:
         t0 = _time.perf_counter()
@@ -229,6 +249,25 @@ class Tracker:
                 if cache.valid_frame:
                     for bi, blob in enumerate(blobs):
                         P[fi, bi] = ind.probability(cache, blob.bbox_center)
+            # category veto (track_consistent_categories,
+            # Individual.cpp:2210-2218 / Tracker.cpp:1126-1134): a fish
+            # whose recent blobs carry category L cannot match a blob
+            # labeled L' != L. Blob labels come from the Categorize
+            # DataStore's per-blob index (applied labels or -load).
+            store = getattr(self, "category_store", None)
+            if store is not None and s["track_consistent_categories"]:
+                blob_lbl = np.array(
+                    [(-1 if (l := store.blob_label(
+                        frame, b.blob_id)) is None else l)
+                     for b in blobs], np.int64)
+                if (blob_lbl >= 0).any():
+                    fish_lbl = np.array(
+                        [self._current_category(ind, s, store)
+                         for ind, _ in usable], np.int64)
+                    conflict = ((fish_lbl[:, None] >= 0)
+                                & (blob_lbl[None, :] >= 0)
+                                & (fish_lbl[:, None] != blob_lbl[None, :]))
+                    P[conflict] = 0.0
             fi_idx, bi_idx = np.nonzero(P > p_min)
             if topk:
                 k = int(topk)
