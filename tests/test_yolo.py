@@ -167,3 +167,136 @@ def test_unpad_masks_letterbox_geometry():
     assert rows.size
     center = rows.mean()
     assert abs(center - h / 2) < 12, center  # lands mid-frame, not shifted
+
+
+# ------------------------------------------------------------------ OBB
+def test_obb_head_decode_shapes():
+    """task=obb: decode emits (B, N, 5) rboxes whose axis-aligned hulls
+    replace 'boxes' (ultralytics dist2rbox semantics)."""
+    model = YOLOv8(num_classes=2, scale="n", task="obb")
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 3)))
+    out = model.apply(variables, jnp.zeros((1, 64, 64, 3)), train=False)
+    dec = decode_predictions(out, 2)
+    n = 8 * 8 + 4 * 4 + 2 * 2
+    assert dec["obb"].shape == (1, n, 5)
+    assert np.all(np.abs(np.asarray(dec["obb"][..., 4])) <= np.pi)
+    # hull containment: every rotated corner inside its aligned box
+    from trex_tpu.detect.yolo import obb_corners
+
+    obb = np.asarray(dec["obb"][0])
+    boxes = np.asarray(dec["boxes"][0])
+    cs = obb_corners(obb)
+    assert np.all(cs[..., 0] >= boxes[:, None, 0] - 1e-3)
+    assert np.all(cs[..., 0] <= boxes[:, None, 2] + 1e-3)
+    assert np.all(cs[..., 1] >= boxes[:, None, 1] - 1e-3)
+    assert np.all(cs[..., 1] <= boxes[:, None, 3] + 1e-3)
+
+
+def test_obbs_to_blobs_axis_aligned_matches_box_fill():
+    """angle=0 OBB rasterizes to the inner-pixel rectangle (the
+    ceil/floor scanline convention of YOLO.cpp:840)."""
+    from trex_tpu.detect.yolo import obbs_to_blobs
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    img = np.arange(40 * 40, dtype=np.int64).astype(np.uint8)
+    img = img.reshape(40, 40)
+    obb = np.array([[20.0, 15.0, 10.0, 6.0, 0.0]])
+    det = Detections(np.array([[15, 12, 25, 18.0]]), np.array([0.9]),
+                     np.array([1]), obb=obb)
+    blobs = obbs_to_blobs(det, img, s)
+    assert len(blobs) == 1
+    b = blobs[0]
+    ys = sorted(set(int(l[0]) for l in b.lines))
+    assert ys == list(range(12, 19))
+    for y, x0, x1 in b.lines:
+        assert (x0, x1) == (15, 25)
+    assert b.prediction["clid"] == 1
+
+
+def test_obbs_to_blobs_rotated_square_is_diamond():
+    """A 45-degree square becomes a diamond: widest line at the center
+    row, 1-2 px at the tips."""
+    from trex_tpu.detect.yolo import obbs_to_blobs
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    img = np.full((60, 60), 7, np.uint8)
+    side = 14.0
+    obb = np.array([[30.0, 30.0, side, side, np.pi / 4]])
+    det = Detections(np.array([[20, 20, 40, 40.0]]), np.array([0.8]),
+                     np.array([0]), obb=obb)
+    blobs = obbs_to_blobs(det, img, s)
+    assert len(blobs) == 1
+    widths = {int(l[0]): int(l[2]) - int(l[1]) + 1 for l in blobs[0].lines}
+    half_diag = side / np.sqrt(2)  # ~9.9
+    # widest at the center row
+    assert max(widths, key=widths.get) == 30
+    assert abs(widths[30] - 2 * half_diag) <= 2
+    # monotone shrink toward the tips
+    rows = sorted(widths)
+    for a, b in zip(rows, rows[1:]):
+        if b <= 30:
+            assert widths[b] >= widths[a]
+        if a >= 30:
+            assert widths[b] <= widths[a]
+    # containment: all pixels inside the rotated square (+1px edge slack)
+    for y, x0, x1 in blobs[0].lines:
+        for x in (x0, x1):
+            dx, dy = x - 30.0, y - 30.0
+            u = abs(dx * np.cos(np.pi / 4) + dy * np.sin(np.pi / 4))
+            v = abs(-dx * np.sin(np.pi / 4) + dy * np.cos(np.pi / 4))
+            assert u <= side / 2 + 1.0 and v <= side / 2 + 1.0
+
+
+def test_points_to_blobs_radius_map():
+    """detect_point_radii: class-keyed radii map (YOLO.cpp:754 circle
+    fill; trex_yolo.py:328 row construction, default radius 20)."""
+    from trex_tpu.detect.yolo import attach_points, points_to_blobs
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    s.set("detect_point_radii", {0: 3.0, 1: 6.0})
+    img = np.full((80, 80), 9, np.uint8)
+    det = Detections(
+        np.array([[20, 20, 20, 20], [50, 50, 50, 50.0]]),
+        np.array([0.9, 0.8]), np.array([0, 1]))
+    attach_points(det, s)
+    np.testing.assert_allclose(det.radii, [3.0, 6.0])
+    blobs = points_to_blobs(det, img, s)
+    assert len(blobs) == 2
+    h0 = len({int(l[0]) for l in blobs[0].lines})
+    h1 = len({int(l[0]) for l in blobs[1].lines})
+    assert h1 > h0  # bigger radius -> taller circle
+    # circle geometry: widest at the center, >= 3px even at the tips
+    w1 = {int(l[0]): int(l[2]) - int(l[1]) + 1 for l in blobs[1].lines}
+    assert max(w1, key=w1.get) in (50, 51)
+    assert max(w1.values()) >= 11 and min(w1.values()) >= 3
+    # unmapped class falls back to radius 20
+    det2 = Detections(np.array([[40, 40, 40, 40.0]]), np.array([0.5]),
+                      np.array([7]))
+    attach_points(det2, s)
+    assert det2.radii[0] == 20.0
+
+
+def test_obb_detector_end_to_end(settings):
+    """Synthetic OBB flow: flax obb model -> detector -> merged blobs
+    with rotated masks (VERDICT r4 item 5)."""
+    from trex_tpu.detect.base import create_detection
+    from trex_tpu.detect.yolo import YOLODetector
+
+    settings.set("detect_type", "yolo")
+    settings.set("detect_conf_threshold", 0.0)
+    det = YOLODetector(settings, scale="n", task="obb", num_classes=2,
+                       input_size=64)
+    img = np.random.default_rng(0).integers(
+        0, 255, (48, 64), np.uint8)
+    d = det.detect(img)
+    assert d.obb is not None and d.obb.shape[1] == 5
+    from trex_tpu.detect.yolo import obbs_to_blobs
+
+    blobs = obbs_to_blobs(d, img, settings)
+    assert isinstance(blobs, list)
+    for b in blobs:
+        assert b.prediction["clid"] in (0, 1)

@@ -71,7 +71,14 @@ class YOLOBackend(DetectionBackend):
         return self
 
     def apply(self, frame_index, image):
-        from .yolo import boxes_to_blobs, masks_to_blobs
+        # dispatch order mirrors YOLO.cpp:740-752: instance masks win,
+        # then oriented boxes, then POLO points, then plain boxes
+        from .yolo import (
+            boxes_to_blobs,
+            masks_to_blobs,
+            obbs_to_blobs,
+            points_to_blobs,
+        )
 
         det = self.detector.detect(image)
         if image.ndim == 3:
@@ -82,6 +89,10 @@ class YOLOBackend(DetectionBackend):
             gray = image
         if det.masks is not None:
             return masks_to_blobs(det, gray, det.masks, self.settings)
+        if det.obb is not None:
+            return obbs_to_blobs(det, gray, self.settings)
+        if det.points is not None:
+            return points_to_blobs(det, gray, self.settings)
         return boxes_to_blobs(det, gray, self.settings)
 
 

@@ -35,10 +35,24 @@ class Detections:
     clid: np.ndarray  # (N,) int
     keypoints: Optional[np.ndarray] = None  # (N, K, 3)
     masks: Optional[np.ndarray] = None  # (N, h, w) bool, video coords
-    angles: Optional[np.ndarray] = None  # (N,) rad for OBB
+    obb: Optional[np.ndarray] = None  # (N, 5) cx, cy, w, h, angle(rad)
+    points: Optional[np.ndarray] = None  # (N, 2) cx, cy + radii below
+    radii: Optional[np.ndarray] = None  # (N,) point radius per row
 
     def __len__(self):
         return len(self.boxes)
+
+
+def obb_corners(obb: np.ndarray) -> np.ndarray:
+    """(N, 5) cx,cy,w,h,angle -> (N, 4, 2) corner points (the
+    detect::ICXYWHR::corners() geometry YOLO.cpp:862 rasterizes)."""
+    cx, cy, w, h, a = (obb[:, i] for i in range(5))
+    cos, sin = np.cos(a), np.sin(a)
+    dx = np.stack([w / 2, w / 2, -w / 2, -w / 2], -1)
+    dy = np.stack([h / 2, -h / 2, -h / 2, h / 2], -1)
+    x = cx[:, None] + dx * cos[:, None] - dy * sin[:, None]
+    y = cy[:, None] + dx * sin[:, None] + dy * cos[:, None]
+    return np.stack([x, y], -1)
 
 
 def letterbox_params(src_hw, dst_hw):
@@ -137,6 +151,11 @@ class YOLODetector:
         self._infer = infer
         self._conf_threshold = float(conf_t if conf_t else 0.1)
         self.batch_size = self._auto_batch_size()
+        # detect_format=points: POLO-style point localization — rows
+        # become (class, conf, center, radius) with per-class radii
+        # from detect_point_radii (trex_yolo.py:328-344 builds exactly
+        # these rows; default radius 20)
+        self.points_mode = str(settings["detect_format"] or "") == "points"
 
     def _auto_batch_size(self, target_fraction: float = 0.5) -> int:
         """Memory-aware batch sizing (trex_detection_model.py's
@@ -191,7 +210,7 @@ class YOLODetector:
             float(s["detect_tile_overlap"] or 0.0))
         if not tiles:
             return self._detect_single(image)
-        all_boxes, all_conf, all_clid, all_kp = [], [], [], []
+        all_boxes, all_conf, all_clid, all_kp, all_obb = [], [], [], [], []
         # tiles run through the model in memory-sized batches
         # (PipelineManager<TileImage> batching, detect_batch_size +
         # the OOM-aware cap)
@@ -205,6 +224,10 @@ class YOLODetector:
                 det.keypoints[..., 0] += tx
                 det.keypoints[..., 1] += ty
                 all_kp.append(det.keypoints)
+            if det.obb is not None:
+                det.obb[:, 0] += tx
+                det.obb[:, 1] += ty
+                all_obb.append(det.obb)
             all_boxes.append(det.boxes)
             all_conf.append(det.conf)
             all_clid.append(det.clid)
@@ -212,8 +235,12 @@ class YOLODetector:
         conf = np.concatenate(all_conf) if all_conf else np.zeros(0)
         clid = np.concatenate(all_clid) if all_clid else np.zeros(0, int)
         kp = np.concatenate(all_kp) if all_kp else None
-        det = Detections(boxes, conf, clid, keypoints=kp)
-        return merge_tile_detections(det, self.settings)
+        obb = np.concatenate(all_obb) if all_obb else None
+        det = Detections(boxes, conf, clid, keypoints=kp, obb=obb)
+        det = merge_tile_detections(det, self.settings)
+        if self.points_mode:
+            attach_points(det, self.settings)
+        return det
 
     def _detect_many(self, images: list) -> list:
         """Batched inference over several crops: letterbox all, pad the
@@ -276,13 +303,54 @@ class YOLODetector:
                                  (self.input_size, self.input_size))
             masks = unpad_masks(masks, pad, gain, (h, w),
                                 self.input_size)
-        return Detections(boxes, conf, clid, keypoints=kp, masks=masks)
+        obb = None
+        if "obb" in out:
+            obb = np.asarray(out["obb"][k])[keep][sel]
+            gain, pad = letterbox_params((h, w),
+                                         (self.input_size, self.input_size))
+            obb[:, 0] = (obb[:, 0] - pad[0]) / gain
+            obb[:, 1] = (obb[:, 1] - pad[1]) / gain
+            obb[:, 2:4] /= gain  # letterbox scale is uniform: angle keeps
+        det = Detections(boxes, conf, clid, keypoints=kp, masks=masks,
+                         obb=obb)
+        if self.points_mode:
+            attach_points(det, self.settings)
+        return det
+
+
+def attach_points(det: Detections, settings) -> Detections:
+    """detect_format=points: each detection collapses to its center
+    with a per-class radius from `detect_point_radii` (default 20 —
+    trex_yolo.py:328-344 row construction for POLO results)."""
+    radii_map = settings["detect_point_radii"] or {}
+    cx = (det.boxes[:, 0] + det.boxes[:, 2]) / 2
+    cy = (det.boxes[:, 1] + det.boxes[:, 3]) / 2
+    det.points = np.stack([cx, cy], -1)
+    det.radii = np.array(
+        [float(radii_map.get(int(c), radii_map.get(str(int(c)), 20.0)))
+         for c in det.clid], np.float64)
+    return det
 
 
 def merge_tile_detections(det: Detections, settings) -> Detections:
     """SAHI postprocess across tiles (YOLO.cpp tile merge path)."""
     if len(det) == 0:
         return det
+    if det.obb is not None:
+        # rotated-rect NMS across tiles (the pose-rect NMS geometry,
+        # YOLO.cpp:225-285, applied to the OBB rects themselves)
+        from .tiling import compute_tile_nms_indices_for_rotated_rects
+
+        rects = [((float(o[0]), float(o[1])),
+                  (max(float(o[2]), 1.0), max(float(o[3]), 1.0)),
+                  math.degrees(float(o[4]))) for o in det.obb]
+        sel = compute_tile_nms_indices_for_rotated_rects(
+            rects, det.conf, det.clid,
+            float(settings["detect_tile_merge_iou"] or 0.55))
+        return Detections(det.boxes[sel], det.conf[sel], det.clid[sel],
+                          keypoints=det.keypoints[sel]
+                          if det.keypoints is not None else None,
+                          obb=det.obb[sel])
     method = settings["detect_tile_merge_method"] \
         if "detect_tile_merge_method" in settings else "nmm"
     if method in ("nmm", "greedy_nmm", None, True):
@@ -369,6 +437,94 @@ def masks_to_blobs(det: Detections, image: np.ndarray, masks: np.ndarray,
         blob.prediction = {"clid": int(det.clid[i]),
                            "p": float(det.conf[i]), "keypoints": None}
         out.append(blob)
+    return out
+
+
+def _lines_blob(lines: list, image: np.ndarray, det: Detections,
+                i: int) -> Optional[TrackBlob]:
+    if not lines:
+        return None
+    lines = np.asarray(lines, np.int32)
+    px = np.concatenate([image[y, a: b + 1] for y, a, b in lines])
+    blob = TrackBlob(lines, px)
+    blob.prediction = {"clid": int(det.clid[i]),
+                       "p": float(det.conf[i]),
+                       "keypoints": None if det.keypoints is None
+                       else det.keypoints[i]}
+    return blob
+
+
+def obbs_to_blobs(det: Detections, image: np.ndarray,
+                  settings) -> list[TrackBlob]:
+    """process_obbs (YOLO.cpp:840-975): each oriented box rasterizes to
+    RLE lines by intersecting every scanline with the rect's four
+    edges (ceil/floor inner-pixel rounding, columns clamped to
+    [0, w-1]), pixels copied from the frame, class/pose prediction
+    attached."""
+    h, w = image.shape[:2]
+    out = []
+    from .prediction_filter import filter_from_settings
+
+    only = filter_from_settings(settings)
+    corners_all = obb_corners(det.obb)
+    for i in range(len(det)):
+        if only is not None and not only.allowed(int(det.clid[i])):
+            continue
+        corners = corners_all[i]
+        ymin = int(max(0, math.floor(corners[:, 1].min())))
+        ymax = int(math.ceil(corners[:, 1].max()))
+        lines = []
+        for y in range(ymin, min(ymax + 1, h)):
+            xs = []
+            for e in range(4):
+                v0, v1 = corners[e], corners[(e + 1) % 4]
+                dy = v1[1] - v0[1]
+                if dy == 0:
+                    if y == v0[1]:
+                        xs += [min(v0[0], v1[0]), max(v0[0], v1[0])]
+                else:
+                    t = (y - v0[1]) / dy
+                    if 0 <= t < 1:
+                        xs.append((v1[0] - v0[0]) * t + v0[0])
+            if len(xs) < 2:
+                continue
+            x0 = int(np.clip(math.ceil(min(xs[0], xs[1])), 0, w - 1))
+            x1 = int(np.clip(math.floor(max(xs[0], xs[1])), 0, w - 1))
+            lines.append((y, x0, x1))
+        blob = _lines_blob(lines, image, det, i)
+        if blob is not None:
+            out.append(blob)
+    return out
+
+
+def points_to_blobs(det: Detections, image: np.ndarray,
+                    settings) -> list[TrackBlob]:
+    """process_points (YOLO.cpp:754-840): a POLO point becomes a filled
+    circle blob of radius det.radii[i] (detect_point_radii per class;
+    the scanline half-width is max(1, sqrt(r^2 - dy^2)), rounded
+    ceil/floor and clamped like the OBB path)."""
+    h, w = image.shape[:2]
+    out = []
+    from .prediction_filter import filter_from_settings
+
+    only = filter_from_settings(settings)
+    for i in range(len(det)):
+        if only is not None and not only.allowed(int(det.clid[i])):
+            continue
+        xmid, ymid = det.points[i]
+        halfh = float(det.radii[i])
+        ymin = int(max(0, math.floor(ymid - halfh)))
+        ymax = int(math.ceil(ymid + halfh))
+        lines = []
+        for y in range(ymin, min(ymax + 1, h)):
+            radicand = max(0.0, halfh * halfh - (y - ymid) ** 2)
+            r = max(1.0, math.sqrt(radicand))
+            x0 = int(np.clip(math.ceil(xmid - r), 0, w - 1))
+            x1 = int(np.clip(math.floor(xmid + r), 0, w - 1))
+            lines.append((y, x0, x1))
+        blob = _lines_blob(lines, image, det, i)
+        if blob is not None:
+            out.append(blob)
     return out
 
 

@@ -322,7 +322,26 @@ def decode_predictions(out: dict, num_classes: int, reg_max: int = 16,
             [m.reshape(B, -1, m.shape[-1]) for m in out["mask_coeffs"]], 1)
         decoded["proto"] = out["proto"]
     if "angles" in out:
+        # OBB decode (ultralytics dist2rbox): the ltrb distances are in
+        # the box's own rotated frame — the center offset rotates by
+        # the predicted angle before adding the anchor
         ang = jnp.concatenate(
             [a.reshape(B, -1) for a in out["angles"]], 1)
-        decoded["angles"] = (jax.nn.sigmoid(ang) - 0.25) * jnp.pi
+        ang = (jax.nn.sigmoid(ang) - 0.25) * jnp.pi
+        lt, rb = ltrb[..., :2], ltrb[..., 2:]
+        off = (rb - lt) / 2.0
+        cos, sin = jnp.cos(ang), jnp.sin(ang)
+        cx = (off[..., 0] * cos - off[..., 1] * sin
+              + anchors[None, :, 0]) * strd[None, :]
+        cy = (off[..., 0] * sin + off[..., 1] * cos
+              + anchors[None, :, 1]) * strd[None, :]
+        bw = (lt[..., 0] + rb[..., 0]) * strd[None, :]
+        bh = (lt[..., 1] + rb[..., 1]) * strd[None, :]
+        decoded["obb"] = jnp.stack([cx, cy, bw, bh, ang], -1)
+        # axis-aligned hull of the rotated rect feeds the shared
+        # conf/NMS machinery downstream
+        ex = (jnp.abs(bw / 2 * cos) + jnp.abs(bh / 2 * sin))
+        ey = (jnp.abs(bw / 2 * sin) + jnp.abs(bh / 2 * cos))
+        decoded["boxes"] = jnp.stack(
+            [cx - ex, cy - ey, cx + ex, cy + ey], -1)
     return decoded
