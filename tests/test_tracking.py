@@ -139,6 +139,43 @@ def test_hungarian_beats_greedy_on_swap_case():
     assert total(res_g) == pytest.approx(1.0)
 
 
+def test_benchmark_mode_times_and_reports(capsys):
+    """match_mode=benchmark accumulates per-algorithm wall time,
+    prints the periodic report every 100 frames and warns with
+    per-fish diffs on disagreement (PairingGraph.cpp:1277-1370)."""
+    from trex_tpu.track.matching import (
+        BENCHMARKS,
+        benchmark_report,
+        reset_benchmarks,
+    )
+
+    reset_benchmarks()
+    # swap case: greedy disagrees with the optimal assignment
+    p = _paired([("A", 0, 0.9), ("A", 1, 0.8),
+                 ("B", 0, 0.85), ("B", 1, 0.1)])
+    res = match(p, mode="benchmark")
+    # returns the hungarian (optimal) assignment
+    assert res.pairings == {1: "A", 0: "B"}
+    # greedy differed on both fish -> both flagged
+    assert res.improvements_made == 2
+    out = capsys.readouterr().out
+    assert "individual A" in out and "approximate" in out
+    for name in ("hungarian", "tree", "approximate"):
+        assert BENCHMARKS[name].samples == 1
+        assert BENCHMARKS[name].time_acc >= 0
+    lines = benchmark_report()
+    assert len(lines) == 3 and all("ms (1 samples)" in l for l in lines)
+    # periodic print fires on the 100th benchmark frame
+    agree = _paired([("A", 0, 0.9)])
+    for _ in range(98):
+        match(agree, mode="benchmark")
+    capsys.readouterr()
+    match(agree, mode="benchmark")  # 100th call
+    out = capsys.readouterr().out
+    assert "hungarian:" in out and "100 samples" in out
+    reset_benchmarks()
+
+
 def test_matchers_agree_on_random_instances():
     rng = np.random.default_rng(0)
     for trial in range(20):

@@ -326,6 +326,13 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                     "accelerator tunnel)"
             print(f"\n[track] tracked {len(state.pv)} frames, "
                   f"{n_ind} individuals [{engine_note}]")
+            if s["match_mode"] == "benchmark":
+                # final per-algorithm timing + agreement summary
+                # (PairingGraph.cpp:1282-1288 periodic report)
+                from ..track.matching import benchmark_report
+
+                for line in benchmark_report():
+                    print(f"[match benchmark] {line}")
         if s["gui_show_memory_stats"]:
             from ..utils.memstats import tracker_memory_stats
 

@@ -246,6 +246,92 @@ def _tree_on(paired: PairedProbabilities, fish_idx: list[int],
     return {b: f for b, f in best["assign"].items()}
 
 
+@dataclass
+class BenchmarkStats:
+    """Per-algorithm accumulation for match_mode=benchmark
+    (PairingGraph.cpp `benchmarks` map :1277)."""
+    time_acc: float = 0.0
+    samples: int = 0
+
+
+BENCHMARKS: dict[str, BenchmarkStats] = {}
+_bench_counter = [0]
+
+
+def benchmark_report() -> list[str]:
+    """Per-algorithm mean wall time, the lines the reference prints
+    every 100 benchmark frames (PairingGraph.cpp:1282-1288)."""
+    return [
+        f"{name}: {st.time_acc / max(1, st.samples) * 1000:.3f}ms "
+        f"({st.samples} samples)"
+        for name, st in sorted(BENCHMARKS.items())]
+
+
+def reset_benchmarks():
+    BENCHMARKS.clear()
+    _bench_counter[0] = 0
+
+
+def _match_benchmark(paired: PairedProbabilities, result: MatchResult,
+                     time_budget: float) -> dict[int, int]:
+    """benchmark mode (PairingGraph.cpp:1277-1370): run hungarian,
+    tree and approximate on the full frame, accumulate per-algorithm
+    wall time, print the periodic report, warn with per-fish diffs on
+    disagreement; the hungarian assignment is the one returned."""
+    runs: dict[str, dict[int, int]] = {}
+    for name in ("hungarian", "tree", "approximate"):
+        t0 = _time.perf_counter()
+        runs[name] = _match_raw(paired, name, time_budget)
+        st = BENCHMARKS.setdefault(name, BenchmarkStats())
+        st.time_acc += _time.perf_counter() - t0
+        st.samples += 1
+    _bench_counter[0] += 1
+    if _bench_counter[0] % 100 == 0:
+        for line in benchmark_report():
+            print(f"[match benchmark] {line}")
+    # per-fish comparison: fish -> blob maps per algorithm
+    by_fish = {name: {f: b for b, f in raw.items()}
+               for name, raw in runs.items()}
+    disagreements = []
+    for fi in range(paired.n_fish):
+        picks = {name: by_fish[name].get(fi) for name in by_fish}
+        if len(set(picks.values())) > 1:
+            disagreements.append((fi, picks))
+    if disagreements:
+        result.improvements_made = len(disagreements)
+        probs = {fi: dict(paired.edges.get(fi, ()))
+                 for fi, _ in disagreements}
+        for fi, picks in disagreements:
+            parts = []
+            for name, bi in sorted(picks.items()):
+                p = probs[fi].get(bi, 0.0) if bi is not None else 0.0
+                blob = paired.blob(bi) if bi is not None else None
+                parts.append(f"({name}) {blob} ({p:.4f})")
+            print(f"[match benchmark] warning: individual "
+                  f"{paired.fish(fi)}: " + " != ".join(parts))
+    return runs["hungarian"]
+
+
+def _match_raw(paired: PairedProbabilities, mode: str,
+               time_budget: float) -> dict[int, int]:
+    """Full-frame raw blob-index -> fish-index assignment for one
+    concrete algorithm (per-clique decomposition like match())."""
+    if mode == "approximate":
+        return _greedy_on(paired)
+    raw: dict[int, int] = {}
+    for fish_idx, blob_idx in paired.cliques():
+        if not blob_idx:
+            continue
+        if mode == "hungarian":
+            sub = _hungarian_on(paired, fish_idx, blob_idx)
+        else:  # tree
+            sub = _tree_on(paired, fish_idx, blob_idx, time_budget)
+            if sub is None:
+                sub = _greedy_on(paired, fish_idx, set(blob_idx))
+        raw.update(sub)
+    return raw
+
+
 def match(paired: PairedProbabilities, mode: str = "automatic",
           time_budget: float = 0.5) -> MatchResult:
     """Run the matcher selected by `mode` over per-clique subproblems."""
@@ -253,7 +339,9 @@ def match(paired: PairedProbabilities, mode: str = "automatic",
     raw: dict[int, int] = {}
     if mode == "approximate":
         raw = _greedy_on(paired)
-    elif mode in ("hungarian", "tree", "automatic", "benchmark"):
+    elif mode == "benchmark":
+        raw = _match_benchmark(paired, result, time_budget)
+    elif mode in ("hungarian", "tree", "automatic"):
         for fish_idx, blob_idx in paired.cliques():
             if not blob_idx:
                 continue
@@ -287,13 +375,6 @@ def match(paired: PairedProbabilities, mode: str = "automatic",
                 sub = _tree_on(paired, fish_idx, blob_idx, time_budget)
                 if sub is None:
                     sub = _greedy_on(paired, fish_idx, set(blob_idx))
-            elif mode == "benchmark":
-                h = _hungarian_on(paired, fish_idx, blob_idx)
-                t = _tree_on(paired, fish_idx, blob_idx, time_budget)
-                g = _greedy_on(paired, fish_idx, set(blob_idx))
-                if t is not None and t != h:
-                    result.improvements_made += 1  # disagreement counter
-                sub = h
             else:  # automatic: optimal per clique (small cliques via the
                 # reference's tree search, larger ones via the equivalent
                 # Hungarian optimum — Tracker.cpp:1805-1812 semantics)
