@@ -233,7 +233,8 @@ def _read_prediction(r: _Reader, version: int) -> Optional[dict]:
     return pred
 
 
-def _write_prediction(w: _Writer, pred: Optional[dict]):
+def _write_prediction(w: _Writer, pred: Optional[dict],
+                      version: int = CURRENT):
     if pred is None:
         w.u8(255)
         return
@@ -247,12 +248,13 @@ def _write_prediction(w: _Writer, pred: Optional[dict]):
     for o in pred["outlines"]:
         w.u16(len(o))
         w.raw(np.asarray(o, "<i4").tobytes())
-    orig = pred.get("original")
-    if orig is None or len(orig) == 0:
-        w.u32(0)
-    else:
-        w.u32(len(orig))
-        w.raw(np.asarray(orig, "<i4").tobytes())
+    if version >= V_37:
+        orig = pred.get("original")
+        if orig is None or len(orig) == 0:
+            w.u32(0)
+        else:
+            w.u32(len(orig))
+            w.raw(np.asarray(orig, "<i4").tobytes())
 
 
 def _read_blob(r: _Reader, version: int) -> ResultsBlob:
@@ -279,18 +281,25 @@ def _read_blob(r: _Reader, version: int) -> ResultsBlob:
                        prediction=pred)
 
 
-def _write_blob(w: _Writer, blob: ResultsBlob):
-    byte = blob.flags & ~0x2  # the parent bit reflects parent_id only
-    if blob.parent_id >= 0:
-        byte |= 0x2
-    w.u8(byte)
-    if byte & 0x2:
-        w.i64(blob.parent_id)
+def _write_blob(w: _Writer, blob: ResultsBlob, version: int = CURRENT):
+    if version >= V_20:
+        # the parent-id presence bit moved: 0x2 since V_26, 0x1 in
+        # V_22..V_25's first revisions (reader gate V_22 <= v <= 24)
+        parent_bit = 0x2 if version >= V_26 else 0x1
+        byte = blob.flags & ~parent_bit
+        has_parent = blob.parent_id >= 0 and (
+            version >= V_26 or V_22 <= version <= 24)
+        if has_parent:
+            byte |= parent_bit
+        w.u8(byte)
+        if has_parent:
+            w.i64(blob.parent_id)
     lines = np.asarray(blob.lines, np.int32)
     w.u16(int(lines[0, 0]) if len(lines) else 0)
     w.u16(len(lines))
     w.raw(_pack_lines(lines).astype("<u2").tobytes())
-    _write_prediction(w, blob.prediction)
+    if version >= V_36:
+        _write_prediction(w, blob.prediction, version)
 
 
 def _read_midline(r: _Reader, version: int) -> ResultsMidline:
@@ -313,13 +322,14 @@ def _read_midline(r: _Reader, version: int) -> ResultsMidline:
     return m
 
 
-def _write_midline(w: _Writer, m: ResultsMidline):
+def _write_midline(w: _Writer, m: ResultsMidline, version: int = CURRENT):
     w.f32(m.len)
     w.f32(m.angle)
     w.vec2(*m.offset)
     w.vec2(*m.front)
-    w.i64(m.tail_index)
-    w.i64(m.head_index)
+    if version >= V_24:
+        w.i64(m.tail_index)
+        w.i64(m.head_index)
     w.u64(len(m.segments))
     w.raw(np.asarray(m.segments, "<f4").tobytes())
 
@@ -341,12 +351,15 @@ def _read_outline(r: _Reader, version: int) -> ResultsOutline:
     return o
 
 
-def _write_outline(w: _Writer, o: ResultsOutline):
+def _write_outline(w: _Writer, o: ResultsOutline, version: int = CURRENT):
     w.u64(len(o.points))
+    if V_9 < version < V_24:
+        w.i64(0)  # tail index lived here before moving to the midline
     w.f32(o.first[0])
     w.f32(o.first[1])
     w.raw(np.asarray(o.points, "<u2").tobytes())
-    w.f32(o.scale)
+    if version >= V_38:
+        w.f32(o.scale)
 
 
 def _read_individual(data: bytes, version: int) -> ResultsIndividual:
@@ -408,7 +421,8 @@ def _read_individual(data: bytes, version: int) -> ResultsIndividual:
     return ind
 
 
-def _write_individual(res: ResultsIndividual) -> bytes:
+def _write_individual(res: ResultsIndividual,
+                      version: int = CURRENT) -> bytes:
     w = _Writer()
     w.u32(res.id)
     w.string(res.name or f"fish{res.id}")
@@ -419,30 +433,49 @@ def _write_individual(res: ResultsIndividual) -> bytes:
         w.i64(int(res.frames[i]))
         w.vec2(float(res.positions[i][0]), float(res.positions[i][1]))
         w.f32(float(res.angles[i]))
-        _write_blob(w, res.blobs[i])
-    w.u64(n)
-    for i in range(n):
-        f = int(res.frames[i])
-        w.i64(f)
-        w.u64(int(res.thresholded_size.get(f, 0)))
-    w.u64(len(res.midlines))
-    for f in sorted(res.midlines):
-        w.i64(f)
-        _write_midline(w, res.midlines[f])
-    w.u64(len(res.outlines))
-    for f in sorted(res.outlines):
-        w.i64(f)
-        _write_outline(w, res.outlines[f])
-    w.u64(len(res.qrcodes))
-    for f in sorted(res.qrcodes):
-        tid, p, samples = res.qrcodes[f]
-        w.i64(f)
-        w.i32(tid)
-        w.f32(p)
-        w.u32(samples)
-    w.u64(len(res.auto_matched))
-    for f in res.auto_matched:
-        w.u32(f)
+        if version < V_27:
+            w.raw(np.float64(0.0).tobytes())  # stored frame time
+        _write_blob(w, res.blobs[i], version)
+        if version < V_29:
+            w.vec2(0.0, 0.0)  # legacy weighted centroid
+    if version >= V_19:
+        w.u64(n)
+        for i in range(n):
+            f = int(res.frames[i])
+            w.i64(f)
+            w.u64(int(res.thresholded_size.get(f, 0)))
+    if version <= 23:  # <= V_24: interleaved posture records
+        frames = sorted(set(res.midlines) & set(res.outlines))
+        w.u64(len(frames))
+        for f in frames:
+            w.i64(f)
+            w.vec2(0.0, 0.0)
+            w.f32(0.0)
+            if version < V_27:
+                w.raw(np.float64(0.0).tobytes())
+            _write_midline(w, res.midlines[f], version)
+            _write_outline(w, res.outlines[f], version)
+    else:  # V_25+: midlines then outlines
+        w.u64(len(res.midlines))
+        for f in sorted(res.midlines):
+            w.i64(f)
+            _write_midline(w, res.midlines[f], version)
+        w.u64(len(res.outlines))
+        for f in sorted(res.outlines):
+            w.i64(f)
+            _write_outline(w, res.outlines[f], version)
+    if version >= V_34:
+        w.u64(len(res.qrcodes))
+        for f in sorted(res.qrcodes):
+            tid, p, samples = res.qrcodes[f]
+            w.i64(f)
+            w.i32(tid)
+            w.f32(p)
+            w.u32(samples)
+    if version >= V_39:
+        w.u64(len(res.auto_matched))
+        for f in res.auto_matched:
+            w.u32(f)
     return w.data()
 
 
@@ -552,27 +585,41 @@ def read_results(path) -> ResultsFile:
     return out
 
 
-def write_results(path, res: ResultsFile):
-    """Write a V_39 .results file the reference application can load."""
+def write_results(path, res: ResultsFile, version: int = CURRENT):
+    """Write a .results file the reference application can load.
+
+    `version` selects the on-disk layout (V_18 .. V_39 — older
+    layouts predate the LZO-per-individual framing and are read-only
+    in the reference too); every gate mirrors read_results /
+    Output.cpp's version changelog (Output.h:95-144). Features the
+    chosen version cannot carry (e.g. tags before V_35) are dropped,
+    exactly like a reference binary of that era."""
+    if not V_18 <= version <= CURRENT:
+        raise ValueError(f"unsupported .results version {version}")
     w = _Writer()
-    w.string(f"TRACK{CURRENT}")
+    w.string(f"TRACK{version}")
     w.u64(res.gui_frame)
-    w.u32(len(res.consecutive))
-    for s, e in res.consecutive:
-        w.u32(s)
-        w.u32(e)
-    w.vec2(float(res.video_resolution[0]), float(res.video_resolution[1]))
-    w.u64(res.video_length)
-    avg = res.average
-    if avg is None:
-        avg = np.zeros((int(res.video_resolution[1]),
-                        int(res.video_resolution[0])), np.uint8)
-    w.raw(np.ascontiguousarray(avg, np.uint8).tobytes())
-    w.i64(res.analysis_range[0])
-    w.i64(res.analysis_range[1])
-    w.u64(res.creation_time)
+    if version >= V_28:
+        w.u32(len(res.consecutive))
+        for s, e in res.consecutive:
+            w.u32(s)
+            w.u32(e)
+        w.vec2(float(res.video_resolution[0]),
+               float(res.video_resolution[1]))
+        w.u64(res.video_length)
+        avg = res.average
+        if avg is None:
+            avg = np.zeros((int(res.video_resolution[1]),
+                            int(res.video_resolution[0])), np.uint8)
+        w.raw(np.ascontiguousarray(avg, np.uint8).tobytes())
+    if version >= V_30:
+        w.i64(res.analysis_range[0])
+        w.i64(res.analysis_range[1])
+    if version >= V_34:
+        w.u64(res.creation_time)
     w.string(res.settings)
-    w.string(res.cmd_line)
+    if version >= V_23:
+        w.string(res.cmd_line)
     w.u64(len(res.rec_data))
     for frame, per in res.rec_data.items():
         w.i64(frame)
@@ -581,54 +628,58 @@ def write_results(path, res: ResultsFile):
             w.u32(bid)
             w.u64(len(vec))
             w.raw(np.asarray(vec, "<f4").tobytes())
-    if res.categorize:
-        c = res.categorize
-        w.u8(1)
-        w.u64(len(c["labels"]))
-        for i, name in enumerate(c["labels"]):
-            w.i32(i)
-            w.string(name)
-        w.u64(len(c["probs"]))
-        for frame, per in c["probs"].items():
-            w.u32(frame)
-            w.u32(len(per))
-            for bid, lbl in per.items():
-                w.u32(bid)
+    if version >= V_33:
+        if res.categorize:
+            c = res.categorize
+            w.u8(1)
+            w.u64(len(c["labels"]))
+            for i, name in enumerate(c["labels"]):
+                w.i32(i)
+                w.string(name)
+            w.u64(len(c["probs"]))
+            for frame, per in c["probs"].items():
+                w.u32(frame)
+                w.u32(len(per))
+                for bid, lbl in per.items():
+                    w.u32(bid)
+                    w.i32(lbl)
+            w.u64(len(c["ranged"]))
+            for s_, e_, lbl, bids in c["ranged"]:
+                w.u32(s_)
+                w.u32(e_)
                 w.i32(lbl)
-        w.u64(len(c["ranged"]))
-        for s_, e_, lbl, bids in c["ranged"]:
-            w.u32(s_)
-            w.u32(e_)
-            w.i32(lbl)
-            w.raw(np.asarray(bids, "<u4").tobytes())
-    else:
-        w.u8(0)  # no categorize data
-    w.u32(len(res.tags))
-    for tid, dets in res.tags.items():
-        w.u32(tid)
-        w.u32(len(dets))
-        for f, (bid, p) in dets.items():
-            w.u32(f)
-            w.u32(bid)
-            w.f32(p)
-    w.u64(len(res.auto_assign))
-    for fid, ranges in res.auto_assign.items():
-        w.u32(fid)
-        w.u64(len(ranges))
-        for s, e, bids in ranges:
-            w.u32(s)
-            w.u32(e)
-            w.u64(len(bids))
-            for b in bids:
-                w.u32(b)
+                w.raw(np.asarray(bids, "<u4").tobytes())
+        else:
+            w.u8(0)  # no categorize data
+    if version >= V_35:
+        w.u32(len(res.tags))
+        for tid, dets in res.tags.items():
+            w.u32(tid)
+            w.u32(len(dets))
+            for f, (bid, p) in dets.items():
+                w.u32(f)
+                w.u32(bid)
+                w.f32(p)
+    if version >= V_39:
+        w.u64(len(res.auto_assign))
+        for fid, ranges in res.auto_assign.items():
+            w.u32(fid)
+            w.u64(len(ranges))
+            for s, e, bids in ranges:
+                w.u32(s)
+                w.u32(e)
+                w.u64(len(bids))
+                for b in bids:
+                    w.u32(b)
     w.u64(len(res.frame_properties))
     for frame, ts, active in res.frame_properties:
         w.i64(frame)
         w.u64(ts)
-        w.i64(active)
+        if version >= 30:  # V_31
+            w.i64(active)
     w.u64(len(res.individuals))
     for ind in res.individuals:
-        block = _write_individual(ind)
+        block = _write_individual(ind, version)
         comp = lzo_compress(block)
         w.u64(len(comp))
         w.u64(len(block))
