@@ -800,8 +800,13 @@ def main():
     # device subprocess, which skips metrics once over
     device_error = None
     probe_err = _probe_device(timeout_s=min(90, max(20, _remaining())))
-    if probe_err and _remaining() > 150:
-        probe_err = _probe_device()
+    # tunnel stalls are transient (observed: outage minutes long, then
+    # full recovery) — keep re-probing with a cooldown while there is
+    # still enough budget to run a useful device section afterwards
+    while probe_err and _remaining() > 300:
+        time.sleep(45)
+        probe_err = _probe_device(
+            timeout_s=min(90, max(20, _remaining() - 210)))
     if probe_err:
         device_error = probe_err
     elif _remaining() > 120:

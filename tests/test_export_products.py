@@ -1,6 +1,7 @@
 """Export side-products (`output_*` params) and the newly wired
 headless parameters (ui/Export.cpp:479-900; default_config docs)."""
 import numpy as np
+import pytest
 
 from test_engine import _settings, _synth
 
@@ -200,3 +201,68 @@ def test_filter_blobs_by_prediction():
     s.set("track_only_segmentations", True)
     out = filter_blobs_by_prediction(blobs, s)
     assert len(out) == 2  # no-pred + the outline-carrying one
+
+
+def test_output_normalize_midline_data(tmp_path):
+    """output_normalize_midline_data: posture NPZ carries the
+    canonical-pose fixed-scale midline (Individual::fixed_midline) —
+    tail at the origin, chord on +x, total length = the individual's
+    median midline length — instead of raw blob-local segments."""
+    from tests.test_library_fields import _two_fish_tracker
+    from trex_tpu.export.export import export_posture
+
+    tracker, s = _two_fish_tracker(n_frames=12)
+    p_raw = export_posture(tracker, s, tmp_path / "raw", "v")
+    s.set("output_normalize_midline_data", True)
+    p_norm = export_posture(tracker, s, tmp_path / "norm", "v")
+    assert p_raw and p_norm
+
+    raw = np.load(p_raw[0])
+    norm = np.load(p_norm[0])
+    res = int(s["midline_resolution"] or 25)
+    # normalized export resamples every midline to midline_resolution
+    assert set(norm["midline_lengths_points"].tolist()) <= {0, res}
+    k = int(norm["midline_lengths_points"][0])
+    if k:
+        pts = norm["midline_points"][:k]
+        # tail at the origin
+        np.testing.assert_allclose(pts[-1], [0, 0], atol=1e-4)
+        # chord along +x
+        assert abs(pts[0][1]) < 1e-3 and pts[0][0] > 0
+        # arc length pinned to the individual's median midline length
+        lengths = [q for q in raw["midline_lengths"] if np.isfinite(q)]
+        want = float(np.median(lengths))
+        d = float(np.hypot(*np.diff(pts, axis=0).T).sum())
+        assert d == pytest.approx(want, rel=1e-3)
+    # raw export unchanged
+    assert raw["midline_points"].shape != norm["midline_points"].shape \
+        or not np.allclose(raw["midline_points"], norm["midline_points"])
+
+
+def test_posture_direction_smoothing_votes(tmp_path):
+    """posture_direction_smoothing > 1 averages midline-angle unit
+    vectors over the window (Individual::calculate_previous_vector,
+    Individual.cpp:2296-2349): one flipped outlier cannot flip the
+    direction vote."""
+    from trex_tpu.track.individual import Individual, PostureStuff
+
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    ind = Individual(0, s)
+    # 4 frames pointing +x, one outlier pointing -x
+    from trex_tpu.track.posture import Midline
+
+    for f, a in enumerate([0.0, 0.0, np.pi, 0.0, 0.0]):
+        m = Midline(segments=np.array([[0, 0], [1, 0.0]]))
+        ind.add_posture(PostureStuff(frame=f, midline=m,
+                                     midline_angle=a))
+    v = ind.calculate_previous_vector(5, 5)
+    assert v is not None
+    assert v[0] > 0.99 and abs(v[1]) < 1e-6  # majority +x wins
+    # window of 1 sees only the last frame
+    v1 = ind.calculate_previous_vector(3, 1)
+    assert v1[0] < -0.99  # frame 2 outlier
+    # no posture -> None
+    ind2 = Individual(1, s)
+    assert ind2.calculate_previous_vector(5, 5) is None

@@ -194,3 +194,27 @@ def test_new_fields_have_no_source_suffix():
               "outline_std", "tracklet_length", "threshold_reached"):
         assert "#" not in column_title(f, ["wcentroid"], {}), f
     assert CENTROID_ONLY.issuperset({"events", "blob_x", "qr_p"})
+
+
+def test_output_centered_and_origin(tracked):
+    """output_centered subtracts half the video size (in cm) from X/Y;
+    output_origin subtracts a user origin; VX and SPEED are
+    translation-invariant (OutputLibrary.cpp:230-285)."""
+    tracker, s, ind = tracked
+    ctx0 = EvalContext(tracker, s)
+    x0 = evaluate(ctx0, ind, 10, "X", [])
+    y0 = evaluate(ctx0, ind, 10, "Y", [])
+    vx0 = evaluate(ctx0, ind, 10, "VX", [])
+
+    s.set("output_centered", True)
+    ctx1 = EvalContext(tracker, s)  # background is 128x128
+    assert evaluate(ctx1, ind, 10, "X", []) == pytest.approx(x0 - 64.0)
+    assert evaluate(ctx1, ind, 10, "Y", []) == pytest.approx(y0 - 64.0)
+    assert evaluate(ctx1, ind, 10, "VX", []) == pytest.approx(vx0)
+
+    s.set("output_centered", False)
+    s.set("output_origin", [10.0, 20.0])
+    ctx2 = EvalContext(tracker, s)
+    assert evaluate(ctx2, ind, 10, "X", []) == pytest.approx(x0 - 10.0)
+    assert evaluate(ctx2, ind, 10, "Y", []) == pytest.approx(y0 - 20.0)
+    s.set("output_origin", [0.0, 0.0])

@@ -53,12 +53,11 @@ UNWIRED: dict[str, tuple] = {
     'outline_use_dft': ('registered-compat',),
     'output_auto_detection_fields': ('registered-compat',),
     'output_auto_pose': ('registered-compat',),
-    'output_centered': ('registered-compat',),
-    'output_frame_window': ('registered-compat',),
-    'output_normalize_midline_data': ('registered-compat',),
-    'output_origin': ('registered-compat',),
+    # output_frame_window is the GUI graph half-window (GUICache.cpp:
+    # 1657-1691 display range) — no headless consumer in the reference
+    # either (Export.cpp only saves/restores it around exports)
+    'output_frame_window': ('gui-scope',),
     'peak_mode': ('registered-compat',),
-    'posture_direction_smoothing': ('registered-compat',),
     'recognition_border_shrink_percent': ('registered-compat',),
     'recognition_coeff': ('registered-compat',),
     'recognition_save_progress_images': ('registered-compat',),

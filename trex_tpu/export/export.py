@@ -129,8 +129,18 @@ def export_posture(tracker, settings, output_dir, video_name: str) -> list[Path]
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
     prefix = settings["individual_prefix"] or "fish"
+    # output_normalize_midline_data: export the canonical-pose,
+    # fixed-scale midline (Individual::fixed_midline) instead of the
+    # raw blob-local segments, so points align across frames
+    do_normalize = bool(settings["output_normalize_midline_data"])
+    resolution = int(settings["midline_resolution"] or 25)
     paths = []
     for fid, ind in sorted(tracker.individuals.items()):
+        fix_len = 0.0
+        if do_normalize:
+            ls = [p.midline_length for p in ind.posture
+                  if np.isfinite(p.midline_length)]
+            fix_len = float(np.median(ls)) if ls else 0.0
         frames, lengths, angles = [], [], []
         outline_points, outline_lengths = [], []
         midline_points, midline_lengths = [], []
@@ -142,10 +152,17 @@ def export_posture(tracker, settings, output_dir, video_name: str) -> list[Path]
             pts = p.outline if p.outline is not None else np.zeros((0, 2))
             outline_points.append(np.asarray(pts, np.float32))
             outline_lengths.append(len(pts))
+            mseg = np.zeros((0, 2), np.float32)
             if p.midline is not None:
-                mseg = np.asarray(p.midline.segments, np.float32)
-            else:
-                mseg = np.zeros((0, 2), np.float32)
+                if do_normalize:
+                    from ..track.posture import fixed_midline_points
+
+                    fixed = fixed_midline_points(p.midline, fix_len,
+                                                 resolution)
+                    if fixed is not None:
+                        mseg = fixed
+                else:
+                    mseg = np.asarray(p.midline.segments, np.float32)
             midline_points.append(mseg)
             midline_lengths.append(len(mseg))
             b = ind.basic_stuff(p.frame)

@@ -47,6 +47,22 @@ class EvalContext:
         self.cm = settings["cm_per_pixel"] or 1.0
         self._border = None
         self._pv = pv_file
+        # output_centered / output_origin (OutputLibrary.cpp:230-239):
+        # X/Y export relative to the video center or a user origin, in
+        # cm. Default origin (0,0) keeps absolute coordinates.
+        if settings["output_centered"]:
+            size = settings["meta_video_size"] or None
+            if size and float(size[0]) > 0 and float(size[1]) > 0:
+                w, h = float(size[0]), float(size[1])
+            elif getattr(tracker, "background", None) is not None:
+                h, w = tracker.background.shape[:2]
+            else:
+                w = h = 0.0
+            self.center = (w * 0.5 * self.cm, h * 0.5 * self.cm)
+        else:
+            origin = settings["output_origin"] or (0.0, 0.0)
+            self.center = (float(origin[0]) * self.cm,
+                           float(origin[1]) * self.cm)
         # category fields resolve through THIS context's tracker store
         # (no module-global rebinding: a store from one export must not
         # leak into the next tracker's context)
@@ -90,15 +106,19 @@ def _smooth_window(ind, frame, source, attr, ctx, half: int = 2):
     return float(np.mean(vals)) if vals else None
 
 
-def _pos_attr(attr):
+def _pos_attr(attr, center_idx=None):
+    """center_idx: X/Y subtract the context center (output_centered /
+    output_origin, OutputLibrary.cpp X/Y LIBGLFNC :248-285); velocity
+    and acceleration components are translation-invariant."""
     def fn(ind, frame, source, smooth, ctx):
         r = _record(ind, frame, source)
         if r is None:
             return INVALID
+        off = ctx.center[center_idx] if center_idx is not None else 0.0
         if smooth:
             v = _smooth_window(ind, frame, source, attr, ctx)
-            return v * ctx.cm if v is not None else INVALID
-        return getattr(r, attr) * ctx.cm
+            return v * ctx.cm - off if v is not None else INVALID
+        return getattr(r, attr) * ctx.cm - off
     return fn
 
 
@@ -211,8 +231,8 @@ def _vi_p(ind, frame, source, smooth, ctx):
 
 
 FUNCTIONS: dict[str, Callable] = {
-    "X": _pos_attr("x"),
-    "Y": _pos_attr("y"),
+    "X": _pos_attr("x", center_idx=0),
+    "Y": _pos_attr("y", center_idx=1),
     "VX": _pos_attr("vx"),
     "VY": _pos_attr("vy"),
     "AX": _pos_attr("ax"),

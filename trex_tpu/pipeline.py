@@ -836,16 +836,23 @@ def run_postures(tracker: Tracker, frame: int, settings: Settings,
                  pool: Optional[cf.ThreadPoolExecutor] = None):
     """Posture per new assignment (TrackingHelper::process_postures)."""
     jobs = []
+    smoothing = int(settings["posture_direction_smoothing"] or 0)
     for ind in tracker.individuals.values():
         basic = ind.basic_stuff(frame)
         if basic is None or ind.posture_stuff(frame) is not None:
             continue
-        prev = ind.posture[-1] if ind.posture else None
         direction = None
-        if prev is not None and prev.midline is not None:
-            d = prev.midline.midline_direction(
-                settings["midline_stiff_percentage"])
-            direction = -d  # head-pointing
+        if smoothing > 1:
+            # posture_direction_smoothing: orientation votes averaged
+            # over the last N posture frames (Individual::
+            # calculate_previous_vector, Individual.cpp:2296-2349)
+            direction = ind.calculate_previous_vector(frame, smoothing)
+        else:
+            prev = ind.posture[-1] if ind.posture else None
+            if prev is not None and prev.midline is not None:
+                d = prev.midline.midline_direction(
+                    settings["midline_stiff_percentage"])
+                direction = -d  # head-pointing
         jobs.append((ind, basic, direction))
 
     def work(job):

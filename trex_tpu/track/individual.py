@@ -172,6 +172,28 @@ class Individual:
         self._posture_by_frame[stuff.frame] = len(self.posture)
         self.posture.append(stuff)
 
+    def calculate_previous_vector(self, frame: int, n: int):
+        """Mean unit direction of the midline angles over the last `n`
+        posture frames before `frame`, normalized — the
+        posture_direction_smoothing movement vector
+        (Individual::calculate_previous_vector,
+        Individual.cpp:2296-2349). None when no samples exist."""
+        dirs = []
+        for p in reversed(self.posture):
+            if p.frame >= frame:
+                continue
+            if p.frame < frame - n:
+                break
+            a = p.midline_angle
+            if p.midline is None or not math.isfinite(a):
+                continue
+            dirs.append((math.cos(a), math.sin(a)))
+        if not dirs:
+            return None
+        d = np.mean(dirs, axis=0)
+        nv = float(np.hypot(*d))
+        return d / nv if nv > 0 else None
+
     def remove_after(self, frame: int):
         """Drop all data at frames >= frame (used by re-tracking)."""
         # formerly-manual frames past the cut must not keep forcing the

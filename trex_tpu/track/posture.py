@@ -642,6 +642,33 @@ def _normalize_resample(segments: np.ndarray,
     return np.asarray(reduced, np.float32)
 
 
+def fixed_midline_points(mid: Midline, fix_length: float,
+                         resolution: int) -> Optional[np.ndarray]:
+    """Canonical-pose midline (Individual::fixed_midline,
+    Individual.cpp:507-522 → Midline::normalize(fix_length),
+    Outline.cpp:1396-1430): resample to `resolution` points, translate
+    the tail end to the origin, rotate the chord onto +x, and scale the
+    whole polyline to `fix_length` so the data is comparable across
+    frames (output_normalize_midline_data)."""
+    pts = _normalize_resample(mid.segments, resolution)
+    if pts is None:
+        pts = mid.normalize_points(resolution)
+    pts = np.asarray(pts, np.float64)
+    if len(pts) < 2:
+        return None
+    pts = pts - pts[-1]  # tail (last point) at the origin
+    chord = pts[0] - pts[-1]
+    ang = math.atan2(chord[1], chord[0])
+    c, s_ = math.cos(-ang), math.sin(-ang)
+    rot = np.array([[c, -s_], [s_, c]])
+    pts = pts @ rot.T
+    d = np.hypot(*np.diff(pts, axis=0).T)
+    total = float(d.sum())
+    if total > 0 and fix_length > 0:
+        pts *= fix_length / total
+    return pts.astype(np.float32)
+
+
 def _post_process(mid: Midline, settings, movement_direction=None):
     """Midline::post_process (Outline.cpp:890-1010): orientation fix
     toward previous movement + stiff-part straightening."""
