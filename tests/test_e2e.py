@@ -351,3 +351,61 @@ def test_color_pv_retrack_matches_convert(tmp_path):
             # thresholds may flip borderline pixels
             assert set(ret) == set(conv)
             assert all(len(v) == 10 for v in ret.values())
+
+
+def test_correct_luminance_evens_out_gradient(tmp_path):
+    """correct_luminance (grabber default_config.cpp:128): a dark blob
+    in the dim corner of a gradient-lit arena is missed by the plain
+    threshold but detected once the LuminanceGrid evens the lighting;
+    the corrected average also lands in the pv header."""
+    import cv2
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.pv import PVFile
+    from trex_tpu.pipeline import Segmenter
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    # strong horizontal lighting gradient: 60 (left) -> 230 (right)
+    grad = np.tile(np.linspace(60, 230, 128).astype(np.uint8), (96, 1))
+    for i in range(8):
+        img = grad.copy()
+        # moving blob, 35 counts darker than the LOCAL background in
+        # the dim left region: weak for a threshold tuned globally,
+        # strong after per-cell correction scales the dim side up
+        y0 = 20 + i * 6
+        img[y0:y0 + 12, 8:26] = np.maximum(
+            grad[y0:y0 + 12, 8:26] - 35, 0)
+        cv2.imwrite(str(d / f"g_{i:03d}.png"), img)
+
+    def run(correct):
+        s = reset_global_settings()
+        # threshold 50 > the blob's raw 35-count difference: only the
+        # corrected path (dim side scaled up ~2.2x -> diff ~77) finds it
+        for k, v in dict(track_threshold=50, detect_threshold=50,
+                         detect_threshold_is_absolute=True,
+                         track_threshold_is_absolute=True,
+                         track_size_filter=[[30, 900]],
+                         track_max_speed=500, cm_per_pixel=1.0,
+                         frame_rate=25, average_samples=4,
+                         track_max_individuals=4).items():
+            s.set(k, v)
+        s.set("correct_luminance", bool(correct))
+        out = tmp_path / f"lum_{int(correct)}.pv"
+        Segmenter(s, str(d / "g_%03d.png"), out, track=False).run()
+        with PVFile.open(out) as f:
+            counts = [f.read_frame(i).n for i in range(len(f))]
+            avg = f.header.average
+        return counts, avg
+
+    counts_off, avg_off = run(False)
+    counts_on, avg_on = run(True)
+    # the dim-corner blob is invisible without correction ...
+    assert sum(counts_off) <= 1
+    # ... and found in (nearly) every frame with it
+    assert sum(counts_on) >= 6
+    # corrected average is flatter than the raw gradient
+    flat = lambda a: np.std(  # noqa: E731
+        a.astype(float).mean(axis=2) if a.ndim == 3 else a.astype(float))
+    assert flat(avg_on) < flat(avg_off) * 0.6

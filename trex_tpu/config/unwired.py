@@ -36,7 +36,6 @@ UNWIRED: dict[str, tuple] = {
     'blur_difference': ('registered-compat',),
     'categories_train_min_tracklet_length': ('registered-compat',),
     'correct_illegal_lines': ('registered-compat',),
-    'correct_luminance': ('registered-compat',),
     'crop_window': ('registered-compat',),
     'data_prefix': ('registered-compat',),
     'debug_recognition_output_all_methods': ('registered-compat',),

@@ -438,6 +438,8 @@ class LuminanceGrid:
     toward the global mean before thresholding (correct_luminance)."""
 
     def __init__(self, background: np.ndarray, cells: int = 32):
+        if background.ndim == 3:  # luma drives the factors
+            background = background.mean(axis=2)
         h, w = background.shape[:2]
         self.cells = cells
         ch = max(1, h // cells)
@@ -457,7 +459,9 @@ class LuminanceGrid:
                                      interpolation=cv2.INTER_LINEAR)
 
     def correct(self, image: np.ndarray) -> np.ndarray:
-        return np.clip(image.astype(np.float32) * self.factor_map,
+        f = self.factor_map if image.ndim == 2 \
+            else self.factor_map[..., None]
+        return np.clip(image.astype(np.float32) * f,
                        0, 255).astype(np.uint8)
 
 
@@ -564,6 +568,20 @@ class Segmenter:
                 pv.set_metadata(self._metadata())
             return None
 
+        # correct_luminance (grabber default_config.cpp:128): even out
+        # badly lit backgrounds — the stored average and every acquired
+        # grayscale frame are corrected by the per-cell LuminanceGrid
+        # before detection and pv write. (The tracker-side call site is
+        # disabled in the reference snapshot; the grabber-side
+        # acquisition correction is the documented behavior wired here.)
+        lum_grid = None
+        if s["correct_luminance"] and self.background is not None:
+            lum_grid = LuminanceGrid(self.background)
+            self.background = lum_grid.correct(self.background)
+            if header.average is not None \
+                    and s["meta_encoding"] in ("gray", "grey", "rgb8"):
+                header.average = lum_grid.correct(header.average)
+
         self.tracker = select_tracker(
             s, self.background, self.need_individuals) if self.track \
             else None
@@ -580,10 +598,6 @@ class Segmenter:
             pv.set_metadata(self._metadata())
 
             undistort = undistort_maps
-            # NOTE: the reference constructs a LuminanceGrid but its
-            # correction call is disabled in the bg-subtraction path
-            # (BackgroundSubtraction.cpp:200-205, commented out) — we
-            # keep the component available but do not auto-apply it.
 
             encoding = s["meta_encoding"]
 
@@ -603,6 +617,8 @@ class Segmenter:
                     else:
                         img = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
                 img = preprocess_video_frame(img, s, undistort)
+                if lum_grid is not None:
+                    img = lum_grid.correct(img)
                 return img, color
 
             def produce(idx):
