@@ -340,3 +340,29 @@ def test_auto_tags_roundtrip_through_results(tmp_path):
     assert 2 in t2.loaded_tags
     b3 = tracker.individuals[0].basic_stuff(3)
     assert t2.loaded_tags[2][3] == (int(b3.blob.blob_id), 1.0)
+
+
+def test_resort_ranges_coverage_driven():
+    """Coverage-driven range ordering (Accumulation.cpp resort_ranges
+    :1207-1292): lowest surrounding uniqueness first, trained-range
+    overlaps last, far ties beat near ties."""
+    from trex_tpu.ml.accumulation import resort_ranges
+
+    trained = [(0, 99)]
+    analysis = (0, 1000)
+    # per-frame uniqueness: strong around frame 300, weak around 700
+    unique_map = {f: 0.95 for f in range(250, 360)}
+    unique_map.update({f: 0.20 for f in range(650, 760)})
+    cands = [(280, 320), (680, 720), (40, 80)]
+    out = resort_ranges(cands, trained, unique_map, analysis)
+    # weakest-coverage candidate first; the overlap sorts last
+    assert out[0] == (680, 720)
+    assert out[-1] == (40, 80)
+    # without trained ranges the order is untouched (initial range is
+    # DatasetQuality's pick)
+    assert resort_ranges(cands, [], unique_map, analysis) == cands
+    # no uniqueness samples at all: every non-overlap ties at the top
+    # bucket; far-from-trained wins the tie
+    out2 = resort_ranges([(120, 160), (800, 840)], trained, {},
+                         analysis)
+    assert out2[0] == (800, 840)

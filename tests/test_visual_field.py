@@ -151,3 +151,71 @@ def test_visual_field_sparse_fish_ids():
     # fish 5's field should contain fish 9 somewhere (and vice versa)
     assert 9 in set(np.unique(fields["id0"][0]))
     assert 5 in set(np.unique(fields["id0"][1]))
+
+
+def test_visual_field_shapes_occlude():
+    """visual_field_shapes (VisualField.cpp:499-523): a user polygon
+    between two fish blocks their line of sight; the blocking object
+    appears in the id plane with the reference's pseudo-id
+    (uint32_max - 42 - shape_index)."""
+    from tests.test_visual_field import test_visual_field_sparse_fish_ids  # noqa
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.individual import (BasicStuff, Individual,
+                                           PostureStuff)
+    from trex_tpu.track.motion import MotionRecord
+    from trex_tpu.track.posture import Midline
+    from trex_tpu.track.visual_field import compute_visual_fields
+
+    s = reset_global_settings()
+    s.set("cm_per_pixel", 1.0)
+
+    def make_ind(fid, cx, angle):
+        ind = Individual(fid, s)
+        lines = np.array([[48 + r, cx - 4, cx + 4] for r in range(8)],
+                         np.int32)
+        blob = TrackBlob(lines, np.full(72, 80, np.uint8))
+        rec = MotionRecord.create(None, 0.0, float(cx), 52.0, 0.0)
+        ind._frames[0] = 0
+        ind.basic.append(BasicStuff(frame=0, blob=blob, centroid=rec))
+        segs = np.stack([np.linspace(cx + 3, cx - 3, 7),
+                         np.full(7, 4.0)], axis=1)
+        ml = Midline(segments=segs, heights=np.full(7, 4.0),
+                     len=6.0, angle=angle)
+        outline = np.array([[cx - 4, 48], [cx + 4, 48],
+                            [cx + 4, 55], [cx - 4, 55]], np.float32)
+        ind.add_posture(PostureStuff(frame=0, outline=outline,
+                                     midline=ml))
+        return ind
+
+    class _T:
+        pass
+
+    tracker = _T()
+    tracker.individuals = {5: make_ind(5, 30, math.pi),
+                           9: make_ind(9, 70, 0.0)}
+    tracker.background = np.full((100, 100), 200, np.uint8)
+
+    # without shapes the fish see each other
+    res = compute_visual_fields(tracker, 0, s)
+    bins_9_before = int((res[1]["id0"][0] == 9).sum())
+    assert bins_9_before > 0
+
+    # a tall wall between fish 5's eyes (x~58, synthetic midlines are
+    # image-coords) and fish 9's outline (x 66-74)
+    s.set("visual_field_shapes",
+          [[[60, 0], [64, 0], [64, 100], [60, 100]]])
+    res2 = compute_visual_fields(tracker, 0, s)
+    ids, fields = res2
+    pseudo = 4294967295 - 42
+    plane = fields["id0"][0]
+    wall_bins = plane == pseudo
+    bins_9_after = int((plane == 9).sum())
+    # the wall dominates fish 5's forward view: it claims more bins
+    # than the other fish retains, and hides most of fish 9 (the
+    # raycast is point-sampled, so a few angular pinholes remain)
+    assert wall_bins.sum() > bins_9_after
+    assert bins_9_after < bins_9_before / 2
+    # the wall's nearest approach is close to the eye; oblique rays
+    # run up/down the wall and report longer distances
+    assert fields["depth0"][0][wall_bins].min() <= 25.0

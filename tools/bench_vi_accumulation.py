@@ -18,10 +18,15 @@ import numpy as np
 
 
 def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
-                  side=16):
+                  side=16, uneven=False):
     """Synthetic tracked scenario: each identity is a textured square
     blob at a fixed lattice cell, present in `n_seg` tracklet segments
-    separated by gaps (so accumulation has ranges to choose from)."""
+    separated by gaps (so accumulation has ranges to choose from).
+
+    uneven=True drops HALF the identities from the first half of the
+    segments: the best-quality range no longer covers every identity,
+    which is exactly where coverage-driven range selection
+    (Accumulation.cpp:1523) beats plain DatasetQuality order."""
     from trex_tpu.config import global_settings
     from trex_tpu.track.blob import TrackBlob
     from trex_tpu.track.individual import Individual
@@ -44,6 +49,8 @@ def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
         x0 = 10 + gx * cell
         y0 = 10 + gy * cell
         for seg in range(n_seg):
+            if uneven and fid % 2 == 1 and seg < n_seg // 2:
+                continue  # odd identities invisible early in the video
             for k in range(frames_per_seg):
                 f = seg * seg_span + k
                 jx = int(rng.integers(-3, 4))
@@ -66,7 +73,8 @@ def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
     return tracker
 
 
-def run(n_id=100, max_epochs=6, max_tracklets=3):
+def run(n_id=100, max_epochs=6, max_tracklets=3, uneven=False,
+        order="coverage", seed=0):
     from trex_tpu.config import reset_global_settings
     from trex_tpu.ml import Accumulation
 
@@ -76,13 +84,16 @@ def run(n_id=100, max_epochs=6, max_tracklets=3):
     s.set("calculate_posture", False)
     s.set("gpu_max_epochs", max_epochs)
     s.set("accumulation_max_tracklets", max_tracklets)
-    tracker = build_tracker(n_id)
-    acc = Accumulation(tracker, s)
+    tracker = build_tracker(n_id, uneven=uneven, seed=seed)
+    acc = Accumulation(tracker, s,
+                       coverage_driven=(order == "coverage"))
     t0 = time.perf_counter()
     result = acc.start()
     wall = time.perf_counter() - t0
     return {
         "wall_s": round(wall, 1),
+        "order": order,
+        "uneven": bool(uneven),
         "final_uniqueness": round(result.final_uniqueness, 4),
         "steps": len(result.steps),
         "trained_ranges": len(result.trained_ranges),
@@ -93,7 +104,12 @@ def run(n_id=100, max_epochs=6, max_tracklets=3):
 
 
 def main():
-    out = run()
+    if "--ab" in sys.argv:
+        # A/B: coverage-driven vs linear order on uneven visibility
+        out = {o: run(n_id=24, max_epochs=4, max_tracklets=4, uneven=True, order=o)
+               for o in ("coverage", "linear")}
+    else:
+        out = run()
     print(json.dumps(out))
     return 0
 

@@ -85,7 +85,6 @@ UNWIRED: dict[str, tuple] = {
     'video_size': ('registered-compat',),
     'video_source': ('registered-compat',),
     'visual_field_history_smoothing': ('registered-compat',),
-    'visual_field_shapes': ('registered-compat',),
     'visual_identification_save_images': ('registered-compat',),
     'yolo_region_tracking_enabled': ('registered-compat',),
     'yolo_tracking_enabled': ('registered-compat',),

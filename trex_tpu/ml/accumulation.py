@@ -62,12 +62,65 @@ class AccumulationResult:
     success: bool = False
 
 
+def resort_ranges(candidates: list, trained: list, unique_map: dict,
+                  analysis_range: tuple) -> list:
+    """Coverage-driven ordering of the remaining candidate ranges
+    (Accumulation.cpp resort_ranges :1207-1292 /
+    assigned_unique_averages): for each candidate not overlapping an
+    already-trained range, average the CURRENT per-frame uniqueness
+    over a window of +-(analysis_length/10) around its center; the
+    candidate whose surroundings have the LOWEST predicted uniqueness
+    sorts first (train where the network is weakest). Scores bucketize
+    to steps of 5 like the reference; ties break toward ranges
+    FARTHEST (pow2-bucketed) from what was already used. Overlapping
+    candidates sort last."""
+    if not trained:
+        return list(candidates)
+    lo, hi = analysis_range
+    win = max(1, (hi - lo + 1) // 10)
+    rows = []
+    averages = {}
+    for rng in candidates:
+        overlaps = any(rng[0] <= t1 and t0 <= rng[1]
+                       for t0, t1 in trained)
+        if overlaps:
+            rows.append((None, 0, rng))
+            continue
+        center = rng[0] + (rng[1] - rng[0]) // 2
+        e0, e1 = max(lo, center - win), min(hi, center + win)
+        vals = [u for f, u in unique_map.items() if e0 <= f <= e1]
+        avg = float(np.mean(vals)) if vals else 0.0
+        averages[rng] = avg
+        gap = min(min(abs(rng[0] - t1), abs(t0 - rng[1]))
+                  for t0, t1 in trained)
+        rows.append((avg, 1 << max(0, int(gap)).bit_length(), rng))
+    if averages:
+        mn, mx = min(averages.values()), max(averages.values())
+    else:
+        mn = mx = 0.0
+    scored = []
+    for avg, gap_b, rng in rows:
+        if avg is None:
+            scored.append((-1.0, 0, rng))
+            continue
+        d = 100.0 - (((avg - mn) / (mx - mn)) * 100.0 if mx > mn else 0.0)
+        d = round(round(d) * 2.0 / 10.0) / 2.0 * 10.0
+        scored.append((d, gap_b, rng))
+    scored.sort(key=lambda t: (-t[0], -t[1], t[2]))
+    return [rng for _, _, rng in scored]
+
+
 class Accumulation:
     def __init__(self, tracker, settings, trainer=None,
-                 status_callback: Optional[Callable] = None):
+                 status_callback: Optional[Callable] = None,
+                 coverage_driven: bool = True):
         self.tracker = tracker
         self.settings = settings
         self.status_callback = status_callback
+        # coverage_driven=False keeps plain DatasetQuality order — the
+        # pre-reference-parity behavior, kept for A/B benchmarking
+        # (tools/bench_vi_accumulation.py --order linear)
+        self.coverage_driven = coverage_driven
         s = settings
         self.num_individuals = len(tracker.individuals)
         size = s["individual_image_size"]
@@ -169,12 +222,25 @@ class Accumulation:
             return result
         disc_images, map_indexes = self.generate_discrimination_data()
 
+        analysis_range = (self.tracker.start_frame,
+                          self.tracker.end_frame)
         trained: list[tuple] = []
         images = labels = None
         best_uniqueness = -1.0
         best_state = None
-        for step_i, rq in enumerate(ranges[:max_steps]):
-            rng = (rq.start, rq.end)
+        # candidate queue: DatasetQuality order seeds the FIRST range;
+        # afterwards each step re-ranks the remainder by predicted
+        # coverage — lowest surrounding uniqueness first
+        # (Accumulation.cpp:1523 update_meta_start_acc + resort_ranges)
+        candidates = [(rq.start, rq.end) for rq in ranges]
+        step_i = -1
+        while candidates and step_i + 1 < max_steps:
+            step_i += 1
+            if self.coverage_driven:
+                candidates = resort_ranges(candidates, trained,
+                                           result.uniqueness_map,
+                                           analysis_range)
+            rng = candidates.pop(0)
             imgs, labs = self._collect(rng)
             if len(imgs) < self.num_individuals * 2:
                 result.steps.append(AccumulationStep(

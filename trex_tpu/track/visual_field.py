@@ -94,11 +94,6 @@ def compute_visual_fields(tracker, frame: int, settings,
     if not ids:
         return None
     F = len(ids)
-    if F > 511:
-        # the raycast packs (depth, id) into (13 + 9)-bit keys
-        raise ValueError(
-            f"visual fields support at most 511 concurrent individuals "
-            f"(got {F}): the segment-min key packs ids into 9 bits")
     P = max_points_per_fish
     pts = np.zeros((F * P, 2), np.float32)
     pids = np.full(F * P, -1, np.int32)
@@ -116,19 +111,70 @@ def compute_visual_fields(tracker, frame: int, settings,
         valid[i * P : i * P + n] = True
     eye_pos = np.stack([e.pos for e in eyes])
     eye_angle = np.stack([e.angle for e in eyes])
+
+    # visual_field_shapes (VisualField.cpp:499-523): user polygons are
+    # view-blocking objects — their convex hulls enter the raycast as
+    # extra point groups with pseudo-ids F, F+1, ... (mapped below to
+    # the reference's uint32_max-42-j object_id scheme). The raycast is
+    # point-sampled, so each shape is tesselated ADAPTIVELY: spacing
+    # fine enough that the angular gap at the nearest eye stays under
+    # one FOV bin (the reference fills projected LINES; matching that
+    # fidelity needs spacing ~ distance * bin_angle). Shapes append to
+    # the flat arrays without the per-fish point cap.
+    bin_angle = math.radians(130.0) / FIELD_RESOLUTION
+    n_shapes = 0
+    extra_pts = []
+    for poly in (settings["visual_field_shapes"] or []):
+        poly = np.asarray(poly, np.float32).reshape(-1, 2)
+        if len(poly) < 3:
+            continue
+        try:
+            import cv2
+
+            hull = cv2.convexHull(poly).reshape(-1, 2).astype(np.float32)
+        except ImportError:  # pragma: no cover
+            hull = poly
+        cx, cy = hull.mean(axis=0)
+        half_diag = float(np.hypot(*(hull - (cx, cy)).T).max())
+        d_eyes = np.hypot(eye_pos[..., 0] - cx, eye_pos[..., 1] - cy)
+        min_d = max(1.0, float(d_eyes.min()) - half_diag)
+        spacing = float(np.clip(min_d * bin_angle * 0.9, 0.05, 5.0))
+        tess = tesselate_outline(hull, spacing)
+        if len(tess) > 20000:  # runaway guard for huge close shapes
+            tess = tess[np.linspace(0, len(tess) - 1, 20000).astype(int)]
+        extra_pts.append(tess)
+        n_shapes += 1
+    if F + n_shapes > 511:
+        # the raycast packs (depth, id) into (13 + 9)-bit keys
+        raise ValueError(
+            f"visual fields support at most 511 concurrent individuals "
+            f"+ shapes (got {F + n_shapes}): the segment-min key packs "
+            "ids into 9 bits")
+    if extra_pts:
+        pts = np.concatenate([pts] + extra_pts)
+        pids = np.concatenate(
+            [pids] + [np.full(len(t), F + j, np.int32)
+                      for j, t in enumerate(extra_pts)])
+        valid = np.concatenate(
+            [valid] + [np.ones(len(t), bool) for t in extra_pts])
     bg = tracker.background
     max_d = float(np.hypot(*bg.shape[:2])) if bg is not None else 1000.0
     out = visual_field(pts, pids, valid, eye_pos, eye_angle,
                        np.float32(max_d))
     out = {k: np.asarray(v) for k, v in out.items()}
-    # id planes come back as positional indices: map to real fish ids
+    # id planes come back as positional indices: map fish to real ids
+    # and shapes to the reference's pseudo-ids (uint32_max - 42 - j)
     ids_arr = np.asarray(ids, np.int64)
+    shape_base = np.int64(4294967295 - 42)
     for k in out:
         if k.startswith("id"):
             plane = out[k].astype(np.int64)
-            hit = (plane >= 0) & (plane < F)
-            out[k] = np.where(hit, ids_arr[np.clip(plane, 0, F - 1)],
-                              -1)
+            fish_hit = (plane >= 0) & (plane < F)
+            shape_hit = plane >= F
+            mapped = np.where(fish_hit,
+                              ids_arr[np.clip(plane, 0, F - 1)], -1)
+            out[k] = np.where(shape_hit, shape_base - (plane - F),
+                              mapped)
     return ids, out
 
 
