@@ -105,17 +105,19 @@ def test_blob_center():
     assert cy == pytest.approx(4.5)
 
 
-def test_jax_bgsub_matches_native():
-    from trex_tpu.ops.bgsub import subtract
-
+def test_native_bgsub_matches_numpy():
+    """The native labeler's background-subtraction semantics
+    (RawProcessing::generate_binary, BackgroundSubtraction.cpp:126-347):
+    |frame - bg| >= threshold keeps the frame value, blobs label the
+    nonzero survivors. (ops/bgsub.py was folded into ops/runcc's fused
+    mask — this pins the shared semantics at the labeling boundary.)"""
     rng = np.random.default_rng(1)
     bg = rng.integers(0, 255, (32, 48), np.uint8)
     img = rng.integers(0, 255, (32, 48), np.uint8)
-    out = np.asarray(subtract(img[None], bg, 25, absolute=True))[0]
-    expect = np.where(np.abs(img.astype(int) - bg.astype(int)) >= 25, img, 0)
-    np.testing.assert_array_equal(out, expect)
+    expect = np.where((np.abs(img.astype(int) - bg.astype(int)) >= 25)
+                      & (img > 0), img, 0).astype(np.uint8)
     blobs = label_blobs(img, bg, threshold=25, absolute=True)
-    _assert_matches_scipy(out, blobs)
+    _assert_matches_scipy(expect, blobs)
 
 
 def test_threshold_blob_native_matches_python_path():

@@ -18,15 +18,18 @@ import numpy as np
 
 
 def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
-                  side=16, uneven=False):
+                  side=16, uneven=False, drift=0.0):
     """Synthetic tracked scenario: each identity is a textured square
     blob at a fixed lattice cell, present in `n_seg` tracklet segments
     separated by gaps (so accumulation has ranges to choose from).
 
     uneven=True drops HALF the identities from the first half of the
-    segments: the best-quality range no longer covers every identity,
-    which is exactly where coverage-driven range selection
-    (Accumulation.cpp:1523) beats plain DatasetQuality order."""
+    segments: the best-quality range no longer covers every identity.
+    drift>0 shifts each identity's texture per segment (appearance
+    changes over the video): crops from adjacent ranges generalize
+    poorly to the far end — exactly where coverage-driven range
+    selection (Accumulation.cpp:1523, train where uniqueness is
+    weakest) beats plain DatasetQuality order."""
     from trex_tpu.config import global_settings
     from trex_tpu.track.blob import TrackBlob
     from trex_tpu.track.individual import Individual
@@ -51,6 +54,12 @@ def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
         for seg in range(n_seg):
             if uneven and fid % 2 == 1 and seg < n_seg // 2:
                 continue  # odd identities invisible early in the video
+            base = protos[fid]
+            if drift > 0:
+                # appearance drift: texture rolls + brightens with time
+                base = np.roll(base, seg, axis=1).astype(np.float64)
+                base = np.clip(base * (1.0 + drift * seg)
+                               + 10 * drift * seg, 0, 220)
             for k in range(frames_per_seg):
                 f = seg * seg_span + k
                 jx = int(rng.integers(-3, 4))
@@ -58,7 +67,7 @@ def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
                 lines = np.array(
                     [(y0 + jy + r, x0 + jx, x0 + jx + side - 1)
                      for r in range(side)], np.int32)
-                px = np.clip(protos[fid]
+                px = np.clip(base
                              + rng.integers(-15, 16, (side, side)),
                              0, 255).astype(np.uint8).reshape(-1)
                 ind.add(f, f / 25.0, TrackBlob(lines, px))
@@ -74,7 +83,8 @@ def build_tracker(n_id=100, frames_per_seg=40, n_seg=4, seed=0,
 
 
 def run(n_id=100, max_epochs=6, max_tracklets=3, uneven=False,
-        order="coverage", seed=0):
+        order="coverage", seed=0, n_seg=4, frames_per_seg=40,
+        drift=0.0):
     from trex_tpu.config import reset_global_settings
     from trex_tpu.ml import Accumulation
 
@@ -84,7 +94,9 @@ def run(n_id=100, max_epochs=6, max_tracklets=3, uneven=False,
     s.set("calculate_posture", False)
     s.set("gpu_max_epochs", max_epochs)
     s.set("accumulation_max_tracklets", max_tracklets)
-    tracker = build_tracker(n_id, uneven=uneven, seed=seed)
+    tracker = build_tracker(n_id, uneven=uneven, seed=seed,
+                            n_seg=n_seg, frames_per_seg=frames_per_seg,
+                            drift=drift)
     acc = Accumulation(tracker, s,
                        coverage_driven=(order == "coverage"))
     t0 = time.perf_counter()
@@ -105,8 +117,11 @@ def run(n_id=100, max_epochs=6, max_tracklets=3, uneven=False,
 
 def main():
     if "--ab" in sys.argv:
-        # A/B: coverage-driven vs linear order on uneven visibility
-        out = {o: run(n_id=24, max_epochs=4, max_tracklets=4, uneven=True, order=o)
+        # A/B: coverage-driven vs linear order on a drifting-appearance
+        # uneven-visibility scenario (many candidate ranges)
+        out = {o: run(n_id=24, max_epochs=4, max_tracklets=3,
+                      uneven=True, drift=0.35, n_seg=8,
+                      frames_per_seg=20, order=o)
                for o in ("coverage", "linear")}
     else:
         out = run()
