@@ -307,6 +307,12 @@ def component_stats(labels: jax.Array, image: jax.Array,
                     max_blobs: int = 256):
     """Fixed-capacity per-component statistics from a label image.
 
+    PRECONDITION: labels must be CANONICAL first-pixel linear indices
+    — a component's label equals the flat position of its first pixel
+    (what label_components produces). Any other convention (e.g.
+    scipy's 1..n) yields zero representatives and therefore zero
+    blobs, silently.
+
     Returns dict with 'ids' (max_blobs, canonical label or -1), 'count',
     'sum_x', 'sum_y', 'sum_value' — padded device tensors ready for the
     downstream matching math.

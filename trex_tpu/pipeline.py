@@ -76,44 +76,23 @@ def _accelerator_healthy(timeout_s: float = 30.0) -> bool:
     if not ok and rc is not None and rc != 3:
         # a FAST nonzero exit (not the rc-3 "no accelerator", not a
         # timeout) usually means the runtime holds the device
-        # exclusively per process and the child could not acquire it
-        # — so if THIS process already has a live non-CPU backend,
-        # probe it in-process instead. A TIMED-OUT subprocess (rc
-        # None) means the device stalls; no in-process fallback runs
-        # there, because its thread would park inside the runtime's
-        # C++ and abort interpreter teardown (the failure mode the
-        # subprocess design exists to avoid).
-        try:
-            from jax._src import xla_bridge as _xb
-
-            inited = bool(getattr(_xb, "_backends", {}))
-        except Exception:  # noqa: BLE001
-            inited = False
-        if inited:
-            import threading
-
-            import jax
-
-            devs = jax.devices()
-            if devs and devs[0].platform != "cpu":
-                got: list = []
-
-                def probe():
-                    try:
-                        import jax.numpy as jnp
-
-                        x = jnp.ones((64, 64))
-                        jax.device_get(x @ x)
-                        got.append(True)
-                    except Exception:  # noqa: BLE001
-                        pass
-
-                t = threading.Thread(target=probe, daemon=True)
-                t.start()
-                t.join(timeout_s)
-                ok = bool(got)
+        # exclusively per process and the child could not acquire it.
+        # Report healthy ONLY on hard evidence the device is live in
+        # THIS process: a prior successful device computation recorded
+        # via note_device_compute_ok(). No in-process device_get probe
+        # runs here — a probe thread parked inside the runtime's C++
+        # on a stalled tunnel aborts interpreter teardown (the failure
+        # mode the subprocess design exists to avoid; ADVICE r4 #1).
+        ok = bool(_device_health.get("compute_ok"))
     _device_health["ok"] = ok
     return ok
+
+
+def note_device_compute_ok():
+    """Record that this process completed a device computation —
+    evidence _accelerator_healthy may use when a probe subprocess
+    fails fast (exclusive-device runtimes)."""
+    _device_health["compute_ok"] = True
 
 
 def select_tracker(settings: Settings, background,

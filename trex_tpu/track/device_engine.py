@@ -375,6 +375,11 @@ class DeviceTracker:
             aux = make_aux(self._carry_vec, t_pad, f_pad)
             vec = self._resilient_get(lambda: scan_packed(
                 jnp.asarray(packed), jnp.asarray(aux), self.P, B, R))
+            # hard evidence the device is live in THIS process —
+            # feeds _accelerator_healthy's no-probe fallback
+            from ..pipeline import note_device_compute_ok
+
+            note_device_compute_ok()
             hist, carry_rows = unpack_result(vec, T, self.P)
             flags = hist["needs_host"][:span]
             stop = int(np.argmax(flags)) if flags.any() else len(flags)
