@@ -162,15 +162,20 @@ def bench_tracking_device():
     name = ""
     for _ in range(3):
         dt, tracker = run()
+        if getattr(tracker, "demoted", False):
+            # the engine fell back to the host mid-run (degraded
+            # tunnel): that wall time measures the outage, not the
+            # device — a demoted sample must never become the
+            # recorded/cached device number
+            raise RuntimeError(
+                "device engine demoted mid-run (degraded tunnel)")
         fps = len(frames) / dt
         if fps > best:
             best = fps
             n_tracked = np.mean([st.number_fish for st in
                                  tracker.statistics.values()])
             assists = len(tracker.assist_frames)
-            name = type(tracker).__name__ + (
-                "(demoted)" if getattr(tracker, "demoted", False)
-                else "")
+            name = type(tracker).__name__
     return best, n_tracked, assists, name
 
 
@@ -206,6 +211,9 @@ def bench_tracking_device_variant(mode="automatic", posture=False,
     best, assists, nposture = 0.0, 0, 0
     for _ in range(repeats):
         dt, tracker = run()
+        if getattr(tracker, "demoted", False):
+            raise RuntimeError(
+                "device engine demoted mid-run (degraded tunnel)")
         if len(frames) / dt > best:
             best = len(frames) / dt
             assists = len(tracker.assist_frames)
@@ -249,6 +257,9 @@ def bench_tracking_device_crowded():
     best, assists = 0.0, 0
     for _ in range(2):
         dt, tracker = run()
+        if getattr(tracker, "demoted", False):
+            raise RuntimeError(
+                "device engine demoted mid-run (degraded tunnel)")
         if len(frames) / dt > best:
             best = len(frames) / dt
             assists = len(tracker.assist_frames)
