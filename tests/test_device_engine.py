@@ -317,8 +317,11 @@ def test_device_engine_decay_matches_fast():
 
 
 def test_device_engine_decay_gap_reactivation():
-    """A fish vanishing for a few frames (chain break) must flag the
-    frames for host replay and still match the host engine."""
+    """A fish vanishing for a few frames (chain break) stays on-device:
+    the carry's accumulated chain walk (dacc) reproduces the host's
+    exact scalar estimate over the gap, so the history matches with no
+    replay (round 5: gap frames previously ALL deferred to the host —
+    the bulk of crowded-scene deferral)."""
     n = 3
     s = _settings(n)
     s.set("track_speed_decay", 0.7)
@@ -333,7 +336,8 @@ def test_device_engine_decay_gap_reactivation():
     host = _host(frames, bg, s)
     dev = _track_device_blobs(frames, bg, s)
     _compare_history(host, dev, len(frames))
-    assert dev.assist_frames, "expected host assists around the gap"
+    assert len(dev.assist_frames) <= 2, (
+        "gap frames should track in-graph now", dev.assist_frames)
 
 
 def test_auto_promotes_to_device_on_healthy_accelerator(monkeypatch):

@@ -89,16 +89,18 @@ def _decay_f64(win: np.ndarray, frame: int, cm_per_pixel: float,
                       0.0)
     accd_y = np.where(nrm_a > 0, acc_y / np.where(nrm_a > 0, nrm_a, 1.0),
                       0.0)
-    simple = prev == frame - 1
     step = st[:, -1]
-    ok = simple & (counts > 0)
+    # first-term-only twin (weight 1): the accumulated chain walk for
+    # gap frames lives in the carry's dacc section and is validated
+    # separately (test_decay_chain_walk_accumulation)
+    ok = counts > 0
     last_x = x[:, -1]
     last_y = y[:, -1]
     est_x = np.where(ok, last_x + step * speed
                      * (dir_x + step * accd_x), last_x)
     est_y = np.where(ok, last_y + step * speed
                      * (dir_y + step * accd_y), last_y)
-    need_host = bad | (~simple & (counts > 0))
+    need_host = bad
     return est_x, est_y, need_host
 
 
@@ -175,7 +177,7 @@ def test_decay_est_err_bound_covers():
         win64 = _random_windows(rng, 256, frame,
                                 P.max_speed / P.cm_per_pixel)
         win32 = np.float32(win64)
-        ex32, ey32, bad32, err = _decay_estimates(
+        ex32, ey32, bad32, err, _ = _decay_estimates(
             jnp.asarray(win32), frame, P)
         ex32 = np.float64(np.asarray(ex32))
         ey32 = np.float64(np.asarray(ey32))
@@ -320,10 +322,11 @@ def test_match_min_probability_boundary(match_mode):
 
 def test_deferral_rate_bounded():
     """The knife-edge guards must not blow up the host-replay rate: on
-    a 24-fish overlap-heavy stress scene the decay-path deferral stays
-    within a few points of the pre-guard baseline (28-34%; the bulk is
-    the pre-existing chain-break replay). The first-cut bound deferred
-    85% of automatic-mode frames — this pins the regression."""
+    a 24-fish overlap-heavy stress scene the decay-path deferral sits
+    at 10% (automatic) / 5% (approximate) after the round-5 in-graph
+    chain walk (dacc) removed the gap-frame replay that dominated the
+    pre-guard 28-34% baseline. The first-cut error bound deferred 85%
+    of automatic-mode frames — this pins both regressions."""
     from trex_tpu.ops.device_tracker import track_video_device
 
     rng = np.random.default_rng(0)
@@ -342,7 +345,7 @@ def test_deferral_rate_bounded():
     bg = np.full((size, size), 200, np.uint8)
     caps = dict(max_runs=2048, max_pixels=32768, max_blobs=64,
                 max_child_runs=512, max_children=32)
-    for mode, cap in (("automatic", 0.48), ("approximate", 0.50)):
+    for mode, cap in (("automatic", 0.18), ("approximate", 0.12)):
         s = _boundary_settings(mode)
         s.set("track_max_individuals", n_fish)
         hist = track_video_device(video, bg, s, **caps)
@@ -381,3 +384,123 @@ def test_tmax_boundary_flags():
     assert bool(np.asarray(hist["needs_host"])[probe])
     # frames well inside the cut don't flag on the t_max band
     assert not bool(np.asarray(hist["needs_host"])[probe - 3])
+
+
+def test_decay_chain_walk_accumulation():
+    """The carry's accumulated chain walk (dacc) must reproduce the
+    host's exact f64 scalar walk (window_estimate_scalar) within the
+    accumulated error column: simulate a fish unassigned for g frames
+    using the scan's exact f32 recurrence (shared global timeline, as
+    in the engine) and compare against the f64 walk for every
+    intermediate query frame."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_tracker import (EPS32, _decay_estimates,
+                                             params_from_settings)
+    from trex_tpu.track.cache_batch import window_estimate_scalar
+
+    s = reset_global_settings()
+    s.set("track_max_individuals", 4)
+    s.set("track_max_speed", 300)
+    s.set("cm_per_pixel", 1.0)
+    s.set("track_speed_decay", 0.7)
+    s.set("frame_rate", 25)
+    P = params_from_settings(s)
+    lam = np.float32(P.decay_lambda)
+    frame0 = 1000
+    W = 7
+    worst = 0.0
+    checked = 0
+    for seed in range(8):
+        rng = np.random.default_rng(100 + seed)
+        nF = 64
+        # ONE global timeline shared by every fish (engine contract)
+        n_steps = W + 9
+        dts = np.exp(rng.uniform(np.log(4e-3), np.log(0.9), n_steps))
+        t0 = np.exp(rng.uniform(0.0, np.log(3600.0)))
+        fgrid = np.arange(frame0 - W - 1, frame0 + 9)
+        tgrid = t0 + np.concatenate([[0.0], np.cumsum(dts)])
+        frame_times = {int(f): float(t) for f, t in zip(fgrid, tgrid)}
+        win64 = np.zeros((nF, W, 5))
+        win64[:, :, 0] = -1e9
+        max_speed_px = P.max_speed / P.cm_per_pixel
+        for i in range(nF):
+            n = int(rng.integers(2, W + 1))
+            frames = np.arange(frame0 - n, frame0)
+            times = np.array([frame_times[int(f)] for f in frames])
+            scale = np.exp(rng.uniform(0.0, np.log(1e4)))
+            speed_scale = np.exp(rng.uniform(
+                np.log(0.05), np.log(max_speed_px * 1.2)))
+            pos = np.empty((n, 2))
+            pos[0] = scale * rng.uniform(0.5, 1.0, 2)
+            v = rng.normal(0, speed_scale, 2)
+            for k in range(1, n):
+                v = v + rng.normal(0, 0.3 * speed_scale, 2)
+                pos[k] = pos[k - 1] + v * (times[k] - times[k - 1])
+            if rng.random() < 0.5:
+                pos = np.float64(np.float32(pos))
+            sts = np.empty(n)
+            for k, f in enumerate(frames):
+                sts[k] = frame_times[int(f)] - frame_times[int(f) - 1]
+            win64[i, W - n:, 0] = frames
+            win64[i, W - n:, 1] = pos[:, 0]
+            win64[i, W - n:, 2] = pos[:, 1]
+            win64[i, W - n:, 3] = times
+            win64[i, W - n:, 4] = sts
+        win32 = np.float32(win64)
+
+        dacc = np.zeros((nF, 3), np.float32)
+        prev_t = np.float32(frame_times[frame0 - 1])
+        for g in range(1, 6):
+            frame = frame0 + g - 1  # the step being processed
+            time = np.float32(frame_times[frame])
+            # f32 recurrence exactly as the scan computes it
+            _, _, _, _, motion = _decay_estimates(
+                jnp.asarray(win32), frame, P, jnp.asarray(dacc))
+            j = np.float32(frame - (frame0 - 1) + 1)
+            gstep = np.float32(time - prev_t)
+            w = np.float32((1.0 + lam) / (1.0 + lam * max(1.0, j)))
+            speed = np.float32(np.asarray(motion["speed"]))
+            dx = np.float32(np.asarray(motion["dir_x"]))
+            dy = np.float32(np.asarray(motion["dir_y"]))
+            ax = np.float32(np.asarray(motion["accd_x"]))
+            ay = np.float32(np.asarray(motion["accd_y"]))
+            counts = np.asarray(motion["counts"])
+            kx = w * gstep * speed * (dx + gstep * ax)
+            ky = w * gstep * speed * (dy + gstep * ay)
+            disp_t = np.abs(w * gstep) * speed * (1.0 + np.abs(gstep))
+            kerr = disp_t * (np.float32(np.asarray(motion["vel_rel"]))
+                             + np.abs(gstep)
+                             * np.float32(np.asarray(motion["acc_rel"]))
+                             + np.float32(
+                                 np.asarray(motion["speed_rel"]))
+                             + np.float32(16.0 * EPS32)) \
+                + np.float32(8.0 * EPS32) * (np.abs(kx) + np.abs(ky)
+                                             + 1e-30)
+            can = counts > 0
+            dacc[can, 0] += kx[can]
+            dacc[can, 1] += ky[can]
+            dacc[can, 2] += kerr[can]
+            prev_t = time
+
+            # exact f64 walk for the NEXT query (frame + 1)
+            query = frame + 1
+            ex32, ey32, _, err32, _ = _decay_estimates(
+                jnp.asarray(win32), query, P, jnp.asarray(dacc))
+            ex32 = np.float64(np.asarray(ex32))
+            ey32 = np.float64(np.asarray(ey32))
+            err32 = np.float64(np.asarray(err32))
+            for r in range(nF):
+                if not can[r]:
+                    continue
+                hx, hy = window_estimate_scalar(
+                    win64[r][:, :4], -(10 ** 9), query, 0.0,
+                    frame_times, s)
+                diff = max(abs(ex32[r] - hx), abs(ey32[r] - hy))
+                assert diff <= err32[r] + 1e-12, (
+                    seed, g, r, diff, err32[r])
+                if err32[r] > 0:
+                    worst = max(worst, diff / err32[r])
+                checked += 1
+    assert checked > 500, checked
+    assert worst < 0.95, worst

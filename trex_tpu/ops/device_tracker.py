@@ -162,22 +162,34 @@ def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
     if P.do_decay:
         win = jnp.zeros((F, DECAY_WIN, 5))
         c["win"] = win.at[:, :, 0].set(-1e9)
+        # accumulated decay-walk displacement for chain-broken fish
+        # [dx, dy, |err| bound]; zeroed on every assignment
+        c["dacc"] = jnp.zeros((F, 3))
     return c
 
 
-def _decay_estimates(win: jax.Array, frame, P: TrackParams):
+def _decay_estimates(win: jax.Array, frame, P: TrackParams,
+                     dacc: jax.Array = None):
     """In-graph decay-extrapolated positions over the carry's
     (F, W, 5) windows [frame, x, y, time, global step] — the port of
-    cache_batch.window_motion's consecutive-window path (Individual.
-    cpp:1940-2025). Returns (est_x, est_y, need_host, est_err):
-    need_host marks fish whose window has chain breaks (invalid pairs)
-    or a frame gap before the estimate — the exact scalar walk runs
-    host-side via the assist replay. est_err is a first-order bound on
-    |est_f32 - est_f64| (the host replay computes the same chain in
-    f64): the matching pass widens its match_min_probability deferral
-    band by slope * est_err so no boundary edge is decided on-device
-    when the f32 carry could sit on the other side of the host's f64
-    value (validated empirically by tests/test_match_boundary.py)."""
+    cache_batch.window_motion / window_estimate_scalar (Individual.
+    cpp:1940-2025). Returns (est_x, est_y, need_host, est_err,
+    motion): need_host marks fish whose window has chain breaks
+    (invalid pairs) — the exact scalar walk runs host-side via the
+    assist replay. Fish with a frame GAP before the estimate no
+    longer defer: their decay walk over the skipped frames is
+    accumulated incrementally in the carry's `dacc` section (one term
+    per scan step while unassigned, exactly the host scalar loop's
+    per-frame weights (1+lam)/(1+lam*j)), and `est = last + first
+    term + dacc`. est_err is a first-order bound on |est_f32 -
+    est_f64| (the host replay computes the same chain in f64),
+    including the accumulated walk's error (dacc[:, 2]): the matching
+    pass widens its match_min_probability deferral band by slope *
+    est_err so no boundary edge is decided on-device when the f32
+    carry could sit on the other side of the host's f64 value
+    (validated empirically by tests/test_match_boundary.py). `motion`
+    carries (speed, dir, accd, counts, rel-error) terms the scan step
+    uses to extend dacc for still-unassigned fish."""
     wf = win[:, :, 0]
     prev = wf[:, -1]
     valid = (wf > -1e8) & (wf >= (prev - 6)[:, None])
@@ -231,16 +243,21 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
     nrm_a = jnp.hypot(acc_x, acc_y)
     accd_x = jnp.where(nrm_a > 0, acc_x / nrm_a, 0.0)
     accd_y = jnp.where(nrm_a > 0, acc_y / nrm_a, 0.0)
-    simple = prev == frame - 1
     step = st[:, -1]
-    ok = simple & (counts > 0)
+    # first walk term (f' = prev, weight exactly 1 in both
+    # precisions); the terms for the skipped frames of chain-broken
+    # fish live in the accumulated dacc section
+    ok = counts > 0
     last_x = x[:, -1]
     last_y = y[:, -1]
     est_x = jnp.where(ok, last_x + step * speed
                       * (dir_x + step * accd_x), last_x)
     est_y = jnp.where(ok, last_y + step * speed
                       * (dir_y + step * accd_y), last_y)
-    need_host = bad | (~simple & (counts > 0))
+    if dacc is not None:
+        est_x = est_x + jnp.where(ok, dacc[:, 0], 0.0)
+        est_y = est_y + jnp.where(ok, dacc[:, 1], 0.0)
+    need_host = bad
 
     # --- f32-vs-f64 estimate error bound (first order) ---------------
     # Window POSITIONS are the f32 roundings of the host's f64 blob
@@ -294,7 +311,13 @@ def _decay_estimates(win: jax.Array, frame, P: TrackParams):
         disp * (vel_rel + jnp.abs(step) * acc_rel + speed_rel
                 + 16.0 * EPS32),
         0.0)
-    return est_x, est_y, need_host, est_err
+    if dacc is not None:
+        est_err = est_err + jnp.where(ok, dacc[:, 2], 0.0)
+    motion = dict(speed=speed, dir_x=dir_x, dir_y=dir_y,
+                  accd_x=accd_x, accd_y=accd_y, counts=counts,
+                  vel_rel=vel_rel, acc_rel=acc_rel,
+                  speed_rel=speed_rel)
+    return est_x, est_y, need_host, est_err, motion
 
 
 def _greedy_pass(Pmat, valid_b, taken_f, fish_of_blob, threshold):
@@ -367,14 +390,15 @@ def _scan_impl(det: dict, times: jax.Array,
         # distances AND the history-split fish positions measure from
         # these — Tracker.cpp fish_positions from cache.estimated_px)
         if P.do_decay:
-            est_x, est_y, dec_bad, est_err = _decay_estimates(
-                carry["win"], frame, P)
+            est_x, est_y, dec_bad, est_err, motion = _decay_estimates(
+                carry["win"], frame, P, carry["dacc"])
             est_x = jnp.where(dec_bad, carry["last_x"], est_x)
             est_y = jnp.where(dec_bad, carry["last_y"], est_y)
         else:
             est_x = carry["last_x"]
             est_y = carry["last_y"]
             dec_bad = None
+            motion = None
             # est = last f32-packed centroid: packing + one compare
             est_err = 2.0 * EPS32 * (jnp.maximum(
                 jnp.abs(est_x), jnp.abs(est_y)) + 1.0)
@@ -757,6 +781,38 @@ def _scan_impl(det: dict, times: jax.Array,
                 [carry["win"][:, 1:], entry[:, None, :]], axis=1)
             new_carry["win"] = jnp.where(got[:, None, None], shifted,
                                          carry["win"])
+            # chain-walk accumulation (window_estimate_scalar's loop,
+            # cache_batch.py:268-277, one term per unassigned frame):
+            # at the end of step f an unassigned fish adds the f'=f
+            # term w(j) * step * speed * (dir + step * accd) with
+            # j = f - prev + 1; assignment resets the accumulator (the
+            # next frame's walk restarts at the new window's st[-1]
+            # first term). The error column accumulates the same
+            # first-order bound the one-step estimate uses, scaled by
+            # the term's weight*step displacement, plus rounding of
+            # the accumulation adds themselves.
+            lam = jnp.float32(P.decay_lambda)
+            g = (time - prev_time).astype(jnp.float32)
+            j = (frame - carry["last_frame"] + 1).astype(jnp.float32)
+            w = (1.0 + lam) / (1.0 + lam * jnp.maximum(1.0, j))
+            kx = w * g * motion["speed"] * (motion["dir_x"]
+                                            + g * motion["accd_x"])
+            ky = w * g * motion["speed"] * (motion["dir_y"]
+                                            + g * motion["accd_y"])
+            disp_t = jnp.abs(w * g) * motion["speed"] \
+                * (1.0 + jnp.abs(g))
+            kerr = disp_t * (motion["vel_rel"]
+                             + jnp.abs(g) * motion["acc_rel"]
+                             + motion["speed_rel"] + 16.0 * EPS32) \
+                + 8.0 * EPS32 * (jnp.abs(kx) + jnp.abs(ky) + 1e-30)
+            can = has & (motion["counts"] > 0) & ~got
+            dacc = carry["dacc"]
+            new_dacc = jnp.stack([
+                jnp.where(can, dacc[:, 0] + kx, dacc[:, 0]),
+                jnp.where(can, dacc[:, 1] + ky, dacc[:, 1]),
+                jnp.where(can, dacc[:, 2] + kerr, dacc[:, 2])], axis=1)
+            new_carry["dacc"] = jnp.where(got[:, None],
+                                          jnp.zeros((F, 3)), new_dacc)
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
                    fish_row=fish_row, fish_child=fish_child,
@@ -852,8 +908,9 @@ def _track_vec_size(P: TrackParams) -> int:
     """Tracking-scan carry width (without the posture section)."""
     F = P.max_fish
     base = 5 * F + F * P.frame_rate + 3
-    # decay: trailing (F, WIN, 5) motion-window section
-    return base + (5 * DECAY_WIN * F if P.do_decay else 0)
+    # decay: trailing (F, WIN, 5) motion-window section + the (F, 3)
+    # accumulated chain-walk section [dx, dy, err]
+    return base + ((5 * DECAY_WIN + 3) * F if P.do_decay else 0)
 
 
 def _carry_to_vec_jnp(c: dict) -> jax.Array:
@@ -870,6 +927,7 @@ def _carry_to_vec_jnp(c: dict) -> jax.Array:
                    c["prev_time"].astype(jnp.float32)])]
     if "win" in c:
         parts.append(c["win"].astype(jnp.float32).reshape(-1))
+        parts.append(c["dacc"].astype(jnp.float32).reshape(-1))
     return jnp.concatenate(parts)
 
 
@@ -887,6 +945,9 @@ def carry_to_vec(carry) -> np.ndarray:
                     float(c["prev_time"])], np.float32)]
     if "win" in c:
         parts.append(c["win"].astype(np.float32).reshape(-1))
+        parts.append(np.asarray(
+            c.get("dacc", np.zeros((len(c["last_x"]), 3))),
+            np.float32).reshape(-1))
     if "posture_dir" in c:
         parts.append(c["posture_dir"].astype(np.float32).reshape(-1))
     return np.concatenate(parts)
@@ -917,6 +978,7 @@ def carry_from_vec_np(vec: np.ndarray, P: TrackParams) -> dict:
     if P.do_decay:
         out["win"] = take(5 * DECAY_WIN * F) \
             .reshape(F, DECAY_WIN, 5).astype(np.float64)
+        out["dacc"] = take(3 * F).reshape(F, 3).astype(np.float64)
     if P.do_posture:
         out["posture_dir"] = take(2 * F).reshape(F, 2) \
             .astype(np.float64)
@@ -950,6 +1012,7 @@ def _carry_from_vec(vec: jax.Array, P: TrackParams) -> dict:
         prev_time=tail[2])
     if P.do_decay:
         out["win"] = take(5 * DECAY_WIN * F).reshape(F, DECAY_WIN, 5)
+        out["dacc"] = take(3 * F).reshape(F, 3)
     return out
 
 

@@ -743,6 +743,36 @@ class DeviceTracker:
                 win[fids, -1, 3] = time
                 win[fids, -1, 4] = time - float(prev["prev_time"])
             c["win"] = win
+            # dacc (accumulated chain walk): assigned fish reset; for
+            # unassigned fish recompute the EXACT f64 walk up through
+            # this frame (full walk to query=frame+1 minus the first
+            # term = walk to query=prev+1), which also acts as an
+            # error barrier — the err column restarts at packing scale
+            from .cache_batch import window_estimate_scalar
+
+            dacc = prev.get("dacc", np.zeros((self.F, 3))).copy()
+            dacc[got] = 0.0
+            s = self.settings
+            for fi in np.flatnonzero(~got):
+                row = win[fi]
+                pf = row[row[:, 0] > -1e8]
+                if not len(pf):
+                    continue
+                prev_f = int(pf[-1, 0])
+                if prev_f >= frame:  # no gap to walk
+                    continue
+                lx, ly = float(pf[-1, 1]), float(pf[-1, 2])
+                fx, fy = window_estimate_scalar(
+                    row, -(10 ** 9), frame + 1, time,
+                    self.frame_times, s)
+                tx, ty = window_estimate_scalar(
+                    row, -(10 ** 9), prev_f + 1, time,
+                    self.frame_times, s)
+                dacc[fi, 0] = fx - tx
+                dacc[fi, 1] = fy - ty
+                dacc[fi, 2] = 4.0 * 1.1920929e-07 * (
+                    abs(dacc[fi, 0]) + abs(dacc[fi, 1]) + 1.0)
+            c["dacc"] = dacc
         if self.P.do_posture:
             c["posture_dir"] = eng._posture_dir[:self.F]
         self._carry_vec = carry_to_vec(c)
