@@ -111,3 +111,45 @@ def test_engine_posture_matches_object_tracker():
                     matched += 1
                     break
     assert matched >= 30, f"too few posture comparisons: {matched}"
+
+
+def test_peak_mode_broad_picks_widest_peak():
+    """peak_mode=broad: the tail is the WIDEST curvature peak
+    (Outline.cpp FIND_BROAD), not the sharpest. Shape: a drop-like
+    outline with one sharp spike and one broad bulge — pointy picks
+    the spike end, broad picks the bulge end."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.posture import (calculate_midline_from_outline,
+                                        peak_half_width,
+                                        periodic_curvature,
+                                        find_peak_indices)
+
+    s = reset_global_settings()
+    s.set("outline_smooth_samples", 0)
+    s.set("outline_approximate", 0)
+
+    # teardrop: broad circular end (left) + sharp point (right)
+    t = np.linspace(0, 2 * np.pi, 120, endpoint=False)
+    r = 10.0 + 6.0 * np.cos(t / 2.0) ** 8  # bulge near t=0
+    pts = np.stack([r * np.cos(t), 8.0 * np.sin(t)], 1)
+    pts += 50.0
+
+    rng = max(1, int(s["outline_curvature_range_ratio"] * len(pts)))
+    curv = periodic_curvature(pts, rng)
+    peaks = find_peak_indices(curv)
+    sharp = max(peaks, key=lambda i: curv[i])
+    broad = max(peaks, key=lambda i: (peak_half_width(curv, i),
+                                      curv[i]))
+    if sharp == broad:
+        import pytest
+
+        pytest.skip("synthetic shape produced one dominant peak")
+    m_pointy = calculate_midline_from_outline(pts, s)
+    s.set("peak_mode", "broad")
+    m_broad = calculate_midline_from_outline(pts, s)
+    assert m_pointy is not None and m_broad is not None
+    # the two modes anchor the midline at different ends
+    assert not np.allclose(m_pointy.segments[0], m_broad.segments[0],
+                           atol=2.0)

@@ -266,3 +266,31 @@ def test_posture_direction_smoothing_votes(tmp_path):
     # no posture -> None
     ind2 = Individual(1, s)
     assert ind2.calculate_previous_vector(5, 5) is None
+
+
+def test_data_prefix_export_subfolder(tmp_path):
+    """data_prefix: exports land under <output>/<data_prefix> instead
+    of the default 'data' (Export.cpp:189 DataLocation::parse)."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        import pytest
+
+        pytest.skip("fixture not available")
+    env = None
+    r = subprocess.run(
+        [sys.executable, "-m", "trex_tpu.cli.trex",
+         "-i", str(frames / "frame_%3d.jpg"), "-o", "t",
+         "-d", str(tmp_path), "-s",
+         "/root/reference/videos/test.settings",
+         "-task", "convert", "-nowindow", "-auto_quit",
+         "-video_conversion_range", "[0,6]",
+         "-data_prefix", "fishdata"],
+        capture_output=True, text=True, timeout=560, env=env)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert (tmp_path / "fishdata").is_dir(), r.stdout[-400:]
+    assert list((tmp_path / "fishdata").glob("t_fish*.csv"))
+    assert not (tmp_path / "data").exists()

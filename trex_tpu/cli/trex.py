@@ -160,7 +160,9 @@ def main(argv=None) -> int:
             print(f"[warn] cannot set {k!r}: {e}", file=sys.stderr)
 
     out_base = output_dir / prefix if prefix else output_dir
-    data_dir = out_base / "data"
+    # data_prefix: subfolder below the output dir for NPZ/CSV exports
+    # (Export.cpp:189-190 DataLocation::parse("output", data_prefix))
+    data_dir = out_base / str(s["data_prefix"] or "data")
 
     # log_file (default_config.cpp:788): tee stdout/stderr to a file
     log_path = str(s.get("log_file", "") or "").strip()

@@ -37,7 +37,6 @@ UNWIRED: dict[str, tuple] = {
     'categories_train_min_tracklet_length': ('registered-compat',),
     'correct_illegal_lines': ('registered-compat',),
     'crop_window': ('registered-compat',),
-    'data_prefix': ('registered-compat',),
     'debug_recognition_output_all_methods': ('registered-compat',),
     'detect_keypoint_format': ('registered-compat',),
     'detect_keypoint_names': ('registered-compat',),
@@ -49,14 +48,18 @@ UNWIRED: dict[str, tuple] = {
     'grabber_force_settings': ('registered-compat',),
     'huge_timestamp_seconds': ('registered-compat',),
     'image_square_brightness': ('registered-compat',),
-    'outline_use_dft': ('registered-compat',),
+    # outline_use_dft: the reference low-passes the curvature array
+    # via DFT before peak finding (Outline.cpp:1551-1563); this
+    # build's outline_smooth_samples smoothing plays that role and
+    # the combination is golden-validated — reproducing the DFT
+    # filter would change the validated default path
+    'outline_use_dft': ('absorbed-by-design',),
     'output_auto_detection_fields': ('registered-compat',),
     'output_auto_pose': ('registered-compat',),
     # output_frame_window is the GUI graph half-window (GUICache.cpp:
     # 1657-1691 display range) — no headless consumer in the reference
     # either (Export.cpp only saves/restores it around exports)
     'output_frame_window': ('gui-scope',),
-    'peak_mode': ('registered-compat',),
     'recognition_border_shrink_percent': ('registered-compat',),
     'recognition_coeff': ('registered-compat',),
     'recognition_save_progress_images': ('registered-compat',),

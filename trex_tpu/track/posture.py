@@ -374,6 +374,29 @@ def find_peak_indices(curv: np.ndarray) -> list[int]:
     return peaks.tolist()
 
 
+def peak_half_width(curv: np.ndarray, idx: int) -> int:
+    """Width of the curvature peak at `idx`: how many contiguous
+    points around it stay above half the peak value (the `broadest =
+    peak.range.length()` measure of Outline.cpp:683 for
+    peak_mode=broad)."""
+    n = len(curv)
+    half = curv[idx] * 0.5
+    w = 1
+    k = idx
+    for _ in range(n - 1):
+        k = (k - 1) % n
+        if curv[k] < half or k == idx:
+            break
+        w += 1
+    k = idx
+    for _ in range(n - 1):
+        k = (k + 1) % n
+        if curv[k] < half or k == idx:
+            break
+        w += 1
+    return w
+
+
 @dataclass
 class Midline:
     segments: np.ndarray = field(default_factory=lambda: np.zeros((0, 2)))
@@ -515,7 +538,10 @@ def calculate_midline_from_outline(points: np.ndarray, settings,
     L0 = len(points)
     if L0 < 3:
         return None
-    if not _force_python_chain:
+    if not _force_python_chain \
+            and str(s["peak_mode"] or "pointy") != "broad":
+        # the native chain implements the default pointy tail pick;
+        # peak_mode=broad routes through the python reference path
         try:
             return _midline_chain_native(points, s, movement_direction)
         except (OSError, AttributeError):
@@ -543,8 +569,14 @@ def calculate_midline_from_outline(points: np.ndarray, settings,
     peaks = find_peak_indices(curv)
     if not peaks:
         return None
-    # pointy mode: tail = highest-curvature peak
-    tail = max(peaks, key=lambda i: curv[i])
+    if str(s["peak_mode"] or "pointy") == "broad":
+        # broad mode: the tail is the WIDEST curvature peak, not the
+        # sharpest (Outline.cpp:527 FIND_BROAD + :683 broadest range)
+        tail = max(peaks, key=lambda i: (peak_half_width(curv, i),
+                                         curv[i]))
+    else:
+        # pointy mode: tail = highest-curvature peak
+        tail = max(peaks, key=lambda i: curv[i])
     # head = peak circularly farthest from the tail
     head = -1
     max_d = -1
