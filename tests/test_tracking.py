@@ -346,3 +346,39 @@ def test_recent_samples_window_breaks_at_gap():
     assert ind.recent_number_samples(37) == 4
     cache = ind.cache_for_frame(37, 37 / 25, times, start_frame=0)
     assert cache.time_probability == pytest.approx(0.7 * 0.75 + 0.25)
+
+
+def test_track_trusted_probability_breaks_tracklets():
+    """A first-pass match below track_trusted_probability starts a new
+    tracklet (Reasons::ProbabilityTooSmall, Individual.cpp:1221);
+    prob -1 (reactivation/creation) never breaks."""
+    from trex_tpu.track.individual import Individual
+
+    s = _settings()
+    s.set("track_trusted_probability", 0.5)
+    ind = Individual(0, s)
+    for f in range(3):
+        ind.add(f, f / 25, _blob_at(10 + f, 10), prob=0.9)
+    assert len(ind.tracklets) == 1
+    ind.add(3, 3 / 25, _blob_at(13, 10), prob=0.3)  # below trusted
+    assert len(ind.tracklets) == 2
+    ind.add(4, 4 / 25, _blob_at(14, 10), prob=-1.0)  # unknown: no break
+    assert len(ind.tracklets) == 2
+    assert ind.tracklets[-1] == [3, 4]
+
+
+def test_huge_timestamp_breaks_tracklets():
+    """tracklet_punish_timedelta x huge_timestamp_seconds
+    (Individual.cpp:1223): consecutive frames whose time delta exceeds
+    the huge threshold split the tracklet."""
+    from trex_tpu.track.individual import Individual
+
+    s = _settings()
+    s.set("tracklet_punish_timedelta", True)
+    s.set("huge_timestamp_seconds", 0.2)
+    ind = Individual(0, s)
+    ind.add(0, 0.0, _blob_at(10, 10), prob=0.9)
+    ind.add(1, 0.04, _blob_at(11, 10), prob=0.9)
+    assert len(ind.tracklets) == 1
+    ind.add(2, 0.5, _blob_at(12, 10), prob=0.9)  # 0.46 s > 0.2 s
+    assert len(ind.tracklets) == 2

@@ -46,7 +46,6 @@ UNWIRED: dict[str, tuple] = {
     'enable_difference': ('registered-compat',),
     'evaluate_thresholds': ('registered-compat',),
     'grabber_force_settings': ('registered-compat',),
-    'huge_timestamp_seconds': ('registered-compat',),
     'image_square_brightness': ('registered-compat',),
     # outline_use_dft: the reference low-passes the curvature array
     # via DFT before peak finding (Outline.cpp:1551-1563); this
@@ -79,7 +78,6 @@ UNWIRED: dict[str, tuple] = {
     'threshold_maximum': ('registered-compat',),
     'track_annotations': ('registered-compat',),
     'track_pause': ('registered-compat',),
-    'track_trusted_probability': ('registered-compat',),
     'tracklet_force_normal_color': ('registered-compat',),
     'tracklet_normalize': ('registered-compat',),
     'use_adaptive_threshold': ('registered-compat',),

@@ -688,6 +688,7 @@ def _scan_impl(det: dict, times: jax.Array,
                 | edge_boundary_marginal(Pmat, usable, bval, P.p_min,
                                          p_err=p_err)
         n_first = (fob >= 0).sum()
+        first_fob = fob  # first-pass assignments (real probabilities)
 
         # second pass: reactivation over centroids (engine
         # _reactivate_py formula, unclamped)
@@ -755,6 +756,16 @@ def _scan_impl(det: dict, times: jax.Array,
             jnp.where(fob >= 0, orig_of_b, -1))[:F]
         fish_child = jnp.zeros(F + 1, bool).at[fish_idx].set(
             (fob >= 0) & (orig_of_b >= B))[:F]
+        # assigned first-pass probability per fish (-1 for
+        # reactivations/creations, matching the host Tracker's
+        # prob-unknown sentinel): feeds the archive's
+        # track_trusted_probability tracklet break
+        bi = jnp.arange(Bfin)
+        pvals_b = jnp.where(
+            first_fob >= 0,
+            Pmat[jnp.clip(first_fob, 0, F - 1), bi], -1.0)
+        fish_prob = jnp.full(F + 1, -1.0).at[fish_idx].set(
+            jnp.where(first_fob >= 0, pvals_b, -1.0))[:F]
 
         seen = jnp.concatenate(
             [carry["seen"][:, 1:], got[:, None]], axis=1)
@@ -816,6 +827,7 @@ def _scan_impl(det: dict, times: jax.Array,
         out = dict(fish_x=new_carry["last_x"],
                    fish_y=new_carry["last_y"], fish_seen=got,
                    fish_row=fish_row, fish_child=fish_child,
+                   fish_prob=fish_prob,
                    n_assigned=n_first + n_react,
                    needs_host=needs_host,
                    # packed per-frame carry: the splice replay resumes
@@ -1025,6 +1037,7 @@ def _pack_result(hist: dict, final: dict, overflow,
         hist["fish_seen"].astype(jnp.float32).reshape(-1),
         hist["fish_row"].astype(jnp.float32).reshape(-1),
         hist["fish_child"].astype(jnp.float32).reshape(-1),
+        hist["fish_prob"].astype(jnp.float32).reshape(-1),
         hist["n_assigned"].astype(jnp.float32),
         (hist["needs_host"].astype(jnp.float32)
          + 2.0 * overflow.astype(jnp.float32)),
@@ -1061,10 +1074,12 @@ def unpack_result(vec: np.ndarray, T: int, P: TrackParams):
     seen = take(T * F).reshape(T, F) > 0.5
     fish_row = take(T * F).reshape(T, F).astype(np.int64)
     fish_child = take(T * F).reshape(T, F) > 0.5
+    fish_prob = take(T * F).reshape(T, F).astype(np.float64)
     n_assigned = take(T).astype(np.int64)
     flags = take(T)
     hist = dict(fish_x=fx, fish_y=fy, fish_seen=seen,
                 fish_row=fish_row, fish_child=fish_child,
+                fish_prob=fish_prob,
                 n_assigned=n_assigned,
                 needs_host=(flags % 2) >= 1,
                 detect_overflow=flags >= 2)

@@ -56,11 +56,19 @@ def build_individuals(tracker) -> dict:
     for frame in sorted(tracker.frame_archive):
         t = tracker.frame_times[frame]
         fids, blobs = tracker.frame_archive[frame]
+        # first-pass assignment probabilities feed the archive's
+        # track_trusted_probability tracklet break (-1 = unknown:
+        # reactivations/creations, like the object Tracker)
+        h = tracker.history.get(frame)
+        probs = {}
+        if h is not None:
+            probs = {int(fi): float(p)
+                     for fi, p in zip(h["fish"], h["prob"])}
         for fid, blob in zip(fids, blobs):
             ind = inds.get(fid)
             if ind is None:
                 ind = inds[fid] = Individual(int(fid), s)
-            ind.add(frame, t, blob)
+            ind.add(frame, t, blob, prob=probs.get(int(fid), -1.0))
         parch = tracker.posture_archive.get(frame)
         if not parch:
             continue

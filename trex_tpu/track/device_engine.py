@@ -53,6 +53,15 @@ def check_device_supported(settings) -> None:
             "(track_engine=object)")
 
 
+def _probs_for(h, fish) -> np.ndarray:
+    """Per-fid assignment probabilities from a helper history record
+    (-1 = unknown, the host Tracker's no-probability sentinel)."""
+    if h is None:
+        return np.full(len(fish), -1.0)
+    lut = {int(fi): float(p) for fi, p in zip(h["fish"], h["prob"])}
+    return np.array([lut.get(int(fi), -1.0) for fi in fish])
+
+
 class DeviceTracker:
     """FastTracker-compatible surface backed by the device scan."""
 
@@ -793,9 +802,7 @@ class DeviceTracker:
             "fish": fish.astype(np.int64),
             "x": eng.last_x[fish].copy(),
             "y": eng.last_y[fish].copy(),
-            "prob": (h["prob"] if h is not None
-                     and len(h["prob"]) == len(fish)
-                     else np.zeros(len(fish))),
+            "prob": _probs_for(h, fish),
         }
         self.statistics[frame] = eng.statistics[frame]
         self.n_fish = max(self.n_fish, eng.n_fish)
@@ -841,6 +848,7 @@ class DeviceTracker:
         fy = np.asarray(hist["fish_y"])
         seen = np.asarray(hist["fish_seen"])
         n_assigned = np.asarray(hist["n_assigned"])
+        fprob = np.asarray(hist["fish_prob"])
         for k in range(stop):
             f = int(frames[k])
             fid = np.flatnonzero(seen[k])
@@ -848,7 +856,7 @@ class DeviceTracker:
                 "fish": fid.astype(np.int64),
                 "x": fx[k, fid].astype(np.float64),
                 "y": fy[k, fid].astype(np.float64),
-                "prob": np.zeros(len(fid)),
+                "prob": fprob[k, fid].astype(np.float64),
             }
             self.statistics[f] = FrameStatistics(
                 number_fish=int(n_assigned[k]))

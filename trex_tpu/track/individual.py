@@ -118,7 +118,7 @@ class Individual:
         return b.centroid if b else None
 
     # ------------------------------------------------------------------
-    def add(self, frame: int, time: float, blob, prob: float = 0.0,
+    def add(self, frame: int, time: float, blob, prob: float = -1.0,
             manual: bool = False) -> BasicStuff:
         """Assign `blob` (TrackBlob) to this individual at `frame`."""
         if frame in self._frames:
@@ -136,23 +136,31 @@ class Individual:
         self._win[-1] = (frame, cx, cy, time)
         if manual:
             self.manual_frames.add(frame)
-        self._update_tracklets(frame, time)
+        self._update_tracklets(frame, time, prob)
         return stuff
 
-    def _update_tracklets(self, frame: int, time: float):
-        """Tracklet continuation rules (TrackletInformation + the
-        tracklet_* settings): break on gaps, huge time deltas
-        (tracklet_punish_timedelta), suspicious speeds
-        (tracklet_punish_speeding) and tracklet_max_length."""
+    def _update_tracklets(self, frame: int, time: float,
+                          prob: float = -1.0):
+        """Tracklet continuation rules (Individual::update_midlines
+        error_code, Individual.cpp:1212-1229): break on gaps, low
+        assignment probability (track_trusted_probability), huge time
+        deltas (tracklet_punish_timedelta x huge_timestamp_seconds),
+        suspicious speeds (tracklet_punish_speeding) and
+        tracklet_max_length."""
         s = self.settings
-        max_gap = s["track_max_reassign_time"]
         if self.tracklets and self.basic and len(self.basic) >= 2:
             prev = self.basic[-2]
             cur = self.basic[-1]
             consecutive = frame == prev.frame + 1
             ok = consecutive
+            # ProbabilityTooSmall: a match below the trusted level
+            # starts a new tracklet (prob -1 = no probability known)
+            if ok and prob != -1.0 \
+                    and prob < s["track_trusted_probability"]:
+                ok = False
             if ok and s["tracklet_punish_timedelta"] \
-                    and (time - prev.centroid.time) >= max_gap:
+                    and (time - prev.centroid.time) \
+                    >= s["huge_timestamp_seconds"]:
                 ok = False
             if ok and s["tracklet_punish_speeding"]:
                 cm = s["cm_per_pixel"] or 1.0
