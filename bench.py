@@ -557,17 +557,21 @@ def _device_section():
                     break
         emit()
 
+    # CHEAP kernels first: small programs compile in seconds through
+    # the relay, so even a short healthy tunnel window lands metrics
+    # in the cache before the multi-minute fused-engine compiles
+    # (observed 2026-08-20: windows of a few minutes between stalls)
+    for name, fn in (("vi_crops", bench_vi_crops),
+                     ("visual_fields", bench_visual_fields),
+                     ("yolo", bench_yolo_forward),
+                     ("device_detect", bench_device_detect),
+                     ("device_track", bench_device_track)):
+        measure(name, fn, min_s=90)
     measure("device_product",
             lambda: (lambda f, n, a, e: [f, float(n), a, e])(
                 *bench_tracking_device()), min_s=180)
     measure("device_crowded",
             lambda: list(bench_tracking_device_crowded()), min_s=150)
-    for name, fn in (("device_detect", bench_device_detect),
-                     ("device_track", bench_device_track),
-                     ("vi_crops", bench_vi_crops),
-                     ("visual_fields", bench_visual_fields),
-                     ("yolo", bench_yolo_forward)):
-        measure(name, fn, min_s=90)
     # heavy / new programs run LAST: their first compile through the
     # remote-compile relay can take many minutes, and the progressive
     # emit keeps everything above if the section times out
