@@ -26,14 +26,12 @@ UNWIRED: dict[str, tuple] = {
     'gpu_torch_no_fixes': ('torch-runtime',),
     'gpu_verbosity': ('torch-runtime',),
     # registered-compat (reference surface accepted+persisted, semantics not yet wired)
-    'adaptive_threshold_scale': ('registered-compat',),
     'approximate_length_minutes': ('registered-compat',),
     'auto_tags_on_startup': ('registered-compat',),
     'auto_train_dont_apply': ('registered-compat',),
     'auto_train_on_startup': ('registered-compat',),
     'blob_size_range': ('registered-compat',),
     'blobs_per_thread': ('registered-compat',),
-    'blur_difference': ('registered-compat',),
     'categories_train_min_tracklet_length': ('registered-compat',),
     'correct_illegal_lines': ('registered-compat',),
     'crop_window': ('registered-compat',),
@@ -43,10 +41,8 @@ UNWIRED: dict[str, tuple] = {
     'detect_pose_bbx': ('registered-compat',),
     'detect_resolution': ('registered-compat',),
     'detect_skeleton': ('registered-compat',),
-    'enable_difference': ('registered-compat',),
     'evaluate_thresholds': ('registered-compat',),
     'grabber_force_settings': ('registered-compat',),
-    'image_square_brightness': ('registered-compat',),
     # outline_use_dft: the reference low-passes the curvature array
     # via DFT before peak finding (Outline.cpp:1551-1563); this
     # build's outline_smooth_samples smoothing plays that role and
@@ -65,7 +61,6 @@ UNWIRED: dict[str, tuple] = {
     'recognition_smooth_amount': ('registered-compat',),
     'region_model': ('registered-compat',),
     'region_resolution': ('registered-compat',),
-    'reset_average': ('registered-compat',),
     'smooth_window': ('registered-compat',),
     'system_memory_limit': ('registered-compat',),
     'tags_approximation': ('registered-compat',),
@@ -80,10 +75,8 @@ UNWIRED: dict[str, tuple] = {
     'track_pause': ('registered-compat',),
     'tracklet_force_normal_color': ('registered-compat',),
     'tracklet_normalize': ('registered-compat',),
-    'use_adaptive_threshold': ('registered-compat',),
     'use_differences': ('registered-compat',),
     'video_reading_use_threads': ('registered-compat',),
-    'video_size': ('registered-compat',),
     'video_source': ('registered-compat',),
     'visual_field_history_smoothing': ('registered-compat',),
     'visual_identification_save_images': ('registered-compat',),

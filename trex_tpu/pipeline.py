@@ -228,7 +228,11 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
     detect_size_filter in cm^2."""
     threshold = int(settings["detect_threshold"])
     absolute = bool(settings["detect_threshold_is_absolute"])
-    if settings["use_closing"] or settings["dilation_size"]:
+    if settings["use_closing"] or settings["dilation_size"] \
+            or not settings["enable_difference"] \
+            or settings["use_adaptive_threshold"] \
+            or settings["blur_difference"] \
+            or settings["image_square_brightness"]:
         return _detect_frame_morph(image, background, settings)
     # fuse the tracking-stage recount into the native labeling pass
     track_thr = int(settings["track_threshold"])
@@ -255,18 +259,48 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
 
 def _detect_frame_morph(image: np.ndarray, background: np.ndarray,
                         settings: Settings) -> list[TrackBlob]:
-    """Closing/dilation path (RawProcessing use_closing/dilation_size):
-    build the binary mask, apply morphology, then label the (possibly
-    merged/inflated) shapes with pixels from the original image."""
+    """RawProcessing options path (grabber default_config.cpp:72-133
+    docs; the commons implementation is absent from the snapshot so
+    behavior follows the documented semantics): optional raw-greyscale
+    thresholding (enable_difference=false), squared brightness,
+    blur-then-rethreshold, adaptive thresholding, and morphological
+    closing/dilation — then label the shapes with pixels from the
+    original image."""
     import cv2
 
     s = settings
     threshold = int(s["detect_threshold"])
     absolute = bool(s["detect_threshold_is_absolute"])
-    fi = image.astype(np.int16)
-    bi = background.astype(np.int16)
-    diff = np.abs(fi - bi) if absolute else bi - fi
-    mask = ((diff >= threshold) & (image > 0)).astype(np.uint8)
+    if not s["enable_difference"]:
+        # threshold applies to the raw greyscale values
+        diff = image.astype(np.int16)
+    else:
+        fi = image.astype(np.int16)
+        bi = background.astype(np.int16)
+        diff = np.abs(fi - bi) if absolute else bi - fi
+    if s["image_square_brightness"]:
+        # square the normalized difference: brightens bright, darkens
+        # dark (doc) — thresholds then act on the squared scale
+        dn = np.clip(diff, 0, 255).astype(np.float32) / 255.0
+        diff = (dn * dn * 255.0).astype(np.int16)
+    if s["blur_difference"]:
+        # 1. truncate below threshold 2. blur 3. threshold again (doc)
+        trunc = np.where(diff >= threshold, diff, 0).astype(np.uint8)
+        blurred = cv2.GaussianBlur(trunc, (5, 5), 0)
+        mask = ((blurred >= threshold) & (image > 0)).astype(np.uint8)
+    elif s["use_adaptive_threshold"]:
+        # per-neighborhood threshold on the difference image; the
+        # scale param plays the C offset role (doc: 'threshold value
+        # to be used for adaptive thresholding')
+        d8 = np.clip(diff, 0, 255).astype(np.uint8)
+        block = 2 * max(7, min(image.shape) // 16) + 1
+        m = cv2.adaptiveThreshold(
+            d8, 1, cv2.ADAPTIVE_THRESH_GAUSSIAN_C, cv2.THRESH_BINARY,
+            block, -float(s["adaptive_threshold_scale"]))
+        mask = (m.astype(bool) & (d8 >= threshold)
+                & (image > 0)).astype(np.uint8)
+    else:
+        mask = ((diff >= threshold) & (image > 0)).astype(np.uint8)
     if s["use_closing"]:
         k = int(s["closing_size"])
         kernel = np.ones((k, k), np.uint8)
@@ -471,6 +505,12 @@ class Segmenter:
                 color=self._color)
         elif isinstance(source, VideoSource):
             self.source = source
+        elif isinstance(source, (str, Path)) \
+                and str(source).endswith(".pv"):
+            # pv re-read as a conversion source (core/PVVideoSource.h)
+            from .io.video import PVVideoSource
+
+            self.source = PVVideoSource(source)
         else:
             self.source = VideoSource(source, color=self._color)
         self.output_path = Path(output_path)
@@ -505,8 +545,22 @@ class Segmenter:
         if not s["meta_real_width"] and not s["cm_per_pixel"]:
             s.set("cm_per_pixel", 1.0, source="fallback")
         undistort_maps = build_undistort_maps(s, src.size)
-        average = generate_average(src, s, undistort_maps,
-                                   color=self._color)
+        # video_size: informational dims of the loaded video (grabber
+        # default_config) — recorded like the meta_* params
+        try:
+            s.set("video_size", [float(src.size[0]),
+                                 float(src.size[1])], source="video")
+        except Exception:  # noqa: BLE001 - informational only
+            pass
+        # reset_average (grabber doc): regenerate from the live stream
+        # even when the source carries a stored average (pv re-read)
+        stored = getattr(src, "_bg", None)
+        if stored is not None and not s["reset_average"] \
+                and not self._color:
+            average = np.asarray(stored)
+        else:
+            average = generate_average(src, s, undistort_maps,
+                                       color=self._color)
         if average.ndim == 3:
             import cv2
             self.background = cv2.cvtColor(average, cv2.COLOR_BGR2GRAY)
