@@ -142,6 +142,14 @@ def test_categorizer():
     # label fish 0 (darkest) as dark, fish 2 as light
     cat.store.set_ranged_label(0, 0, 29, "dark")
     cat.store.set_ranged_label(2, 0, 29, "light")
+    # the 30-frame toy ranges sit under the reference default min
+    # training length (categories_train_min_tracklet_length = 50,
+    # CategorizeDatastore.cpp:312): nothing to train on
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cat.train(tracker, max_epochs=20)
+    s.set("categories_train_min_tracklet_length", 10)
     cat.train(tracker, max_epochs=20)
     applied = cat.apply(tracker, min_tracklet_length=1)
     assert applied

@@ -356,7 +356,9 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                               train=auto_train)
         if s["auto_categorize"]:
             _auto_categorize(tracker, s, state)
-        if s["auto_tags"]:
+        if s["auto_tags"] or s["auto_tags_on_startup"]:
+            # auto_tags_on_startup: the startup trigger for the same
+            # physical-tag correction flow
             _auto_tags(tracker, state, s, load)
         if auto_quit and not s["auto_no_outputs"]:
             if hasattr(tracker, "individuals"):
@@ -528,7 +530,21 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
         result = acc.start()
         print(f"[auto_train] uniqueness={result.final_uniqueness:.3f} "
               f"steps={len(result.steps)} success={result.success}")
+        if not result.success and s["auto_train_on_startup"]:
+            # startup-triggered training treats failure as fatal
+            # (Accumulation.cpp:998 throws under auto_train_on_startup
+            # instead of warning)
+            raise SystemExit(
+                "[auto_train] accumulation did not reach sufficient "
+                "uniqueness (auto_train_on_startup set: failures are "
+                "fatal)")
         acc.trainer.save_weights(weights)
+        if s["auto_train_dont_apply"]:
+            # train-only startup: quit without applying / correcting
+            # (VisualIdentDialog.cpp:97 auto_quit after start())
+            print("[auto_train] auto_train_dont_apply set: skipping "
+                  "apply/auto-correct")
+            return
     elif weights.exists():
         acc.trainer.load_weights(weights)
     else:

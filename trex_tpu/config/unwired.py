@@ -27,21 +27,19 @@ UNWIRED: dict[str, tuple] = {
     'gpu_verbosity': ('torch-runtime',),
     # registered-compat (reference surface accepted+persisted, semantics not yet wired)
     'approximate_length_minutes': ('registered-compat',),
-    'auto_tags_on_startup': ('registered-compat',),
-    'auto_train_dont_apply': ('registered-compat',),
-    'auto_train_on_startup': ('registered-compat',),
     'blob_size_range': ('registered-compat',),
     'blobs_per_thread': ('registered-compat',),
-    'categories_train_min_tracklet_length': ('registered-compat',),
     'correct_illegal_lines': ('registered-compat',),
-    'crop_window': ('registered-compat',),
+    # crop_window / evaluate_thresholds open interactive preview
+    # windows before analysis (grabber docs) — GUI scope
+    'crop_window': ('gui-scope',),
     'debug_recognition_output_all_methods': ('registered-compat',),
     'detect_keypoint_format': ('registered-compat',),
     'detect_keypoint_names': ('registered-compat',),
     'detect_pose_bbx': ('registered-compat',),
     'detect_resolution': ('registered-compat',),
     'detect_skeleton': ('registered-compat',),
-    'evaluate_thresholds': ('registered-compat',),
+    'evaluate_thresholds': ('gui-scope',),
     'grabber_force_settings': ('registered-compat',),
     # outline_use_dft: the reference low-passes the curvature array
     # via DFT before peak finding (Outline.cpp:1551-1563); this
@@ -61,7 +59,6 @@ UNWIRED: dict[str, tuple] = {
     'recognition_smooth_amount': ('registered-compat',),
     'region_model': ('registered-compat',),
     'region_resolution': ('registered-compat',),
-    'smooth_window': ('registered-compat',),
     'system_memory_limit': ('registered-compat',),
     'tags_approximation': ('registered-compat',),
     'tags_debug': ('registered-compat',),
@@ -74,7 +71,6 @@ UNWIRED: dict[str, tuple] = {
     'track_annotations': ('registered-compat',),
     'track_pause': ('registered-compat',),
     'tracklet_force_normal_color': ('registered-compat',),
-    'tracklet_normalize': ('registered-compat',),
     'use_differences': ('registered-compat',),
     'video_reading_use_threads': ('registered-compat',),
     'video_source': ('registered-compat',),

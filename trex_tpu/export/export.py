@@ -313,10 +313,13 @@ def export_tracklet_images(tracker, settings, output_dir,
                 if b is None or b.blob.pixels is None:
                     continue
                 post = ind.posture_stuff(f)
+                # tracklet_normalize=false: plain un-rotated crops
+                # (Export.cpp do_normalize_tracklets gate)
                 img = normalized_crop(
                     b.blob, tracker.background, s,
                     midline=post.midline if post else None,
-                    median_midline_length=med_len)
+                    median_midline_length=med_len,
+                    mode=None if s["tracklet_normalize"] else "none")
                 imgs.append(img)
                 if max_images == 0:
                     singles.append(img)

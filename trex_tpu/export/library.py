@@ -97,7 +97,11 @@ def _record(ind, frame: int, source: str):
     return None
 
 
-def _smooth_window(ind, frame, source, attr, ctx, half: int = 2):
+def _smooth_window(ind, frame, source, attr, ctx, half=None):
+    """SMOOTH modifier: mean over frame +- smooth_window
+    (OutputLibrary.cpp:301,338 FAST_SETTING(smooth_window))."""
+    if half is None:
+        half = int(ctx.settings["smooth_window"] or 2)
     vals = []
     for f in range(frame - half, frame + half + 1):
         r = _record(ind, f, source)

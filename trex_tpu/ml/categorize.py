@@ -99,9 +99,16 @@ class Categorizer:
 
     def _collect_labeled(self, tracker):
         images, labels = [], []
+        # categories_train_min_tracklet_length: labeled ranges shorter
+        # than this never become training samples
+        # (CategorizeDatastore.cpp:312 sample() min_len gate)
+        min_len = int(self.settings[
+            "categories_train_min_tracklet_length"] or 0)
         for r in self.store.labeled_ranges():
             ind = tracker.individuals.get(r.fid)
             if ind is None:
+                continue
+            if r.end - r.start + 1 < max(1, min_len):
                 continue
             crops, _ = crops_for_individual(
                 ind, tracker, self.settings,
