@@ -218,3 +218,52 @@ def test_output_centered_and_origin(tracked):
     assert evaluate(ctx2, ind, 10, "X", []) == pytest.approx(x0 - 10.0)
     assert evaluate(ctx2, ind, 10, "Y", []) == pytest.approx(y0 - 20.0)
     s.set("output_origin", [0.0, 0.0])
+
+
+def test_output_auto_pose_and_detection_fields(tmp_path, tracked):
+    """With detect_classes set, exports auto-append detection_p
+    (output_auto_detection_fields) and keypoint columns named from
+    detect_keypoint_names (else poseX<i>/poseY<i>) — Export.cpp:
+    225-258 + default_config.cpp add_missing_pose_fields."""
+    import csv
+
+    from trex_tpu.export.export import export_data
+
+    tracker, s, ind = tracked
+    # attach a 2-point pose to one blob
+    b = ind.basic_stuff(5)
+    b.blob.prediction = {"clid": 3, "p": 0.5,
+                         "keypoints": np.array([[11.0, 22.0],
+                                                [33.0, 44.0]])}
+    s.set("output_fields", [["X", ["wcentroid"]]])
+    s.set("detect_classes", {0: "fish"})
+    s.set("detect_keypoint_format", [2, 2])
+    s.set("output_format", "csv")
+    export_data(tracker, s, tmp_path, "v")
+    with open(tmp_path / "v_id0.csv") as f:
+        header = next(csv.reader(f))
+    assert "detection_p" in header
+    assert any(h.startswith("poseX0") for h in header), header
+    assert any(h.startswith("poseY1") for h in header), header
+
+    # named keypoints replace the generic columns
+    s.set("detect_keypoint_names", ["head", "tail"])
+    export_data(tracker, s, tmp_path / "named", "v")
+    with open(tmp_path / "named" / "v_id0.csv") as f:
+        header = next(csv.reader(f))
+    assert any(h.startswith("head_X") for h in header), header
+    assert any(h.startswith("tail_Y") for h in header), header
+    # named columns evaluate through the pose index
+    rows = list(csv.reader(open(tmp_path / "named" / "v_id0.csv")))
+    hx = [h.split(" ")[0] for h in rows[0]].index("head_X")
+    frame5 = [r for r in rows[1:] if float(r[0]) == 5][0]
+    assert float(frame5[hx]) == pytest.approx(11.0)
+
+    # switches off
+    s.set("output_auto_pose", False)
+    s.set("output_auto_detection_fields", False)
+    export_data(tracker, s, tmp_path / "off", "v")
+    with open(tmp_path / "off" / "v_id0.csv") as f:
+        header = next(csv.reader(f))
+    assert "detection_p" not in header
+    assert not any(h.startswith("poseX") for h in header)

@@ -28,17 +28,19 @@ UNWIRED: dict[str, tuple] = {
     # registered-compat (reference surface accepted+persisted, semantics not yet wired)
     'approximate_length_minutes': ('registered-compat',),
     'blob_size_range': ('registered-compat',),
-    'blobs_per_thread': ('registered-compat',),
+    # host threading knobs: this build sizes worker pools from
+    # cpu_count and keeps the device batched — per-thread blob
+    # quotas and thread toggles have no equivalent dial
+    'blobs_per_thread': ('host-runtime',),
     'correct_illegal_lines': ('registered-compat',),
     # crop_window / evaluate_thresholds open interactive preview
     # windows before analysis (grabber docs) — GUI scope
     'crop_window': ('gui-scope',),
     'debug_recognition_output_all_methods': ('registered-compat',),
-    'detect_keypoint_format': ('registered-compat',),
-    'detect_keypoint_names': ('registered-compat',),
-    'detect_pose_bbx': ('registered-compat',),
     'detect_resolution': ('registered-compat',),
-    'detect_skeleton': ('registered-compat',),
+    # detect_skeleton: bone connectivity for GUI pose drawing
+    # (ConvertScene/DrawFish only)
+    'detect_skeleton': ('gui-scope',),
     'evaluate_thresholds': ('gui-scope',),
     'grabber_force_settings': ('registered-compat',),
     # outline_use_dft: the reference low-passes the curvature array
@@ -47,8 +49,6 @@ UNWIRED: dict[str, tuple] = {
     # the combination is golden-validated — reproducing the DFT
     # filter would change the validated default path
     'outline_use_dft': ('absorbed-by-design',),
-    'output_auto_detection_fields': ('registered-compat',),
-    'output_auto_pose': ('registered-compat',),
     # output_frame_window is the GUI graph half-window (GUICache.cpp:
     # 1657-1691 display range) — no headless consumer in the reference
     # either (Export.cpp only saves/restores it around exports)
@@ -57,22 +57,22 @@ UNWIRED: dict[str, tuple] = {
     'recognition_coeff': ('registered-compat',),
     'recognition_save_progress_images': ('registered-compat',),
     'recognition_smooth_amount': ('registered-compat',),
-    'region_model': ('registered-compat',),
-    'region_resolution': ('registered-compat',),
-    'system_memory_limit': ('registered-compat',),
+    'system_memory_limit': ('host-runtime',),
     'tags_approximation': ('registered-compat',),
     'tags_debug': ('registered-compat',),
     'tags_dont_track': ('registered-compat',),
     'tags_maximum_image_size': ('registered-compat',),
     'tags_save_predictions': ('registered-compat',),
     'tags_saved_only': ('registered-compat',),
-    'tgrabs_use_threads': ('registered-compat',),
+    'tgrabs_use_threads': ('host-runtime',),
     'threshold_maximum': ('registered-compat',),
     'track_annotations': ('registered-compat',),
     'track_pause': ('registered-compat',),
     'tracklet_force_normal_color': ('registered-compat',),
-    'use_differences': ('registered-compat',),
-    'video_reading_use_threads': ('registered-compat',),
+    # use_differences: 'really old files' store difference-encoded
+    # pixels; no such legacy file exists to validate against
+    'use_differences': ('legacy-format',),
+    'video_reading_use_threads': ('host-runtime',),
     'video_source': ('registered-compat',),
     'visual_field_history_smoothing': ('registered-compat',),
     'visual_identification_save_images': ('registered-compat',),

@@ -68,6 +68,23 @@ class YOLOBackend(DetectionBackend):
                                      batch_stats=batch_stats,
                                      num_classes=num_classes,
                                      task=task, scale=scale)
+        # region_model/region_resolution: a cheap region detector runs
+        # on the downscaled full frame and the main model only on the
+        # proposed crops (trex_detection_model.py:547
+        # perform_region_proposal)
+        self.region = None
+        region_path = str(settings["region_model"] or "").strip()
+        if region_path:
+            from ..models.yolo_convert import load_ultralytics_checkpoint
+
+            rl = load_ultralytics_checkpoint(region_path)
+            self.region = YOLODetector(
+                settings, params=rl.get("params"),
+                batch_stats=rl.get("batch_stats"),
+                num_classes=rl.get("num_classes", 1),
+                task=rl.get("task", "detect"),
+                scale=rl.get("scale", "n"),
+                input_size=int(settings["region_resolution"] or 320))
         return self
 
     def apply(self, frame_index, image):
@@ -80,7 +97,16 @@ class YOLOBackend(DetectionBackend):
             points_to_blobs,
         )
 
-        det = self.detector.detect(image)
+        if self.region is not None:
+            from .region import region_proposal_detect
+
+            det = region_proposal_detect(
+                image, self.region.detect, self.detector.detect,
+                self.settings,
+                crop_size=int(self.settings["region_resolution"]
+                              or 320))
+        else:
+            det = self.detector.detect(image)
         if image.ndim == 3:
             import cv2
 

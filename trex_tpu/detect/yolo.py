@@ -351,6 +351,35 @@ def merge_tile_detections(det: Detections, settings) -> Detections:
                           keypoints=det.keypoints[sel]
                           if det.keypoints is not None else None,
                           obb=det.obb[sel])
+    if det.keypoints is not None \
+            and str(settings["detect_pose_bbx"] or "keypoints") \
+            == "keypoints":
+        # pose duplicate matching over padded min-area keypoint rects
+        # instead of the model boxes (detect_pose_bbx=keypoints;
+        # YOLO.cpp:225-353 rotated-rect pose NMS)
+        from .tiling import (
+            compute_pose_tile_rect,
+            compute_tile_nms_indices_for_rotated_rects,
+        )
+
+        rects = []
+        ok = []
+        for i in range(len(det)):
+            r = compute_pose_tile_rect(det.keypoints[i][..., :2])
+            if r is not None:
+                # pad like the reference's acceptance rect
+                (cx, cy), (w_, h_), a = r
+                rects.append(((cx, cy), (w_ + 4.0, h_ + 4.0), a))
+                ok.append(i)
+        if rects:
+            oki = np.asarray(ok)
+            sel = compute_tile_nms_indices_for_rotated_rects(
+                rects, det.conf[oki], det.clid[oki],
+                float(settings["detect_tile_merge_iou"] or 0.55))
+            keep = oki[sel]
+            return Detections(det.boxes[keep], det.conf[keep],
+                              det.clid[keep],
+                              keypoints=det.keypoints[keep])
     method = settings["detect_tile_merge_method"] \
         if "detect_tile_merge_method" in settings else "nmm"
     if method in ("nmm", "greedy_nmm", None, True):

@@ -53,7 +53,29 @@ def export_data(tracker, settings, output_dir, video_name: str,
     """Write per-fish data files; returns the list of paths written."""
     output_dir = Path(output_dir)
     output_dir.mkdir(parents=True, exist_ok=True)
-    fields = settings["output_fields"]
+    fields = list(settings["output_fields"] or [])
+    # ML-derived columns auto-append when a detection model produced
+    # classes (Export.cpp:225-258): detection_p
+    # (output_auto_detection_fields) and the keypoint columns
+    # (output_auto_pose; named via detect_keypoint_names, else
+    # poseX<i>/poseY<i> — default_config.cpp:455-478)
+    if settings["detect_classes"]:
+        have = {f[0] for f in fields}
+        if settings["output_auto_detection_fields"] \
+                and "detection_p" not in have:
+            fields.append(["detection_p", []])
+        kf = settings["detect_keypoint_format"]
+        if settings["output_auto_pose"] and kf:
+            n_points = int(kf[0] if isinstance(kf, (list, tuple))
+                           else kf)
+            names = settings["detect_keypoint_names"] or []
+            for i in range(n_points):
+                nm = names[i] if i < len(names) else None
+                xf = f"{nm}_X" if nm else f"poseX{i}"
+                yf = f"{nm}_Y" if nm else f"poseY{i}"
+                for f_ in (xf, yf):
+                    if f_ not in have:
+                        fields.append([f_, ["RAW"]])
     annotations = settings["output_annotations"] or {}
     decimals = int(settings["output_csv_decimals"])
     prefix = settings["individual_prefix"] or "fish"

@@ -669,6 +669,15 @@ def evaluate(ctx: EvalContext, ind, frame: int, field: str,
         # cache the parsed closure like every other table entry (one
         # per column, not one per (individual, frame) evaluation)
         fn = FUNCTIONS[field] = _pose_field(field)
+    if fn is None and field.endswith(("_X", "_Y")):
+        # named keypoint columns (<detect_keypoint_names[i]>_X/_Y,
+        # default_config.cpp:458-463) resolve to the pose index; NOT
+        # cached in FUNCTIONS — the name->index map is per-settings
+        names = ctx.settings["detect_keypoint_names"] or []
+        base = field[:-2]
+        if base in names:
+            i = list(names).index(base)
+            fn = _pose_field(f"pose{'X' if field.endswith('_X') else 'Y'}{i}")
     if fn is None:
         return INVALID
     source = None
