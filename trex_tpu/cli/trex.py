@@ -269,6 +269,14 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         tracker = seg.run()
         print(f"\n[convert] wrote {pv_path} "
               f"({seg.fps_stat:.1f} fps)")
+        if s["grabber_force_settings"]:
+            # live tracking always (over)writes <filename>.settings in
+            # the output folder (grabber default_config doc)
+            from ..config.settings_io import settings_to_text
+
+            sp = out_base / f"{name}.settings"
+            sp.write_text(settings_to_text(s))
+            print(f"[convert] wrote {sp} (grabber_force_settings)")
         _dump_timing(s)
         if matching_log and tracker is not None:
             _write_matching_log(tracker, out_base / str(matching_log))
@@ -348,6 +356,22 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                 p = out_base / p
             save_tags(p.with_suffix(".npz"), tracker.detected_tags)
             print(f"[tags] wrote {p.with_suffix('.npz')}")
+            if s["tags_save_predictions"]:
+                # tag crops sorted into 'tag <id>' folders
+                # (grabber tags_save_predictions doc)
+                import cv2
+
+                root = out_base / f"tags_{name}"
+                n_img = 0
+                for fid, tag_list in tracker.detected_tags.items():
+                    for t in tag_list:
+                        d = root / f"tag {t.tag_id}"
+                        d.mkdir(parents=True, exist_ok=True)
+                        cv2.imwrite(str(d / f"f{t.frame}_id{fid}.png"),
+                                    t.image)
+                        n_img += 1
+                print(f"[tags] wrote {n_img} prediction crops to "
+                      f"{root}")
         _dump_timing(s)
         if matching_log:
             _write_matching_log(tracker, out_base / str(matching_log))

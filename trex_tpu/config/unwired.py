@@ -27,7 +27,6 @@ UNWIRED: dict[str, tuple] = {
     'gpu_verbosity': ('torch-runtime',),
     # registered-compat (reference surface accepted+persisted, semantics not yet wired)
     'approximate_length_minutes': ('registered-compat',),
-    'blob_size_range': ('registered-compat',),
     # host threading knobs: this build sizes worker pools from
     # cpu_count and keeps the device batched — per-thread blob
     # quotas and thread toggles have no equivalent dial
@@ -42,7 +41,6 @@ UNWIRED: dict[str, tuple] = {
     # (ConvertScene/DrawFish only)
     'detect_skeleton': ('gui-scope',),
     'evaluate_thresholds': ('gui-scope',),
-    'grabber_force_settings': ('registered-compat',),
     # outline_use_dft: the reference low-passes the curvature array
     # via DFT before peak finding (Outline.cpp:1551-1563); this
     # build's outline_smooth_samples smoothing plays that role and
@@ -58,24 +56,19 @@ UNWIRED: dict[str, tuple] = {
     'recognition_save_progress_images': ('registered-compat',),
     'recognition_smooth_amount': ('registered-compat',),
     'system_memory_limit': ('host-runtime',),
-    'tags_approximation': ('registered-compat',),
-    'tags_debug': ('registered-compat',),
-    'tags_dont_track': ('registered-compat',),
-    'tags_maximum_image_size': ('registered-compat',),
-    'tags_save_predictions': ('registered-compat',),
     'tags_saved_only': ('registered-compat',),
     'tgrabs_use_threads': ('host-runtime',),
     'threshold_maximum': ('registered-compat',),
     'track_annotations': ('registered-compat',),
-    'track_pause': ('registered-compat',),
-    'tracklet_force_normal_color': ('registered-compat',),
     # use_differences: 'really old files' store difference-encoded
     # pixels; no such legacy file exists to validate against
     'use_differences': ('legacy-format',),
     'video_reading_use_threads': ('host-runtime',),
     'video_source': ('registered-compat',),
-    'visual_field_history_smoothing': ('registered-compat',),
     'visual_identification_save_images': ('registered-compat',),
-    'yolo_region_tracking_enabled': ('registered-compat',),
-    'yolo_tracking_enabled': ('registered-compat',),
+    # the ultralytics in-library BoT-SORT tracker: this framework's
+    # own tracking stack (track/) IS the tracker — no embedded
+    # third-party tracking routine exists to toggle
+    'yolo_region_tracking_enabled': ('absorbed-by-design',),
+    'yolo_tracking_enabled': ('absorbed-by-design',),
 }

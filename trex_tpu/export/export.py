@@ -341,7 +341,11 @@ def export_tracklet_images(tracker, settings, output_dir,
                     b.blob, tracker.background, s,
                     midline=post.midline if post else None,
                     median_midline_length=med_len,
-                    mode=None if s["tracklet_normalize"] else "none")
+                    mode=None if s["tracklet_normalize"] else "none",
+                    # tracklet_force_normal_color (default): crops
+                    # keep the original-video grey appearance instead
+                    # of the background-difference image
+                    raw=bool(s["tracklet_force_normal_color"]))
                 imgs.append(img)
                 if max_images == 0:
                     singles.append(img)

@@ -54,7 +54,8 @@ def diff_image(blob: TrackBlob, background: np.ndarray,
 def normalized_crop(blob: TrackBlob, background: np.ndarray,
                     settings, midline=None,
                     median_midline_length: Optional[float] = None,
-                    mode: Optional[str] = None) -> np.ndarray:
+                    mode: Optional[str] = None,
+                    raw: bool = False) -> np.ndarray:
     """One (H, W) uint8 normalized identity crop."""
     s = settings
     mode = mode or s["individual_image_normalization"]
@@ -62,7 +63,13 @@ def normalized_crop(blob: TrackBlob, background: np.ndarray,
     tw, th = int(size[0]), int(size[1])
     scale = float(s["individual_image_scale"] or 1.0)
 
-    diff, (ox, oy) = diff_image(blob, background, pad=2)
+    if raw:
+        # original-video appearance (tracklet_force_normal_color):
+        # the blob's grey pixels instead of the background difference
+        _, grey, (ox, oy) = blob.to_dense(pad=2)
+        diff = grey
+    else:
+        diff, (ox, oy) = diff_image(blob, background, pad=2)
     cx, cy = blob.center
     cx -= ox
     cy -= oy

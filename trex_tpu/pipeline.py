@@ -244,7 +244,7 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
                         track_absolute=track_abs)
     cm = settings["cm_per_pixel"] or 1.0
     sq = cm * cm
-    ranges = settings["detect_size_filter"] or []
+    ranges = _detect_size_ranges(settings)
     out = []
     for b in blobs:
         size = b.num_pixels * sq
@@ -255,6 +255,17 @@ def detect_frame(image: np.ndarray, background: np.ndarray,
             tb._recount_cache[track_thr] = float(b.stats[1]) * sq
         out.append(tb)
     return out
+
+
+def _detect_size_ranges(settings) -> list:
+    """detect_size_filter, else the grabber-era blob_size_range when
+    it was narrowed from its pass-all default."""
+    ranges = settings["detect_size_filter"] or []
+    if not ranges:
+        bsr = settings["blob_size_range"]
+        if bsr and not settings.is_default("blob_size_range"):
+            ranges = [list(bsr)]
+    return ranges
 
 
 def _detect_frame_morph(image: np.ndarray, background: np.ndarray,
@@ -318,7 +329,7 @@ def _detect_frame_morph(image: np.ndarray, background: np.ndarray,
                         track_absolute=bool(s["track_threshold_is_absolute"]))
     cm = s["cm_per_pixel"] or 1.0
     sq = cm * cm
-    ranges = s["detect_size_filter"] or []
+    ranges = _detect_size_ranges(s)
     out = []
     for b in blobs:
         size = b.num_pixels * sq
@@ -1160,6 +1171,10 @@ class TrackingState:
             next_track = frame_range[0]
             window = self.workers * 2 + 2
             while next_track <= frame_range[1]:
+                while s["track_pause"] and not self.terminate:
+                    # track_pause halts the analysis until cleared
+                    # (ui/TrackingState.cpp pause loop)
+                    _time.sleep(0.05)
                 if self.terminate:
                     for f in futures.values():
                         f.cancel()

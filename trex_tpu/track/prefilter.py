@@ -225,7 +225,14 @@ def prefilter(frame_index: int, raw_blobs: list[TrackBlob],
             return False
         return True
 
+    tags_dont_track = bool(settings["tags_dont_track"])
     for blob in raw_blobs:
+        # physical-tag objects never track when tags_dont_track is set
+        # (the default; Tracker.cpp:776 `b->is_tag() && tags_dont_track`
+        # — they stay available to the tag detector via the noise list)
+        if tags_dont_track and (blob.flags & 0x2):
+            result.filter_out(blob, FilterReason.DontTrackTags)
+            continue
         # recount vs background at the track threshold
         if fish_size and blob.num_pixels * cm_sqr > fish_size.max_range[1] * 100:
             blob.force_set_recount(threshold, settings=settings)

@@ -35,13 +35,21 @@ class Tag:
 
 
 def prettify_blobs(blobs: list[TrackBlob], background: np.ndarray,
-                   crop_size: int = 32) -> list[Tag]:
-    """Square grey/mask crops around each blob candidate."""
+                   crop_size: int = 32, max_size=None) -> list[Tag]:
+    """Square grey/mask crops around each blob candidate; crops wider
+    than `max_size` (tags_maximum_image_size) are center-cropped."""
     import cv2
 
     out = []
     for b in blobs:
         mask, grey, (ox, oy) = b.to_dense(pad=2)
+        if max_size is not None:
+            mw, mh = int(max_size[0]), int(max_size[1])
+            if grey.shape[0] > mh or grey.shape[1] > mw:
+                cy0 = max(0, (grey.shape[0] - mh) // 2)
+                cx0 = max(0, (grey.shape[1] - mw) // 2)
+                grey = grey[cy0:cy0 + mh, cx0:cx0 + mw]
+                mask = mask[cy0:cy0 + mh, cx0:cx0 + mw]
         h, w = grey.shape
         side = max(h, w)
         sq_g = np.zeros((side, side), np.uint8)
@@ -102,7 +110,10 @@ def _tag_shape_ok(tag: Tag, settings) -> bool:
     if not contours:
         return False
     big = max(contours, key=cv2.contourArea)
-    approx = cv2.approxPolyDP(big, 0.04 * cv2.arcLength(big, True),
+    # tags_approximation: polygon coarseness (fraction of the contour
+    # perimeter used as the approxPolyDP epsilon; grabber doc)
+    eps = float(settings["tags_approximation"] or 0.025)
+    approx = cv2.approxPolyDP(big, eps * cv2.arcLength(big, True),
                               True)
     lo, hi = settings["tags_num_sides"]
     return lo <= len(approx) <= hi
@@ -121,8 +132,14 @@ def detect_tags(noise_blobs: list[TrackBlob], background: np.ndarray,
         lo, hi = settings["tags_size_range"]
         blobs = [b for b in blobs
                  if lo <= b.num_pixels * cm * cm <= hi]
-    tags = [t for t in prettify_blobs(blobs, background)
+    max_size = settings["tags_maximum_image_size"] \
+        if settings is not None else None
+    tags = [t for t in prettify_blobs(blobs, background,
+                                      max_size=max_size)
             if t.variance >= min_variance]
+    if settings is not None and settings["tags_debug"]:
+        print(f"[tags] frame {frame}: {len(blobs)} candidates, "
+              f"{len(tags)} past variance gate")
     if settings is not None:
         tags = [t for t in tags if _tag_shape_ok(t, settings)]
     for t in tags:

@@ -62,7 +62,25 @@ def generate_eyes(ind, frame: int, settings) -> Optional[EyeSet]:
     # midline points are posture-crop-local (blob bounds + the posture
     # threshold-escalation crop offset); angle points tail->head; view
     # direction is the reversed midline direction (angle + pi)
-    angle = mid.angle + math.pi
+    base_angle = mid.angle
+    n_smooth = int(s["visual_field_history_smoothing"] or 0)
+    if n_smooth > 0:
+        # orientation smoothing over the last N posture frames
+        # (VisualField.cpp visual_field_history_smoothing): mean unit
+        # vector of the midline angles, current frame included
+        vs = []
+        for p in reversed(ind.posture):
+            if p.frame > frame or p.frame < frame - n_smooth:
+                continue
+            a = p.midline_angle
+            if math.isfinite(a):
+                vs.append((math.cos(a), math.sin(a)))
+        if vs:
+            mx = sum(v[0] for v in vs) / len(vs)
+            my = sum(v[1] for v in vs) / len(vs)
+            if mx or my:
+                base_angle = math.atan2(my, mx)
+    angle = base_angle + math.pi
     nx, ny = -math.sin(angle), math.cos(angle)  # left normal
     half = height * 0.5 + 1.0
     p = np.array([seg[0] + bx + ox, seg[1] + by + oy])
