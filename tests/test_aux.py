@@ -1013,3 +1013,21 @@ def test_border_circle_type_uses_pv_mask(tmp_path):
     # distance: center is ~20px from the circular wall, not ~30 from
     # the frame edge
     assert 15 <= b.distance(30, 30) <= 21
+
+
+def test_track_annotations_export(tmp_path):
+    """track_annotations exports per frame as <name>_annotations.npz
+    (rows of frame/clid/bounds + raw string forms)."""
+    from trex_tpu.track.annotations import export_annotations
+
+    raw = {"3": ["[1,0,[[10.0,20.0],[30.0,40.0]]]"],
+           "7": ["[0,0,[[1.0,2.0],[5.0,6.0]]]",
+                 "[2,1,[[8.0,9.0],[12.0,11.0]]]"]}
+    p = export_annotations(raw, tmp_path, "v")
+    d = np.load(p, allow_pickle=True)
+    rows = d["rows"]
+    assert rows.shape == (3, 6)
+    assert set(rows[:, 0]) == {3.0, 7.0}
+    r3 = rows[rows[:, 0] == 3][0]
+    assert (r3[1], r3[2], r3[3]) == (1.0, 10.0, 20.0)
+    assert len(d["raw"]) == 3

@@ -632,6 +632,14 @@ def _export(tracker, s, data_dir, name, pv_file=None):
         paths += export_tracklet_images(tracker, s, data_dir, name)
     if s["output_statistics"]:
         paths += export_statistics(tracker, s, data_dir, name)
+    if s["track_annotations"]:
+        # per-frame human annotations export (track_annotations doc:
+        # 'a map {frame:[[clid,type,[points...]],...]} that can be
+        # used to export annotations per frame')
+        from ..track.annotations import export_annotations
+
+        paths += [export_annotations(s["track_annotations"],
+                                     data_dir, name)]
     print(f"[export] wrote {len(paths)} files to {data_dir}")
 
 

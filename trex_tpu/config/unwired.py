@@ -36,7 +36,6 @@ UNWIRED: dict[str, tuple] = {
     # windows before analysis (grabber docs) — GUI scope
     'crop_window': ('gui-scope',),
     'debug_recognition_output_all_methods': ('registered-compat',),
-    'detect_resolution': ('registered-compat',),
     # detect_skeleton: bone connectivity for GUI pose drawing
     # (ConvertScene/DrawFish only)
     'detect_skeleton': ('gui-scope',),
@@ -59,12 +58,10 @@ UNWIRED: dict[str, tuple] = {
     'tags_saved_only': ('registered-compat',),
     'tgrabs_use_threads': ('host-runtime',),
     'threshold_maximum': ('registered-compat',),
-    'track_annotations': ('registered-compat',),
     # use_differences: 'really old files' store difference-encoded
     # pixels; no such legacy file exists to validate against
     'use_differences': ('legacy-format',),
     'video_reading_use_threads': ('host-runtime',),
-    'video_source': ('registered-compat',),
     'visual_identification_save_images': ('registered-compat',),
     # the ultralytics in-library BoT-SORT tracker: this framework's
     # own tracking stack (track/) IS the tracker — no embedded

@@ -126,6 +126,13 @@ class YOLODetector:
         self.settings = settings
         self.task = task
         self.num_classes = num_classes
+        # detect_resolution overrides the DEFAULT model input size
+        # (doc: 'the input resolution of the object detection model');
+        # explicit sizes (e.g. region_resolution) win
+        res = settings["detect_resolution"]
+        if res and input_size == 640:
+            input_size = int(res[0] if isinstance(res, (list, tuple))
+                             else res)
         self.input_size = input_size
         self.model = YOLOv8(num_classes=num_classes, scale=scale, task=task,
                             num_keypoints=num_keypoints)

@@ -508,6 +508,8 @@ class Segmenter:
         # on grayscale, stored blob pixels carry color (pv.cpp V_14
         # encodings rgb8 / r3g3b2)
         self._color = settings["meta_encoding"] in ("rgb8", "r3g3b2")
+        self._source_desc = source if isinstance(source, str) \
+            else type(source).__name__
         if isinstance(source, str) and source == "basler":
             # reference `source = basler` keyword (grabber default_config)
             from .io.video import BaslerVideoSource
@@ -556,11 +558,14 @@ class Segmenter:
         if not s["meta_real_width"] and not s["cm_per_pixel"]:
             s.set("cm_per_pixel", 1.0, source="fallback")
         undistort_maps = build_undistort_maps(s, src.size)
-        # video_size: informational dims of the loaded video (grabber
-        # default_config) — recorded like the meta_* params
+        # video_size / video_source: informational facts about the
+        # loaded source (grabber default_config) — recorded like the
+        # meta_* params
         try:
             s.set("video_size", [float(src.size[0]),
                                  float(src.size[1])], source="video")
+            s.set("video_source", str(self._source_desc),
+                  source="video")
         except Exception:  # noqa: BLE001 - informational only
             pass
         # reset_average (grabber doc): regenerate from the live stream

@@ -97,3 +97,22 @@ class AnnotationMap:
             for a in lst:
                 x, y, w, h = a.bounds()
                 yield (f, a.clid, x, y, x + w, y + h)
+
+
+def export_annotations(raw_map, output_dir, video_name: str):
+    """Write the per-frame annotation map (`track_annotations`) as
+    `<name>_annotations.npz`: `rows` (N, 6) [frame, clid, x0, y0, x1,
+    y1] bounds + the raw string forms for round-trips."""
+    from pathlib import Path
+
+    amap = raw_map if isinstance(raw_map, AnnotationMap) \
+        else AnnotationMap.from_dict(raw_map)
+    rows = np.asarray(list(amap.training_rows()), np.float64)
+    texts = [f"{f}:{a.to_str()}"
+             for f, lst in sorted(amap.by_frame.items()) for a in lst]
+    output_dir = Path(output_dir)
+    output_dir.mkdir(parents=True, exist_ok=True)
+    path = output_dir / f"{video_name}_annotations.npz"
+    np.savez(path, rows=rows.reshape(-1, 6),
+             raw=np.asarray(texts, dtype=object))
+    return path
