@@ -1031,3 +1031,45 @@ def test_track_annotations_export(tmp_path):
     r3 = rows[rows[:, 0] == 3][0]
     assert (r3[1], r3[2], r3[3]) == (1.0, 10.0, 20.0)
     assert len(d["raw"]) == 3
+
+
+def test_recognition_border_outline_smoothing_and_shrink():
+    """recognition_border=outline: the arena boundary is EFT-smoothed
+    (recognition_coeff / recognition_smooth_amount) and shrunk by
+    recognition_border_shrink_percent (Border.cpp:220-232, 440-455)."""
+    from trex_tpu.config import reset_global_settings
+
+    s = reset_global_settings()
+    s.set("recognition_border", "outline")
+    # jagged dark arena on a bright background
+    bg = np.full((200, 200), 230, np.uint8)
+    yy, xx = np.mgrid[0:200, 0:200]
+    r = np.hypot(yy - 100, xx - 100)
+    wobble = 12 * np.sin(np.arctan2(yy - 100, xx - 100) * 17)
+    bg[r < 70 + wobble] = 40
+    b = Border(s, bg)
+    area = b._mask.sum()
+    assert b.in_recognition_bounds(100, 100)
+    # far outside stays out
+    assert not b.in_recognition_bounds(5, 5)
+    # the reference formula erodes by morph*(1 - shrink): a LOWER
+    # percent erodes more (Border.cpp:220 — the doc says 'roughly and
+    # depends on the method'); percent 0 gives the smallest arena
+    s.set("recognition_border_shrink_percent", 0.0)
+    b2 = Border(s, bg)
+    assert b2._mask.sum() < area
+    # EFT smoothing off (coeff 0) keeps the jagged mask: boundary
+    # length (perimeter proxy) is larger than the smoothed one
+    import cv2
+
+    def perimeter(mask):
+        cs, _ = cv2.findContours(mask.astype(np.uint8),
+                                 cv2.RETR_EXTERNAL,
+                                 cv2.CHAIN_APPROX_NONE)
+        return max(cv2.arcLength(c, True) for c in cs) if cs else 0
+    s.set("recognition_border_shrink_percent", 0.0)
+    s.set("recognition_coeff", 8)
+    smooth_p = perimeter(Border(s, bg)._mask)
+    s.set("recognition_coeff", 0)
+    rough_p = perimeter(Border(s, bg)._mask)
+    assert smooth_p < rough_p

@@ -50,10 +50,7 @@ UNWIRED: dict[str, tuple] = {
     # 1657-1691 display range) — no headless consumer in the reference
     # either (Export.cpp only saves/restores it around exports)
     'output_frame_window': ('gui-scope',),
-    'recognition_border_shrink_percent': ('registered-compat',),
-    'recognition_coeff': ('registered-compat',),
     'recognition_save_progress_images': ('registered-compat',),
-    'recognition_smooth_amount': ('registered-compat',),
     'system_memory_limit': ('host-runtime',),
     'tags_saved_only': ('registered-compat',),
     'tgrabs_use_threads': ('host-runtime',),

@@ -110,11 +110,26 @@ class Border:
                         grid_res + 1)
         xs = np.minimum(np.round(np.arange(w) / cw).astype(int),
                         grid_res + 1)
-        self._mask = counts[np.ix_(ys, xs)] >= middle
+        mask = counts[np.ix_(ys, xs)] >= middle
+        # heatmap masks blur + re-threshold, then shrink
+        # (Border.cpp:214-232)
+        try:
+            import cv2
+
+            k = (int(w * 0.07) | 1, int(h * 0.07) | 1)
+            m = cv2.blur(mask.astype(np.uint8) * 255, k)
+            mask = m > 150
+        except ImportError:  # pragma: no cover
+            pass
+        self._mask = self._shrink(mask)
         self._dist = None
 
     def _build_outline(self):
-        """Largest dark region of the background as the arena."""
+        """Largest dark region of the background as the arena; the
+        boundary is smoothed (recognition_smooth_amount) and low-pass
+        approximated with recognition_coeff elliptic-Fourier
+        coefficients (Border.cpp:440-455), then shrunk by
+        recognition_border_shrink_percent."""
         from ..ops.labeling import label_blobs
 
         bg = self.background
@@ -127,6 +142,57 @@ class Border:
                 self._mask[y, x0 : x1 + 1] = True
         else:
             self._mask[:] = True
+            return
+        coeff = int(self.settings["recognition_coeff"] or 0)
+        if coeff > 0:
+            try:
+                import cv2
+
+                from .posture import eft, ieft, smooth_points
+
+                cs, _ = cv2.findContours(
+                    self._mask.astype(np.uint8), cv2.RETR_EXTERNAL,
+                    cv2.CHAIN_APPROX_NONE)
+                if cs:
+                    pts = max(cs, key=cv2.contourArea) \
+                        .reshape(-1, 2).astype(np.float64)
+                    amount = int(
+                        self.settings["recognition_smooth_amount"]
+                        or 0)
+                    if amount > 0 and len(pts) > 4:
+                        pts = smooth_points(pts, amount, 1)
+                    center = pts.mean(axis=0)
+                    pts = ieft(eft(pts - center, coeff),
+                               max(len(pts), 64), center)
+                    m = np.zeros(self._mask.shape, np.uint8)
+                    cv2.fillPoly(m, [np.round(pts).astype(np.int32)], 1)
+                    self._mask = m.astype(bool)
+            except ImportError:  # pragma: no cover
+                pass
+        self._mask = self._shrink(self._mask)
+
+    def _shrink(self, mask):
+        """recognition_border_shrink_percent (Border.cpp:220-232):
+        open with a 2.5%-of-width ellipse, then erode again with
+        size * (1 - shrink)."""
+        try:
+            import cv2
+        except ImportError:  # pragma: no cover
+            return mask
+        w = mask.shape[1]
+        morph = max(1, int(w * 0.025))
+        shrink = float(
+            self.settings["recognition_border_shrink_percent"] or 0.0)
+        morph1 = max(1, int(morph * (1.0 - shrink)))
+        e = cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (2 * morph + 1, 2 * morph + 1))
+        e1 = cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (2 * morph1 + 1, 2 * morph1 + 1))
+        m = mask.astype(np.uint8)
+        m = cv2.erode(m, e)
+        m = cv2.dilate(m, e)
+        m = cv2.erode(m, e1)
+        return m.astype(bool)
 
     def _build_grid(self):
         """Circle radius = avg nearest-neighbor distance * 0.5 *
