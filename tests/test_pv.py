@@ -248,3 +248,43 @@ def test_pv_reset_to_zero(tmp_path):
     f.close()
     with PVFile.open(p) as rd:
         assert len(rd) == 1
+
+
+def test_correct_illegal_lines_on_read(tmp_path):
+    """correct_illegal_lines: overlapping lines from old writers are
+    sorted and clamped on read, with the pixel array re-sliced to
+    match (grabber doc; off by default so normal reads pay nothing)."""
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.pv import PVFile, PVFrame, PVHeader
+
+    s = reset_global_settings()
+    bg = np.full((20, 20), 99, np.uint8)
+    p = tmp_path / "ill.pv"
+    with PVFile.create(p, PVHeader(width=20, height=20,
+                                   average=bg)) as f:
+        fr = PVFrame(timestamp=100)
+        # lines overlap on row 5: [2..8] and [6..10]
+        lines = np.array([[5, 2, 8], [5, 6, 10]], np.int32)
+        px = np.concatenate([np.arange(7), 50 + np.arange(5)]) \
+            .astype(np.uint8)
+        fr.add_object(lines, px)
+        f.add_frame(fr)
+
+    # default: raw lines come back verbatim (overlap preserved)
+    with PVFile.open(p) as f:
+        fr = f.read_frame(0)
+    assert fr.masks[0].shape == (2, 3)
+    assert fr.masks[0][1][1] == 6
+
+    s.set("correct_illegal_lines", True)
+    with PVFile.open(p) as f:
+        fr = f.read_frame(0)
+    m = fr.masks[0]
+    # second line clamped past the first: [5, 9, 10]
+    assert m.tolist() == [[5, 2, 8], [5, 9, 10]]
+    # pixels re-sliced: 7 from the first line, the LAST 2 of the second
+    np.testing.assert_array_equal(
+        fr.pixels[0], np.array([0, 1, 2, 3, 4, 5, 6, 53, 54],
+                               np.uint8))

@@ -549,6 +549,27 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
     override = str(s["visual_identification_model_path"] or "").strip()
     if override:
         weights = Path(override)
+    if train and s["debug_recognition_output_all_methods"]:
+        # debug: one sample crop per normalization method side by side
+        import cv2 as _cv2
+        import numpy as _np
+
+        from ..ops.crops import normalized_crop
+
+        for ind in list(tracker.individuals.values())[:1]:
+            for b in ind.basic[:1]:
+                post = ind.posture_stuff(b.frame)
+                tiles = [normalized_crop(
+                    b.blob, tracker.background, s,
+                    midline=post.midline if post else None,
+                    mode=m) for m in ("none", "moments", "posture",
+                                      "legacy")]
+                dbg = _np.concatenate(tiles, axis=1)
+                dp = pv_path.with_name(
+                    pv_path.stem + "_normalization_methods.png")
+                _cv2.imwrite(str(dp), dbg)
+                print(f"[auto_train] wrote {dp} (debug: none | "
+                      "moments | posture | legacy)")
     if train:
         print("[auto_train] running accumulation...")
         result = acc.start()
@@ -563,6 +584,37 @@ def _auto_train_apply(tracker, state, s, pv_path, train: bool):
                 "uniqueness (auto_train_on_startup set: failures are "
                 "fatal)")
         acc.trainer.save_weights(weights)
+        if result.training_images is not None:
+            # visual_identification_save_images: keep the successful
+            # training set next to the weights
+            import numpy as _np
+
+            ip = weights.with_name(weights.stem + "_training_images.npz")
+            _np.savez_compressed(ip, images=result.training_images,
+                                 labels=result.training_labels)
+            print(f"[auto_train] wrote {ip}")
+        if result.progress_maps:
+            # recognition_save_progress_images: per-step uniqueness
+            # history rendered as PNG curves (the reference saves the
+            # GUI's uniqueness plots)
+            import cv2 as _cv2
+            import numpy as _np
+
+            for step_i, rng, per in result.progress_maps:
+                img = _np.full((128, 512), 255, _np.uint8)
+                if per:
+                    fs = sorted(per)
+                    xs = _np.linspace(0, 511, len(fs)).astype(int)
+                    ys = 127 - (_np.array([per[f] for f in fs])
+                                * 127).astype(int)
+                    for k in range(1, len(fs)):
+                        _cv2.line(img, (xs[k - 1], ys[k - 1]),
+                                  (xs[k], ys[k]), 0, 1)
+                pp_ = weights.with_name(
+                    f"{weights.stem}_uniqueness_step{step_i}.png")
+                _cv2.imwrite(str(pp_), img)
+            print(f"[auto_train] wrote {len(result.progress_maps)} "
+                  "uniqueness progress images")
         if s["auto_train_dont_apply"]:
             # train-only startup: quit without applying / correcting
             # (VisualIdentDialog.cpp:97 auto_quit after start())

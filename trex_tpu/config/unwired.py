@@ -26,16 +26,17 @@ UNWIRED: dict[str, tuple] = {
     'gpu_torch_no_fixes': ('torch-runtime',),
     'gpu_verbosity': ('torch-runtime',),
     # registered-compat (reference surface accepted+persisted, semantics not yet wired)
-    'approximate_length_minutes': ('registered-compat',),
+    # approximate_length_minutes: an encoding-strategy hint for
+    # the reference's ffmpeg recorder; the pv writer here indexes
+    # incrementally and needs no length prior
+    'approximate_length_minutes': ('absorbed-by-design',),
     # host threading knobs: this build sizes worker pools from
     # cpu_count and keeps the device batched — per-thread blob
     # quotas and thread toggles have no equivalent dial
     'blobs_per_thread': ('host-runtime',),
-    'correct_illegal_lines': ('registered-compat',),
     # crop_window / evaluate_thresholds open interactive preview
     # windows before analysis (grabber docs) — GUI scope
     'crop_window': ('gui-scope',),
-    'debug_recognition_output_all_methods': ('registered-compat',),
     # detect_skeleton: bone connectivity for GUI pose drawing
     # (ConvertScene/DrawFish only)
     'detect_skeleton': ('gui-scope',),
@@ -50,16 +51,19 @@ UNWIRED: dict[str, tuple] = {
     # 1657-1691 display range) — no headless consumer in the reference
     # either (Export.cpp only saves/restores it around exports)
     'output_frame_window': ('gui-scope',),
-    'recognition_save_progress_images': ('registered-compat',),
     'system_memory_limit': ('host-runtime',),
+    # tags_saved_only (beta): requires conversion-time tag
+    # detection injecting is_tag blobs into the pv stream; tags
+    # here are detected at tracking time from the prefilter noise
     'tags_saved_only': ('registered-compat',),
     'tgrabs_use_threads': ('host-runtime',),
-    'threshold_maximum': ('registered-compat',),
+    # threshold_maximum: registered with an empty doc in the
+    # reference and never read by any of its sources either
+    'threshold_maximum': ('reference-unused',),
     # use_differences: 'really old files' store difference-encoded
     # pixels; no such legacy file exists to validate against
     'use_differences': ('legacy-format',),
     'video_reading_use_threads': ('host-runtime',),
-    'visual_identification_save_images': ('registered-compat',),
     # the ultralytics in-library BoT-SORT tracker: this framework's
     # own tracking stack (track/) IS the tracker — no embedded
     # third-party tracking routine exists to toggle

@@ -335,6 +335,55 @@ def serialize_frame(frame: PVFrame, encoding: str) -> tuple[bytes, bool]:
     return payload, False
 
 
+def _maybe_correct_illegal_lines(lines, px, channels: int):
+    """correct_illegal_lines (grabber doc): blobs written by old
+    software versions can carry OVERLAPPING lines on one row. When
+    the setting is on, rows are sorted and each line's x0 is clamped
+    past its predecessor's x1, with the pixel array re-sliced to
+    match. Default off: the common case pays nothing."""
+    from ..config import global_settings
+
+    try:
+        if not global_settings()["correct_illegal_lines"]:
+            return lines, px
+    except Exception:  # noqa: BLE001 - no registry in exotic embeds
+        return lines, px
+    if len(lines) < 2:
+        return lines, px
+    order = np.lexsort((lines[:, 1], lines[:, 0]))
+    ls = lines[order]
+    illegal = (ls[1:, 0] == ls[:-1, 0]) & (ls[1:, 1] <= ls[:-1, 2])
+    if not illegal.any():
+        return lines, px
+    out_lines = []
+    out_px = []
+    off_of = {}
+    if px is not None:
+        widths = lines[:, 2] - lines[:, 1] + 1
+        starts = np.concatenate([[0], np.cumsum(widths)[:-1]])
+        off_of = {i: int(starts[i]) for i in range(len(lines))}
+    prev_y, prev_x1 = -1, -1
+    for oi in order:
+        y, x0, x1 = (int(v) for v in lines[oi])
+        cut = 0
+        if y == prev_y and x0 <= prev_x1:
+            cut = prev_x1 + 1 - x0
+            x0 = prev_x1 + 1
+        if x0 > x1:
+            continue  # fully swallowed by the previous line
+        out_lines.append((y, x0, x1))
+        if px is not None:
+            s0 = off_of[int(oi)] + cut
+            out_px.append(px[s0 * channels:
+                             (s0 + x1 - x0 + 1) * channels])
+        prev_y, prev_x1 = y, x1
+    lines = np.asarray(out_lines, lines.dtype).reshape(-1, 3)
+    if px is not None:
+        px = np.concatenate(out_px) if out_px \
+            else px[:0]
+    return lines, px
+
+
 def parse_frame(data: bytes, version: int, encoding: str,
                 line_size: int = 4) -> PVFrame:
     """Parse one (already decompressed) frame payload."""
@@ -358,6 +407,7 @@ def parse_frame(data: bytes, version: int, encoding: str,
         px = None
         if channels > 0:
             px = np.frombuffer(r.read(npx * channels), dtype=np.uint8)
+        lines, px = _maybe_correct_illegal_lines(lines, px, channels)
         f.masks.append(lines)
         f.pixels.append(px)
         f.flags.append(flags)

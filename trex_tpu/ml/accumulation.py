@@ -60,6 +60,11 @@ class AccumulationResult:
     uniqueness_map: dict = field(default_factory=dict)
     trained_ranges: list = field(default_factory=list)
     success: bool = False
+    # visual_identification_save_images: the successful training set
+    training_images: Optional[np.ndarray] = None
+    training_labels: Optional[np.ndarray] = None
+    # recognition_save_progress_images: per-step uniqueness maps
+    progress_maps: list = field(default_factory=list)
 
 
 def resort_ranges(candidates: list, trained: list, unique_map: dict,
@@ -277,6 +282,9 @@ class Accumulation:
                 best_state = self.trainer.state
             result.uniqueness_map = per_frame
             result.final_uniqueness = mean_p
+            if s["recognition_save_progress_images"]:
+                result.progress_maps.append(
+                    (step_i, rng, dict(per_frame)))
             trained.append(rng)
             step = AccumulationStep(rng, AccumulationStatus.Added,
                                     AccumulationReason.Success,
@@ -308,4 +316,10 @@ class Accumulation:
         result.trained_ranges = trained
         if result.final_uniqueness >= sufficient:
             result.success = True
+        if s["visual_identification_save_images"] and images is not None:
+            # retain the successful training set for the CLI to save
+            # to output_dir (reference: 'save the images used for a
+            # successful training of the visual identification')
+            result.training_images = images
+            result.training_labels = labels
         return result
