@@ -281,3 +281,43 @@ def test_device_engine_automatic_fused_frames():
     dev = DeviceTracker(_settings(n), bg, chunk=8).track_frames(
         np.stack(frames))
     _compare_history(host, dev, len(frames))
+
+
+def test_greedy_pass_rounds_match_sequential():
+    """The round-based _greedy_pass (one commit-prefix per round
+    instead of B sequential argmax micro-ops) must reproduce the
+    per-blob sequential scan EXACTLY, including ties, thresholds,
+    pre-taken fish and pre-assigned blobs."""
+    import jax.numpy as jnp
+
+    from trex_tpu.ops.device_tracker import _greedy_pass
+
+    def seq_ref(P, valid_b, taken0, fob0, thr):
+        taken = taken0.copy()
+        fob = fob0.copy()
+        F, B = P.shape
+        for b in range(B):
+            col = np.where(taken, -1.0, P[:, b])
+            f = int(np.argmax(col))
+            if valid_b[b] and col[f] > thr and fob[b] < 0:
+                taken[f] = True
+                fob[b] = f
+        return taken, fob
+
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        F = int(rng.integers(1, 20))
+        B = int(rng.integers(1, 24))
+        # quantized probabilities force heavy ties + conflict chains
+        P = rng.integers(0, 6, (F, B)).astype(np.float64) / 5.0
+        valid = rng.random(B) < 0.8
+        taken0 = rng.random(F) < 0.2
+        fob0 = np.where(rng.random(B) < 0.1,
+                        rng.integers(0, F, B), -1).astype(np.int32)
+        thr = float(rng.choice([0.0, 0.2, 0.5]))
+        et, ef = seq_ref(P, valid, taken0, fob0, thr)
+        gt, gf = _greedy_pass(jnp.asarray(P), jnp.asarray(valid),
+                              jnp.asarray(taken0), jnp.asarray(fob0),
+                              thr)
+        np.testing.assert_array_equal(np.asarray(gt), et, err_msg=str(trial))
+        np.testing.assert_array_equal(np.asarray(gf), ef, err_msg=str(trial))
