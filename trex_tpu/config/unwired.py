@@ -52,10 +52,11 @@ UNWIRED: dict[str, tuple] = {
     # either (Export.cpp only saves/restores it around exports)
     'output_frame_window': ('gui-scope',),
     'system_memory_limit': ('host-runtime',),
-    # tags_saved_only (beta): requires conversion-time tag
-    # detection injecting is_tag blobs into the pv stream; tags
+    # tags_saved_only (beta): the reference's consumer sits behind
+    # the TAGS_ENABLE compile flag (BackgroundSubtraction.cpp:213) and
+    # the TagCache lives in the absent commons RawProcessing; tags
     # here are detected at tracking time from the prefilter noise
-    'tags_saved_only': ('registered-compat',),
+    'tags_saved_only': ('reference-compile-gated',),
     'tgrabs_use_threads': ('host-runtime',),
     # threshold_maximum: registered with an empty doc in the
     # reference and never read by any of its sources either
