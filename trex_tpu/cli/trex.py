@@ -29,13 +29,14 @@ SHORTHAND = {
     "d": "output_dir",
     "p": "output_prefix",
     "s": "settings_file",
-    "m": "mask_path",
+    "m": "detect_model",
+    "bm": "region_model",
     "load": "load",
     "task": "task",
     "nowindow": "nowindow",
     "auto_quit": "auto_quit",
     "auto_train": "auto_train",
-    "dim": "meta_video_scale",
+    "dim": "detect_resolution",
 }
 
 FLAG_ONLY = {"nowindow", "auto_quit", "auto_train", "load", "auto_apply",
