@@ -517,3 +517,35 @@ def test_reset_average_reuses_or_regenerates(tmp_path):
     # still ~123 in the empty region but recomputed, and the object
     # region may differ — assert it is NOT the verbatim header bytes
     assert seg2.background.shape == bg.shape
+
+
+def test_existing_output_pv_resumes_as_track(tmp_path):
+    """determineTaskType (main.cpp:119-128): when <output>/<name>.pv
+    already exists, a convert invocation resumes as a TRACK of the
+    existing pv instead of reconverting."""
+    import subprocess
+    import sys
+
+    frames = Path("/root/reference/videos/test_frames")
+    if not frames.exists():
+        pytest.skip("fixture not available")
+
+    def run():
+        return subprocess.run(
+            [sys.executable, "-m", "trex_tpu.cli.trex",
+             "-i", str(frames / "frame_%3d.jpg"), "-o", "t",
+             "-d", str(tmp_path), "-s",
+             "/root/reference/videos/test.settings",
+             "-nowindow", "-auto_quit",
+             "-video_conversion_range", "[0,6]"],
+            capture_output=True, text=True, timeout=560)
+
+    r1 = run()
+    assert r1.returncode == 0, r1.stderr[-500:]
+    assert "[convert] wrote" in r1.stdout
+    mtime = (tmp_path / "t.pv").stat().st_mtime
+    r2 = run()
+    assert r2.returncode == 0, r2.stderr[-500:]
+    assert "[track] tracked" in r2.stdout
+    assert "[convert] wrote" not in r2.stdout
+    assert (tmp_path / "t.pv").stat().st_mtime == mtime  # untouched

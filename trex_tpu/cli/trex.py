@@ -85,13 +85,17 @@ def _is_number(s: str) -> bool:
         return False
 
 
-def determine_task(source: str, explicit: str | None) -> str:
-    """main.cpp:108-169: explicit -task wins; .pv inputs track,
-    everything else converts."""
+def determine_task(source: str, explicit: str | None,
+                   out_pv_exists: bool = False) -> str:
+    """main.cpp:108-169: explicit -task wins; .pv inputs track; an
+    already-converted output pv (-o name whose <name>.pv exists in the
+    output dir) resumes as track; everything else converts."""
     if explicit in ("convert", "track", "annotate", "rst"):
         return explicit
     if source and (source.endswith(".pv")
                    or Path(str(source) + ".pv").exists()):
+        return "track"
+    if out_pv_exists:
         return "track"
     return "convert"
 
@@ -143,7 +147,14 @@ def main(argv=None) -> int:
     source = str(args.pop("source", "") or "").strip('"')
     name = str(args.pop("filename", "") or "").strip('"')
     settings_file = args.pop("settings_file", None)
-    task = determine_task(source, args.pop("task", None))
+    # determineTaskType (main.cpp:119-128): an EXISTING converted
+    # output pv routes straight to tracking (resume) unless -task says
+    # otherwise
+    _ob = output_dir / prefix if prefix else output_dir
+    out_pv = (_ob / f"{name}.pv") if name else None
+    task = determine_task(source, args.pop("task", None),
+                          out_pv_exists=bool(out_pv
+                                             and out_pv.exists()))
     auto_quit = bool(args.pop("auto_quit", False))
     args.pop("nowindow", None)  # always headless
     load = bool(args.pop("load", False))
@@ -290,6 +301,12 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
         pv_path = Path(source)
         if not pv_path.suffix:
             pv_path = pv_path.with_suffix(".pv")
+        if not pv_path.exists() and name:
+            # resume route (determineTaskType): the source was frames
+            # but <output>/<name>.pv already exists
+            cand = out_base / f"{name}.pv"
+            if cand.exists():
+                pv_path = cand
         if not pv_path.exists():
             print(f"pv file not found: {pv_path}", file=sys.stderr)
             return 1
