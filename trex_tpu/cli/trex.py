@@ -423,6 +423,12 @@ def _run_task(task, source, name, out_base, data_dir, s, sig, args,
                       f"(engine={engine_mode})")
         return 0
 
+    if task == "annotate":
+        # the annotation editor is a GUI scene (main.cpp:318); the
+        # headless surface consumes annotations via track_annotations
+        print("task 'annotate' is GUI-only; set track_annotations "
+              "and export instead", file=sys.stderr)
+        return 1
     print(f"unsupported task {task!r}", file=sys.stderr)
     return 1
 
