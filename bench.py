@@ -532,7 +532,14 @@ def _device_section():
         # timeout preserves everything measured before it
         print("DEVICE_JSON:" + json.dumps(out), flush=True)
 
+    skip_cached = set(
+        (os.environ.get("TREX_BENCH_SKIP_CACHED") or "").split(","))
+
     def measure(name, fn, min_s=60.0):
+        if name in skip_cached:
+            # opportunistic-capture mode (the tunnel watcher): spend
+            # the healthy window on metrics the cache does NOT have
+            return
         if left() < min_s:
             out[name + "_skipped"] = f"over budget ({left():.0f}s left)"
             emit()
