@@ -89,6 +89,11 @@ class TrackParams(NamedTuple):
     # replay — the spliced helper runs the exact scalar estimate.
     do_decay: bool = False
     decay_lambda: float = 1.0      # decay^4
+    # track_trusted_probability: assignment probabilities below this
+    # break tracklets in the archive; a committed f32 probability
+    # within p_err of the cut could break differently under the
+    # host's f64 — such frames defer
+    trusted_p: float = 0.0
 
 
 # window length of the decay estimate (Individual._win / CACHE_WINDOW)
@@ -145,7 +150,8 @@ def params_from_settings(s) -> TrackParams:
         do_decay=min(1.0, max(0.0, float(s["track_speed_decay"])))
         ** 4 < 1.0,
         decay_lambda=min(1.0, max(0.0,
-                                  float(s["track_speed_decay"]))) ** 4)
+                                  float(s["track_speed_decay"]))) ** 4,
+        trusted_p=float(s["track_trusted_probability"] or 0.0))
 
 
 def _init_carry(P: TrackParams, start_frame=0, t0=0.0):
@@ -796,6 +802,17 @@ def _scan_impl(det: dict, times: jax.Array,
             Pmat[jnp.clip(first_fob, 0, F - 1), bi], -1.0)
         fish_prob = jnp.full(F + 1, -1.0).at[fish_idx].set(
             jnp.where(first_fob >= 0, pvals_b, -1.0))[:F]
+        if P.trusted_p > 0:
+            # a committed probability within p_err of the trusted cut
+            # could break the archive tracklet differently under the
+            # host's f64 — defer the frame (rare: the cut sits far
+            # below typical committed probabilities)
+            perr_b = jnp.where(
+                first_fob >= 0,
+                p_err[jnp.clip(first_fob, 0, F - 1), bi], 0.0)
+            needs_host = needs_host | jnp.any(
+                (first_fob >= 0)
+                & (jnp.abs(pvals_b - P.trusted_p) <= perr_b))
 
         seen = jnp.concatenate(
             [carry["seen"][:, 1:], got[:, None]], axis=1)
