@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 if not os.environ.get("TREX_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # hermetic: the sitecustomize force-registers the accelerator
+    # backend in SUBPROCESSES regardless of JAX_PLATFORMS, so the
+    # auto-promotion probe would intermittently report healthy and
+    # route tests onto the real (flaky-tunnel) device. This env var
+    # makes _accelerator_healthy return False everywhere, including
+    # CLI subprocess tests.
+    os.environ["TREX_NO_ACCELERATOR"] = "1"
     import jax
 
     jax.config.update("jax_platforms", "cpu")

@@ -363,3 +363,36 @@ def test_auto_promotes_to_device_on_healthy_accelerator(monkeypatch):
     s.set("manual_matches", {0: {0: 123}})
     tr = pipeline.select_tracker(s, bg, need_individuals=True)
     assert isinstance(tr, Tracker)
+
+
+def test_rebuild_dacc_accepts_device_windows():
+    """Regression: the assist's dacc rebuild receives the DEVICE
+    (F, W, 5) window (with the global-step column) — it must slice to
+    the scalar walk's 4 columns instead of unpacking 5 (this crashed
+    whenever an assist fired while another fish had a frame gap, which
+    only reproduced when the auto-promotion probe routed a test onto
+    the real accelerator)."""
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.track.device_engine import _rebuild_dacc
+
+    s = reset_global_settings()
+    s.set("track_speed_decay", 0.7)
+    s.set("track_max_speed", 800)
+    s.set("cm_per_pixel", 1.0)
+    F, W = 3, 7
+    win = np.zeros((F, W, 5))
+    win[:, :, 0] = -1e9
+    frame_times = {f: f / 25.0 for f in range(0, 40)}
+    # fish 1: seen at frames 24..30, now unassigned with a gap to 34
+    for k, f in enumerate(range(24, 31)):
+        win[1, k] = (f, 10.0 + 2 * (f - 24), 5.0, f / 25.0, 0.04)
+    got = np.array([True, False, False])
+    dacc = _rebuild_dacc(win, got, 34, np.ones((F, 3)), frame_times, s)
+    # assigned fish reset; empty-window fish untouched beyond reset
+    assert np.all(dacc[0] == 0.0)
+    # gap fish: walk accumulated a positive +x displacement (moving
+    # +2 px/frame) with a packing-scale error
+    assert dacc[1, 0] > 0.0
+    assert 0 < dacc[1, 2] < 1e-4
+    # fish 2 has no window entries: prev value was reset-or-kept path
+    assert np.all(dacc[2] == 1.0)  # untouched (no entries, not got)

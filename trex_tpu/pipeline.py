@@ -57,6 +57,16 @@ def _accelerator_healthy(timeout_s: float = 30.0) -> bool:
     interpreter teardown (glibc 'FATAL: exception not rethrown' when
     finalization pthread_exits a daemon thread through the runtime's
     catch(...) frames; seen as a post-PASS SIGABRT in run_harness)."""
+    import os as _os
+
+    if _os.environ.get("TREX_NO_ACCELERATOR"):
+        # hermetic mode (the test suite sets this): never auto-promote
+        # onto a real accelerator. JAX_PLATFORMS=cpu alone is NOT
+        # enough — this deployment's sitecustomize force-registers the
+        # accelerator backend in every subprocess, so the probe child
+        # reports healthy whenever the tunnel happens to be up and
+        # tests would silently run against the real device.
+        return False
     if "ok" in _device_health:
         return _device_health["ok"]
     ok = False

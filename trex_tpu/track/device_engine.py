@@ -53,6 +53,40 @@ def check_device_supported(settings) -> None:
             "(track_engine=object)")
 
 
+def _rebuild_dacc(win: np.ndarray, got: np.ndarray, frame: int,
+                  prev_dacc: np.ndarray, frame_times: dict,
+                  settings) -> np.ndarray:
+    """Accumulated-chain-walk section after a host assist: assigned
+    fish reset; for unassigned fish recompute the EXACT f64 walk up
+    through `frame` (full walk to query=frame+1 minus the first term
+    = walk to query=prev+1), which also acts as an error barrier —
+    the err column restarts at packing scale. `win` is the device
+    (F, W, 5) window [frame, x, y, time, global step]; the scalar
+    walk consumes the [:, :4] columns."""
+    from .cache_batch import window_estimate_scalar
+
+    dacc = np.asarray(prev_dacc).copy()
+    dacc[got] = 0.0
+    for fi in np.flatnonzero(~got):
+        row = win[fi]
+        pf = row[row[:, 0] > -1e8]
+        if not len(pf):
+            continue
+        prev_f = int(pf[-1, 0])
+        if prev_f >= frame:  # no gap to walk
+            continue
+        w4 = row[:, :4]
+        fx, fy = window_estimate_scalar(
+            w4, -(10 ** 9), frame + 1, 0.0, frame_times, settings)
+        tx, ty = window_estimate_scalar(
+            w4, -(10 ** 9), prev_f + 1, 0.0, frame_times, settings)
+        dacc[fi, 0] = fx - tx
+        dacc[fi, 1] = fy - ty
+        dacc[fi, 2] = 4.0 * 1.1920929e-07 * (
+            abs(dacc[fi, 0]) + abs(dacc[fi, 1]) + 1.0)
+    return dacc
+
+
 def _probs_for(h, fish) -> np.ndarray:
     """Per-fid assignment probabilities from a helper history record
     (-1 = unknown, the host Tracker's no-probability sentinel)."""
@@ -752,36 +786,10 @@ class DeviceTracker:
                 win[fids, -1, 3] = time
                 win[fids, -1, 4] = time - float(prev["prev_time"])
             c["win"] = win
-            # dacc (accumulated chain walk): assigned fish reset; for
-            # unassigned fish recompute the EXACT f64 walk up through
-            # this frame (full walk to query=frame+1 minus the first
-            # term = walk to query=prev+1), which also acts as an
-            # error barrier — the err column restarts at packing scale
-            from .cache_batch import window_estimate_scalar
-
-            dacc = prev.get("dacc", np.zeros((self.F, 3))).copy()
-            dacc[got] = 0.0
-            s = self.settings
-            for fi in np.flatnonzero(~got):
-                row = win[fi]
-                pf = row[row[:, 0] > -1e8]
-                if not len(pf):
-                    continue
-                prev_f = int(pf[-1, 0])
-                if prev_f >= frame:  # no gap to walk
-                    continue
-                lx, ly = float(pf[-1, 1]), float(pf[-1, 2])
-                fx, fy = window_estimate_scalar(
-                    row, -(10 ** 9), frame + 1, time,
-                    self.frame_times, s)
-                tx, ty = window_estimate_scalar(
-                    row, -(10 ** 9), prev_f + 1, time,
-                    self.frame_times, s)
-                dacc[fi, 0] = fx - tx
-                dacc[fi, 1] = fy - ty
-                dacc[fi, 2] = 4.0 * 1.1920929e-07 * (
-                    abs(dacc[fi, 0]) + abs(dacc[fi, 1]) + 1.0)
-            c["dacc"] = dacc
+            c["dacc"] = _rebuild_dacc(
+                win, got, frame,
+                prev.get("dacc", np.zeros((self.F, 3))),
+                self.frame_times, self.settings)
         if self.P.do_posture:
             c["posture_dir"] = eng._posture_dir[:self.F]
         self._carry_vec = carry_to_vec(c)
