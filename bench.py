@@ -323,6 +323,11 @@ def bench_fixture_convert(timeout_s=600):
     env["PYTHONPATH"] = str(Path(__file__).parent) + os.pathsep \
         + env.get("PYTHONPATH", "")
     env.setdefault("JAX_PLATFORMS", "cpu")  # convert path is host-side
+    # the sitecustomize force-registers the accelerator backend in
+    # subprocesses regardless of JAX_PLATFORMS: without this, the
+    # convert auto-promotes onto the (flaky-tunnel) device whenever it
+    # happens to be healthy and the fixture fps measures tunnel luck
+    env["TREX_NO_ACCELERATOR"] = "1"
     try:
         proc = subprocess.run(
             [sys.executable, "-m", "trex_tpu.cli.trex",
