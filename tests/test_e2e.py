@@ -549,3 +549,56 @@ def test_existing_output_pv_resumes_as_track(tmp_path):
     assert "[track] tracked" in r2.stdout
     assert "[convert] wrote" not in r2.stdout
     assert (tmp_path / "t.pv").stat().st_mtime == mtime  # untouched
+
+
+def test_mask_path_blanks_conversion(tmp_path):
+    """mask_path: a mask image multiplies every acquired frame during
+    conversion (RawProcessing mask; grabber doc 'only works for
+    conversions') — blobs outside the mask vanish and the mask lands
+    in the pv header."""
+    import cv2
+    import numpy as np
+
+    from trex_tpu.config import reset_global_settings
+    from trex_tpu.io.pv import PVFile
+    from trex_tpu.pipeline import Segmenter
+
+    d = tmp_path / "frames"
+    d.mkdir()
+    bg = np.full((80, 120), 200, np.uint8)
+    # first half: empty frames (so the background average is clean),
+    # second half: two blobs
+    for i in range(12):
+        img = bg.copy()
+        if i >= 6:
+            img[20:30, 10:24] = 60    # blob A: inside the mask
+            img[50:60, 90:104] = 60   # blob B: outside the mask
+        cv2.imwrite(str(d / f"m_{i:03d}.png"), img)
+    mask = np.zeros((80, 120), np.uint8)
+    mask[:, :60] = 255  # keep the left half only
+    cv2.imwrite(str(tmp_path / "mask.png"), mask)
+
+    def run(with_mask):
+        s = reset_global_settings()
+        for k, v in dict(detect_threshold=25, track_threshold=25,
+                         track_size_filter=[[20, 500]],
+                         track_max_speed=500, cm_per_pixel=1.0,
+                         frame_rate=25, average_samples=4,
+                         averaging_method="max",  # static dark blobs
+                         meta_encoding="gray",    # must not enter bg
+                         track_max_individuals=4).items():
+            s.set(k, v)
+        if with_mask:
+            s.set("mask_path", str(tmp_path / "mask.png"))
+        out = tmp_path / f"mm_{int(with_mask)}.pv"
+        Segmenter(s, str(d / "m_%03d.png"), out, track=False).run()
+        with PVFile.open(out) as f:
+            counts = [f.read_frame(i).n for i in range(len(f))]
+            return counts, f.header.mask
+
+    counts_off, _ = run(False)
+    counts_on, hmask = run(True)
+    assert counts_off[6:] == [2] * 6, counts_off
+    # right-half blob masked out
+    assert counts_on[6:] == [1] * 6, counts_on
+    assert hmask is not None and np.asarray(hmask).any()

@@ -641,6 +641,40 @@ class Segmenter:
                     and s["meta_encoding"] in ("gray", "grey", "rgb8"):
                 header.average = lum_grid.correct(header.average)
 
+        # mask_path: a mask video/image multiplied onto every acquired
+        # frame during conversion (RawProcessing mask multiply; 'only
+        # works for conversions' per the grabber doc). Nonzero mask
+        # pixels keep the frame, zero pixels blank it.
+        conv_mask = None
+        mask_p = str(s["mask_path"] or "").strip()
+        if mask_p:
+            try:
+                msrc = VideoSource(mask_p)
+                m = msrc.get(0)
+                if m.ndim == 3:
+                    import cv2
+
+                    m = cv2.cvtColor(m, cv2.COLOR_BGR2GRAY)
+                if m.shape != self.background.shape[:2]:
+                    import cv2
+
+                    m = cv2.resize(
+                        m, (self.background.shape[1],
+                            self.background.shape[0]),
+                        interpolation=cv2.INTER_NEAREST)
+                conv_mask = (m > 0)
+                self.background = np.where(
+                    conv_mask, self.background, 0).astype(np.uint8)
+                if header.average is not None \
+                        and header.average.ndim == 2:
+                    header.average = self.background
+                header.mask = conv_mask.astype(np.uint8)
+            except Exception as e:  # noqa: BLE001 - bad mask: warn
+                import sys as _sys
+
+                print(f"[convert] cannot load mask_path {mask_p!r}: "
+                      f"{e}", file=_sys.stderr)
+
         self.tracker = select_tracker(
             s, self.background, self.need_individuals) if self.track \
             else None
@@ -678,6 +712,8 @@ class Segmenter:
                 img = preprocess_video_frame(img, s, undistort)
                 if lum_grid is not None:
                     img = lum_grid.correct(img)
+                if conv_mask is not None:
+                    img = np.where(conv_mask, img, 0).astype(np.uint8)
                 return img, color
 
             def produce(idx):
