@@ -306,3 +306,35 @@ def test_engine_decay_nonuniform_timestamps():
         eng.add_frame(i, float(times[i]), **raw)
     assert _tracker_assignments(tracker, len(frames)) \
         == _engine_assignments(eng)
+
+
+def test_engine_drops_tag_blobs_like_host():
+    """tags_dont_track parity: the fast engine must drop
+    is_tag-flagged blobs exactly like the host prefilter
+    (Tracker.cpp:776) — a tag blob must not claim an identity."""
+    import numpy as np
+
+    from trex_tpu.track.blob import TrackBlob
+    from trex_tpu.track.engine import FastTracker
+
+    s = _settings(2)
+    bg = np.full((128, 128), 200, np.uint8)
+    eng = FastTracker(s, bg)
+
+    def blob(x, flags=0):
+        lines = np.array([[40 + r, x, x + 7] for r in range(6)],
+                         np.int32)
+        return TrackBlob(lines, np.full(48, 60, np.uint8),
+                         flags=flags)
+
+    for f in range(4):
+        eng.add_frame_blobs(f, f / 25.0,
+                            [blob(20 + f), blob(90 + f, flags=0x2)])
+    assert eng.n_fish == 1  # the tag blob never tracked
+    s2 = _settings(2)
+    s2.set("tags_dont_track", False)
+    eng2 = FastTracker(s2, bg)
+    for f in range(4):
+        eng2.add_frame_blobs(f, f / 25.0,
+                             [blob(20 + f), blob(90 + f, flags=0x2)])
+    assert eng2.n_fish == 2  # tags track when the drop is disabled

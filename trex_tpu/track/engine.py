@@ -1293,6 +1293,11 @@ class FastTracker:
 
         from ..ops.labeling import _lib
 
+        if self.settings["tags_dont_track"]:
+            # physical-tag objects never track (Tracker.cpp:776; the
+            # host prefilter drops them to noise the same way)
+            blobs = [b for b in blobs
+                     if not (getattr(b, "flags", 0) & 0x2)]
         n = len(blobs)
         if n == 0:
             return self.add_frame(frame, time,
