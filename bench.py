@@ -52,13 +52,29 @@ FIXTURE_SETTINGS = "/root/reference/videos/test.settings"
 
 
 def synth_frames(n_frames, n_fish=N_FISH, size=SIZE, seed=0):
-    """Synthetic 256-fish video: dark elongated blobs on bright bg."""
+    """Synthetic 256-fish video: dark elongated blobs on bright bg.
+
+    Every fish gets its own slightly ASYMMETRIC stamp (size jitter +
+    a corner notch + texture): bit-identical mirror-symmetric stamps
+    put sampled mask points at EXACTLY equal distances from the
+    centered estimates, and the certified split expectation then
+    (correctly) defers every contested frame on a tie no real
+    organism produces — the benchmark would measure an adversarial
+    geometry corner instead of 256 individuals swimming."""
     rng = np.random.default_rng(seed)
     pos = rng.uniform(30, size - 30, (n_fish, 2))
     vel = rng.normal(0, 2.0, (n_fish, 2))
-    stamp = np.zeros((9, 15), np.uint8)
-    stamp[2:7, 1:14] = 90
-    stamp[3:6, 0:15] = 110
+    stamps = []
+    for i in range(n_fish):
+        w = int(13 + (i % 5))          # 13..17
+        h = int(8 + (i % 3))           # 8..10
+        st = np.zeros((h, w), np.uint8)
+        st[2 : h - 2, 1 : w - 1] = 90
+        st[3 : h - 3, 0:w] = 110
+        # asymmetric notch + head brightening break mirror symmetry
+        st[2, w - 3 : w - 1] = 0
+        st[h - 3, 1 : 3] = 70
+        stamps.append(st)
     bg = np.full((size, size), 200, np.uint8)
     frames = []
     for _ in range(n_frames):
@@ -74,11 +90,12 @@ def synth_frames(n_frames, n_fish=N_FISH, size=SIZE, seed=0):
         over_hi = pos > size - 25
         vel[over_lo | over_hi] *= -1
         pos = np.clip(pos, 20, size - 25)
-        for (x, y) in pos:
+        for k, (x, y) in enumerate(pos):
+            st = stamps[k]
             xi, yi = int(x), int(y)
-            region = img[yi : yi + 9, xi : xi + 15]
-            np.minimum(region, 200 - stamp[: region.shape[0],
-                                           : region.shape[1]], out=region)
+            region = img[yi : yi + st.shape[0], xi : xi + st.shape[1]]
+            np.minimum(region, 200 - st[: region.shape[0],
+                                        : region.shape[1]], out=region)
         frames.append(img)
     return bg, frames
 
