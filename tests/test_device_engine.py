@@ -277,7 +277,7 @@ def test_device_engine_demotes_on_assist_storm():
     n = 2
     s = _settings(n, split=True)
     frames = []
-    for f in range(50):
+    for f in range(80):  # past demote_min_frames (64)
         # pair drifts right, merging every other frame: fish exist
         # and every merged frame is split-contested, so the assist
         # rate stays ~50% and crosses the demotion threshold

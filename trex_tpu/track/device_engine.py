@@ -170,7 +170,10 @@ class DeviceTracker:
         # tracks all remaining frames directly, which is frame-exact
         # by construction and bounded below by host-engine speed.
         self.demote_threshold = 0.25
-        self.demote_min_frames = 16
+        # judge the rate over a real sample: startup frames cluster
+        # assists (creations, first crossings) and a 16-frame window
+        # demoted runs whose steady-state rate was under 10%
+        self.demote_min_frames = 64
         self.demoted = False
         self._frames_done = 0
 
